@@ -1,0 +1,65 @@
+"""Test-table access layer.
+
+The driver generates a TPC-H-ish star schema plus ``events``, ``documents``,
+``embeddings`` at /root/testdata/sf*/ (TESTDATA.md). All workload queries read
+through here so the physical layout (parquet today; bucketed/partitioned
+tables on a cluster) is swapped in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: these are
+# bounded-cardinality dims (25 nations, 5 regions), not fact tables.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet uses TIMESTAMP(NANOS); must be set before the read
+        # even on sessions not built by pumle_spark.session (e.g. the driver's)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+        # reader rejects; the session sets spark.sql.legacy.parquet.nanosAsLong
+        # so ts arrives as int64 nanos — convert to a proper timestamp
+        # (truncating to micros, matching DuckDB's ns→us truncation).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div — float division of ~1e18 nanos loses µs precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() works on the same
+    names the DuckDB oracle uses."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

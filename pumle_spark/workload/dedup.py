@@ -1,0 +1,346 @@
+"""Deduplication operators over the `documents` table (driver north-star:
+LLM-training-data pipeline ops as first-class engine components).
+
+All variants share one tokenization (lower → strip non-alnum → split on
+whitespace) expressed identically in Spark and in the DuckDB oracle.
+
+Scale design:
+- exact dedup: hash-groupBy on md5(text) — one shuffle on a 32-byte key,
+  never on the document body.
+- n-gram Jaccard: the all-pairs shingle self-join is the CORRECTNESS
+  baseline; its cost is Σ_sh c_sh² and explodes on hot shingles. The scale
+  path is MinHash+LSH below, which replaces the all-pairs join with a
+  band-bucket join whose cost is Σ_bucket c².
+- MinHash/LSH: signatures are per-doc (embarrassingly parallel map), the
+  only shuffle is the bucket join on (band, key).
+- SimHash: 32-bit signature per doc via bitwise md5 folding; pair search is
+  a Hamming-ball join implemented in pumle_spark.operators.dedup (pytest-
+  covered); the query here validates the signature computation itself.
+
+No Python UDFs anywhere — md5/bit-math/array ops are all JVM expressions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+# shared tokenization -------------------------------------------------------
+
+# DuckDB needs the 'g' flag for global regexp_replace; Spark is global by default.
+_SQL_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+
+def _tokens_col():
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+
+
+_SQL_SHINGLES = f"""
+    toks AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    sh3 AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               w || ' ' || LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM toks)
+      WHERE sh IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document: (doc_id, sh)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)).alias("sh"),
+        F.lead("w", 2).over(w).alias("_w3"),
+    )
+    # concat_ws skips NULLs, so guard on the last lead explicitly
+    return sh.filter(F.col("_w3").isNotNull()).select("doc_id", "sh").distinct()
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "X3"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: hash-groupBy keeping min doc_id.
+
+    Same idempotence primitive as the reference's INSERT OR IGNORE on the
+    sim_hash PK (db.py:25-28, X3): identical content → one surviving key.
+    The shuffle key is the 32-char md5, not the document body.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    sql=f"""
+    SELECT md5(array_to_string({_SQL_TOKENS}, ' ')) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lower/strip-punct/collapse-ws) —
+    catches trivially-reformatted duplicates exact hashing misses."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.array_join(_tokens_col(), " ")
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (all-pairs baseline)
+# --------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.05
+_INTER_MIN = 2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common >= {_INTER_MIN}
+      AND CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= {_JACCARD_MIN}
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard similarity (all-pairs baseline).
+
+    shingle → self-equi-join on shingle → |A∩B| via count, |A∪B| from per-doc
+    sizes. Correct but quadratic in hot shingles — dedup_minhash_lsh is the
+    100 TB path; this one is the oracle for it.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.col("n_common") >= _INTER_MIN) & (jac >= _JACCARD_MIN))
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (banding) — the scale path
+# --------------------------------------------------------------------------
+
+_N_HASHES = 8  # minhash signature length
+_N_BANDS = 4  # 4 bands × 2 rows
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (                               -- minhash: min over md5(seed|shingle)
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mhash
+      FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (                            -- band key = md5 of the band's rows
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(string_agg(CAST(seed AS VARCHAR) || ':' || mhash, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ),
+    cand AS (                             -- bucket join: same (band, key)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.doc_a
+      JOIN sh3 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           ROUND(CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common), 4) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= {_JACCARD_MIN}
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (shingle → minhash → band →
+    bucket-join → verify).
+
+    The minhash family is h_i(s) = md5(i|s) with the min taken over the hex
+    string — engine-portable and deterministic, no RNG state to ship.
+    {_N_HASHES} hashes in {_N_BANDS} bands of 2: candidate recall ≈
+    1-(1-j²)⁴. Only candidates are verified with the exact Jaccard, so the
+    quadratic step runs on buckets, not the corpus.
+    """
+    sh = _shingles(spark, sf_dir)  # (doc_id, sh) distinct
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mhash"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .withColumn("row", F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mhash")))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.array_join(F.array_sort(F.collect_list("row")), "|")).alias("band_key"))
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        ba.join(bb, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    verified = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "sh"]).groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signature (32-bit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash32",
+    sql=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    bits AS (
+      SELECT t.doc_id, b.bit,
+             SUM(CASE WHEN (('0x' || substr(md5(t.w), 1, 8))::UBIGINT >> b.bit) & 1 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM toks t CROSS JOIN generate_series(0, 31) b(bit)
+      GROUP BY t.doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN weight > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash32
+    FROM bits
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived bits vote ±1 per
+    position; the sign vector is the signature.
+
+    Signature computation is a pure map + one groupBy(doc) — scales linearly.
+    Near-dup retrieval (Hamming ≤ k via rotated-prefix blocking) lives in
+    pumle_spark.operators.dedup.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+    bits = (
+        toks.select("doc_id", h.alias("h"))
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").cast("int").alias("bit"))))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("simhash32")
+    )

@@ -1,0 +1,156 @@
+"""Event-stream operators over `events` — the batch twins of the Structured
+Streaming pipeline in pumle_spark.streaming (SURVEY §2.12: the reference is
+batch-only; streaming is an engine extension).
+
+Every query here is the exact batch semantics of a streaming counterpart:
+- events_hourly_rollup  ↔ tumbling-window groupBy(window('ts','1 hour'))
+- events_sessionize     ↔ session windows / applyInPandasWithState
+- events_user_activity  ↔ stateful per-key running aggregates
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+@register(
+    "events_hourly_rollup",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*)                  AS n_events,
+           ROUND(SUM(value), 2)      AS sum_value,
+           COUNT(DISTINCT user_id)   AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "streaming-twin"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type — the batch semantics of
+    readStream → groupBy(window(ts, '1 hour'), event_type) with a watermark.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    sql=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS INTEGER) AS session_id,
+           COUNT(*) AS n_events,
+           ROUND((MAX(tus) - MIN(tus)) / 1000000.0, 6) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "sessionize", "streaming-twin"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity ends a session): lag →
+    new-session flag → running sum = session id → per-session rollup.
+
+    Batch twin of session windows in Structured Streaming
+    (applyInPandasWithState / session_window). One shuffle on user_id; the
+    two windows and the final groupBy share that partitioning.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max("tus") - F.min("tus")) / 1_000_000.0, 6).alias("duration_sec"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+    tags=("events", "json", "F15"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string payload column (F15 to_json/
+    from_json family) — schema-on-read without a full from_json parse."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "events_user_activity",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MAX(value), 6) AS max_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile — the stateful per-key aggregate a streaming
+    job would maintain; here one hash aggregation pass."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )

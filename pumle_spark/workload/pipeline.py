@@ -1,0 +1,356 @@
+"""PUMLE pipeline semantics (SURVEY.md §2.6, §2.7, §2.10) expressed on the
+driver test tables so the DuckDB oracle can validate them.
+
+The same operators run on real simulation data through pumle_spark.sources /
+pumle_spark.operators; here each one is restated over the star schema:
+
+- F1  canonical md5 param hash          → param_hash_customers
+- G1-G3 linspace sweep + cartesian grid → sweep_linspace_grid
+- J1  sparse→dense scatter join         → scatter_dense_grid
+- F12 F-order cell_id ↔ (i,j,k)         → forder_index_roundtrip
+- J4  equi+range well-layer join        → wells_range_join
+- §2.10 constraint validation           → validate_customer_constraints
+- A3  min-positive clamp                → minpos_quantity_floor
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+# --------------------------------------------------------------------------
+# F1 — canonical hash (utils.py:52-81 parity shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "param_hash_customers",
+    sql="""
+    SELECT c_custkey,
+           SUBSTR(md5('{"acctbal": ' || CAST(ROUND(c_acctbal, 2) AS VARCHAR)
+                      || ', "nationkey": ' || CAST(c_nationkey AS VARCHAR)
+                      || ', "segment": "' || c_mktsegment || '"}'), 1, 8) AS param_hash
+    FROM customer
+    """,
+    tags=("F1", "hash"),
+)
+def param_hash_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content hash of a canonical sorted-key JSON rendering.
+
+    Engine analogue of sim_hash = md5(json.dumps(params, sort_keys=True))[:8]
+    (reference utils.py:52-81): keys alphabetical, stable float formatting,
+    md5 truncated to 8 hex chars. All JVM-side string/expr work — the hash is
+    a pure column expression, usable as a partition key at any scale.
+    """
+    c = table(spark, sf_dir, "customer")
+    canonical = F.concat(
+        F.lit('{"acctbal": '),
+        F.round("c_acctbal", 2).cast("string"),
+        F.lit(', "nationkey": '),
+        F.col("c_nationkey").cast("string"),
+        F.lit(', "segment": "'),
+        F.col("c_mktsegment"),
+        F.lit('"}'),
+    )
+    return c.select(
+        "c_custkey",
+        F.substring(F.md5(canonical), 1, 8).alias("param_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G1-G3 — linspace sweep + cartesian product + sim_id assignment
+# --------------------------------------------------------------------------
+
+_SWEEP_POINTS = 5  # clamp(int(1/0.2), 2, 100) — parameters_variation.py:77-84
+_P1_LO, _P1_HI = 28.0, 42.0  # pres_ref ± 20% of base 35 (setup.ini:15)
+_P2_LO, _P2_HI = 0.088, 0.132  # srw ± 20% of base 0.11 (setup.ini:18)
+
+
+@register(
+    "sweep_linspace_grid",
+    sql=f"""
+    WITH g1 AS (SELECT i AS i1,
+                       {_P1_LO} + i * ({_P1_HI} - {_P1_LO}) / {_SWEEP_POINTS - 1} AS pres_ref
+                FROM generate_series(0, {_SWEEP_POINTS - 1}) t(i)),
+         g2 AS (SELECT i AS i2,
+                       {_P2_LO} + i * ({_P2_HI} - {_P2_LO}) / {_SWEEP_POINTS - 1} AS srw
+                FROM generate_series(0, {_SWEEP_POINTS - 1}) t(i))
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY i1, i2) AS INTEGER) AS sim_id,
+           ROUND(pres_ref, 9) AS pres_ref,
+           ROUND(srw, 9)      AS srw
+    FROM g1 CROSS JOIN g2
+    """,
+    tags=("G1", "G2", "G3", "sweep"),
+)
+def sweep_linspace_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter sweep as a lazy plan: linspace per parameter (G1), cartesian
+    crossJoin (G2), deterministic sim_id by row_number (G3).
+
+    Replaces np.meshgrid(np.linspace(...)) + enumerate
+    (parameters_variation.py:125-200). The grid never materializes on the
+    driver — pointsⁿ combos stream out of a crossJoin of n tiny DataFrames.
+    """
+    from pyspark.sql import Window
+
+    def linspace(idx_name: str, val_name: str, lo: float, hi: float, n: int) -> DataFrame:
+        return spark.range(n).select(
+            F.col("id").alias(idx_name),
+            (F.lit(lo) + F.col("id") * (F.lit(hi) - F.lit(lo)) / F.lit(n - 1)).alias(val_name),
+        )
+
+    g1 = linspace("i1", "pres_ref", _P1_LO, _P1_HI, _SWEEP_POINTS)
+    g2 = linspace("i2", "srw", _P2_LO, _P2_HI, _SWEEP_POINTS)
+    w = Window.orderBy("i1", "i2")
+    return (
+        g1.crossJoin(g2)
+        .select(
+            F.row_number().over(w).cast("int").alias("sim_id"),
+            F.round("pres_ref", 9).alias("pres_ref"),
+            F.round("srw", 9).alias("srw"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — sparse→dense scatter as left outer join over the dense key domain
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scatter_dense_grid",
+    sql="""
+    WITH dense AS (SELECT n.n_nationkey, s.o_orderstatus
+                   FROM nation n
+                   CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s),
+         obs AS (SELECT c.c_nationkey AS n_nationkey, o.o_orderstatus,
+                        COUNT(*) AS n_orders,
+                        ROUND(SUM(o.o_totalprice), 2) AS sum_price
+                 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                 GROUP BY 1, 2)
+    SELECT d.n_nationkey, d.o_orderstatus,
+           obs.n_orders, obs.sum_price
+    FROM dense d
+    LEFT JOIN obs ON obs.n_nationkey = d.n_nationkey
+                 AND obs.o_orderstatus = d.o_orderstatus
+    """,
+    tags=("J1", "scatter", "join"),
+)
+def scatter_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense scatter (arrays.py:94-135): the dense domain (all cells ×
+    all timesteps there; all nations × all statuses here) left-joins the
+    sparse observations; unmatched slots surface as NULL — exactly the NaN
+    placeholder of the golden tensor. NULLs are intentional output."""
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    statuses = o.select("o_orderstatus").distinct()
+    dense = n.select("n_nationkey").crossJoin(statuses)
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    return dense.join(obs, ["n_nationkey", "o_orderstatus"], "left")
+
+
+# --------------------------------------------------------------------------
+# F12 — F-order linear index ↔ (i,j,k) round trip
+# --------------------------------------------------------------------------
+
+_GI, _GJ, _GK = 81, 58, 20  # UNISIM-I-D grid dims (setup.ini:8, BASELINE.md)
+
+
+@register(
+    "forder_index_roundtrip",
+    sql=f"""
+    SELECT cell_id,
+           CAST(cell_id % {_GI} AS INTEGER)                  AS i,
+           CAST((cell_id // {_GI}) % {_GJ} AS INTEGER)       AS j,
+           CAST(cell_id // {_GI * _GJ} AS INTEGER)           AS k,
+           CAST((cell_id % {_GI})
+                + {_GI} * ((cell_id // {_GI}) % {_GJ})
+                + {_GI * _GJ} * (cell_id // {_GI * _GJ}) AS BIGINT) AS cell_id_roundtrip
+    FROM (SELECT CAST(g AS BIGINT) AS cell_id
+          FROM generate_series(0, {_GI * _GJ * _GK - 1}, 997) t(g))
+    """,
+    tags=("F12", "grid"),
+)
+def forder_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fortran-order linear index math (arrays.py:138-140 order='F';
+    co2lab3DPUMLE.m:415 sub2ind): cell_id = i + I*(j + J*k), and back.
+
+    Pure integer column arithmetic — at 100 TB this is how every (i,j,k)
+    coordinate is derived from the partition-friendly cell_id key without a
+    join. Sampled every 997 cells to keep the oracle small.
+    """
+    cells = spark.range(0, _GI * _GJ * _GK, 997).select(F.col("id").alias("cell_id"))
+    i = (F.col("cell_id") % _GI).cast("int")
+    j = ((F.col("cell_id") / _GI).cast("bigint") % _GJ).cast("int")
+    k = (F.col("cell_id") / (_GI * _GJ)).cast("bigint").cast("int")
+    return cells.select(
+        "cell_id",
+        i.alias("i"),
+        j.alias("j"),
+        k.alias("k"),
+        (i.cast("bigint") + _GI * (j.cast("bigint") + _GJ * k.cast("bigint"))).alias(
+            "cell_id_roundtrip"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — equi + range join (well (i,j) × layer interval k)
+# --------------------------------------------------------------------------
+
+# Wells from setup.ini:32 / co2lab3DPUMLE.m:406-423: (name, i, j, k_min, k_max)
+_WELLS = [
+    ("NA1A", 38, 36, 6, 11),
+    ("NA2", 21, 36, 6, 11),
+    ("NA3D", 44, 43, 6, 11),
+    ("RJS19", 31, 27, 6, 11),
+]
+
+
+@register(
+    "wells_range_join",
+    sql=f"""
+    WITH wells(well_name, wi, wj, k_min, k_max) AS (
+      VALUES {", ".join(f"('{n}', {i}, {j}, {kl}, {kh})" for n, i, j, kl, kh in _WELLS)}
+    ),
+    cells AS (
+      SELECT CAST(g AS BIGINT) AS cell_id,
+             CAST(g % {_GI} AS INTEGER)            AS i,
+             CAST((g // {_GI}) % {_GJ} AS INTEGER) AS j,
+             CAST(g // {_GI * _GJ} AS INTEGER)     AS k
+      FROM generate_series(0, {_GI * _GJ * _GK - 1}) t(g)
+    )
+    SELECT w.well_name, COUNT(*) AS n_cells,
+           CAST(MIN(c.cell_id) AS BIGINT) AS min_cell_id,
+           CAST(MAX(c.cell_id) AS BIGINT) AS max_cell_id
+    FROM wells w
+    JOIN cells c ON c.i = w.wi AND c.j = w.wj AND c.k BETWEEN w.k_min AND w.k_max
+    GROUP BY w.well_name
+    """,
+    tags=("J4", "range-join"),
+)
+def wells_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join (J4, co2lab3DPUMLE.m:406-423): wells match grid cells
+    on (i, j) equality plus a k-layer interval.
+
+    The well table is tiny → broadcast; the equi part keys the hash lookup
+    and the range predicate filters inside the match, so the grid side is
+    streamed once with no shuffle.
+    """
+    wells = spark.createDataFrame(_WELLS, "well_name string, wi int, wj int, k_min int, k_max int")
+    cells = spark.range(_GI * _GJ * _GK).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % _GI).cast("int").alias("i"),
+        ((F.col("id") / _GI).cast("bigint") % _GJ).cast("int").alias("j"),
+        (F.col("id") / (_GI * _GJ)).cast("bigint").cast("int").alias("k"),
+    )
+    return (
+        cells.join(
+            broadcast(wells),
+            (cells.i == wells.wi)
+            & (cells.j == wells.wj)
+            & cells.k.between(wells.k_min, wells.k_max),
+        )
+        .groupBy("well_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("cell_id").alias("min_cell_id"),
+            F.max("cell_id").alias("max_cell_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.10 — constraint validation (pandera BASE_SCHEMA → column expressions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "validate_customer_constraints",
+    sql="""
+    SELECT c_custkey,
+           (CASE WHEN c_acctbal BETWEEN -1000 AND 10000 THEN 0 ELSE 1 END
+            + CASE WHEN c_name LIKE 'Customer%' THEN 0 ELSE 1 END
+            + CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END
+            + CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                   THEN 0 ELSE 1 END) AS n_violations
+    FROM customer
+    """,
+    tags=("validate", "2.10"),
+)
+def validate_customer_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation as column expressions (pandera BASE_SCHEMA,
+    metadata.py:30-59 → in_range / regex / isin checks).
+
+    Returns per-row violation counts; the engine's validate() splits valid
+    from violating rows on this. One scan, no UDFs, fully pushed to codegen.
+    """
+    c = table(spark, sf_dir, "customer")
+    checks = [
+        F.col("c_acctbal").between(-1000, 10000),
+        F.col("c_name").startswith("Customer"),
+        F.col("c_nationkey").between(0, 24),
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+    ]
+    n_violations = sum(F.when(chk, 0).otherwise(1) for chk in checks)
+    return c.select("c_custkey", n_violations.cast("int").alias("n_violations"))
+
+
+# --------------------------------------------------------------------------
+# A3 — min-positive clamp (co2lab3DPUMLE.m:132-135 porosity floor)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minpos_quantity_floor",
+    sql="""
+    WITH floors AS (
+      SELECT l_returnflag, MIN(CASE WHEN l_discount > 0 THEN l_discount END) AS min_pos_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           ROUND(f.min_pos_disc, 6) AS min_pos_disc,
+           COUNT(*) AS n_items,
+           COUNT(CASE WHEN l.l_discount <= 0 THEN 1 END) AS n_clamped
+    FROM lineitem l JOIN floors f ON f.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag, f.min_pos_disc
+    """,
+    tags=("A3", "agg"),
+)
+def minpos_quantity_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-over-positive-subset + conditional clamp count (A3: the porosity
+    floor rock.poro(poro < min(poro(poro>0))) = 1e-3 at co2lab3DPUMLE.m:132).
+
+    Conditional aggregation avoids a second scan: min(CASE WHEN x>0 THEN x)
+    computes the positive floor in the same agg pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    floors = li.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("l_discount") > 0, F.col("l_discount"))).alias("min_pos_disc")
+    )
+    return (
+        li.join(broadcast(floors), "l_returnflag")
+        .groupBy("l_returnflag", "min_pos_disc")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.count(F.when(F.col("l_discount") <= 0, 1)).alias("n_clamped"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("min_pos_disc", 6).alias("min_pos_disc"),
+            "n_items",
+            "n_clamped",
+        )
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- knn_bruteforce_cosine: exact top-k — the correctness baseline. Query set ×
+  corpus via broadcast nested loop; fine when |queries| is small, O(n·q·d).
+- ann_lsh_codes: random-hyperplane LSH bucket codes — the 100 TB path. The
+  hyperplanes are derived from md5 so Spark and the DuckDB oracle construct
+  bit-identical planes with no RNG state; retrieval then joins on bucket
+  code (cost Σ_bucket c² instead of n²).
+
+All vector math stays JVM-side: zip_with + aggregate over array<double>, no
+Python UDF. (A Pandas-UDF/numpy variant is benchmarked in
+pumle_spark.operators.similarity for the wide-batch case.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_DIM = 64
+_TOP_K = 5
+_QUERY_STRIDE = 50  # vec_id % 50 == 0 → query set
+_N_PLANES = 8
+
+
+def _vecd():
+    """embedding cast float[]→double[] so both engines accumulate in f64."""
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "knn_bruteforce_cosine",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {_QUERY_STRIDE} = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+           FROM q CROSS JOIN e
+           WHERE e.vec_id <> q.query_id
+         )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a strided query set.
+
+    cosine = dot/sqrt(|a|²·|b|²) matching DuckDB's list_cosine_similarity
+    formula exactly. Ranking happens on the 6-decimal-rounded similarity
+    (with neighbor_id tiebreak) so cross-engine float summation order cannot
+    reorder the top-k.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
+    q = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(
+        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("v"), F.col("v"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            # no second rounding: re-rounding an already-rounded value lands
+            # exactly on .5 boundaries where engine rounding paths diverge;
+            # the 6-decimal ranking value IS the output
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "ann_lsh_codes",
+    sql=f"""
+    WITH planes AS (       -- md5-derived hyperplanes: identical in both engines
+      SELECT p.p, d.d,
+             ((('0x' || substr(md5('plane' || p.p || '_' || d.d), 1, 8))::UBIGINT
+               % 2000001)::BIGINT - 1000000) / 1000000.0 AS w
+      FROM generate_series(0, {_N_PLANES - 1}) p(p)
+      CROSS JOIN generate_series(0, {_DIM - 1}) d(d)
+    ),
+    comps AS (
+      SELECT e.vec_id, pl.p, SUM(pl.w * e.embedding[pl.d + 1]::DOUBLE) AS dot
+      FROM embeddings e
+      JOIN planes pl ON TRUE
+      GROUP BY e.vec_id, pl.p
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INTEGER)
+             AS bucket_code
+    FROM comps
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "lsh", "ann"),
+)
+def ann_lsh_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket code per vector ({_N_PLANES} sign bits).
+
+    Plane weights come from md5("plane{{p}}_{{d}}") → uniform in [-1, 1], so
+    the "random" planes are reproducible everywhere without shipping state.
+    Bucketing is a pure per-row map; ANN retrieval joins on bucket_code —
+    the candidate set per query is one bucket instead of the whole corpus.
+    """
+    planes_rows = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p")).crossJoin(
+        spark.range(_DIM).select(F.col("id").cast("int").alias("d"))
+    )
+    w = (
+        (F.conv(F.substring(F.md5(F.concat(F.lit("plane"), F.col("p"), F.lit("_"), F.col("d"))), 1, 8), 16, 10)
+         .cast("bigint") % 2000001 - 1000000) / 1000000.0
+    )
+    planes = planes_rows.select("p", "d", w.alias("w"))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(_vecd()).alias("d", "x")
+    )
+    comps = (
+        e.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("dot"))
+    )
+    return comps.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")).cast("bigint")).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("bucket_code")
+    )

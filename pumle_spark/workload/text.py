@@ -1,0 +1,200 @@
+"""Text-analysis operators over `documents` (LLM-pipeline surface):
+language-ID heuristic, quality scoring, token counting, winnowing
+fingerprints. All pure column/array expressions — the per-token work runs
+inside higher-order functions (filter/transform/aggregate) on the JVM, so a
+document never round-trips to Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_SQL_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in"),
+    "es": ("la", "el", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _tokens_col():
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _hits(lang: str):
+    return F.expr(f"size(filter(ws, t -> t IN ({_sql_in(_STOPWORDS[lang])})))")
+
+
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, {_SQL_TOKENS} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(ws) AS BIGINT)      AS n_tokens,
+           ROUND(CAST(list_sum(list_transform(ws, t -> LENGTH(t))) AS DOUBLE)
+                 / NULLIF(LEN(ws), 0), 4) AS avg_token_len,
+           ROUND(CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                 / NULLIF(LENGTH(text), 0), 4) AS alnum_ratio,
+           ROUND(CAST(LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["en"])}))) AS DOUBLE)
+                 / NULLIF(LEN(ws), 0), 4) AS stopword_ratio
+    FROM d
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: length, mean token length, alphanumeric
+    ratio, stopword ratio — the standard cheap filters before expensive
+    pipeline stages. One scan, no shuffle (pure projection)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", _tokens_col().alias("ws"))
+    n_tokens = F.size("ws")
+    tok_len_sum = F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t))
+    alnum = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(tok_len_sum.cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias("avg_token_len"),
+        F.round(alnum.cast("double") / F.nullif(F.length("text"), F.lit(0)), 4).alias("alnum_ratio"),
+        F.round(_hits("en").cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    hits AS (
+      SELECT doc_id,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["en"])}))) AS h_en,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["es"])}))) AS h_es,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["fr"])}))) AS h_fr,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["de"])}))) AS h_de
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+                WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                WHEN h_de > 0 THEN 'de'
+                ELSE 'unknown' END AS pred_lang
+    FROM hits
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic with a fixed precedence order
+    for ties. Per-row map — embarrassingly parallel at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("ws"))
+    h = {lang: _hits(lang) for lang in ("en", "es", "fr", "de")}
+    pred = (
+        F.when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] > 0), "en"
+        )
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]) & (h["es"] > 0), "es")
+        .when((h["fr"] >= h["de"]) & (h["fr"] > 0), "fr")
+        .when(h["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_token_counts",
+    sql=f"""
+    SELECT doc_id,
+           CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_regex_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish lexer regex
+    (letter runs | digit runs | single punctuation). The regex count is the
+    budget estimator a training pipeline uses for per-doc token caps."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens_col()).cast("bigint").alias("n_ws_tokens"),
+        # Spark's regexp_extract_all requires a capture group (idx=1); the
+        # outer parens make group 1 ≡ full match, same as DuckDB's group 0.
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), 1))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+    )
+
+
+_GRAM = 8  # character n-gram size
+_WINNOW = 4  # winnowing window (rows)
+
+
+@register(
+    "text_fingerprint_winnow",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, array_to_string({_SQL_TOKENS}, ' ') AS norm FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos, substr(md5(substr(norm, pos, {_GRAM})), 1, 8) AS h
+      FROM (SELECT doc_id, norm, unnest(generate_series(1, LENGTH(norm) - {_GRAM - 1})) AS pos
+            FROM d)
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp)            AS min_fp
+    FROM winnowed
+    GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash all
+    char-{_GRAM}-grams, keep the min hash of every {_WINNOW}-gram window,
+    dedupe. Output is the per-doc fingerprint-set summary.
+
+    The gram explosion is per-document and bounded by doc length; the only
+    shuffle is the final per-doc distinct-count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.array_join(_tokens_col(), " ").alias("norm"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            # sequence() flips to descending when start > stop, so guard short docs
+            F.expr(
+                f"CASE WHEN length(norm) >= {_GRAM} THEN "
+                f"transform(sequence(1, length(norm) - {_GRAM - 1}), "
+                f"p -> substr(md5(substr(norm, p, {_GRAM})), 1, 8)) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW - 1)
+    winnowed = grams.select("doc_id", F.min("h").over(w).alias("fp"))
+    return winnowed.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
