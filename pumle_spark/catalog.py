@@ -1,0 +1,114 @@
+"""Simulation catalog (M0): the engine's replacement for the reference's
+SQLite `simulations` table (db.py:15-23) with idempotent registration (X3)
+and guarded status transitions (db.py:43-47, 106-153).
+
+Storage: a Parquet-backed table owned by the engine. Upserts are
+copy-on-write MERGE semantics (read → anti-join/union → atomic swap) —
+the same contract as Delta's ``whenNotMatchedInsert`` without requiring the
+Delta runtime in this environment. The catalog is dim-sized (one row per
+simulation), so rewriting it is trivial at any data scale; the 100 TB facts
+live in golden Parquet, keyed by the catalog's sim_hash.
+
+Schema (db.py:15-23, FIXTURES.md §2):
+    sim_hash     STRING  PK (md5(sorted fluid params)[:8], utils.py:52-81)
+    sim_id       INT
+    fluid_params STRING  (canonical JSON — real columns live in sim_configs)
+    status       STRING  CREATED|RUNNING|COMPLETED|FAILED
+    created_at   TIMESTAMP
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# SimulationStatus enum (db.py:43-47)
+STATUSES = ("CREATED", "RUNNING", "COMPLETED", "FAILED")
+
+CATALOG_SCHEMA = StructType(
+    [
+        StructField("sim_hash", StringType(), False),
+        StructField("sim_id", IntegerType(), True),
+        StructField("fluid_params", StringType(), True),
+        StructField("status", StringType(), True),
+        StructField("created_at", TimestampType(), True),
+    ]
+)
+
+
+class SimulationCatalog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- read ---------------------------------------------------------------
+
+    def load(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CATALOG_SCHEMA)
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path)
+
+    # -- write --------------------------------------------------------------
+
+    def _atomic_overwrite(self, df: DataFrame) -> None:
+        """Write to a temp dir then swap — readers never see a half-write."""
+        tmp = tempfile.mkdtemp(prefix="catalog_", dir=os.path.dirname(self.path) or ".")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+    def register(self, configs: DataFrame) -> int:
+        """X3 idempotent insert (INSERT OR IGNORE on sim_hash PK, db.py:25-28):
+        only hashes not already present are added, status=CREATED.
+
+        Returns the number of newly registered simulations. Duplicate hashes
+        WITHIN the batch are also collapsed (dropDuplicates) — identical
+        param sets register once, the reference's "caching" (README.md:54-55).
+        """
+        existing = self.load()
+        incoming = (
+            configs.select("sim_hash", "sim_id", "fluid_params")
+            .dropDuplicates(["sim_hash"])
+            .withColumn("status", F.lit("CREATED"))
+            .withColumn("created_at", F.current_timestamp())
+        )
+        fresh = incoming.join(existing.select("sim_hash"), "sim_hash", "left_anti")
+        n_new = fresh.count()
+        if n_new:
+            merged = existing.unionByName(fresh.select(*[f.name for f in CATALOG_SCHEMA.fields]))
+            self._atomic_overwrite(merged)
+        return n_new
+
+    def update_status(self, sim_hashes: list[str] | None, new_status: str) -> None:
+        """Guarded status transition (db.py:133-153): `new_status` must be a
+        member of the enum; None hashes = all rows (the reference's blanket
+        update — kept, but per-hash is the recommended path)."""
+        if new_status not in STATUSES:
+            raise ValueError(f"invalid status {new_status!r}; allowed: {STATUSES}")
+        cat = self.load()
+        cond = F.lit(True) if sim_hashes is None else F.col("sim_hash").isin(sim_hashes)
+        updated = cat.withColumn(
+            "status", F.when(cond, F.lit(new_status)).otherwise(F.col("status"))
+        )
+        self._atomic_overwrite(updated)
+
+    # -- work-skipping ------------------------------------------------------
+
+    def pending(self, configs: DataFrame) -> DataFrame:
+        """X2 idempotent dispatch: configs minus already-COMPLETED hashes
+        (anti-join) — the Spark form of the completed.flag skip
+        (simulation.cpp:14-20)."""
+        done = self.load().filter(F.col("status") == "COMPLETED").select("sim_hash")
+        return configs.join(done, "sim_hash", "left_anti")

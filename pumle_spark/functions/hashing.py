@@ -1,0 +1,120 @@
+"""Canonical parameter hashing and filename encoding (F1, F2).
+
+Reference semantics (MUST be reproduced bit-exactly for cache-hit parity):
+- sim_hash = md5(json.dumps(fluid_params, sort_keys=True).encode()).hexdigest()[:8]
+  (reference utils.py:52-81; config utils.py:16-21)
+- filename string: sorted keys, floats "%.2e" with '.'→'p', '+'→'', '-'→'m',
+  strings sanitized to [a-zA-Z0-9_-], joined '_', capped at 100 chars
+  (reference utils.py:200-242)
+
+Hash parity is the #1 hard part (SURVEY §7.3): Python's float repr is
+shortest-roundtrip with Python-specific exponent formatting, which no Spark
+built-in reproduces. Strategy:
+
+- driver-side: ``sim_hash`` — literally the reference algorithm (stock
+  json/hashlib), for config generation paths where params are Python dicts.
+- distributed: ``sim_hash_udf`` — an Arrow-batched pandas UDF over a JSON
+  string column; each batch re-canonicalizes with json.dumps(sort_keys=True)
+  so the bytes fed to md5 are identical to the reference. This is NOT a hot
+  scan path — it runs once per simulation config (≤ millions of rows), so a
+  vectorized Python UDF is the right trade against a fragile
+  Java-float-repr reimplementation.
+- ``params_to_filename_string`` has an exact expression-level equivalent
+  (``filename_expr``) because "%.2e" formatting IS identical between Python
+  and Java's format_string.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from collections.abc import Mapping
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# --------------------------------------------------------------------------
+# F1 — sim_hash
+# --------------------------------------------------------------------------
+
+HASH_LEN = 8  # utils.py:16-21 HASH_CONFIG
+
+
+def canonical_params_json(params: Mapping) -> str:
+    """The exact byte stream the reference hashes (utils.py:73)."""
+    return json.dumps(dict(params), sort_keys=True)
+
+
+def sim_hash(params: Mapping) -> str:
+    """Bit-exact reference hash (utils.py:52-81): first 8 hex chars of the
+    md5 of the canonically-serialized params dict."""
+    return hashlib.md5(canonical_params_json(params).encode()).hexdigest()[:HASH_LEN]
+
+
+@pandas_udf(StringType())
+def sim_hash_udf(params_json: pd.Series) -> pd.Series:
+    """Distributed sim_hash over a JSON-string column.
+
+    Re-canonicalizes each value via json.loads → json.dumps(sort_keys=True),
+    so any key order / whitespace in the input yields the reference hash.
+    Arrow-batched; no per-row Python interpreter round trip.
+    """
+
+    def _h(s: str | None) -> str | None:
+        if s is None:
+            return None
+        return hashlib.md5(
+            json.dumps(json.loads(s), sort_keys=True).encode()
+        ).hexdigest()[:HASH_LEN]
+
+    return params_json.map(_h)
+
+
+def sim_hash_col(params_json: Column) -> Column:
+    """Column-level sim_hash (wraps the pandas UDF)."""
+    return sim_hash_udf(params_json)
+
+
+# --------------------------------------------------------------------------
+# F2 — params_to_filename_string
+# --------------------------------------------------------------------------
+
+_MAX_FILENAME = 100  # utils.py:238-241
+_SANITIZE_RE = re.compile(r"[^a-zA-Z0-9_-]")
+
+
+def _format_value(v) -> str:
+    """utils.py:219-233: floats '%.2e' with . → p, + → '', - → m."""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float) or isinstance(v, int) and not isinstance(v, bool):
+        s = f"{float(v):.2e}"
+        return s.replace(".", "p").replace("+", "").replace("-", "m")
+    return _SANITIZE_RE.sub("", str(v))
+
+
+def params_to_filename_string(params: Mapping) -> str:
+    """Reference utils.py:200-242: sorted keys, encoded values, '_'-joined,
+    truncated to 100 chars."""
+    parts = [f"{k}_{_format_value(params[k])}" for k in sorted(params)]
+    return "_".join(parts)[:_MAX_FILENAME]
+
+
+def filename_value_expr(col: Column) -> Column:
+    """Expression-level float encoding identical to _format_value for
+    doubles: format_string('%.2e') then translate. Java and Python produce
+    the same '%.2e' rendering (e.g. 3.50e+01), verified in tests."""
+    # translate deletes chars with no replacement: '.'->'p', '-'->'m', '+'->(removed)
+    return F.translate(F.format_string("%.2e", col), ".-+", "pm")
+
+
+def filename_expr(cols: dict[str, Column]) -> Column:
+    """Concatenate sorted key_value pairs and cap at 100 chars (F2)."""
+    pieces = []
+    for name in sorted(cols):
+        pieces.append(F.concat(F.lit(name), F.lit("_"), filename_value_expr(cols[name])))
+    return F.substring(F.concat_ws("_", *pieces), 1, _MAX_FILENAME)

@@ -1,0 +1,125 @@
+"""Physical property functions (F7-F11, F14) as pure column expressions.
+
+Everything here is arithmetic on columns — log/exp/pow stay inside
+whole-stage codegen; no UDFs. Formulas and constants are transcribed from
+the published correlations the reference cites (Driesner 2007 brine
+density; Mao & Duan 2009 brine viscosity) as used at
+co2lab3DPUMLE.m:334-394.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# F14 unit conversion constants (co2lab3DPUMLE.m:368-374, 426, 451-453)
+MEGA = 1e6
+KILO = 1e3
+BAR = 1e5  # Pa
+YEAR_S = 365.2425 * 86400.0
+GRAVITY = 9.80665  # m/s²
+
+
+def mpa_to_pa(p_mpa: Column) -> Column:
+    return p_mpa * MEGA
+
+
+def kpa_to_pa(p_kpa: Column) -> Column:
+    return p_kpa * KILO
+
+
+def years_to_seconds(t_years: Column) -> Column:
+    return t_years * YEAR_S
+
+
+# --------------------------------------------------------------------------
+# F7 — brine density, Driesner (2007) parameterization
+# (co2lab3DPUMLE.m:334-343)
+# --------------------------------------------------------------------------
+
+
+def brine_density(temp_c: Column, press_pa: Column, x_nacl: Column, rho_h2o: Column) -> Column:
+    """rho_NaCl_0 = m0/(m1 + m2*T + m3*T²); pressure correction
+    rho = rho0 / (1 - 0.1*ln(1 + 10*P*c)); mass-fraction mix with water.
+
+    T in °C, P in Pa; returns kg/m³.
+    """
+    m0, m1, m2, m3 = 1.00416e3, 1.00301, -2.35935e-4, -3.4247e-6
+    rho_nacl_0 = F.lit(m0) / (F.lit(m1) + F.lit(m2) * temp_c + F.lit(m3) * temp_c * temp_c)
+    c = F.lit(4.4e-10)  # compressibility-like fit constant, 1/Pa
+    rho_nacl = rho_nacl_0 / (1 - 0.1 * F.log(1 + 10 * press_pa * c))
+    # mass-fraction mixing between pure water and saturated brine
+    return (1 - x_nacl) * rho_h2o + x_nacl * rho_nacl * F.lit(2.165)
+
+
+# --------------------------------------------------------------------------
+# F8 — brine viscosity, Mao & Duan (2009) (co2lab3DPUMLE.m:345-374)
+# --------------------------------------------------------------------------
+
+_MAO_DUAN_D = (
+    0.28853170e7,
+    -0.11072577e5,
+    -0.90834095e1,
+    0.30925651e-1,
+    -0.27407100e-4,
+    -0.19283851e7,
+    0.56216046e4,
+    0.13827250e2,
+    -0.47609523e-1,
+    0.35545041e-4,
+)
+
+
+def water_viscosity(temp_k: Column, rho_w: Column) -> Column:
+    """ln(mu_H2O) = Σ_{i=1..5} d_i T^(i-3) + Σ_{i=6..10} d_i ρ T^(i-8);
+    T in K, ρ in g/cm³ → Pa·s."""
+    d = _MAO_DUAN_D
+    term = F.lit(0.0)
+    for i in range(1, 6):  # T^(i-3)
+        term = term + F.lit(d[i - 1]) * F.pow(temp_k, F.lit(float(i - 3)))
+    for i in range(6, 11):  # rho * T^(i-8)
+        term = term + rho_w * F.lit(d[i - 1]) * F.pow(temp_k, F.lit(float(i - 8)))
+    return F.exp(term)
+
+
+def brine_viscosity(temp_k: Column, rho_w_gcc: Column, molality: Column) -> Column:
+    """Relative-viscosity polynomial in NaCl molality (Mao & Duan 2009):
+    ln(mu_rel) = A*m + B*m² + C*m³ with T-dependent A, B, C."""
+    t = temp_k
+    a = F.lit(-0.21319213) + F.lit(0.13651589e-2) * t + F.lit(-0.12191756e-5) * t * t
+    b = F.lit(0.69161945e-1) + F.lit(-0.27292263e-3) * t + F.lit(0.20852448e-6) * t * t
+    c = F.lit(-0.25988855e-2) + F.lit(0.77989227e-5) * t
+    m = molality
+    ln_rel = a * m + b * m * m + c * m * m * m
+    return water_viscosity(t, rho_w_gcc) * F.exp(ln_rel)
+
+
+def nacl_molality(x_nacl: Column) -> Column:
+    """mass fraction → mol/kg water; M(NaCl) = 58.443 g/mol."""
+    return x_nacl / ((1 - x_nacl) * F.lit(58.443e-3))
+
+
+# --------------------------------------------------------------------------
+# F10 — rel-perm / capillary pressure scaling (co2lab3DPUMLE.m:387-394)
+# --------------------------------------------------------------------------
+
+
+def krw_scaled(s: Column, srw: Column) -> Column:
+    """krW(s) = krW(max((s - srw)/(1 - srw), 0)) — normalized saturation,
+    floored at 0."""
+    return F.greatest((s - srw) / (1 - srw), F.lit(0.0))
+
+
+def capillary_pressure(sw: Column, pe_pa: Column, eps: float = 1e-8) -> Column:
+    """pcWG = pe * sw^(-1/2) with an ε floor on sw (co2lab3DPUMLE.m:391-394)."""
+    return pe_pa * F.pow(F.greatest(sw, F.lit(eps)), F.lit(-0.5))
+
+
+# --------------------------------------------------------------------------
+# F11 — hydrostatic initialization (co2lab3DPUMLE.m:398-402)
+# --------------------------------------------------------------------------
+
+
+def hydrostatic_pressure(z_centroid: Column, rho_w: Column) -> Column:
+    """p0 = rho_w * g * z."""
+    return rho_w * F.lit(GRAVITY) * z_centroid

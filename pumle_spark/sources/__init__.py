@@ -1,0 +1,1 @@
+"""Scans / sources (SURVEY.md §2.1)."""

@@ -1,0 +1,93 @@
+"""F1/F2 bit-exactness (SURVEY §7.3 hard part #1)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+
+import pyspark.sql.functions as F
+
+from pumle_spark.functions.hashing import (
+    params_to_filename_string,
+    sim_hash,
+    sim_hash_udf,
+)
+
+BASE_FLUID = {
+    "pres_ref": 35.0,
+    "temp_ref": 95.15,
+    "cp_rock": 4e-05,
+    "srw": 0.11,
+    "src": 0.21,
+    "pe": 5.0,
+    "XNaCl": 0.1,
+    "rho_h2o": 1000.0,
+}
+
+
+def reference_hash(d: dict) -> str:
+    """Stock-Python reference algorithm (utils.py:52-81)."""
+    return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()[:8]
+
+
+def test_base_params_hash_matches_reference():
+    assert sim_hash(BASE_FLUID) == reference_hash(BASE_FLUID)
+
+
+def test_hash_is_key_order_invariant():
+    shuffled = dict(reversed(list(BASE_FLUID.items())))
+    assert sim_hash(shuffled) == sim_hash(BASE_FLUID)
+
+
+def test_random_param_vectors_hash_parity():
+    rng = random.Random(42)
+    for _ in range(20):
+        d = {k: v * rng.uniform(0.8, 1.2) for k, v in BASE_FLUID.items()}
+        assert sim_hash(d) == reference_hash(d)
+
+
+def test_distributed_hash_udf_matches_reference(spark):
+    rng = random.Random(43)
+    dicts = [
+        {k: v * rng.uniform(0.8, 1.2) for k, v in BASE_FLUID.items()} for _ in range(50)
+    ]
+    expected = [reference_hash(d) for d in dicts]
+    df = spark.createDataFrame([(json.dumps(d),) for d in dicts], "js string")
+    got = [r.h for r in df.select(sim_hash_udf("js").alias("h")).collect()]
+    assert got == expected
+
+
+def test_udf_recanonicalizes_key_order_and_spark_float_rendering(spark):
+    # Spark's to_json renders 4e-05 as "4.0E-5"; the UDF must still produce
+    # the reference hash because it reparses to float and re-serializes.
+    df = spark.createDataFrame([(4e-05, 35.0)], "cp_rock double, pres_ref double")
+    js = df.select(F.to_json(F.struct("XNaCl", "cp_rock")).alias("j")) if False else df.select(
+        F.to_json(F.struct("cp_rock", "pres_ref")).alias("j")
+    )
+    [row] = js.select(sim_hash_udf("j").alias("h"), "j").collect()
+    assert "E" in row.j or "e" in row.j.lower()  # Spark rendering differs from Python's
+    assert row.h == reference_hash({"cp_rock": 4e-05, "pres_ref": 35.0})
+
+
+def test_filename_string_format():
+    s = params_to_filename_string({"pres_ref": 35.0, "pe": 5.0})
+    # floats "%.2e": 3.50e+01 → 3p50e01 ; 5.00e+00 → 5p00e00 (utils.py:219-233)
+    assert s == "pe_5p00e00_pres_ref_3p50e01"
+
+
+def test_filename_string_negative_exponent_and_cap():
+    s = params_to_filename_string({"cp_rock": 4e-05})
+    assert s == "cp_rock_4p00em05"
+    long = {f"param_{i}": 1.0 for i in range(20)}
+    assert len(params_to_filename_string(long)) <= 100
+
+
+def test_filename_expr_matches_python(spark):
+    from pumle_spark.functions.hashing import filename_value_expr
+
+    vals = [35.0, 4e-05, 5.0, 0.11, 1000.0, 95.15, -2.5, 1.23e8]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.e for r in df.select(filename_value_expr(F.col("v")).alias("e")).collect()]
+    expected = [f"{v:.2e}".replace(".", "p").replace("+", "").replace("-", "m") for v in vals]
+    assert got == expected

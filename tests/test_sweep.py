@@ -1,0 +1,72 @@
+"""M2 sweep generator vs NumPy meshgrid/linspace oracle (SURVEY §5.2 item 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pumle_spark.functions.hashing import sim_hash
+from pumle_spark.sweep import VariedParam, generate_variations, linspace_df, n_points
+
+BASE = {
+    "pres_ref": 35.0,
+    "temp_ref": 95.15,
+    "cp_rock": 4e-05,
+    "srw": 0.11,
+    "src": 0.21,
+    "pe": 5.0,
+    "XNaCl": 0.1,
+    "rho_h2o": 1000.0,
+}
+
+
+def test_n_points_clamp():
+    # clamp(int(1/delta), 2, 100) — parameters_variation.py:77-84
+    assert n_points(0.2) == 5
+    assert n_points(0.9) == 2
+    assert n_points(0.001) == 100
+
+
+def test_linspace_matches_numpy(spark):
+    got = [r.x for r in linspace_df(spark, "x", 28.0, 42.0, 5).orderBy("_i_x").collect()]
+    want = np.linspace(28.0, 42.0, 5)
+    assert got == pytest.approx(want.tolist(), abs=0)
+
+
+def test_variations_match_meshgrid_order_and_values(spark):
+    varied = [VariedParam("pres_ref", 35.0, 0.2), VariedParam("srw", 0.11, 0.2)]
+    df = generate_variations(spark, BASE, varied).orderBy("sim_id")
+    rows = df.collect()
+
+    p_grid = np.linspace(*varied[0].bounds, 5)
+    s_grid = np.linspace(*varied[1].bounds, 5)
+    combos = np.array(np.meshgrid(p_grid, s_grid, indexing="ij")).reshape(2, -1).T
+    assert len(rows) == 25
+    for idx, r in enumerate(rows):
+        assert r.sim_id == idx + 1  # enumerate+1, parameters_variation.py:192
+        assert r.pres_ref == pytest.approx(combos[idx, 0], abs=0)
+        assert r.srw == pytest.approx(combos[idx, 1], abs=0)
+
+
+def test_variation_hashes_are_reference_bit_exact(spark):
+    varied = [VariedParam("pres_ref", 35.0, 0.2)]
+    rows = generate_variations(spark, BASE, varied).collect()
+    for r in rows:
+        d = dict(BASE)
+        d["pres_ref"] = r.pres_ref
+        assert r.sim_hash == sim_hash(d)
+
+
+def test_physical_limit_clipping():
+    # srw base 0.28, delta 0.2 → raw hi 0.336 clipped to limit 0.3
+    vp = VariedParam("srw", 0.28, 0.2)
+    lo, hi = vp.bounds
+    assert hi == 0.3
+    assert lo == pytest.approx(0.28 * 0.8)
+
+
+def test_duplicate_param_sets_same_hash(spark):
+    varied = [VariedParam("pe", 5.0, 0.2)]
+    a = {r.sim_hash for r in generate_variations(spark, BASE, varied).collect()}
+    b = {r.sim_hash for r in generate_variations(spark, BASE, varied).collect()}
+    assert a == b  # identical sweeps → identical hashes → catalog dedupes
