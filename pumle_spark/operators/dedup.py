@@ -1,0 +1,167 @@
+"""Reusable deduplication operators (engine API behind the workload queries).
+
+Scale design per variant:
+- exact_dedup: shuffle on md5(content), never on content.
+- minhash_signatures / lsh_candidates: per-doc map + bucket join (the
+  all-pairs join never happens).
+- simhash + hamming_pairs: signature is a per-doc map; the Hamming-ball
+  pair search uses PREFIX BLOCKING (pigeonhole over b+1 blocks of the
+  signature: two signatures within Hamming distance b share at least one
+  exact block) — candidates come from equi-joins on block values, then the
+  exact popcount filter runs on candidates only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")), " ")
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """Keep the min-key row per identical content (X3 idempotence shape).
+
+    Returns the surviving keys: (content_hash, keep_key, n_copies).
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(key_col).alias("k"))
+        .groupBy("content_hash")
+        .agg(F.min("k").alias("keep_key"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, key_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (key, sh)."""
+    toks = df.select(F.col(key_col).alias("key"), F.posexplode(normalize_text(text_col)).alias("pos", "w"))
+    w = Window.partitionBy("key").orderBy("pos")
+    leads = [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "key",
+        F.concat_ws(" ", F.col("w"), *leads).alias("sh"),
+        leads[-1].alias("_last"),
+    )
+    return sh.filter(F.col("_last").isNotNull()).select("key", "sh").distinct()
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(key, seed, mhash): min over md5(seed|shingle) — a portable,
+    stateless minhash family."""
+    spark = sh.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "key",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("key", "seed")
+        .agg(F.min("h").alias("mhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature and bucket-join: (key_a, key_b) distinct candidate
+    pairs. Cost is Σ_bucket c² — the LSH trade."""
+    bands = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .withColumn("row", F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mhash")))
+        .groupBy("key", "band")
+        .agg(F.md5(F.array_join(F.array_sort(F.collect_list("row")), "|")).alias("band_key"))
+    )
+    a = bands.select(F.col("key").alias("key_a"), "band", "band_key")
+    b = bands.select(F.col("key").alias("key_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: (key_a, key_b, jaccard)."""
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("key").alias("key_a"), "sh")
+    b = sh.select(F.col("key").alias("key_b"), "sh")
+    inter = (
+        cand.join(a, "key_a").join(b, ["key_b", "sh"]).groupBy("key_a", "key_b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "key_a").join(sb, "key_b").filter(jac >= threshold)
+        .select("key_a", "key_b", jac.alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document → (key, simhash). Two md5-derived 32-bit
+    halves keep everything in expressions (xxhash64 would be cheaper but
+    md5 keeps parity with the oracle-checked 32-bit variant)."""
+    toks = (
+        df.select(F.col(key_col).alias("key"), F.explode(normalize_text(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    spark = df.sparkSession
+    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
+    h = toks.select(
+        "key",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+    )
+    weights = (
+        h.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("bit") < 32,
+                F.expr("shiftright(h_lo, bit) & 1"),
+            ).otherwise(F.expr("shiftright(h_hi, bit - 32) & 1")),
+        )
+        .groupBy("key", "bit")
+        .agg(F.sum(F.when(F.col("bitval") == 1, 1).otherwise(-1)).alias("weight"))
+    )
+    return weights.groupBy("key").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def hamming_pairs(signatures: DataFrame, max_distance: int = 3, n_blocks: int | None = None) -> DataFrame:
+    """Pairs with popcount(xor) <= max_distance via pigeonhole prefix
+    blocking: split the 64-bit signature into (max_distance+1) blocks; any
+    pair within distance d agrees exactly on >= 1 block → equi-join per
+    block, then exact popcount filter on candidates.
+    """
+    k = n_blocks or (max_distance + 1)
+    width = 64 // k
+    spark = signatures.sparkSession
+    blocks = spark.range(k).select(F.col("id").cast("int").alias("blk"))
+    keyed = signatures.crossJoin(F.broadcast(blocks)).select(
+        "key",
+        "simhash",
+        "blk",
+        F.expr(f"shiftright(simhash, blk * {width}) & {(1 << width) - 1}L").alias("blk_val"),
+    )
+    a = keyed.select(F.col("key").alias("key_a"), F.col("simhash").alias("sig_a"), "blk", "blk_val")
+    b = keyed.select(F.col("key").alias("key_b"), F.col("simhash").alias("sig_b"), "blk", "blk_val")
+    cand = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.select(
+        "key_a",
+        "key_b",
+        F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_distance)

@@ -1,0 +1,103 @@
+"""Streaming pipelines: file-arrival bronze ingest and event analytics.
+
+Two streams mirror the batch engine:
+
+1. ``stream_bronze_states``: readStream over the bronze landing directory —
+   the streaming twin of sources.bronze.read_states. Each arriving
+   states_*.json file becomes long (sim_hash, t, row_idx, pressure, sw, sg)
+   rows; the query appends to golden Parquet, turning the reference's
+   "menu option 2" manual persist (main.py:108-122) into a continuous,
+   exactly-once ingestion (checkpointed file-source offsets).
+
+2. ``stream_events_hourly``: watermarked tumbling-window aggregation over an
+   event stream — the streaming twin of workload.events.events_hourly_rollup
+   (same results on the same closed windows, late data dropped past the
+   watermark).
+
+Tests drive both with real micro-batches (file source / processAllAvailable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pumle_spark.sources.bronze import STATE_SCHEMA
+from pyspark.sql.types import ArrayType
+
+_HASH_FROM_STATES = r"states_[^_/]+_([0-9a-f]+)\.json$"
+
+
+def stream_bronze_states(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """readStream file source over bronze states JSON → long rows.
+
+    wholetext keeps one file per row so posexplode assigns exact timestep
+    indices, identical to the batch scan — the batch/streaming plans share
+    the same operators, which is the point of Structured Streaming.
+    """
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", 8)  # bounded micro-batches under burst
+        .load(landing_dir)
+    )
+    parsed = raw.select(
+        F.regexp_extract(F.input_file_name(), _HASH_FROM_STATES, 1).alias("sim_hash"),
+        F.from_json("value", ArrayType(STATE_SCHEMA)).alias("states"),
+    )
+    long = parsed.select("sim_hash", F.posexplode("states").alias("t", "state")).select(
+        "sim_hash",
+        "t",
+        F.posexplode(F.arrays_zip(F.col("state.pressure"), F.col("state.s"))).alias("row_idx", "z"),
+    )
+    return long.select(
+        "sim_hash",
+        "t",
+        "row_idx",
+        F.col("z.pressure").alias("pressure"),
+        F.col("z.s").getItem(0).alias("sw"),
+        F.col("z.s").getItem(1).alias("sg"),
+    )
+
+
+def start_bronze_to_golden(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Append stream → golden-observations Parquet partitioned by sim_hash.
+
+    File-source offsets + parquet sink give exactly-once per input file; the
+    dense scatter (J1) stays a batch view over this observations table.
+    """
+    return (
+        stream_bronze_states(spark, landing_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("sim_hash")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_events_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour rollup per event_type.
+
+    Late rows beyond the watermark are dropped and closed windows emit
+    finalized aggregates — the streaming semantics of
+    workload.events.events_hourly_rollup.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

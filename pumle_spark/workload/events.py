@@ -109,6 +109,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_purchase_view",
+    sql="""
+    WITH p AS (SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS ptus
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS vtus, MAX(event_id) AS view_event_id
+               FROM events WHERE event_type = 'view'
+               GROUP BY user_id, epoch_us(ts)),
+    j AS (
+      SELECT p.user_id, p.purchase_event_id, p.ptus, v.view_event_id, v.vtus
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ptus >= v.vtus
+    )
+    SELECT user_id, purchase_event_id, view_event_id,
+           ROUND((ptus - vtus) / 1000000.0, 6) AS gap_sec
+    FROM j
+    """,
+    tags=("events", "asof", "join"),
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    at-or-before view event (NULL if none).
+
+    Implemented with pumle_spark.operators.joins.asof_join — the union +
+    last(ignorenulls) window form: ONE shuffle on user_id, no range
+    explosion, versus the quadratic theta-join a naive translation would
+    produce. The right side is pre-deduped to one row per (user, ts) so
+    tie-breaks are engine-independent.
+    """
+    from pumle_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("ptus"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("vtus"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        p,
+        v.select("user_id", "vtus", "view_event_id", F.col("vtus").alias("view_tus")),
+        on=["user_id"],
+        left_ts="ptus",
+        right_ts="vtus",
+        value_cols=["view_event_id", "view_tus"],
+    )
+    return joined.select(
+        "user_id",
+        "purchase_event_id",
+        "view_event_id",
+        F.round((F.col("ptus") - F.col("view_tus")) / 1_000_000.0, 6).alias("gap_sec"),
+    )
+
+
+@register(
     "events_json_extract",
     sql="""
     SELECT event_id,

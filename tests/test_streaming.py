@@ -1,0 +1,87 @@
+"""Structured Streaming pipelines driven with real micro-batches."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from pumle_spark.streaming.pipeline import start_bronze_to_golden, stream_events_hourly
+from tests.fixtures import CASE, make_bronze
+
+
+def test_bronze_stream_ingests_incrementally(spark, tmp_path):
+    landing = tmp_path / "landing"
+    out = tmp_path / "golden_obs"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+
+    # batch 1: two sims arrive
+    sims = make_bronze(landing, n_sims=2, n_t=2, seed=21)
+    q = start_bronze_to_golden(spark, str(landing), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+        got1 = spark.read.parquet(str(out))
+        n1 = got1.count()
+        expected1 = sum(
+            sum(len(st["pressure"]) for st in sim["states"]) for sim in sims.values()
+        )
+        assert n1 == expected1
+        assert set(got1.columns) == {"sim_hash", "t", "row_idx", "pressure", "sw", "sg"}
+
+        # batch 2: a THIRD sim lands later → incremental, exactly-once
+        more = make_bronze(tmp_path / "stage2", n_sims=3, n_t=2, seed=22)
+        newest = list(more)[-1]
+        src = tmp_path / "stage2" / f"states_{CASE}_{newest}.json"
+        (landing / src.name).write_text(src.read_text())
+        q.processAllAvailable()
+        n2 = spark.read.parquet(str(out)).count()
+        extra = sum(len(st["pressure"]) for st in more[newest]["states"])
+        assert n2 == n1 + extra
+
+        # re-trigger with no new files: no duplicates (checkpointed offsets)
+        q.processAllAvailable()
+        assert spark.read.parquet(str(out)).count() == n2
+    finally:
+        q.stop()
+
+
+def test_events_hourly_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_src"
+    rows = [
+        (i, f"2024-01-01 0{h}:1{i % 6}:00", "click" if i % 2 else "view", float(i))
+        for h in range(3)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double")
+    df = df.select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    df.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = stream_events_hourly(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM hourly_test").collect()
+        }
+        want = {
+            (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+            for r in df.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
