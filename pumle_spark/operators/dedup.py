@@ -21,6 +21,35 @@ def normalize_text(col: str = "text") -> F.Column:
     return F.split(F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " ")), " ")
 
 
+def shingle_array(tokens_sql: str, n: int = 3) -> F.Column:
+    """DISTINCT word n-gram shingles as a per-row array expression.
+    `tokens_sql` must be a SQL expression yielding array<string>.
+
+    CAVEAT (measured): only use when the array is consumed IN PLACE (sized,
+    min-reduced, hashed) by a single downstream reference. Catalyst inlines
+    this construction into Generate and into every lambda referencing it, so
+    exploding the result or referencing it N times re-runs the construction
+    per output row / per reference — the exploded-tokens + lead() window
+    form (``shingles``) is faster whenever the shingle SET must be exploded.
+    """
+    parts = ", ".join(f"{tokens_sql}[i + {d}]" for d in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_sql}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({tokens_sql}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def minhash_array(shingles_sql: str, seed: int) -> F.Column:
+    """Per-row minhash for one seed: min over md5(seed|shingle) — a pure
+    projection. Same caveat as shingle_array: pass a column reference, not
+    an inline construction, or each seed re-builds the array."""
+    return F.expr(
+        f"array_min(transform({shingles_sql}, s -> md5(concat('{seed}', '|', s))))"
+    )
+
+
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
     """Keep the min-key row per identical content (X3 idempotence shape).
 

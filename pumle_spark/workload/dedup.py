@@ -23,7 +23,7 @@ No Python UDFs anywhere — md5/bit-math/array ops are all JVM expressions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from pumle_spark.tables import table
 from pumle_spark.workload import register
@@ -56,7 +56,18 @@ _SQL_SHINGLES = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document: (doc_id, sh)."""
+    """Distinct word-3-gram shingles per document: (doc_id, sh).
+
+    Formulation note (measured at sf0.1): building shingles as a per-row
+    array (transform over the token array) and exploding it looks cheaper on
+    paper, but Catalyst inlines the array-construction expression into the
+    Generate and into every lambda that references it — the construction
+    re-runs per OUTPUT row (15.9s vs 5.3s for the jaccard query). Exploding
+    the token stream and composing shingles with lead() windows keeps the
+    per-row work constant.
+    """
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "w"))
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -319,28 +330,23 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     pumle_spark.operators.dedup.
     """
     docs = table(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(_tokens_col()).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
-    )
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
-    bits = (
-        toks.select("doc_id", h.alias("h"))
-        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").cast("int").alias("bit"))))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("weight")
+    # whole signature per-row: distinct token hashes as an array, then one
+    # aggregate() fold per bit — 32 folds over a ~40-element array beats a
+    # (doc × token × bit) shuffle by construction. Zero exchanges.
+    hs = (
+        docs.select("doc_id", _tokens_col().alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(filter(ws, w -> w != '')), "
+                "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+            ).alias("hs"),
         )
+        .filter(F.size("hs") > 0)  # tokenless docs are absent in the oracle too
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("bigint")
-        .alias("simhash32")
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
     )
+    return hs.select("doc_id", F.expr(bit_terms).cast("bigint").alias("simhash32"))

@@ -62,13 +62,16 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (with neighbor_id tiebreak) so cross-engine float summation order cannot
     reorder the top-k.
     """
-    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
+    # norms are precomputed per side BEFORE the crossJoin: |corpus|+|queries|
+    # folds instead of |corpus|·|queries| redundant re-folds per pair. The
+    # cosine value is bit-identical (same fold order, same sqrt(nq*nv)).
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vecd().alias("v")
+    ).withColumn("nv", _dot(F.col("v"), F.col("v")))
     q = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(
-        _dot(F.col("qv"), F.col("qv")) * _dot(F.col("v"), F.col("v"))
-    )
+    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("nq") * F.col("nv"))
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -126,26 +129,21 @@ def ann_lsh_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucketing is a pure per-row map; ANN retrieval joins on bucket_code —
     the candidate set per query is one bucket instead of the whole corpus.
     """
-    planes_rows = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p")).crossJoin(
-        spark.range(_DIM).select(F.col("id").cast("int").alias("d"))
-    )
-    w = (
-        (F.conv(F.substring(F.md5(F.concat(F.lit("plane"), F.col("p"), F.lit("_"), F.col("d"))), 1, 8), 16, 10)
-         .cast("bigint") % 2000001 - 1000000) / 1000000.0
-    )
-    planes = planes_rows.select("p", "d", w.alias("w"))
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(_vecd()).alias("d", "x")
-    )
-    comps = (
-        e.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("w") * F.col("x")).alias("dot"))
-    )
-    return comps.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")).cast("bigint")).otherwise(F.lit(0))
+    # planes inlined as literal arrays (operators.similarity.hyperplanes uses
+    # the SAME md5 derivation as the SQL oracle, so values are bit-identical)
+    # → the whole bucket code is one per-row projection, zero shuffles,
+    # versus the explode(dim)⋈planes→groupBy formulation this replaces.
+    from pumle_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_DIM, _N_PLANES)
+    v = _vecd()
+    code = F.lit(0)
+    for p in range(_N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(planes.getItem(p), v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .cast("int")
-        .alias("bucket_code")
-    )
+        code = code + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", code.cast("int").alias("bucket_code"))

@@ -178,6 +178,11 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gram explosion is per-document and bounded by doc length; the only
     shuffle is the final per-doc distinct-count.
     """
+    # NOTE on a rejected "optimization" (measured at sf0.1): computing the
+    # sliding-window minima per-row with transform+slice+array_min re-inlines
+    # the md5 gram-hash array at every lambda reference (Catalyst does not
+    # CSE aliased array columns into lambdas), turning O(n·w) into O(n²) md5
+    # calls — 28.6s vs 5.2s for this explode+window form. Keep the window.
     docs = table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.array_join(_tokens_col(), " ").alias("norm"))
     grams = d.select(
