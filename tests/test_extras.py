@@ -1,0 +1,258 @@
+"""Schedule generators, tensor scans, SQLite migration, plume analytics,
+bilinear interpolation, cloud helpers, external-simulator interop."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pumle_spark.catalog import SimulationCatalog
+from pumle_spark.cloud import list_objects, read_dataset, write_dataset
+from pumle_spark.exports import export_tensors
+from pumle_spark.functions.physics import interpolate_bilinear
+from pumle_spark.functions.schedule import full_schedule, rampup_timesteps
+from pumle_spark.ingest import ingest_golden
+from pumle_spark.interop import clean_staging, dispatch, write_staging
+from pumle_spark.plume import (
+    boundary_vertical_faces,
+    plume_size_over_time,
+    saturation_deltas,
+    trap_volumes,
+)
+from pumle_spark.sources.matfiles import write_section_mats
+from pumle_spark.sources.sqlite_catalog import fluid_params_columns, read_sqlite_catalog
+from pumle_spark.sources.tensors import read_npy_tensors, read_zarr_tensors
+from tests.fixtures import CASE, DIMS, make_bronze
+
+# --------------------------------------------------------------------------
+# G5/G6 schedule
+# --------------------------------------------------------------------------
+
+
+def test_rampup_matches_mrst_semantics(spark):
+    # time=100, dt=4, n=8: warm-up 4/256..4/2, 24 constant 4s, remainder
+    rows = rampup_timesteps(spark, 100.0, 4.0, 8).orderBy("step_idx").collect()
+    dts = [r.dt_step for r in rows]
+    assert dts[:8] == [4.0 / 2**k for k in range(8, 0, -1)]
+    assert dts[8:32] == [4.0] * 24
+    assert dts[32] == pytest.approx(100.0 - sum(dts[:32]), abs=1e-12)
+    assert sum(dts) == pytest.approx(100.0)
+
+
+def test_rampup_rejects_impossible(spark):
+    with pytest.raises(ValueError, match="exceeds total time"):
+        rampup_timesteps(spark, 1.0, 4.0, 8)
+
+
+def test_full_schedule_controls(spark):
+    rows = full_schedule(spark, 100.0, 20.0, 4.0, 10).orderBy("step_idx").collect()
+    controls = [r.control for r in rows]
+    assert controls == [1] * 33 + [2] * 10
+    assert [r.dt_step for r in rows[33:]] == [2.0] * 10
+    assert [r.step_idx for r in rows] == list(range(43))
+
+
+# --------------------------------------------------------------------------
+# S5 npy scan round trip
+# --------------------------------------------------------------------------
+
+
+def test_npy_scan_roundtrips_export(spark, tmp_path):
+    sims = make_bronze(tmp_path / "bronze", n_sims=2, n_t=2, seed=31)
+    golden = ingest_golden(
+        spark,
+        str(tmp_path / f"bronze/states_{CASE}_*.json"),
+        str(tmp_path / f"bronze/grdecl_{CASE}_*.json"),
+        str(tmp_path / f"bronze/g_{CASE}.json"),
+    ).cache()
+    out = str(tmp_path / "tensors")
+    export_tensors(golden, DIMS, "pressure", out).collect()
+
+    back = read_npy_tensors(spark, f"{out}/pressure_*.npy")
+    orig = golden.select("sim_hash", "t", "cell_id", F.col("pressure").alias("value"))
+    # exact round trip including NULLs at inactive cells
+    assert back.count() == orig.count()
+    diff = (
+        back.join(orig, ["sim_hash", "t", "cell_id"], "full_outer")
+        .filter(
+            ~(
+                (back["value"].isNull() & orig["value"].isNull())
+                | (back["value"] == orig["value"])
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_zarr_scan_gated(spark):
+    with pytest.raises(NotImplementedError, match="zarr"):
+        read_zarr_tensors(spark, "/nonexistent/*.zarr")
+
+
+# --------------------------------------------------------------------------
+# S7/S8 SQLite migration
+# --------------------------------------------------------------------------
+
+
+def test_sqlite_catalog_migration(spark, tmp_path):
+    db = tmp_path / "pumle.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        """CREATE TABLE simulations (
+            sim_hash TEXT PRIMARY KEY, sim_id INTEGER, fluid_params TEXT,
+            status TEXT, created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)"""
+    )  # db.py:15-23 DDL
+    con.execute(
+        "INSERT INTO simulations VALUES ('abcd1234', 1, \"{'pres_ref': 35.0, 'srw': 0.11}\", 'COMPLETED', '2024-01-02 03:04:05')"
+    )
+    con.execute(
+        "INSERT INTO simulations VALUES ('beef5678', 2, \"{'pres_ref': 28.0, 'srw': 0.13}\", 'CREATED', '2024-01-02 03:04:06')"
+    )
+    con.commit()
+    con.close()
+
+    cat = read_sqlite_catalog(spark, str(db))
+    assert cat.count() == 2
+    assert {r.status for r in cat.collect()} == {"COMPLETED", "CREATED"}
+
+    # S8: stringified dicts (str(dict), db.py:214) become typed columns
+    params = fluid_params_columns(cat).orderBy("sim_hash").collect()
+    assert params[0].pres_ref == 35.0 and params[0].srw == 0.11
+    assert params[1].pres_ref == 28.0
+
+
+# --------------------------------------------------------------------------
+# plume analytics
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_golden(spark):
+    rows = []
+    for t in range(3):
+        for cid in range(6):
+            sg = 0.2 if (cid < 2 + t) else 0.0
+            rows.append(("h1", t, cid, cid % 3, (cid // 3) % 2, 0, 1.0e7, 0.8, sg))
+    return spark.createDataFrame(
+        rows,
+        "sim_hash string, t int, cell_id long, i int, j int, k int, pressure double, sw double, sg double",
+    )
+
+
+def test_plume_size_grows(small_golden):
+    got = {r.t: r.n_plume_cells for r in plume_size_over_time(small_golden, 0.05).collect()}
+    assert got == {0: 2, 1: 3, 2: 4}
+
+
+def test_saturation_deltas_lag(small_golden):
+    d = saturation_deltas(small_golden)
+    r = d.filter((F.col("cell_id") == 2) & (F.col("t") == 1)).collect()[0]
+    assert r.d_sg == pytest.approx(0.2)  # cell 2 enters the plume at t=1
+    assert d.filter(F.col("t") == 0).filter(F.col("d_sg").isNotNull()).count() == 0
+
+
+def test_trap_volumes(spark, small_golden):
+    traps = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2), (3, 0), (4, 2), (5, 0)], "cell_id long, trap_id int"
+    )
+    vols = spark.createDataFrame([(c, 10.0) for c in range(6)], "cell_id long, vol double")
+    t2 = small_golden.filter(F.col("t") == 2)
+    got = {r.trap_id: (r.co2_volume, r.n_cells) for r in trap_volumes(t2, traps, vols).collect()}
+    # t=2: plume cells 0..3 (sg=0.2); traps: {1: cells 0,1}, {2: cells 2,4}
+    assert got[1] == (pytest.approx(4.0), 2)
+    assert got[2] == (pytest.approx(2.0), 2)  # cell 4 sg=0 contributes 0
+
+
+def test_boundary_faces_predicate(spark):
+    faces = spark.createDataFrame(
+        [(1, 0.0, 0, 5), (2, 0.0, 3, 4), (3, 1.0, 0, 7), (4, 0.0, 6, 0)],
+        "face_id int, nz double, nbr_l int, nbr_r int",
+    )
+    got = {r.face_id for r in boundary_vertical_faces(faces).collect()}
+    assert got == {1, 4}  # vertical AND one exterior neighbor
+
+
+# --------------------------------------------------------------------------
+# F9 bilinear interpolation
+# --------------------------------------------------------------------------
+
+
+def test_bilinear_interpolation_matches_numpy(spark):
+    # property value = 2x + 3y on a grid → bilinear is exact
+    grid = [(ix, iy, 2.0 * (1.0 + ix * 0.5) + 3.0 * (10.0 + iy * 2.0)) for ix in range(5) for iy in range(5)]
+    table = spark.createDataFrame(grid, "ix int, iy int, value double")
+    pts = spark.createDataFrame(
+        [(1.25, 12.5), (2.0, 10.0), (2.9, 17.9)], "p double, temp double"
+    )
+    out = interpolate_bilinear(pts, table, "p", "temp", grid=(1.0, 0.5, 10.0, 2.0), value_name="rho")
+    for r in out.collect():
+        assert r.rho == pytest.approx(2 * r.p + 3 * r.temp, rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# K8 cloud helpers (scheme-transparent; exercised on file://)
+# --------------------------------------------------------------------------
+
+
+def test_cloud_write_read_list(spark, tmp_path):
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    uri = str(tmp_path / "ds")
+    write_dataset(df, uri, partition_by=["g"])
+    back = read_dataset(spark, uri)
+    assert back.count() == 10 and set(back.columns) == {"id", "g"}
+    listing = list_objects(spark, uri + "/g=*/*.parquet")
+    assert listing.count() >= 3
+    assert {"path", "length", "modification_time"} == set(listing.columns)
+
+
+# --------------------------------------------------------------------------
+# X1/X2/X5/X7 interop
+# --------------------------------------------------------------------------
+
+
+def test_dispatch_runs_skips_and_records_status(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    configs = spark.createDataFrame(
+        [("aaaa0001", 1, '{"pe": 5.0}'), ("bbbb0002", 2, '{"pe": 6.0}'), ("cccc0003", 3, '{"pe": 7.0}')],
+        "sim_hash string, sim_id int, fluid_params string",
+    )
+    cat = SimulationCatalog(spark, str(tmp_path / "cat"))
+    cat.register(configs)
+    write_staging(configs, staging)
+    assert os.path.exists(os.path.join(staging, "staging_aaaa0001", "params.json"))
+
+    # fake simulator: succeeds unless the staging dir is cccc0003's
+    cmd = "test {sim_hash} != cccc0003 && echo done > {staging_dir}/out.json"
+    res = dispatch(configs, cat, staging, cmd, parallelism=2)
+    by_hash = {r.sim_hash: r for r in res.collect()}
+    assert by_hash["aaaa0001"].returncode == 0 and not by_hash["aaaa0001"].skipped
+    assert by_hash["cccc0003"].returncode != 0
+    st = {r.sim_hash: r.status for r in cat.load().collect()}
+    # per-sim statuses, NOT the reference's blanket COMPLETED (pumle.py:260-262)
+    assert st == {"aaaa0001": "COMPLETED", "bbbb0002": "COMPLETED", "cccc0003": "FAILED"}
+
+    # second dispatch: completed sims are anti-joined away entirely; the
+    # failed one re-runs (no flag was written for it)
+    res2 = dispatch(configs, cat, staging, cmd, parallelism=2)
+    hashes2 = {r.sim_hash for r in res2.collect()}
+    assert hashes2 == {"cccc0003"}
+
+    assert clean_staging(staging, ["aaaa0001"]) == 1
+    assert clean_staging(staging) == 2
+
+
+def test_matfiles_gated_without_scipy(spark):
+    configs = spark.createDataFrame([("h1", 35.0)], "sim_hash string, pres_ref double")
+    try:
+        import scipy  # noqa: F401
+
+        pytest.skip("scipy present; gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="scipy"):
+        write_section_mats(configs, "/tmp/x", {"Fluid": ["pres_ref"]})
