@@ -157,6 +157,142 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("agg", "semi", "exists"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality → left-semi join
+    carrying the extra predicate; no duplicate inflation of orders."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    qualified = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filtered aggregation — every predicate reaches the
+    parquet scan (PushedFilters), the projection is 4 columns, and the agg
+    is a single partial+final pass with no grouping key."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    sql="""
+    WITH avgq AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg_qty
+    """,
+    tags=("agg", "correlated-subquery", "join"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into aggregate-then-join — the same fact table feeds both
+    sides, so Catalyst reuses the scan (ReusedExchange at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    return (
+        li.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "having_big_spenders",
+    sql="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 50000
+    """,
+    tags=("agg", "having"),
+)
+def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: the post-aggregation filter stays after the agg
+    (it references aggregates), everything in one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 50000))
+        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("total_spend"))
+    )
+
+
+@register(
+    "window_dense_rank_ntile",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY ROUND(c_acctbal, 2) DESC) AS INTEGER) AS bal_rank,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey) AS INTEGER) AS bal_quartile
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def window_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile over the same partition spec — one shuffle serves
+    both window functions. Ranking on the rounded balance keeps cross-engine
+    float ties identical; ntile adds c_custkey for a total order."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    bal = F.round("c_acctbal", 2)
+    w_rank = Window.partitionBy("c_nationkey").orderBy(bal.desc())
+    w_tile = Window.partitionBy("c_nationkey").orderBy(bal.desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w_rank).cast("int").alias("bal_rank"),
+        F.ntile(4).over(w_tile).cast("int").alias("bal_quartile"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Join family (SURVEY §2.4 engine surface)
 # --------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Plan-shape assertions: the physical plans the engine's scale story relies
+on (SURVEY §4) must not silently regress.
+
+These parse .explain output — the same artifacts a human would check — for:
+pushed filters, pruned read schemas, broadcast joins, TakeOrderedAndProject,
+partial aggregation, and whole-stage codegen presence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pumle_spark import workload
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(q, spark):
+    return workload.queries()[q](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_plan_of(q, spark):
+    df = workload.queries()[q](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of("q1_pricing_summary", spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7-column projection reaches the scan; unused columns absent
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    # the whole scan→filter→partial-agg pipeline fuses into codegen stages
+    assert "WholeStageCodegen subtrees" in codegen_plan_of("q1_pricing_summary", spark)
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of("q1_pricing_summary", spark)
+    # partial (map-side) + final hash aggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    plan = plan_of("q3_top_revenue_orders", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of("q6_forecast_revenue", spark)
+    # Spark truncates the filter list in toString — assert on the visible
+    # prefix: every filter column registered as pushed-down
+    pushed = plan.split("PushedFilters: [")[1]
+    for frag in ("IsNotNull(l_shipdate)", "IsNotNull(l_discount)", "IsNotNull(l_quantity)"):
+        assert frag in pushed, f"{frag} not pushed: {pushed[:200]}"
+    assert "GreaterThanOrEqual(l_shipda" in pushed
+
+
+def test_wells_range_join_broadcasts_small_side(spark):
+    plan = plan_of("wells_range_join", spark)
+    assert "BroadcastHashJoin" in plan  # equi keys drive the probe
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of("join_semi_active_customers", spark)
+    assert "LeftAnti" in plan_of("join_anti_inactive_customers", spark)
+
+
+def test_golden_write_partition_pruning(spark, tmp_path):
+    """A sim_hash predicate on partitioned golden prunes partitions at scan."""
+    from pumle_spark.ingest import ingest_golden, read_golden, write_golden
+    from tests.fixtures import CASE, make_bronze
+
+    sims = make_bronze(tmp_path / "b", n_sims=3, n_t=2, seed=41)
+    g = ingest_golden(
+        spark,
+        str(tmp_path / f"b/states_{CASE}_*.json"),
+        str(tmp_path / f"b/grdecl_{CASE}_*.json"),
+        str(tmp_path / f"b/g_{CASE}.json"),
+    )
+    write_golden(g, str(tmp_path / "golden"))
+    h = next(iter(sims))
+    filtered = read_golden(spark, str(tmp_path / "golden")).filter(F.col("sim_hash") == h)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert f"sim_hash#" in plan
+    assert "PartitionFilters: [isnotnull(sim_hash" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pumle_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "a", "b") for i in range({"hot": 50, "a": 3, "b": 2}[k])],
+        "k string, li int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("hot", 200), ("a", 300), ("c", 400)], "k string, ri int"
+    )
+    plain = left.join(right, "k").select("k", "li", "ri")
+    salted = salted_join(left, right, "k", hot_keys=["hot"], n_salts=4).select("k", "li", "ri")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_l = left.join(right, "k", "left").select("k", "li", "ri")
+    salted_l = salted_join(left, right, "k", ["hot"], 4, how="left").select("k", "li", "ri")
+    assert sorted(map(tuple, plain_l.collect()), key=str) == sorted(
+        map(tuple, salted_l.collect()), key=str
+    )
