@@ -85,3 +85,55 @@ def test_events_hourly_stream_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stateful_sessionize_closes_on_gap_across_batches(spark, tmp_path):
+    """applyInPandasWithState: session state survives micro-batches; a gap
+    arriving in a LATER batch closes the session opened in an earlier one."""
+    from pumle_spark.streaming.sessions import sessionize_stateful
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ckpt = tmp_path / "sess_ckpt"
+    gap_us = 1000
+
+    schema = "user_id bigint, tus bigint"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = sessionize_stateful(stream, gap_us=gap_us)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        # batch 1: user 7 has a tight burst; nothing closes yet
+        spark.createDataFrame([(7, 100), (7, 200), (7, 300)], schema).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sessions_test").count() == 0
+
+        # batch 2: far-future event → closes session (100..300, 3 events);
+        # also a second user bursting (stays open)
+        spark.createDataFrame([(7, 5000), (9, 100)], schema).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_test").collect()
+        got2 = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in rows}
+        assert got2 == {(7, 100, 300, 3)}, f"unexpected closures: {sorted(got2)}"
+
+        # batch 3: two gaps in ONE batch for user 9 → two closures at once
+        spark.createDataFrame([(9, 3000), (9, 9000)], schema).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in spark.sql("SELECT * FROM sessions_test").collect()
+        }
+        assert (9, 100, 100, 1) in got and (9, 3000, 3000, 1) in got
+    finally:
+        q.stop()
