@@ -294,6 +294,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+_COS_DUP_MIN = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= {_COS_DUP_MIN}
+    """,
+    tags=("dedup", "embedding", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine ≥
+    {_COS_DUP_MIN} (semantic dedup over an embedding column).
+
+    This all-pairs form is the correctness baseline; the scale path buckets
+    by LSH code first (operators.similarity.lsh_topk candidates), turning
+    O(n²) into Σ_bucket c². Norms are precomputed per side so the pair loop
+    is one fold per pair.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    e = e.withColumn("nrm", dot(F.col("emb"), F.col("emb")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= _COS_DUP_MIN)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash signature (32-bit)
 # --------------------------------------------------------------------------
 

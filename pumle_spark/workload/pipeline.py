@@ -23,6 +23,49 @@ from pumle_spark.tables import table
 from pumle_spark.workload import register
 
 # --------------------------------------------------------------------------
+# Flagship: the full bronze→golden→plume pipeline (SURVEY §3.2 + §7.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pumle_golden_pipeline",
+    sql=None,  # non-SQL-expressible end-to-end (JSON bronze ingest + scatter
+    # join over generated fixtures); bit-exactness vs the NumPy reference
+    # oracle is enforced in tests/test_ingest.py and tests/test_exports.py
+    tags=("pipeline", "flagship", "M1"),
+)
+def pumle_golden_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PUMLE pipeline on deterministic bronze fixtures: JSON
+    states/ACTNUM/dims scans → positional zip → bounds filter → dense
+    scatter join → F-order coordinates → plume size per (sim, t)
+    (SURVEY §7.2's minimum slice, run as one lazy plan over 4 simulations).
+
+    Fixtures are seeded and cached under /tmp so repeated driver runs see
+    identical inputs; the result is a deterministic function of the seed.
+    """
+    import sys
+    from pathlib import Path
+
+    from pumle_spark.ingest import ingest_golden
+    from pumle_spark.plume import plume_size_over_time
+
+    fixture_root = Path("/tmp/pumle_spark_fixture_v1")
+    if not (fixture_root / "g_GCS01.json").exists():
+        sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
+        from fixtures import make_bronze
+
+        make_bronze(fixture_root, n_sims=4, n_t=5, seed=1234)
+
+    golden = ingest_golden(
+        spark,
+        states_glob=str(fixture_root / "states_GCS01_*.json"),
+        actnum_glob=str(fixture_root / "grdecl_GCS01_*.json"),
+        dims_path=str(fixture_root / "g_GCS01.json"),
+    )
+    return plume_size_over_time(golden, threshold=0.05).orderBy("sim_hash", "t")
+
+
+# --------------------------------------------------------------------------
 # F1 — canonical hash (utils.py:52-81 parity shape)
 # --------------------------------------------------------------------------
 
