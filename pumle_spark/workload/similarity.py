@@ -97,6 +97,55 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 8
+_CENTROID_STRIDE = 61  # centroid set = vec_id % 61 == 0 (deterministic "k-means")
+
+
+@register(
+    "ann_ivf_assign",
+    sql=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, emb AS cemb FROM v
+               WHERE vec_id % {_CENTROID_STRIDE} = 0 AND vec_id < {_N_CENTROIDS * _CENTROID_STRIDE}),
+         scored AS (
+           SELECT v.vec_id, c.centroid_id,
+                  list_cosine_similarity(v.emb, c.cemb) AS sim
+           FROM v CROSS JOIN c
+         )
+    SELECT vec_id, centroid_id, ROUND(sim, 6) AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY ROUND(sim, 6) DESC, centroid_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (deterministic centroid set = strided vec_ids standing in for trained
+    k-means means). This is the partitioning step of IVF-ANN: at scale the
+    corpus is repartitioned/bucketed by centroid_id, and a query probes only
+    its top-P centroid buckets — candidates shrink from n to n·P/K before
+    exact rerank. Ranking on the rounded similarity keeps cross-engine
+    assignment ties identical."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    cents = (
+        e.filter(
+            (F.col("vec_id") % _CENTROID_STRIDE == 0)
+            & (F.col("vec_id") < _N_CENTROIDS * _CENTROID_STRIDE)
+        )
+        .select(F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cemb"))
+        .withColumn("cn", _dot(F.col("cemb"), F.col("cemb")))
+    )
+    ev = e.withColumn("vn", _dot(F.col("emb"), F.col("emb")))
+    sim = _dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("vn") * F.col("cn"))
+    scored = ev.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", F.round(sim, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("centroid_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
 @register(
     "ann_lsh_codes",
     sql=f"""

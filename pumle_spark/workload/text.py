@@ -141,6 +141,66 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_clean_pipeline",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(ws, ' ')) AS content_hash,
+             LEN(ws) AS n_tokens,
+             CAST(LEN(list_filter(ws, t -> t IN ({{en_stop}}))) AS DOUBLE)
+               / NULLIF(LEN(ws), 0) AS stop_ratio
+      FROM d
+    ),
+    keep AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 10 AND 1000 AND stop_ratio >= 0.01
+    ),
+    dedup AS (
+      SELECT content_hash, MIN(doc_id) AS doc_id FROM keep GROUP BY content_hash
+    )
+    SELECT k.doc_id, k.lang,
+           CAST(k.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(k.stop_ratio, 4) AS stop_ratio
+    FROM keep k JOIN dedup dd ON dd.doc_id = k.doc_id
+    """.replace("{en_stop}", _sql_in(_STOPWORDS["en"])),
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A realistic training-corpus cleaning pass as ONE lazy plan:
+    tokenize → quality gates (length band + stopword floor) → exact dedup
+    on normalized content (keep min doc_id) → surviving docs with metrics.
+
+    Chaining stays in a single job: the quality gates are per-row map work
+    that shrinks the input BEFORE the dedup shuffle — filter-then-shuffle
+    ordering is the whole game for corpus jobs at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", _tokens_col().alias("ws"))
+    n_tokens = F.size("ws")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.array_join("ws", " ")).alias("content_hash"),
+        n_tokens.alias("n_tokens"),
+        (_hits("en").cast("double") / F.nullif(n_tokens, F.lit(0))).alias("stop_ratio"),
+    )
+    keep = scored.filter(F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") >= 0.01))
+    survivors = keep.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        keep.join(survivors, ["content_hash", "doc_id"])
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("stop_ratio", 4).alias("stop_ratio"),
+        )
+    )
+
+
 _GRAM = 8  # character n-gram size
 _WINNOW = 4  # winnowing window (rows)
 
