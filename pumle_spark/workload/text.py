@@ -201,6 +201,43 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deterministic_split",
+    sql="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    tags=("text", "sampling", "split"),
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-free key
+    hashing: bucket = md5('split|'||doc_id) mod 100 — stable across engines,
+    runs, partitionings, and corpus growth (a doc's split never changes when
+    other docs are added). The per-row map costs nothing at any scale; the
+    only shuffle is the reporting aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 _GRAM = 8  # character n-gram size
 _WINNOW = 4  # winnowing window (rows)
 

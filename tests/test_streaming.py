@@ -137,3 +137,43 @@ def test_stateful_sessionize_closes_on_gap_across_batches(spark, tmp_path):
         assert (9, 100, 100, 1) in got and (9, 3000, 3000, 1) in got
     finally:
         q.stop()
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    from pumle_spark.streaming.pipeline import stream_dedup_events
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_dedup_events(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(mins):
+            return t0 + datetime.timedelta(minutes=mins)
+
+        spark.createDataFrame(
+            [(1, ts(0), 1.0), (2, ts(1), 2.0), (1, ts(0), 1.0)], schema
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM dedup_test").collect()[0][0] == 2
+
+        # same ids replayed in a LATER batch (within watermark): still dropped
+        spark.createDataFrame([(2, ts(1), 2.0), (3, ts(2), 3.0)], schema).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_test").collect()
+        assert sorted(r.event_id for r in rows) == [1, 2, 3]
+    finally:
+        q.stop()
