@@ -250,22 +250,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(spark, sf_dir)  # (doc_id, sh) distinct
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"),
+    # all 8 minhashes in ONE groupBy(doc) pass: each shingle row carries its
+    # 8 seeded hashes as columns, aggregated with 8 min()s — same md5 count
+    # as the seed-crossJoin form but the shuffle moves |shingles| rows
+    # instead of 8×|shingles| and there is no (doc, seed) regroup.
+    mh = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ],
+    ).groupBy("doc_id").agg(*[F.min(f"h{s}").alias(f"mh{s}") for s in range(_N_HASHES)])
+    # band keys are per-row projections over the aggregated minhash columns
+    # (post-aggregate columns are materialized — no lambda re-inline risk)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{2 * b}:"),
+                    F.col(f"mh{2 * b}"),
+                    F.lit(f"|{2 * b + 1}:"),
+                    F.col(f"mh{2 * b + 1}"),
+                )
+            ).alias("band_key"),
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mhash"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .withColumn("row", F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("mhash")))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.array_join(F.array_sort(F.collect_list("row")), "|")).alias("band_key"))
+        for b in range(_N_BANDS)
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
