@@ -64,6 +64,7 @@ def _load_modules() -> None:
         events,
         pipeline,
         relational,
+        relational2,
         similarity,
         text,
     )
