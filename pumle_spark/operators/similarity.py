@@ -100,6 +100,86 @@ def cosine_topk_pandas(
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization + probe
+# --------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine: (id,
+    centroid_id). centroids: (centroid_id, embedding). The assignment is a
+    broadcast crossJoin + per-key argmax — per-row map work; at scale the
+    corpus is then repartitioned/bucketed by centroid_id (the 'inverted
+    file')."""
+    e = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")).withColumn(
+        "vn", _dot(F.col("v"), F.col("v"))
+    )
+    c = centroids.select(
+        F.col("centroid_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _dot(F.col("cv"), F.col("cv")))
+    sim = _dot(F.col("v"), F.col("cv")) / F.sqrt(F.col("vn") * F.col("cn"))
+    scored = e.crossJoin(F.broadcast(c)).select("id", "centroid_id", sim.alias("sim"))
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ANN: corpus pre-assigned to centroids; each query probes its
+    n_probe nearest centroid lists and exact-reranks ONLY those candidates
+    — candidate count drops from |corpus| to ~|corpus|·n_probe/K.
+    """
+    assignments = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    # query → its n_probe nearest centroids
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).withColumn(
+        "qn", _dot(F.col("qv"), F.col("qv"))
+    )
+    c = centroids.select("centroid_id", _as_double(vec_col).alias("cv")).withColumn(
+        "cn", _dot(F.col("cv"), F.col("cv"))
+    )
+    qsim = _dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "centroid_id", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(assignments, "centroid_id").select("query_id", "neighbor_id")
+
+    e = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v")).withColumn(
+        "vn", _dot(F.col("v"), F.col("v"))
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("qn") * F.col("vn"))
+    scored = (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(e, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --------------------------------------------------------------------------
 # LSH
 # --------------------------------------------------------------------------
 

@@ -214,3 +214,28 @@ def test_sample_frames_fanout(media):
 def test_media_stats_pure_jvm(media):
     rows = {r.media_id: r for r in media_stats(media).collect()}
     assert rows[1].n_bytes == 256 and rows[1].n_pixels == 128 and rows[1].aspect == 2.0
+
+
+def test_ivf_topk_recalls_cluster_neighbors(vectors, spark):
+    from pumle_spark.operators.similarity import cosine_topk, ivf_assign, ivf_topk
+
+    df, rows = vectors
+    # centroids: one member of each of the 4 clusters (ids 0..3)
+    cents = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = {r.id: r.centroid_id for r in ivf_assign(df, cents).collect()}
+    # tight clusters: every vector lands in its own cluster's list
+    assert all(cid % 4 == vid % 4 for vid, cid in assign.items())
+
+    q = df.filter(F.col("vec_id").isin(8, 9))
+    exact = {
+        (r.query_id, r.rnk): r.neighbor_id for r in cosine_topk(df, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in ivf_topk(df, q, cents, k=3, n_probe=1).collect()
+    }
+    # σ=0.05 clusters: all true top-3 live in the probed (own) cluster,
+    # so IVF with 1 probe reproduces the exact result
+    assert approx == exact
