@@ -39,6 +39,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet uses TIMESTAMP(NANOS); must be set before the read
         # even on sessions not built by pumle_spark.session (e.g. the driver's)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the nanos are naive timestamps; timestamp_micros() interprets them
+        # as UTC epoch, so rendering must be UTC too or a non-UTC session
+        # would shift every hour/rollup boundary vs the (naive) oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet

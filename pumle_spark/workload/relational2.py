@@ -238,6 +238,48 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer_customer_orders",
+    sql="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_open_orders
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving the full customer domain (zeros kept) —
+    with the status predicate in the ON clause, not WHERE, so non-matching
+    customers survive with count 0."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "O"), "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+    )
+
+
+@register(
+    "set_union_distinct",
+    sql="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — completes the set-operator surface alongside
+    UNION ALL / INTERSECT / EXCEPT."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f.union(p).distinct()
+
+
+@register(
     "q22_global_sales_opportunity",
     sql="""
     WITH avg_bal AS (
