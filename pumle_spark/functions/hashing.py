@@ -83,25 +83,37 @@ def sim_hash_col(params_json: Column) -> Column:
 # F2 — params_to_filename_string
 # --------------------------------------------------------------------------
 
-_MAX_FILENAME = 100  # utils.py:238-241
-_SANITIZE_RE = re.compile(r"[^a-zA-Z0-9_-]")
+_MAX_FILENAME = 100  # utils.py:200 max_length default
 
 
 def _format_value(v) -> str:
-    """utils.py:219-233: floats '%.2e' with . → p, + → '', - → m."""
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float) or isinstance(v, int) and not isinstance(v, bool):
-        s = f"{float(v):.2e}"
-        return s.replace(".", "p").replace("+", "").replace("-", "m")
-    return _SANITIZE_RE.sub("", str(v))
+    """utils.py:221-230: ONLY floats use '%.2e' with .→p, +→'', -→m;
+    everything else (ints, bools, strings) is str()'d, then ' '→'_',
+    '/'→'-', and stripped to [alnum_-]."""
+    if isinstance(v, float):
+        return f"{v:.2e}".replace(".", "p").replace("+", "").replace("-", "m")
+    s = str(v).replace(" ", "_").replace("/", "-")
+    return "".join(c for c in s if c.isalnum() or c in ("_", "-"))
 
 
-def params_to_filename_string(params: Mapping) -> str:
-    """Reference utils.py:200-242: sorted keys, encoded values, '_'-joined,
-    truncated to 100 chars."""
-    parts = [f"{k}_{_format_value(params[k])}" for k in sorted(params)]
-    return "_".join(parts)[:_MAX_FILENAME]
+def params_to_filename_string(params: Mapping, max_length: int = _MAX_FILENAME) -> str:
+    """Reference utils.py:200-242 semantics, bit-exact: sorted keys,
+    per-type value encoding, and WHOLE-part truncation — stop adding parts
+    once the budget would be exceeded, but always keep at least one part.
+    Empty dict → 'no_params'; non-mapping → 'invalid_params'."""
+    if not isinstance(params, Mapping):
+        return "invalid_params"
+    parts: list[str] = []
+    current_length = 0
+    for key in sorted(params):
+        part = f"{key}_{_format_value(params[key])}"
+        if current_length + len(part) + 1 > max_length and parts:
+            break
+        parts.append(part)
+        current_length += len(part) + 1
+    if not parts:
+        return "no_params"
+    return "_".join(parts)
 
 
 def filename_value_expr(col: Column) -> Column:

@@ -38,18 +38,24 @@ def years_to_seconds(t_years: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-def brine_density(temp_c: Column, press_pa: Column, x_nacl: Column, rho_h2o: Column) -> Column:
-    """rho_NaCl_0 = m0/(m1 + m2*T + m3*T²); pressure correction
-    rho = rho0 / (1 - 0.1*ln(1 + 10*P*c)); mass-fraction mix with water.
+def brine_density(temp_c: Column, press_mpa: Column, x_nacl: Column, rho_h2o: Column) -> Column:
+    """Exact transcription of co2lab3DPUMLE.m:334-342:
 
-    T in °C, P in Pa; returns kg/m³.
+        rho_NaCl_0 = m0 / (m1 + m2·T + m3·T²)          (T in °C)
+        c_NaCl     = m4 + m5·T
+        P_b        = 10 · P_MPa                          (MPa → bar)
+        rho_NaCl   = rho_NaCl_0 / (1 − 0.1·ln(1 + 10·P_b·c_NaCl))
+        rho        = rho_H2O·(1−X) + rho_NaCl·X
+
+    Returns kg/m³.
     """
-    m0, m1, m2, m3 = 1.00416e3, 1.00301, -2.35935e-4, -3.4247e-6
+    m0, m1, m2, m3 = 58443.0, 23.772, 0.018639, -1.9687e-6
+    m4, m5 = -1.5259e-5, 5.5058e-8
     rho_nacl_0 = F.lit(m0) / (F.lit(m1) + F.lit(m2) * temp_c + F.lit(m3) * temp_c * temp_c)
-    c = F.lit(4.4e-10)  # compressibility-like fit constant, 1/Pa
-    rho_nacl = rho_nacl_0 / (1 - 0.1 * F.log(1 + 10 * press_pa * c))
-    # mass-fraction mixing between pure water and saturated brine
-    return (1 - x_nacl) * rho_h2o + x_nacl * rho_nacl * F.lit(2.165)
+    c_nacl = F.lit(m4) + F.lit(m5) * temp_c
+    p_b = 10.0 * press_mpa
+    rho_nacl = rho_nacl_0 / (1 - 0.1 * F.log(1 + 10 * p_b * c_nacl))
+    return rho_h2o * (1 - x_nacl) + rho_nacl * x_nacl
 
 
 # --------------------------------------------------------------------------
@@ -95,8 +101,9 @@ def brine_viscosity(temp_k: Column, rho_w_gcc: Column, molality: Column) -> Colu
 
 
 def nacl_molality(x_nacl: Column) -> Column:
-    """mass fraction → mol/kg water; M(NaCl) = 58.443 g/mol."""
-    return x_nacl / ((1 - x_nacl) * F.lit(58.443e-3))
+    """mass fraction → mol/kg water; NaCl_mm = 58.44/1000
+    (co2lab3DPUMLE.m:346-347)."""
+    return x_nacl / (F.lit(58.44e-3) * (1 - x_nacl))
 
 
 # --------------------------------------------------------------------------
@@ -110,9 +117,11 @@ def krw_scaled(s: Column, srw: Column) -> Column:
     return F.greatest((s - srw) / (1 - srw), F.lit(0.0))
 
 
-def capillary_pressure(sw: Column, pe_pa: Column, eps: float = 1e-8) -> Column:
-    """pcWG = pe * sw^(-1/2) with an ε floor on sw (co2lab3DPUMLE.m:391-394)."""
-    return pe_pa * F.pow(F.greatest(sw, F.lit(eps)), F.lit(-0.5))
+def capillary_pressure(sw_scaled: Column, pe_pa: Column, eps: float = 1e-6) -> Column:
+    """pcWG = pe · s^(-1/2) over the SCALED water saturation with the
+    reference's eps_sat = 1e-6 stability floor (co2lab3DPUMLE.m:391-394:
+    pcWG(max((1-sg-srw)/(1-srw), eps_sat)))."""
+    return pe_pa * F.pow(F.greatest(sw_scaled, F.lit(eps)), F.lit(-0.5))
 
 
 # --------------------------------------------------------------------------
@@ -126,27 +135,33 @@ def interpolate_bilinear(
     x_col: str,
     y_col: str,
     grid: tuple[float, float, float, float],
+    n_x: int,
+    n_y: int,
     value_name: str = "prop",
 ):
     """F9: bilinear interpolation of a tabulated property ρ(p,T)/μ(p,T)
     against a broadcast regular-grid table.
 
-    prop_table: (ix INT, iy INT, value DOUBLE) on a regular grid described
-    by grid = (x0, dx, y0, dy). MRST's CO2props() tables are exactly this
-    shape; the table is dim-sized → broadcast 4-corner join, the fact side
-    never shuffles. Out-of-grid points clamp to the edge (MRST behavior).
+    prop_table: (ix INT, iy INT, value DOUBLE) on an (n_x × n_y) regular
+    grid described by grid = (x0, dx, y0, dy). MRST's CO2props() tables are
+    exactly this shape; the table is dim-sized → broadcast 4-corner join,
+    the fact side never shuffles. Indices clamp to [0, n-2] so points on
+    the max edge and out-of-grid points get the edge-clamped value (tx/ty
+    saturate past 1 / below 0 accordingly, extrapolating the edge cell like
+    MRST's interp2 with clamped queries).
     """
     from pyspark.sql.functions import broadcast as _bc
 
     x0, dx, y0, dy = grid
     fx = (F.col(x_col) - x0) / dx
     fy = (F.col(y_col) - y0) / dy
-    # clamp into the table's index range lazily via greatest/least on join keys
-    ix = F.floor(fx).cast("int")
-    iy = F.floor(fy).cast("int")
+    # clamp the BASE index to [0, n-2]: all four corner rows then exist,
+    # and the fractional weight carries the remainder (=1 on the max edge)
+    ix = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit(n_x - 2))
+    iy = F.least(F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit(n_y - 2))
     base = df.withColumn("_ix", ix).withColumn("_iy", iy).withColumn(
-        "_tx", fx - F.floor(fx)
-    ).withColumn("_ty", fy - F.floor(fy))
+        "_tx", fx - F.col("_ix")
+    ).withColumn("_ty", fy - F.col("_iy"))
 
     out = base
     for cx, cy, name in ((0, 0, "_v00"), (1, 0, "_v10"), (0, 1, "_v01"), (1, 1, "_v11")):

@@ -17,27 +17,38 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _rampup_shape(time: float, dt: float, n: int) -> tuple[int, int, float]:
+    """(n_warm, m, remainder): the MRST rampupTimesteps shape — warm-up
+    prefix truncated to cumsum < time, ⌊left/dt⌋ constant steps, remainder."""
+    from itertools import accumulate
+
+    warm = [dt / 2.0 ** (n - k) for k in range(n)]  # dt/2^n .. dt/2
+    cums = list(accumulate(warm))
+    if any(c > time for c in cums):
+        warm = [w for w, c in zip(warm, cums) if c < time]
+    left = time - sum(warm)
+    m = int(left // dt) if left > 0 else 0
+    return len(warm), m, left - m * dt
+
+
 def rampup_timesteps(
     spark: SparkSession, time: float, dt: float, n: int = 8
 ) -> DataFrame:
     """(step_idx, dt_step): MRST-compatible ramp-up step sequence.
 
-    step k < n:             dt / 2^(n-k)        (geometric warm-up)
-    next m = ⌊left/dt⌋:     dt                  (constant)
-    final (if remainder>0): time - covered      (remainder)
+    MRST rampupTimesteps semantics, including the short-horizon case: the
+    geometric warm-up dt/2ⁿ…dt/2 is TRUNCATED to the steps whose cumulative
+    sum stays under `time` (MRST: dt_init = dt_init(cs_time < time)), then
+    ⌊left/dt⌋ constant steps of dt, then one positive remainder step.
     """
-    ramp_sum = dt * (1 - 2.0 ** (-n))  # Σ dt/2^k, k=1..n (exact powers of 2)
-    left = time - ramp_sum
-    if left < 0:
-        raise ValueError(f"ramp-up alone exceeds total time ({ramp_sum} > {time})")
-    m = int(left // dt)
-    remainder = left - m * dt
-    total_steps = n + m + (1 if remainder > 1e-12 else 0)
+    n_warm, m, remainder = _rampup_shape(time, dt, n)
+    total_steps = n_warm + m + (1 if remainder > 1e-12 else 0)
 
     step = F.col("id").cast("int")
+    # kept warm steps are always the SMALLEST prefix: dt/2^(n-k) for k<n_warm
     dt_step = (
-        F.when(step < n, F.lit(dt) / F.pow(F.lit(2.0), (F.lit(n) - step).cast("double")))
-        .when(step < n + m, F.lit(dt))
+        F.when(step < n_warm, F.lit(dt) / F.pow(F.lit(2.0), (F.lit(n) - step).cast("double")))
+        .when(step < n_warm + m, F.lit(dt))
         .otherwise(F.lit(remainder))
     )
     return spark.range(total_steps).select(step.alias("step_idx"), dt_step.alias("dt_step"))
@@ -56,7 +67,9 @@ def full_schedule(
     inj = rampup_timesteps(spark, injection_time, dt_init, n_rampup).withColumn(
         "control", F.lit(1)
     )
-    n_inj = inj.count()
+    # step count in closed form — no eager Spark job per schedule build
+    n_warm, m, remainder = _rampup_shape(injection_time, dt_init, n_rampup)
+    n_inj = n_warm + m + (1 if remainder > 1e-12 else 0)
     mig_dt = migration_time / migration_steps
     mig = spark.range(migration_steps).select(
         (F.col("id").cast("int") + F.lit(n_inj)).alias("step_idx"),

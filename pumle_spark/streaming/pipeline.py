@@ -81,16 +81,18 @@ def start_bronze_to_golden(
 
 
 def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup by event_id with bounded state: the watermark
-    lets Spark evict seen-ids older than the horizon, so state stays
-    O(events-per-watermark-window) instead of growing forever — the
-    streaming twin of dedup_exact (X3 idempotence for event streams).
+    """Streaming exact dedup by event_id with bounded state — the streaming
+    twin of dedup_exact (X3 idempotence for event streams).
 
-    Duplicates arriving within the watermark are dropped exactly; a dup
+    Uses dropDuplicatesWithinWatermark: state for a seen id is evicted once
+    the watermark passes it. Plain dropDuplicates([id]) would NOT evict —
+    the watermark only bounds dedup state when the event-time column is part
+    of the key — so that variant grows state forever on a real stream.
+    Duplicates within the watermark horizon are dropped exactly; a dup
     arriving later than the horizon is the documented at-least-once residue
     every bounded-state streaming dedup accepts.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def stream_events_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from pumle_spark.functions.hashing import sim_hash_udf
 
-# PHYSICAL_LIMITS (parameters.py:36-45): param → (min, max)
+# PHYSICAL_LIMITS (parameters.py:36-45): param → (min, max). Keys are
+# lowercase as in the reference ('xnacl'); lookups normalize case so the
+# INI schema's 'XNaCl' spelling resolves to the same limits.
 PHYSICAL_LIMITS: dict[str, tuple[float, float]] = {
     "pres_ref": (1.0, 100.0),
     "temp_ref": (0.0, 200.0),
@@ -34,7 +36,7 @@ PHYSICAL_LIMITS: dict[str, tuple[float, float]] = {
     "srw": (0.0, 0.3),
     "src": (0.0, 0.3),
     "pe": (0.1, 10.0),
-    "XNaCl": (0.0, 0.2),
+    "xnacl": (0.0, 0.2),
     "rho_h2o": (900.0, 1200.0),
 }
 
@@ -56,8 +58,9 @@ class VariedParam:
         (parameters.py:99-115)."""
         lo = self.base * (1 - self.delta)
         hi = self.base * (1 + self.delta)
-        if self.name in PHYSICAL_LIMITS:
-            plo, phi = PHYSICAL_LIMITS[self.name]
+        limits = PHYSICAL_LIMITS.get(self.name.lower())
+        if limits is not None:
+            plo, phi = limits
             lo, hi = max(lo, plo), min(hi, phi)
         return lo, hi
 
@@ -95,10 +98,16 @@ def generate_variations(
         g = linspace_df(spark, vp.name, lo, hi, n_points(vp.delta or delta_default))
         grid = g if grid is None else grid.crossJoin(g)
 
-    # G3 sim_id: enumerate order of np.meshgrid(...).T.reshape(-1, n) is
-    # first-parameter-major — row_number over the per-param linspace indices
-    # in declaration order reproduces it exactly.
-    order_cols = [F.col(f"_i_{vp.name}") for vp in varied]
+    # G3 sim_id: enumerate order of np.array(np.meshgrid(*lists)).T
+    # .reshape(-1, n) (parameters_variation.py:134). Verified numerically:
+    # param2 varies fastest, then param1, then params 3..n progressively
+    # slower — i.e. sort keys slowest→fastest are (i_n, …, i_3, i_1, i_2).
+    # (For n≤2 this degenerates to plain declaration order.)
+    idx = [F.col(f"_i_{vp.name}") for vp in varied]
+    if len(idx) <= 2:
+        order_cols = idx
+    else:
+        order_cols = list(reversed(idx[2:])) + [idx[0], idx[1]]
     grid = grid.withColumn("sim_id", F.row_number().over(Window.orderBy(*order_cols)).cast("int"))
 
     # base params as literal columns, overridden by the varied grid

@@ -43,9 +43,16 @@ def test_rampup_matches_mrst_semantics(spark):
     assert sum(dts) == pytest.approx(100.0)
 
 
-def test_rampup_rejects_impossible(spark):
-    with pytest.raises(ValueError, match="exceeds total time"):
-        rampup_timesteps(spark, 1.0, 4.0, 8)
+def test_rampup_short_horizon_truncates_like_mrst(spark):
+    """MRST drops warm-up entries whose cumsum exceeds `time`
+    (dt_init = dt_init(cs_time < time)) instead of failing."""
+    rows = rampup_timesteps(spark, 2.0, 4.0, 8).orderBy("step_idx").collect()
+    dts = [r.dt_step for r in rows]
+    # cumsum of dt/2^8.. reaches 1.984375 after 7 entries; the 8th (2.0)
+    # would hit 3.984 > 2.0 → truncated; remainder fills to the horizon
+    assert dts[:7] == [4.0 / 2**k for k in range(8, 1, -1)]
+    assert dts[7] == pytest.approx(2.0 - sum(dts[:7]))
+    assert sum(dts) == pytest.approx(2.0)
 
 
 def test_full_schedule_controls(spark):
@@ -189,9 +196,32 @@ def test_bilinear_interpolation_matches_numpy(spark):
     pts = spark.createDataFrame(
         [(1.25, 12.5), (2.0, 10.0), (2.9, 17.9)], "p double, temp double"
     )
-    out = interpolate_bilinear(pts, table, "p", "temp", grid=(1.0, 0.5, 10.0, 2.0), value_name="rho")
+    out = interpolate_bilinear(
+        pts, table, "p", "temp", grid=(1.0, 0.5, 10.0, 2.0), n_x=5, n_y=5, value_name="rho"
+    )
     for r in out.collect():
         assert r.rho == pytest.approx(2 * r.p + 3 * r.temp, rel=1e-12)
+
+
+def test_bilinear_interpolation_edge_and_out_of_grid_clamp(spark):
+    """Points ON the grid max and beyond it must yield the edge value, not
+    NULL (base index clamps to n-2, the weight saturates)."""
+    grid = [(ix, iy, 2.0 * (1.0 + ix * 0.5) + 3.0 * (10.0 + iy * 2.0)) for ix in range(5) for iy in range(5)]
+    table = spark.createDataFrame(grid, "ix int, iy int, value double")
+    pts = spark.createDataFrame(
+        [(3.0, 18.0), (99.0, 999.0), (-5.0, 0.0)], "p double, temp double"
+    )
+    out = {
+        (r.p, r.temp): r.rho
+        for r in interpolate_bilinear(
+            pts, table, "p", "temp", grid=(1.0, 0.5, 10.0, 2.0), n_x=5, n_y=5, value_name="rho"
+        ).collect()
+    }
+    assert out[(3.0, 18.0)] == pytest.approx(2 * 3.0 + 3 * 18.0, rel=1e-12)  # exact max corner
+    assert all(v is not None for v in out.values())  # clamped, never NULL
+    # out-of-grid points linearly extrapolate the edge cell (value = 2x+3y
+    # is globally linear, so extrapolation is exact here)
+    assert out[(99.0, 999.0)] == pytest.approx(2 * 99.0 + 3 * 999.0, rel=1e-12)
 
 
 # --------------------------------------------------------------------------

@@ -76,11 +76,36 @@ def test_filename_string_format():
     assert s == "pe_5p00e00_pres_ref_3p50e01"
 
 
-def test_filename_string_negative_exponent_and_cap():
-    s = params_to_filename_string({"cp_rock": 4e-05})
-    assert s == "cp_rock_4p00em05"
-    long = {f"param_{i}": 1.0 for i in range(20)}
-    assert len(params_to_filename_string(long)) <= 100
+def test_filename_string_negative_exponent():
+    assert params_to_filename_string({"cp_rock": 4e-05}) == "cp_rock_4p00em05"
+
+
+def test_filename_nonfloat_values_reference_semantics():
+    """utils.py:222-230: only floats use %.2e; other types are str()'d with
+    ' '→'_', '/'→'-' then stripped to [alnum_-]."""
+    assert params_to_filename_string({"steps": 100}) == "steps_100"
+    assert params_to_filename_string({"flag": True}) == "flag_True"
+    assert params_to_filename_string({"bc": "pressure type/a b!"}) == "bc_pressure_type-a_b"
+
+
+def test_filename_whole_part_truncation_and_sentinels():
+    """utils.py:232-241: stop at WHOLE parts when the budget is exceeded
+    (never mid-token), keep ≥1 part; empty dict → 'no_params'."""
+    long = {f"param_{i:02d}": 1.0 for i in range(20)}
+    s = params_to_filename_string(long)
+    assert len(s) <= 100
+    assert s.endswith("1p00e00")  # ends at a part boundary, not mid-token
+    # reference-parity check against a stock transcription of the algorithm
+    parts, cur = [], 0
+    for k in sorted(long):
+        part = f"{k}_1p00e00"
+        if cur + len(part) + 1 > 100 and parts:
+            break
+        parts.append(part)
+        cur += len(part) + 1
+    assert s == "_".join(parts)
+    assert params_to_filename_string({}) == "no_params"
+    assert params_to_filename_string("nope") == "invalid_params"
 
 
 def test_filename_expr_matches_python(spark):

@@ -18,29 +18,43 @@ from pumle_spark.functions.physics import (
 )
 
 
-@pytest.fixture(scope="module")
-def conditions(spark):
-    # reservoir-ish conditions: T=95.15°C, P=35 MPa, XNaCl=0.1, rho_h2o=1000
-    return spark.createDataFrame(
-        [(95.15, 35.0e6, 0.1, 1000.0)],
-        "temp_c double, press_pa double, x_nacl double, rho_h2o double",
+def reference_brine_density(T, P_mpa, X, rho_h2o):
+    """Stock-Python transcription of co2lab3DPUMLE.m:334-342 (the oracle)."""
+    import math
+
+    m0, m1, m2, m3, m4, m5 = 58443, 23.772, 0.018639, -1.9687e-6, -1.5259e-5, 5.5058e-8
+    rho_nacl_0 = m0 / (m1 + m2 * T + m3 * T**2)
+    c_nacl = m4 + m5 * T
+    p_b = 10 * P_mpa
+    rho_nacl = rho_nacl_0 / (1 - 0.1 * math.log(1 + 10 * p_b * c_nacl))
+    return rho_h2o * (1 - X) + rho_nacl * X
+
+
+def test_brine_density_matches_reference_formula(spark):
+    cases = [(95.15, 35.0, 0.1, 1000.0), (60.0, 20.0, 0.05, 1020.0), (120.0, 50.0, 0.2, 980.0)]
+    df = spark.createDataFrame(
+        cases, "temp_c double, press_mpa double, x_nacl double, rho_h2o double"
     )
+    got = [
+        r.rho
+        for r in df.select(
+            brine_density(F.col("temp_c"), F.col("press_mpa"), F.col("x_nacl"), F.col("rho_h2o")).alias("rho")
+        ).collect()
+    ]
+    for (t, p, x, rw), g in zip(cases, got):
+        assert g == pytest.approx(reference_brine_density(t, p, x, rw), rel=1e-12)
+        assert 900 < g < 1400
 
 
-def test_brine_density_plausible_and_monotonic_in_salinity(spark, conditions):
-    row = conditions.select(
-        brine_density(F.col("temp_c"), F.col("press_pa"), F.col("x_nacl"), F.col("rho_h2o")).alias("rho")
-    ).collect()[0]
-    assert 900 < row.rho < 1400  # brine denser than fresh water, sane bounds
-
+def test_brine_density_monotonic_in_salinity(spark):
     two = spark.createDataFrame(
-        [(95.15, 35.0e6, 0.05, 1000.0), (95.15, 35.0e6, 0.15, 1000.0)],
-        "temp_c double, press_pa double, x_nacl double, rho_h2o double",
+        [(95.15, 35.0, 0.05, 1000.0), (95.15, 35.0, 0.15, 1000.0)],
+        "temp_c double, press_mpa double, x_nacl double, rho_h2o double",
     )
     lo, hi = [
         r.rho
         for r in two.select(
-            brine_density(F.col("temp_c"), F.col("press_pa"), F.col("x_nacl"), F.col("rho_h2o")).alias("rho")
+            brine_density(F.col("temp_c"), F.col("press_mpa"), F.col("x_nacl"), F.col("rho_h2o")).alias("rho")
         ).collect()
     ]
     assert hi > lo  # more salt → denser
@@ -56,7 +70,8 @@ def test_water_viscosity_decreases_with_temperature(spark):
 def test_molality_conversion(spark):
     df = spark.createDataFrame([(0.1,)], "x double")
     m = df.select(nacl_molality(F.col("x")).alias("m")).collect()[0].m
-    assert m == pytest.approx(0.1 / (0.9 * 58.443e-3), rel=1e-12)  # ≈1.9 mol/kg
+    # NaCl_mm = 58.44/1000, moly = X/(mm*(1-X)) — co2lab3DPUMLE.m:346-347
+    assert m == pytest.approx(0.1 / (58.44e-3 * 0.9), rel=1e-12)
 
 
 def test_krw_scaling_floors_at_zero(spark):
@@ -70,9 +85,11 @@ def test_krw_scaling_floors_at_zero(spark):
 def test_capillary_pressure_monotone_decreasing_with_sw(spark):
     df = spark.createDataFrame([(0.25, 5000.0), (1.0, 5000.0), (0.0, 5000.0)], "sw double, pe double")
     v = [r.pc for r in df.select(capillary_pressure(F.col("sw"), F.col("pe")).alias("pc")).collect()]
-    assert v[0] == pytest.approx(5000.0 * 0.25**-0.5)  # pe·sw^(-1/2)
+    assert v[0] == pytest.approx(5000.0 * 0.25**-0.5)  # pe·s^(-1/2)
     assert v[1] == pytest.approx(5000.0)
-    assert v[2] > v[0] > v[1]  # ε-floor keeps sw=0 finite but huge
+    # eps_sat=1e-6 floor (co2lab3DPUMLE.m:393): s=0 → pe·(1e-6)^(-1/2) = pe·1e3
+    assert v[2] == pytest.approx(5000.0 * 1e3)
+    assert v[2] > v[0] > v[1]
 
 
 def test_hydrostatic_and_units(spark):

@@ -48,6 +48,31 @@ def test_variations_match_meshgrid_order_and_values(spark):
         assert r.srw == pytest.approx(combos[idx, 1], abs=0)
 
 
+def test_three_param_sweep_matches_meshgrid_T_order(spark):
+    """np.array(np.meshgrid(*lists)).T.reshape(-1, n) order for n=3:
+    param2 fastest, then param1, then param3 slowest
+    (parameters_variation.py:134) — NOT plain declaration order."""
+    varied = [
+        VariedParam("pres_ref", 35.0, 0.2),
+        VariedParam("srw", 0.11, 0.2),
+        VariedParam("pe", 5.0, 0.2),
+    ]
+    rows = generate_variations(spark, BASE, varied).orderBy("sim_id").collect()
+    grids = [np.linspace(*vp.bounds, 5) for vp in varied]
+    combos = np.array(np.meshgrid(*grids)).T.reshape(-1, 3)
+    assert len(rows) == 125
+    for idx, r in enumerate(rows):
+        assert (r.pres_ref, r.srw, r.pe) == pytest.approx(tuple(combos[idx]), abs=0), idx
+
+
+def test_xnacl_limits_clip_despite_ini_casing(spark):
+    # PHYSICAL_LIMITS key is 'xnacl' (parameters.py:42); the INI schema
+    # spells it 'XNaCl' — limits must still clip (cap 0.2)
+    vp = VariedParam("XNaCl", 0.15, 0.5)
+    lo, hi = vp.bounds
+    assert hi == 0.2 and lo == pytest.approx(0.075)
+
+
 def test_variation_hashes_are_reference_bit_exact(spark):
     varied = [VariedParam("pres_ref", 35.0, 0.2)]
     rows = generate_variations(spark, BASE, varied).collect()
