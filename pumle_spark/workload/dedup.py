@@ -35,7 +35,10 @@ _SQL_TOKENS = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+',
 
 
 def _tokens_col():
-    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+    # single tokenizer definition for the whole engine
+    from pumle_spark.operators.dedup import normalize_text
+
+    return normalize_text("text")
 
 
 _SQL_SHINGLES = f"""
@@ -56,28 +59,13 @@ _SQL_SHINGLES = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document: (doc_id, sh).
-
-    Formulation note (measured at sf0.1): building shingles as a per-row
-    array (transform over the token array) and exploding it looks cheaper on
-    paper, but Catalyst inlines the array-construction expression into the
-    Generate and into every lambda that references it — the construction
-    re-runs per OUTPUT row (15.9s vs 5.3s for the jaccard query). Exploding
-    the token stream and composing shingles with lead() windows keeps the
-    per-row work constant.
-    """
-    from pyspark.sql import Window
+    """Distinct word-3-gram shingles per document: (doc_id, sh) — delegates
+    to operators.dedup.shingles (exploded tokens + lead() windows; see that
+    module for why the per-row-array formulation loses under Catalyst)."""
+    from pumle_spark.operators.dedup import shingles
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(w), F.lead("w", 2).over(w)).alias("sh"),
-        F.lead("w", 2).over(w).alias("_w3"),
-    )
-    # concat_ws skips NULLs, so guard on the last lead explicitly
-    return sh.filter(F.col("_w3").isNotNull()).select("doc_id", "sh").distinct()
+    return shingles(docs, "doc_id").withColumnRenamed("key", "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -248,38 +236,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j²)⁴. Only candidates are verified with the exact Jaccard, so the
     quadratic step runs on buckets, not the corpus.
     """
+    from pumle_spark.operators.dedup import lsh_band_keys, minhash_signatures
+
     sh = _shingles(spark, sf_dir)  # (doc_id, sh) distinct
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # all 8 minhashes in ONE groupBy(doc) pass: each shingle row carries its
-    # 8 seeded hashes as columns, aggregated with 8 min()s — same md5 count
-    # as the seed-crossJoin form but the shuffle moves |shingles| rows
-    # instead of 8×|shingles| and there is no (doc, seed) regroup.
-    mh = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"h{s}")
-            for s in range(_N_HASHES)
-        ],
-    ).groupBy("doc_id").agg(*[F.min(f"h{s}").alias(f"mh{s}") for s in range(_N_HASHES)])
-    # band keys are per-row projections over the aggregated minhash columns
-    # (post-aggregate columns are materialized — no lambda re-inline risk)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(
-                    F.lit(f"{2 * b}:"),
-                    F.col(f"mh{2 * b}"),
-                    F.lit(f"|{2 * b + 1}:"),
-                    F.col(f"mh{2 * b + 1}"),
-                )
-            ).alias("band_key"),
-        )
-        for b in range(_N_BANDS)
-    ]
-    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    sig = minhash_signatures(sh.withColumnRenamed("doc_id", "key"), _N_HASHES)
+    bands = lsh_band_keys(sig, _N_HASHES, rows_per_band=2).withColumnRenamed("key", "doc_id")
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (

@@ -24,7 +24,10 @@ _STOPWORDS = {
 
 
 def _tokens_col():
-    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+    # single tokenizer definition for the whole engine
+    from pumle_spark.operators.dedup import normalize_text
+
+    return normalize_text("text")
 
 
 def _sql_in(words: tuple[str, ...]) -> str:

@@ -86,8 +86,9 @@ def test_exact_dedup_groups_identical(docs):
 
 def test_minhash_lsh_finds_near_dups(docs):
     sh = shingles(docs, "doc_id").cache()
-    sig = minhash_signatures(sh)
-    cand = lsh_candidate_pairs(sig)
+    sig = minhash_signatures(sh, n_hashes=8)
+    assert set(sig.columns) == {"key"} | {f"mh{s}" for s in range(8)}
+    cand = lsh_candidate_pairs(sig, n_hashes=8, rows_per_band=2)
     pairs = {(r.key_a, r.key_b) for r in cand.collect()}
     assert (0, 1) in pairs  # identical docs always collide in every band
     verified = jaccard_verify(cand, sh, threshold=0.5)
