@@ -57,12 +57,29 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the round driver does (catches "
+        "reliance on pumle_spark.session-only configuration)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from pumle_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle_check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from pumle_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
