@@ -15,7 +15,6 @@ because the canonical layout already IS the melted form (SURVEY §2.8 R2).
 from __future__ import annotations
 
 import os
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -286,3 +286,38 @@ def test_matfiles_gated_without_scipy(spark):
         pass
     with pytest.raises(NotImplementedError, match="scipy"):
         write_section_mats(configs, "/tmp/x", {"Fluid": ["pres_ref"]})
+
+
+def test_rampup_matches_mrst_oracle_many_horizons(spark):
+    """Property check against a stock-Python transcription of MRST
+    rampupTimesteps across mixed horizons (incl. truncating ones)."""
+
+    def mrst_oracle(time, dt, n):
+        from itertools import accumulate
+
+        warm = [dt / 2.0 ** (n - k) for k in range(n)]
+        cums = list(accumulate(warm))
+        if any(c > time for c in cums):
+            warm = [w for w, c in zip(warm, cums) if c < time]
+        left = time - sum(warm)
+        m = int(left // dt) if left > 0 else 0
+        rem = left - m * dt
+        return warm + [dt] * m + ([rem] if rem > 1e-12 else [])
+
+    for time, dt, n in [(100.0, 4.0, 8), (2.0, 4.0, 8), (1.0, 1.0, 4), (36.5, 5.0, 6), (0.05, 4.0, 8)]:
+        got = [r.dt_step for r in rampup_timesteps(spark, time, dt, n).orderBy("step_idx").collect()]
+        want = mrst_oracle(time, dt, n)
+        assert got == pytest.approx(want), (time, dt, n)
+        assert sum(got) == pytest.approx(time)
+
+
+def test_shingle_array_in_place_consumption(spark):
+    """operators.dedup.shingle_array's supported pattern: single in-place
+    consumer (sizing / hashing), never exploded."""
+    from pumle_spark.operators.dedup import normalize_text, shingle_array
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "")], "doc_id long, text string"
+    ).select("doc_id", normalize_text("text").alias("ws"))
+    out = {r.doc_id: r.n for r in df.select("doc_id", F.size(shingle_array("ws", 3)).alias("n")).collect()}
+    assert out == {1: 2, 2: 0, 3: 0}  # 'a b c','b c d'; too short; empty
