@@ -124,7 +124,13 @@ def filename_value_expr(col: Column) -> Column:
 
 
 def filename_expr(cols: dict[str, Column]) -> Column:
-    """Concatenate sorted key_value pairs and cap at 100 chars (F2)."""
+    """Concatenate sorted key_value pairs, capped at 100 chars (F2).
+
+    NOTE: the cap here is a plain substring — it can cut mid-token, unlike
+    the reference's whole-part truncation (which params_to_filename_string
+    reproduces exactly). Staging file names are produced by the driver-side
+    function; this expression exists for labeling/debug columns where the
+    cheap cap is acceptable."""
     pieces = []
     for name in sorted(cols):
         pieces.append(F.concat(F.lit(name), F.lit("_"), filename_value_expr(cols[name])))
