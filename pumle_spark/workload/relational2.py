@@ -238,6 +238,50 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_orders_columns",
+    sql="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_nonnull, COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str, CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR), CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("profile", "stats"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/non-null/distinct counts and min/max —
+    the first pass any pipeline runs on a new table. All columns profile in
+    one scan per projection; outputs are stringified so heterogeneous column
+    types share one result schema."""
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col: str, render):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(col).alias("n_distinct"),
+            render(F.min(col)).alias("min_str"),
+            render(F.max(col)).alias("max_str"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    rounded = lambda c: F.round(c, 2).cast("string")  # noqa: E731
+    return (
+        prof("o_orderkey", as_str)
+        .unionByName(prof("o_orderstatus", as_str))
+        .unionByName(prof("o_totalprice", rounded))
+    )
+
+
+@register(
     "join_right_outer_customer_orders",
     sql="""
     SELECT c.c_custkey,

@@ -146,6 +146,90 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
+_SQL_LSH_CODE = f"""
+    planes AS (
+      SELECT p.p, d.d,
+             ((('0x' || substr(md5('plane' || p.p || '_' || d.d), 1, 8))::UBIGINT
+               % 2000001)::BIGINT - 1000000) / 1000000.0 AS w
+      FROM generate_series(0, {_N_PLANES - 1}) p(p)
+      CROSS JOIN generate_series(0, {_DIM - 1}) d(d)
+    ),
+    comps AS (
+      SELECT e.vec_id, pl.p, SUM(pl.w * e.embedding[pl.d + 1]::DOUBLE) AS dot
+      FROM embeddings e JOIN planes pl ON TRUE
+      GROUP BY e.vec_id, pl.p
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INTEGER)
+               AS bucket_code
+      FROM comps GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    sql=f"""
+    WITH {_SQL_LSH_CODE},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM codes a JOIN codes b
+        ON a.bucket_code = b.bucket_code AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_cosine_similarity(va.emb, vb.emb), 6) AS cos_sim
+    FROM cand c
+    JOIN v va ON va.vec_id = c.vec_a
+    JOIN v vb ON vb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(va.emb, vb.emb) >= 0.4
+    """,
+    tags=("dedup", "embedding", "lsh", "ann"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH bucketing — the 100 TB path end-to-end:
+    candidates are pairs sharing an {_N_PLANES}-bit hyperplane bucket
+    (Σ_bucket c² pairs instead of n²/2), then exact cosine verification on
+    candidates only. Recall vs the all-pairs baseline trades against the
+    ~K× candidate reduction; multi-probe (operators.similarity.lsh_topk)
+    recovers most of it."""
+    from pumle_spark.operators.similarity import hyperplanes
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    planes = hyperplanes(_DIM, _N_PLANES)
+    code = F.lit(0)
+    for p in range(_N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(planes.getItem(p), F.col("emb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    codes = e.select("vec_id", code.cast("int").alias("bucket_code"))
+
+    ca = codes.select(F.col("vec_id").alias("vec_a"), "bucket_code")
+    cb = codes.select(F.col("vec_id").alias("vec_b"), "bucket_code")
+    cand = ca.join(cb, "bucket_code").filter(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")).withColumn(
+        "na", _dot(F.col("ea"), F.col("ea"))
+    )
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")).withColumn(
+        "nb", _dot(F.col("eb"), F.col("eb"))
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("raw", cos)
+        .filter(F.col("raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("raw", 6).alias("cos_sim"))
+    )
+
+
 @register(
     "ann_lsh_codes",
     sql=f"""
