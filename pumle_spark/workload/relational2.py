@@ -324,6 +324,448 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT ps.l_partkey, ps.supplycost, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+           ROUND(e.supplycost, 2) AS supplycost
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 1 AND 25
+      AND e.supplycost = (SELECT MIN(e2.supplycost) FROM eligible e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "correlated-subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem-derived partsupp: supplycost = MIN price per
+    (part, supplier)): the correlated min-cost subquery becomes a per-part
+    aggregate joined back on (partkey, cost) equality. supplycost is an exact
+    parquet double (no arithmetic), so the equality join is engine-stable.
+    All dims broadcast; the only shuffle is the partsupp derivation."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(1, 25)
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("supplycost"))
+    sup_eur = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = ps.join(broadcast(sup_eur), ps.l_suppkey == sup_eur.s_suppkey)
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            broadcast(min_cost),
+            (eligible.l_partkey == min_cost.mc_partkey)
+            & (eligible.supplycost == min_cost.min_cost),
+        )
+        .join(broadcast(p), eligible.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_national_market_share",
+    sql="""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                               THEN CAST(volume AS DECIMAL(18, 6))
+                               ELSE CAST(0 AS DECIMAL(18, 6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18, 6))) AS DOUBLE), 4) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional order volume per year — a
+    7-table star join where every dim broadcasts and the conditional share
+    computes in a single agg pass (no self-join of the fact)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .join(broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    dec = "decimal(18,6)"
+    nat_vol = (
+        F.when(F.col("supp_nation") == "NATION_5", F.col("volume").cast(dec))
+        .otherwise(F.lit(0).cast(dec))
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(nat_vol).cast("double") / F.sum(F.col("volume").cast(dec)).cast("double"), 4
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              - 0.1 * p.p_retailprice * l.l_quantity
+                              AS DECIMAL(18, 6))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year over a 5-table
+    mixed-size join (supplycost stands in as 10% of p_retailprice — the
+    testdata has no partsupp). The part-name LIKE filter prunes the fact
+    early via the broadcast part dim. Profit accumulates in DECIMAL(18,6) so
+    the sum is exact and order-independent — double sums differ across
+    engines in the last ulp and flip the cent rounding."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit.cast("decimal(18,6)")).cast("double"), 2).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    sql="""
+    WITH natps AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT l_partkey AS partkey,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))) AS DOUBLE), 2) AS part_value
+    FROM natps
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18, 6)))
+           > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18, 6))) * 0.001 FROM natps)
+    """,
+    tags=("agg", "scalar-subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation's suppliers, kept
+    only when above a fraction of the nation total — the scalar-subquery
+    threshold is a single-row broadcast cross join, so the fact scans once
+    for the groups and once for the total (both pre-filtered by the
+    broadcast supplier dim)."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_sup = s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    natps = li.join(broadcast(nat_sup), li.l_suppkey == nat_sup.s_suppkey).select(
+        "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("price_dec")
+    )
+    threshold = natps.agg((F.sum("price_dec").cast("double") * 0.001).alias("threshold"))
+    return (
+        natps.groupBy("l_partkey")
+        .agg(F.sum("price_dec").alias("_raw_value"))
+        .crossJoin(broadcast(threshold))
+        .filter(F.col("_raw_value").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_raw_value").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    sql="""
+    SELECT l.l_returnflag AS ret_mode,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("join", "conditional", "agg"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_returnflag stands in for l_shipmode; ship-lag > 30
+    days stands in for the commit/receipt-date lag): priority split via
+    conditional COUNT in one agg pass, with the date-window predicates pushed
+    to the lineitem scan and the lag predicate evaluated in the join."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ret_mode"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18, 6))) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("cte", "scalar-subquery", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the view
+    becomes a reused DataFrame, the max-of-agg a single-row broadcast. The
+    max compares on the ROUNDED revenue on both sides so ties resolve
+    identically across engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.crossJoin(broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18, 6))) AS availqty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(18, 6))
+                      ELSE CAST(0 AS DECIMAL(18, 6)) END) AS qty_1996
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps
+        WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND ps.qty_1996 > 0
+          AND ps.availqty > 2 * ps.qty_1996
+      )
+    """,
+    tags=("nested-in", "semi", "subquery"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers in a region
+    holding 'excess stock' of small parts (lifetime quantity > 2× the 1996
+    shipped quantity, both from the lineitem-derived partsupp). Every IN
+    becomes a semi join; the part and region filters broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    small = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    dec = "decimal(18,6)"
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("availqty"),
+        F.sum(
+            F.when(in_1996, F.col("l_quantity").cast(dec)).otherwise(F.lit(0).cast(dec))
+        ).alias("qty_1996"),
+    )
+    qual = (
+        ps.join(broadcast(small), ps.l_partkey == small.p_partkey, "left_semi")
+        .filter((F.col("qty_1996") > 0) & (F.col("availqty") > 2 * F.col("qty_1996")))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderstatus = 'F' AND r.r_name = 'ASIA'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("exists", "not-exists", "agg", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped > 60 days after order date): suppliers
+    who were the SOLE late supplier on a multi-supplier finished order. The
+    EXISTS/NOT-EXISTS pair decorrelates into one per-order aggregate —
+    n_supp >= 2 (another supplier exists) and n_late_supp == 1 (no OTHER
+    late supplier, given l1 itself is late) — instead of two extra
+    fact-to-fact joins."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    asia_sup = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
     "q22_global_sales_opportunity",
     sql="""
     WITH avg_bal AS (
