@@ -146,6 +146,57 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
     )
 
 
+def connected_components(
+    pairs: DataFrame, key_a: str = "key_a", key_b: str = "key_b", max_iter: int = 25
+) -> DataFrame:
+    """Undirected near-dup pairs → (key, component): component = min key
+    reachable. This is what a corpus pipeline actually consumes — "keep doc
+    X, drop {Y, Z}" needs cluster assignments, not pairs.
+
+    Min-label propagation: each round joins labels to edges and takes the
+    neighborhood min — one shuffle per round, converging in O(graph
+    diameter) rounds (near-dup clusters are shallow; diameter beyond ~10 is
+    pathological). Early-exits when a round changes nothing. Each round
+    localCheckpoints the labels: without it the self-referential lineage
+    doubles per iteration and the planner, not the data, becomes the
+    bottleneck. On a real cluster prefer sparkContext.setCheckpointDir +
+    checkpoint() so labels survive executor loss; for billion-edge graphs
+    the alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce") halves the rounds.
+    """
+    edges = (
+        pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
+        .union(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("key")).distinct().select(
+        "key", F.col("key").alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.key)
+            .groupBy(F.col("dst").alias("key"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "key", "left")
+            .select("key", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "key")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document → (key, simhash). Two md5-derived 32-bit
     halves keep everything in expressions (xxhash64 would be cheaper but

@@ -268,6 +268,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mhash
+      FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(string_agg(CAST(seed AS VARCHAR) || ':' || mhash, '|' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.doc_a
+      JOIN sh3 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    vpairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= {_JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION
+      SELECT doc_b, doc_a FROM vpairs
+    ),
+    walk AS (                      -- transitive closure of reachable labels
+      SELECT src AS key, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS key, w.comp FROM walk w JOIN edges e ON e.src = w.key
+    ),
+    comp AS (SELECT key AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY key)
+    SELECT c.doc_id, c.cluster_id, s.n_docs, c.doc_id = c.cluster_id AS is_keeper
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
+      ON s.cluster_id = c.cluster_id
+    """,
+    tags=("dedup", "minhash", "lsh", "components"),
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: the MinHash+LSH verified pairs collapse
+    into connected components (cluster_id = min doc_id in the component;
+    is_keeper marks the canonical survivor). This is the pipeline's actual
+    deliverable — "keep doc X, drop {Y,Z}" needs components, not pairs.
+
+    Spark side: iterative min-label propagation
+    (operators.dedup.connected_components, one shuffle per round,
+    O(diameter) rounds). Oracle side: DuckDB recursive-CTE transitive
+    closure — same fixpoint, different engine idiom.
+    """
+    from pumle_spark.operators.dedup import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("key").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_docs",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

@@ -280,3 +280,139 @@ def ann_lsh_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         code = code + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", code.cast("int").alias("bucket_code"))
+
+
+# -- recall grading ---------------------------------------------------------
+
+_SQL_TOPK_TMPL = """
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                              ORDER BY ROUND(list_cosine_similarity(q.qv, v.emb), 6) DESC,
+                                       cand.neighbor_id) AS rnk
+    FROM ({cand}) cand
+    JOIN q ON q.query_id = cand.query_id
+    JOIN v ON v.vec_id = cand.neighbor_id)
+  WHERE rnk <= {k}
+"""
+
+
+def _sql_recall_row(method: str, topk_cte: str, k: int) -> str:
+    return f"""
+    SELECT '{method}' AS method,
+           CAST((SELECT COUNT(*) FROM {topk_cte} t
+                 JOIN exact x ON x.query_id = t.query_id
+                             AND x.neighbor_id = t.neighbor_id) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) * {k} FROM q) AS BIGINT) AS total,
+           ROUND((SELECT COUNT(*) FROM {topk_cte} t
+                  JOIN exact x ON x.query_id = t.query_id
+                              AND x.neighbor_id = t.neighbor_id)
+                 / CAST((SELECT COUNT(*) * {k} FROM q) AS DOUBLE), 4) AS recall_at_k
+    """
+
+
+@register(
+    "ann_recall_report",
+    sql=f"""
+    WITH {_SQL_LSH_CODE},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    exact AS ({_SQL_TOPK_TMPL.format(cand="SELECT q.query_id, v.vec_id AS neighbor_id FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id", k=_TOP_K)}),
+    lsh_topk AS ({_SQL_TOPK_TMPL.format(cand=f'''
+        SELECT q.query_id, cv.vec_id AS neighbor_id
+        FROM q JOIN codes cq ON cq.vec_id = q.query_id
+               JOIN codes cv ON cv.bucket_code = cq.bucket_code
+                            AND cv.vec_id <> q.query_id''', k=_TOP_K)}),
+    cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM v
+              WHERE vec_id % {_CENTROID_STRIDE} = 0
+                AND vec_id < {_N_CENTROIDS * _CENTROID_STRIDE}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(v.emb, cents.cemb), 6) DESC,
+                                           cents.centroid_id) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1),
+    ivf_topk AS ({_SQL_TOPK_TMPL.format(cand=f'''
+        SELECT q.query_id, av.vec_id AS neighbor_id
+        FROM q JOIN assign aq ON aq.vec_id = q.query_id
+               JOIN assign av ON av.centroid_id = aq.centroid_id
+                             AND av.vec_id <> q.query_id''', k=_TOP_K)})
+    {_sql_recall_row("lsh_bucket", "lsh_topk", _TOP_K)}
+    UNION ALL
+    {_sql_recall_row("ivf_probe1", "ivf_topk", _TOP_K)}
+    """,
+    tags=("similarity", "ann", "recall"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the two ANN scale paths, graded against the exact
+    brute-force top-k: the LSH path retrieves only the query's hyperplane
+    bucket, IVF (probe=1) only the query's centroid cell — the quality side
+    of the Σ_bucket c² cost reduction, measured instead of asserted. Rank
+    ties resolve on (rounded cosine, neighbor_id) in both engines, so
+    recall is deterministic cross-engine."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vecd().alias("v"))
+        .withColumn("nv", _dot(F.col("v"), F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+
+    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("nq") * F.col("nv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    def topk(cand: DataFrame) -> DataFrame:
+        """cand: (query_id, neighbor_id) → top-k by exact cosine rerank."""
+        return (
+            cand.join(F.broadcast(q), "query_id")
+            .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+            .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(
+        e.crossJoin(F.broadcast(q.select("query_id")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    codes = ann_lsh_codes(spark, sf_dir)
+    qcodes = codes.join(F.broadcast(q.select("query_id")), codes.vec_id == F.col("query_id")).select(
+        "query_id", "bucket_code"
+    )
+    lsh_cand = (
+        codes.join(F.broadcast(qcodes), "bucket_code")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    qassign = assign.join(
+        F.broadcast(q.select("query_id")), assign.vec_id == F.col("query_id")
+    ).select("query_id", "centroid_id")
+    ivf_cand = (
+        assign.join(F.broadcast(qassign), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    n_total = q.agg((F.count(F.lit(1)) * _TOP_K).alias("total"))
+
+    def recall_row(method: str, method_topk: DataFrame) -> DataFrame:
+        hits = method_topk.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        return hits.crossJoin(F.broadcast(n_total)).select(
+            F.lit(method).alias("method"),
+            F.col("hits"),
+            F.col("total"),
+            F.round(F.col("hits") / F.col("total").cast("double"), 4).alias("recall_at_k"),
+        )
+
+    return recall_row("lsh_bucket", topk(lsh_cand)).unionByName(
+        recall_row("ivf_probe1", topk(ivf_cand))
+    )

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from pumle_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     hamming_pairs,
     jaccard_verify,
@@ -97,6 +98,24 @@ def test_minhash_lsh_finds_near_dups(docs):
     if (0, 2) in got:
         assert 0.5 <= got[(0, 2)] < 1.0
     assert all(3 not in p for p in got)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter > 1 round: exercises iteration), pair 10-11,
+    # and a triangle 20-21-22 entered via multiple edges
+    edges = [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    got = {r.key: r.comp for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path: min label must walk the full diameter
+    edges = [(i, i + 1) for i in range(100, 112)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    out = connected_components(df).collect()
+    assert {r.comp for r in out} == {100}
+    assert len(out) == 13
 
 
 def test_simhash_hamming_pairs(docs):
