@@ -109,17 +109,45 @@ def _tensor_writer(out_dir: str, dims: tuple[int, int, int], attr: str, fmt: str
         if fmt == "npy":
             np.save(path, tensor)  # K2 (arrays.py:149-169)
         else:  # K3 (arrays.py:171-197)
-            try:
-                import zarr  # noqa: F401
-
-                z = zarr.open(path, mode="w", shape=tensor.shape, dtype=tensor.dtype)
-                z[:] = tensor
-            except ImportError:
-                # zarr not in this container: fall back to .npy with a marker
-                np.save(path + ".npy_fallback", tensor)
+            write_zarr_v2(path, tensor)
         return pd.DataFrame({"sim_hash": [sim_hash], "path": [path], "n_t": [n_t]})
 
     return build
+
+
+def write_zarr_v2(store_dir: str, tensor: np.ndarray, chunk_t: int = 1, zlib_level: int = 5) -> None:
+    """Spec-conformant zarr-v2 directory store, written with no zarr
+    dependency: `.zarray` JSON metadata + one zlib-compressed C-order chunk
+    file per `chunk_t` timesteps (chunk key "0.0.0.<ct>"). Chunking along t
+    means the companion scan (sources/tensors.py read_zarr_tensors)
+    parallelizes one task per timestep chunk. Any standard zarr client can
+    open the result (compressor {"id": "zlib"} is zarr-core)."""
+    import json
+    import zlib
+
+    os.makedirs(store_dir, exist_ok=True)
+    ni, nj, nk, n_t = tensor.shape
+    chunks = (ni, nj, nk, chunk_t)
+    meta = {
+        "zarr_format": 2,
+        "shape": [ni, nj, nk, n_t],
+        "chunks": list(chunks),
+        "dtype": tensor.dtype.str,
+        "compressor": {"id": "zlib", "level": zlib_level},
+        "fill_value": "NaN" if tensor.dtype.kind == "f" else 0,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(store_dir, ".zarray"), "w") as fh:
+        json.dump(meta, fh)
+    for ct in range((n_t + chunk_t - 1) // chunk_t):
+        block = tensor[:, :, :, ct * chunk_t : (ct + 1) * chunk_t]
+        if block.shape[3] < chunk_t:  # edge chunk: pad to full chunk shape
+            pad = np.full((ni, nj, nk, chunk_t - block.shape[3]), np.nan, dtype=tensor.dtype)
+            block = np.concatenate([block, pad], axis=3)
+        payload = zlib.compress(np.ascontiguousarray(block).tobytes(), zlib_level)
+        with open(os.path.join(store_dir, f"0.0.0.{ct}"), "wb") as fh:
+            fh.write(payload)
 
 
 def export_tensors(

@@ -96,9 +96,73 @@ def test_npy_scan_roundtrips_export(spark, tmp_path):
     assert diff == 0
 
 
-def test_zarr_scan_gated(spark):
-    with pytest.raises(NotImplementedError, match="zarr"):
+def test_zarr_scan_missing_store_raises(spark):
+    with pytest.raises(FileNotFoundError, match="zarr"):
         read_zarr_tensors(spark, "/nonexistent/*.zarr")
+
+
+def test_zarr_scan_roundtrips_export(spark, tmp_path):
+    """K3 → S6 round trip through the pure-Python zarr-v2 store: export
+    writes .zarray + per-timestep zlib chunks, the scan fans chunk files out
+    via binaryFile and rebuilds the exact long rows (NULLs included)."""
+    import json
+
+    sims = make_bronze(tmp_path / "bronze", n_sims=2, n_t=3, seed=32)
+    golden = ingest_golden(
+        spark,
+        str(tmp_path / f"bronze/states_{CASE}_*.json"),
+        str(tmp_path / f"bronze/grdecl_{CASE}_*.json"),
+        str(tmp_path / f"bronze/g_{CASE}.json"),
+    ).cache()
+    out = str(tmp_path / "ztensors")
+    export_tensors(golden, DIMS, "pressure", out, fmt="zarr").collect()
+
+    stores = sorted((tmp_path / "ztensors").glob("pressure_*.zarr"))
+    assert len(stores) == 2
+    meta = json.loads((stores[0] / ".zarray").read_text())
+    assert meta["zarr_format"] == 2 and meta["chunks"][3] == 1
+    # one chunk file per timestep (chunked along t for scan parallelism)
+    assert sorted(p.name for p in stores[0].iterdir() if p.name != ".zarray") == [
+        "0.0.0.0",
+        "0.0.0.1",
+        "0.0.0.2",
+    ]
+
+    back = read_zarr_tensors(spark, f"{out}/pressure_*.zarr")
+    orig = golden.select("sim_hash", "t", "cell_id", F.col("pressure").alias("value"))
+    assert back.count() == orig.count()
+    diff = (
+        back.join(orig, ["sim_hash", "t", "cell_id"], "full_outer")
+        .filter(
+            ~(
+                (back["value"].isNull() & orig["value"].isNull())
+                | (back["value"] == orig["value"])
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_zarr_edge_chunk_padding_roundtrip(spark, tmp_path):
+    """chunk_t=2 over n_t=5 → the last chunk is padded on write and must be
+    truncated on read (the v2 edge-chunk rule)."""
+    import numpy as np
+
+    from pumle_spark.exports import write_zarr_v2
+
+    rng = np.random.default_rng(7)
+    tensor = rng.normal(size=(3, 2, 2, 5))
+    tensor[0, 0, 0, 0] = np.nan
+    store = str(tmp_path / "edge_ab12cd34.zarr")
+    write_zarr_v2(store, tensor, chunk_t=2)
+
+    back = read_zarr_tensors(spark, f"{tmp_path}/edge_*.zarr").collect()
+    assert len(back) == 3 * 2 * 2 * 5  # no padded rows leaked
+    by_key = {(r.t, r.cell_id): r.value for r in back}
+    assert by_key[(0, 0)] is None  # NaN → NULL
+    # spot-check F-order cell addressing: cell_id = i + ni*j + ni*nj*k
+    assert by_key[(4, 1 + 3 * 1 + 6 * 1)] == tensor[1, 1, 1, 4]
 
 
 # --------------------------------------------------------------------------
