@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -55,19 +56,38 @@ class SimulationCatalog:
     # -- read ---------------------------------------------------------------
 
     def load(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], CATALOG_SCHEMA)
-        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path)
+        # retry-on-missing: a concurrent _atomic_overwrite swap has a
+        # two-rename window where the path briefly doesn't exist; don't
+        # mistake it for an empty catalog.
+        for _ in range(3):
+            if os.path.exists(self.path):
+                return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path)
+            time.sleep(0.05)
+        return self.spark.createDataFrame([], CATALOG_SCHEMA)
 
     # -- write --------------------------------------------------------------
 
     def _atomic_overwrite(self, df: DataFrame) -> None:
-        """Write to a temp dir then swap — readers never see a half-write."""
-        tmp = tempfile.mkdtemp(prefix="catalog_", dir=os.path.dirname(self.path) or ".")
+        """Write to a temp dir then swap via two renames.
+
+        CONCURRENCY CONTRACT: single writer. register/update_status are
+        read-modify-write with no lock — two concurrent writers can lose
+        each other's rows (last swap wins). The catalog is dim-sized and
+        driver-owned by design; for multi-writer semantics use a
+        transactional table format (Delta MERGE INTO) instead. Readers are
+        protected: the path-missing window is two rename syscalls (the old
+        tree is renamed aside BEFORE the new one moves in, and deleted only
+        after), and load() retries on missing."""
+        parent = os.path.dirname(self.path) or "."
+        tmp = tempfile.mkdtemp(prefix="catalog_", dir=parent)
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        trash = None
         if os.path.exists(self.path):
-            shutil.rmtree(self.path)
+            trash = tempfile.mkdtemp(prefix="catalog_old_", dir=parent)
+            os.replace(self.path, os.path.join(trash, "v"))
         os.replace(tmp, self.path)
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
 
     def register(self, configs: DataFrame) -> int:
         """X3 idempotent insert (INSERT OR IGNORE on sim_hash PK, db.py:25-28):

@@ -123,15 +123,40 @@ def filename_value_expr(col: Column) -> Column:
     return F.translate(F.format_string("%.2e", col), ".-+", "pm")
 
 
-def filename_expr(cols: dict[str, Column]) -> Column:
-    """Concatenate sorted key_value pairs, capped at 100 chars (F2).
+def filename_expr(cols: dict[str, Column], max_length: int = _MAX_FILENAME) -> Column:
+    """Concatenate sorted key_value pairs with the reference's WHOLE-part
+    cap (F2, utils.py:231-238): parts are added in sorted-key order until
+    the next one would exceed the budget (separator counted), the first
+    part always survives, and truncation never cuts mid-token — bit-exact
+    with params_to_filename_string (property-tested).
 
-    NOTE: the cap here is a plain substring — it can cut mid-token, unlike
-    the reference's whole-part truncation (which params_to_filename_string
-    reproduces exactly). Staging file names are produced by the driver-side
-    function; this expression exists for labeling/debug columns where the
-    cheap cap is acceptable."""
-    pieces = []
-    for name in sorted(cols):
-        pieces.append(F.concat(F.lit(name), F.lit("_"), filename_value_expr(cols[name])))
-    return F.substring(F.concat_ws("_", *pieces), 1, _MAX_FILENAME)
+    Expression mechanics: one aggregate() fold over the parts array counts
+    how many whole parts fit (struct accumulator carries running length +
+    count + a stop flag, because the reference BREAKS at the first
+    non-fitting part rather than skipping it), then slice + concat_ws
+    keeps exactly those. Per-row cost is one fold over ≤|keys| strings —
+    stays in codegen, no UDF."""
+    if not cols:
+        return F.lit("no_params")
+    parts = F.array(
+        *[
+            F.concat(F.lit(name + "_"), filename_value_expr(cols[name]))
+            for name in sorted(cols)
+        ]
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("len"), F.lit(0).alias("n"), F.lit(False).alias("stop")
+    )
+
+    def step(acc, p):
+        fits = (~acc["stop"]) & (
+            (acc["len"] + F.length(p) + 1 <= F.lit(max_length)) | (acc["n"] == 0)
+        )
+        return F.struct(
+            F.when(fits, acc["len"] + F.length(p) + 1).otherwise(acc["len"]).alias("len"),
+            F.when(fits, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            (~fits).alias("stop"),
+        )
+
+    n_keep = F.aggregate(parts, acc0, step, lambda acc: acc["n"])
+    return F.concat_ws("_", F.slice(parts, F.lit(1), n_keep))

@@ -81,15 +81,82 @@ def read_grdecl_keywords(spark: SparkSession, path: str) -> DataFrame:
         "tok_idx",
         F.posexplode(F.expr("array_repeat(rle.v, rle.n)")).alias("rep_idx", "value_str"),
     )
-    # global position within the keyword block: window over (block, tok, rep)
+    # global position within the KEYWORD (not the block): a deck may split
+    # one keyword across several '/' blocks (INCLUDE-style continuation);
+    # pos must continue across them or downstream cell_id joins silently
+    # multiply rows. Partitioning by keyword serializes each keyword's
+    # numbering into one task — fine for deck-sized inputs (ingest is a
+    # one-time write to Parquet); a per-block count + cumulative-offset join
+    # is the scale-out form if a single keyword ever spans GBs.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("keyword", "block_idx").orderBy("tok_idx", "rep_idx")
+    w = Window.partitionBy("keyword").orderBy("block_idx", "tok_idx", "rep_idx")
     return expanded.select(
         "keyword",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
         F.col("value_str").cast("double").alias("value"),
         "value_str",
+    )
+
+
+def repair_zcorn(zcorn_long: DataFrame, dims: tuple[int, int, int]) -> DataFrame:
+    """MRST-style ZCORN repair (processGRDECL 'RepairZCORN',
+    co2lab3DPUMLE.m:108-124): corner-point depths must be NON-DECREASING
+    down every vertical corner line; violations (negative cell thickness /
+    interleaved layers from sloppy exports) are clamped to the running max
+    above them — exactly what RepairZCORN's monotonicity pass does.
+
+    Input: the ZCORN keyword in long form (pos, value) with 8·nx·ny·nz
+    values laid out as a (2nx, 2ny, 2nz) F-order lattice. Output adds
+    (ci, cj, ck) lattice coords, value_repaired, and was_repaired.
+
+    Distribution: one window per vertical corner line (partition key
+    (ci, cj) — 4·nx·ny independent lines, each only 2·nz values long), so
+    the repair scales out with the areal grid size and no line ever
+    exceeds a partition."""
+    nx, ny, _ = dims
+    ci = F.col("pos") % (2 * nx)
+    cj = (F.col("pos") / (2 * nx)).cast("bigint") % (2 * ny)
+    ck = (F.col("pos") / (4 * nx * ny)).cast("bigint")
+    from pyspark.sql import Window
+
+    lat = zcorn_long.select(
+        "pos",
+        "value",
+        ci.alias("ci"),
+        cj.alias("cj"),
+        ck.alias("ck"),
+    )
+    line = Window.partitionBy("ci", "cj").orderBy("ck").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lat.select(
+        "pos",
+        "ci",
+        "cj",
+        "ck",
+        "value",
+        F.max("value").over(line).alias("value_repaired"),
+    ).withColumn("was_repaired", F.col("value_repaired") != F.col("value"))
+
+
+def read_zcorn(
+    spark: SparkSession, path: str, dims: tuple[int, int, int], repair: bool = False
+) -> DataFrame:
+    """Scan the ZCORN keyword from a deck, optionally applying the
+    RepairZCORN monotonicity clamp (the reference's PARAMS.Grid.repair_flag
+    surfaced as a typed argument). Validates the expected 8·nx·ny·nz value
+    count loudly — a short ZCORN block means a truncated deck."""
+    nx, ny, nz = dims
+    expected = 8 * nx * ny * nz
+    z = read_grdecl_keywords(spark, path).filter(F.col("keyword") == "ZCORN")
+    n = z.count()
+    if n != expected:
+        raise ValueError(f"ZCORN has {n} values, expected 8*{nx}*{ny}*{nz}={expected}")
+    if not repair:
+        return z.select("pos", "value")
+    return repair_zcorn(z, dims).select(
+        "pos", F.col("value_repaired").alias("value"), "was_repaired"
     )
 
 

@@ -41,8 +41,26 @@ PHYSICAL_LIMITS: dict[str, tuple[float, float]] = {
 }
 
 
+# VariationConfig.min_delta/max_delta (parameters_variation.py:30-40): the
+# reference REFUSES deltas outside this range; mirroring it here keeps the
+# engine from generating sweeps the reference would reject.
+DELTA_MIN, DELTA_MAX = 0.01, 1.0
+
+
+def _validate_delta(delta: float) -> float:
+    if not (DELTA_MIN <= delta <= DELTA_MAX):
+        raise ValueError(
+            f"variation delta must be in [{DELTA_MIN}, {DELTA_MAX}], got {delta!r} "
+            "(reference ParametersVariation rejects it too)"
+        )
+    return delta
+
+
 def n_points(delta: float, lo: int = 2, hi: int = 100) -> int:
-    """points = clamp(int(1/delta), 2, 100) (parameters_variation.py:77-84)."""
+    """points = clamp(int(1/delta), 2, 100) (parameters_variation.py:77-84).
+    delta <= 0 is an explicit error, not a ZeroDivisionError."""
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta!r}")
     return max(lo, min(hi, int(1 / delta)))
 
 
@@ -50,12 +68,18 @@ def n_points(delta: float, lo: int = 2, hi: int = 100) -> int:
 class VariedParam:
     name: str
     base: float
-    delta: float
+    delta: float | None = None  # None → generate_variations' delta_default
+
+    def __post_init__(self) -> None:
+        if self.delta is not None:
+            _validate_delta(self.delta)
 
     @property
     def bounds(self) -> tuple[float, float]:
         """G4 derived bounds: base*(1∓delta) clipped to physical limits
-        (parameters.py:99-115)."""
+        (parameters.py:99-115). Requires a resolved (non-None) delta."""
+        if self.delta is None:
+            raise ValueError(f"{self.name}: delta unresolved; pass one or use generate_variations")
         lo = self.base * (1 - self.delta)
         hi = self.base * (1 + self.delta)
         limits = PHYSICAL_LIMITS.get(self.name.lower())
@@ -91,11 +115,15 @@ def generate_variations(
     """
     if not varied:
         raise ValueError("need at least one varied parameter")
+    _validate_delta(delta_default)
 
     grid: DataFrame | None = None
     for vp in varied:
-        lo, hi = vp.bounds
-        g = linspace_df(spark, vp.name, lo, hi, n_points(vp.delta or delta_default))
+        # delta=None (and only None — 0 was rejected at construction) falls
+        # back to delta_default; anything outside [0.01, 1] already raised.
+        eff = vp if vp.delta is not None else VariedParam(vp.name, vp.base, delta_default)
+        lo, hi = eff.bounds
+        g = linspace_df(spark, vp.name, lo, hi, n_points(eff.delta))
         grid = g if grid is None else grid.crossJoin(g)
 
     # G3 sim_id: enumerate order of np.array(np.meshgrid(*lists)).T

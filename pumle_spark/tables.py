@@ -33,6 +33,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table.
+
+    SESSION SIDE EFFECT: reading ``events`` pins two session confs for the
+    LIFETIME of the session — ``nanosAsLong`` (required before the scan) and
+    ``session.timeZone=UTC`` (required for driver/oracle parity of every
+    events-derived timestamp). In a non-UTC interactive session this changes
+    how unrelated timestamp columns RENDER afterwards; restore
+    ``spark.sql.session.timeZone`` manually if that matters to you. The pin
+    stays session-wide on purpose: events queries are lazy DataFrames, so
+    the conf must still be UTC at ACTION time, not just inside this call.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":

@@ -250,7 +250,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
-           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR), CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
     FROM orders
     """,
     tags=("profile", "stats"),
@@ -273,7 +273,9 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     as_str = lambda c: c.cast("string")  # noqa: E731
-    rounded = lambda c: F.round(c, 2).cast("string")  # noqa: E731
+    # explicit %.2f on BOTH sides: default double→string casts diverge
+    # cross-engine past 1e7 (Spark '1.0E7' vs DuckDB '10000000.0')
+    rounded = lambda c: F.format_string("%.2f", c)  # noqa: E731
     return (
         prof("o_orderkey", as_str)
         .unionByName(prof("o_orderstatus", as_str))

@@ -116,3 +116,34 @@ def test_filename_expr_matches_python(spark):
     got = [r.e for r in df.select(filename_value_expr(F.col("v")).alias("e")).collect()]
     expected = [f"{v:.2e}".replace(".", "p").replace("+", "").replace("-", "m") for v in vals]
     assert got == expected
+
+
+def test_filename_expr_whole_part_cap_matches_python(spark):
+    """filename_expr now reproduces the reference whole-part truncation
+    exactly — property-checked against params_to_filename_string across
+    random float vectors, short/long key sets, and tight budgets."""
+    import numpy as np
+
+    from pumle_spark.functions.hashing import filename_expr
+
+    rng = np.random.default_rng(99)
+    key_sets = [
+        [f"param_{i:02d}" for i in range(20)],            # cap hits mid-list
+        ["a"],                                            # single part
+        ["x" * 120],                                      # first part alone busts budget
+        ["sat", "rho_brine", "mu", "p_top", "T_res"],     # realistic, fits fully
+    ]
+    for keys in key_sets:
+        for _ in range(5):
+            params = {k: float(v) for k, v in zip(keys, rng.normal(scale=1e4, size=len(keys)))}
+            df = spark.range(1)
+            expr = filename_expr({k: F.lit(v) for k, v in params.items()})
+            got = df.select(expr.alias("s")).first()["s"]
+            assert got == params_to_filename_string(params), (keys, params)
+    # empty dict sentinel
+    assert spark.range(1).select(filename_expr({}).alias("s")).first()["s"] == "no_params"
+    # tight budget: only the first part survives even when more would fit at 100
+    params = {"alpha": 1.0, "beta": 2.0}
+    expr = filename_expr({k: F.lit(v) for k, v in params.items()}, max_length=10)
+    got = spark.range(1).select(expr.alias("s")).first()["s"]
+    assert got == params_to_filename_string(params, max_length=10)

@@ -95,3 +95,28 @@ def test_duplicate_param_sets_same_hash(spark):
     a = {r.sim_hash for r in generate_variations(spark, BASE, varied).collect()}
     b = {r.sim_hash for r in generate_variations(spark, BASE, varied).collect()}
     assert a == b  # identical sweeps → identical hashes → catalog dedupes
+
+
+def test_delta_validation_mirrors_reference(spark):
+    """ADVICE fix: deltas outside the reference's VariationConfig range
+    [0.01, 1.0] are rejected at construction AND at generate_variations;
+    delta<=0 in n_points is an explicit error, not ZeroDivisionError."""
+    import pytest
+
+    from pumle_spark.sweep import DELTA_MAX, DELTA_MIN, n_points
+
+    assert (DELTA_MIN, DELTA_MAX) == (0.01, 1.0)
+    for bad in (0.0, 0.001, 1.5, -0.2):
+        with pytest.raises(ValueError, match="delta"):
+            VariedParam("pres_ref", 35.0, bad)
+    with pytest.raises(ValueError, match="delta"):
+        n_points(0.0)
+    with pytest.raises(ValueError, match="delta"):
+        n_points(-1.0)
+    # delta=None resolves to delta_default (which is itself validated)
+    out = generate_variations(spark, {"pres_ref": 35.0}, [VariedParam("pres_ref", 35.0)])
+    assert out.count() == n_points(0.2)
+    with pytest.raises(ValueError, match="delta"):
+        generate_variations(
+            spark, {"pres_ref": 35.0}, [VariedParam("pres_ref", 35.0)], delta_default=0.001
+        )
