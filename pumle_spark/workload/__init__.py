@@ -62,6 +62,7 @@ def _load_modules() -> None:
     from pumle_spark.workload import (  # noqa: F401
         dedup,
         events,
+        multimodal,
         pipeline,
         relational,
         relational2,

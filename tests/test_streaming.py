@@ -182,3 +182,73 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         assert sorted(r.event_id for r in rows) == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
+    """Batch/stream equivalence gate: stream_events_hourly driven to
+    completion over the real events table produces EXACTLY the batch
+    events_hourly_rollup aggregates for every closed window (same hour_ts,
+    event_type, n_events, sum_value). A far-future sentinel event pushes
+    the watermark past the last real window so append mode emits them all."""
+    from pumle_spark.tables import table
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ckpt = tmp_path / "ev_ckpt"
+    cols = ["event_id", "ts", "event_type", "value"]
+    events = (
+        table(spark, "/root/testdata/sf0.001", "events").select(*cols).cache()
+    )
+
+    # land the table as 3 TIME-ORDERED chunks (roughly in-order arrival —
+    # random chunking would advance the watermark past later-arriving
+    # windows and legitimately drop them as late), then a sentinel far
+    # beyond max(ts) + watermark to close every real window
+    with_us = events.withColumn("_us", F.unix_micros("ts"))
+    q1, q2 = with_us.approxQuantile("_us", [0.33, 0.66], 0.0)
+    chunks = [
+        with_us.filter(F.col("_us") < q1),
+        with_us.filter((F.col("_us") >= q1) & (F.col("_us") < q2)),
+        with_us.filter(F.col("_us") >= q2),
+    ]
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = stream_events_hourly(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_equiv")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        for chunk in chunks:
+            chunk.select(*cols).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        sentinel = events.agg(
+            (F.lit(10**9) + F.max_by(F.col("event_id"), F.col("event_id"))).alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sentinel.select(*cols).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+
+        got = {
+            (r.hour_ts, r.event_type, r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM hourly_equiv").collect()
+            if r.event_type != "sentinel"
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.hour_ts, r.event_type, r.n_events, r.sum_value)
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == batch
