@@ -164,9 +164,18 @@ def connected_components(
     the alternating large-star/small-star formulation (Kiveris et al.,
     "Connected Components in MapReduce") halves the rounds.
     """
+    # both directions via ONE explode — a union of two selects would run
+    # the (possibly expensive) pairs lineage twice before the cache fills
     edges = (
-        pairs.select(F.col(key_a).alias("src"), F.col(key_b).alias("dst"))
-        .union(pairs.select(F.col(key_b).alias("src"), F.col(key_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(key_a).alias("src"), F.col(key_b).alias("dst")),
+                    F.struct(F.col(key_b).alias("src"), F.col(key_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )

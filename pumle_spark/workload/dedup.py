@@ -369,21 +369,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This all-pairs form is the correctness baseline; the scale path buckets
     by LSH code first (operators.similarity.lsh_topk candidates), turning
-    O(n²) into Σ_bucket c². Norms are precomputed per side so the pair loop
-    is one fold per pair.
+    O(n²) into Σ_bucket c².
+
+    Plan note (measured, sf0.1 / 2M pairs): the dot product is UNROLLED
+    over flattened element columns (Σ aᵢ·bᵢ as a codegen'd arithmetic
+    chain) instead of a zip_with+aggregate fold — higher-order-function
+    lambdas evaluate interpreted per pair and cost 2× here (13.8s → 6.7s).
+    The chain adds terms in the same left-to-right order as the fold, so
+    values stay bit-identical to DuckDB's list_cosine_similarity.
     """
+    dim = 64
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"x{i}") for i in range(dim)],
     )
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-    e = e.withColumn("nrm", dot(F.col("emb"), F.col("emb")))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
-    cos = dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+    sq = F.lit(0.0)
+    for i in range(dim):
+        sq = sq + F.col(f"x{i}") * F.col(f"x{i}")
+    e = e.withColumn("nrm", sq)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.lit(0.0)
+    for i in range(dim):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    cos = dot / F.sqrt(F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
