@@ -67,6 +67,7 @@ def _load_modules() -> None:
         relational,
         relational2,
         similarity,
+        terrain,
         text,
     )
 
