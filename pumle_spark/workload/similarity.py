@@ -337,8 +337,15 @@ def _sql_recall_row(method: str, topk_cte: str, k: int) -> str:
         SELECT q.query_id, av.vec_id AS neighbor_id
         FROM q JOIN assign aq ON aq.vec_id = q.query_id
                JOIN assign av ON av.centroid_id = aq.centroid_id
-                             AND av.vec_id <> q.query_id''', k=_TOP_K)})
+                             AND av.vec_id <> q.query_id''', k=_TOP_K)}),
+    lshmp_topk AS ({_SQL_TOPK_TMPL.format(cand=f'''
+        SELECT DISTINCT q.query_id, cv.vec_id AS neighbor_id
+        FROM q JOIN codes cq ON cq.vec_id = q.query_id
+               JOIN codes cv ON bit_count(xor(cv.bucket_code, cq.bucket_code)) <= 1
+                            AND cv.vec_id <> q.query_id''', k=_TOP_K)})
     {_sql_recall_row("lsh_bucket", "lsh_topk", _TOP_K)}
+    UNION ALL
+    {_sql_recall_row("lsh_multiprobe1", "lshmp_topk", _TOP_K)}
     UNION ALL
     {_sql_recall_row("ivf_probe1", "ivf_topk", _TOP_K)}
     """,
@@ -390,6 +397,26 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
 
+    # multiprobe(1): probe the exact bucket plus every Hamming-1 neighbor —
+    # expressed as an explode of the 1+{_N_PLANES} probe codes and an
+    # EQUI-join (the scale form; the oracle states the same set via
+    # bit_count(xor) <= 1)
+    probes = qcodes.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("bucket_code"),
+                *[F.col("bucket_code").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)],
+            )
+        ).alias("bucket_code"),
+    )
+    lshmp_cand = (
+        codes.join(F.broadcast(probes), "bucket_code")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
     assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
     qassign = assign.join(
         F.broadcast(q.select("query_id")), assign.vec_id == F.col("query_id")
@@ -413,6 +440,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits") / F.col("total").cast("double"), 4).alias("recall_at_k"),
         )
 
-    return recall_row("lsh_bucket", topk(lsh_cand)).unionByName(
-        recall_row("ivf_probe1", topk(ivf_cand))
+    return (
+        recall_row("lsh_bucket", topk(lsh_cand))
+        .unionByName(recall_row("lsh_multiprobe1", topk(lshmp_cand)))
+        .unionByName(recall_row("ivf_probe1", topk(ivf_cand)))
     )
