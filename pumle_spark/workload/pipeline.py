@@ -41,20 +41,15 @@ def pumle_golden_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §7.2's minimum slice, run as one lazy plan over 4 simulations).
 
     Fixtures are seeded and cached under /tmp so repeated driver runs see
-    identical inputs; the result is a deterministic function of the seed.
+    identical inputs; the result is a deterministic function of the seed
+    (generation lives in pumle_spark.fixtures — no test-tree imports, no
+    sys.path mutation).
     """
-    import sys
-    from pathlib import Path
-
+    from pumle_spark.fixtures import ensure_demo_bronze
     from pumle_spark.ingest import ingest_golden
     from pumle_spark.plume import plume_size_over_time
 
-    fixture_root = Path("/tmp/pumle_spark_fixture_v1")
-    if not (fixture_root / "g_GCS01.json").exists():
-        sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tests"))
-        from fixtures import make_bronze
-
-        make_bronze(fixture_root, n_sims=4, n_t=5, seed=1234)
+    fixture_root = ensure_demo_bronze()
 
     golden = ingest_golden(
         spark,
