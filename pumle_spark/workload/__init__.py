@@ -66,6 +66,7 @@ def _load_modules() -> None:
         pipeline,
         relational,
         relational2,
+        sampling,
         similarity,
         terrain,
         text,

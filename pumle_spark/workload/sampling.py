@@ -1,0 +1,153 @@
+"""Training-data sampling & skew-profiling operators (driver north-star:
+the selection stages of a large corpus pipeline).
+
+All three are deterministic — sampling decisions derive from md5 of stable
+keys, never from RNG state — so a 1000-executor rerun (or a DuckDB oracle)
+reproduces the exact sample. That property is what makes distributed
+training-data curation auditable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_STRATUM_K = 20
+
+# per-source inclusion percentage for the weighted mix (upweight "books"-like
+# sources, downsample the rest — the standard pretraining-mixture shape)
+_MIX_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+_MIX_DEFAULT = 40
+
+
+@register(
+    "sample_stratified_documents",
+    sql=f"""
+    SELECT doc_id, lang, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= {_STRATUM_K}
+    """,
+    tags=("sampling", "stratified"),
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: {_STRATUM_K} docs per language, chosen
+    by md5-rank within the stratum — a deterministic lottery every engine
+    and every rerun agrees on (class-balancing selection for eval/training
+    splits).
+
+    Scale note: the per-stratum window shuffles by lang; strata far larger
+    than a partition should pre-filter with an md5-threshold pass (keep
+    md5 < k/|stratum| · MAX, slightly over-sampled) before the exact rank
+    — the window then runs on ~k rows per stratum instead of all of them.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _STRATUM_K)
+        .select("doc_id", "lang", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    return f"CASE source {cases} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "mix_weighted_sources",
+    sql=f"""
+    WITH tagged AS (
+      SELECT source,
+             {_mix_weight_sql()} AS weight,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8))::UBIGINT
+              % 100) < ({_mix_weight_sql()}) AS keep
+      FROM documents
+    )
+    SELECT source, CAST(MAX(weight) AS INTEGER) AS weight_pct,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+    FROM tagged GROUP BY source
+    """,
+    tags=("sampling", "mixing"),
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the pretraining-mixture downsampler: each
+    document keeps with probability weight(source)/100, decided by
+    md5(doc_id|source) so the mixture is exactly reproducible (and
+    adjusting one source's weight only adds/removes that source's docs —
+    no reshuffling of the others). Emits the per-source audit row; the
+    kept set itself is the `keep` predicate applied to the corpus. Pure
+    per-row projection + one groupBy — no sampling state, scales flat."""
+    d = table(spark, sf_dir, "documents")
+    weight = F.lit(_MIX_DEFAULT)
+    for s, wgt in reversed(list(_MIX_WEIGHTS.items())):
+        weight = F.when(F.col("source") == s, F.lit(wgt)).otherwise(weight)
+    hash_pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    tagged = d.select(
+        "source",
+        weight.alias("weight"),
+        (hash_pct < weight).alias("keep"),
+    )
+    return tagged.groupBy("source").agg(
+        F.max("weight").cast("int").alias("weight_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    )
+
+
+@register(
+    "heavy_hitters_lineitem_parts",
+    sql="""
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts)
+    SELECT c.l_partkey, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(c.cnt AS DOUBLE) * t.n_keys / t.total, 4) AS skew_factor
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.cnt DESC, c.l_partkey
+    LIMIT 20
+    """,
+    tags=("profiling", "skew"),
+)
+def heavy_hitters_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key: top-20 hottest l_partkey values
+    with their share of rows and skew factor (count ÷ mean count). This is
+    the pre-join diagnostic that decides whether a key needs
+    operators/skew.salted_join — at 100 TB you profile BEFORE you shuffle.
+    One groupBy + a single-row broadcast; the top-k is a heap
+    (TakeOrderedAndProject), never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 4).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(20)
+    )
