@@ -119,14 +119,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     sql="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18, 6))) AS DOUBLE), 2) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
-    WHERE r.r_name IN ('R01', 'R02')
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
     GROUP BY n.n_name
     """,
     tags=("join", "agg"),
@@ -136,8 +137,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     region→nation→customer are broadcast dims; the supplier join carries the
     extra equi-condition s_nationkey = c_nationkey (local-supplier semantics).
+    Revenue accumulates in DECIMAL(18,6) for cross-engine sum stability.
     """
-    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("R01", "R02"))
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
@@ -153,7 +155,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -443,18 +452,22 @@ def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c.c_custkey, c.c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
     """,
     tags=("join", "anti", "J5", "X2"),
 )
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders (NOT EXISTS).
+    """Left-anti join: customers with no PENDING order (NOT EXISTS over a
+    filtered probe side — every customer has SOME order in the testdata, so
+    the unfiltered variant matched on an empty result, which checks
+    nothing; this form returns a real row set at every sf).
 
     Same shape as the engine's idempotent-dispatch check (X2): configs
     anti-joined against status='COMPLETED' before work is scheduled.
     """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
 
 
