@@ -80,6 +80,50 @@ def start_bronze_to_golden(
     )
 
 
+def start_plume_monitor(
+    spark: SparkSession,
+    landing_dir: str,
+    actnum_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.05,
+) -> StreamingQuery:
+    """Continuous plume monitoring: as each simulation's states JSON lands,
+    emit (sim_hash, t, n_plume_cells) — the reference's headline metric
+    (SURVEY §7.2), computed the moment results arrive instead of in a
+    nightly batch.
+
+    The streaming rows join the STATIC active-cell index (stream-static
+    join) so the P3 bounds guard applies identically to batch ingest —
+    oversized state arrays drop the same rows in both paths. One bronze
+    file carries a sim's complete state series, so every per-(sim, t)
+    aggregate closes within its micro-batch; foreachBatch runs the batch
+    aggregation and appends. Exactly-once per input file comes from the
+    checkpointed file source; a mid-write crash can duplicate a batch's
+    output rows on restart (standard foreachBatch at-least-once residue),
+    so downstream readers key by (sim_hash, t)."""
+    from pumle_spark.ingest import active_index
+    from pumle_spark.sources.bronze import read_actnum
+
+    act_idx = active_index(read_actnum(spark, actnum_glob))
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        out = (
+            batch_df.join(act_idx, ["sim_hash", "row_idx"])
+            .filter(F.col("sg") >= threshold)
+            .groupBy("sim_hash", "t")
+            .agg(F.count(F.lit(1)).alias("n_plume_cells"))
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_bronze_states(spark, landing_dir)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id with bounded state — the streaming
     twin of dedup_exact (X3 idempotence for event streams).

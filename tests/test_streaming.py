@@ -252,3 +252,47 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_plume_monitor_matches_batch_pipeline(spark, tmp_path):
+    """Streaming plume monitor == batch plume_size_over_time on the same
+    bronze set (bounds guard included — sim #0's oversized state rows drop
+    in both paths)."""
+    from pumle_spark.ingest import ingest_golden
+    from pumle_spark.plume import plume_size_over_time
+    from pumle_spark.streaming.pipeline import start_plume_monitor
+
+    landing = tmp_path / "plm_landing"
+    out = tmp_path / "plm_out"
+    ckpt = tmp_path / "plm_ckpt"
+    landing.mkdir()
+    make_bronze(landing, n_sims=3, n_t=4, seed=77)
+
+    q = start_plume_monitor(
+        spark,
+        str(landing),
+        actnum_glob=str(landing / f"grdecl_{CASE}_*.json"),
+        out_dir=str(out),
+        checkpoint_dir=str(ckpt),
+        threshold=0.05,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.sim_hash, r.t): r.n_plume_cells
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    golden = ingest_golden(
+        spark,
+        str(landing / f"states_{CASE}_*.json"),
+        str(landing / f"grdecl_{CASE}_*.json"),
+        str(landing / f"g_{CASE}.json"),
+    )
+    want = {
+        (r.sim_hash, r.t): r.n_plume_cells
+        for r in plume_size_over_time(golden, threshold=0.05).collect()
+    }
+    assert got == want and len(got) > 0
