@@ -128,6 +128,12 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     its top-P centroid buckets — candidates shrink from n to n·P/K before
     exact rerank. Ranking on the rounded similarity keeps cross-engine
     assignment ties identical."""
+    return _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).drop("rn")
+
+
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id, cos_sim, rn): every vector's centroids ranked
+    by rounded similarity — rn=1 is the IVF assignment, rn<=P the probe set."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
     cents = (
         e.filter(
@@ -143,7 +149,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "centroid_id", F.round(sim, 6).alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("centroid_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return scored.withColumn("rn", F.row_number().over(w))
 
 
 _SQL_LSH_CODE = f"""
@@ -342,12 +348,26 @@ def _sql_recall_row(method: str, topk_cte: str, k: int) -> str:
         SELECT DISTINCT q.query_id, cv.vec_id AS neighbor_id
         FROM q JOIN codes cq ON cq.vec_id = q.query_id
                JOIN codes cv ON bit_count(xor(cv.bucket_code, cq.bucket_code)) <= 1
-                            AND cv.vec_id <> q.query_id''', k=_TOP_K)})
+                            AND cv.vec_id <> q.query_id''', k=_TOP_K)}),
+    assign2 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(v.emb, cents.cemb), 6) DESC,
+                                           cents.centroid_id) AS rn
+        FROM v CROSS JOIN cents) WHERE rn <= 2),
+    ivf2_topk AS ({_SQL_TOPK_TMPL.format(cand=f'''
+        SELECT DISTINCT q.query_id, av.vec_id AS neighbor_id
+        FROM q JOIN assign2 aq ON aq.vec_id = q.query_id
+               JOIN assign av ON av.centroid_id = aq.centroid_id
+                             AND av.vec_id <> q.query_id''', k=_TOP_K)})
     {_sql_recall_row("lsh_bucket", "lsh_topk", _TOP_K)}
     UNION ALL
     {_sql_recall_row("lsh_multiprobe1", "lshmp_topk", _TOP_K)}
     UNION ALL
     {_sql_recall_row("ivf_probe1", "ivf_topk", _TOP_K)}
+    UNION ALL
+    {_sql_recall_row("ivf_probe2", "ivf2_topk", _TOP_K)}
     """,
     tags=("similarity", "ann", "recall"),
 )
@@ -417,7 +437,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    assign = ann_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     qassign = assign.join(
         F.broadcast(q.select("query_id")), assign.vec_id == F.col("query_id")
     ).select("query_id", "centroid_id")
@@ -425,6 +446,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(F.broadcast(qassign), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # probe=2: the QUERY looks into its two nearest centroid cells; the
+    # corpus partitioning (rank-1 assignment) is unchanged
+    qassign2 = ranked.filter(F.col("rn") <= 2).join(
+        F.broadcast(q.select("query_id")), ranked.vec_id == F.col("query_id")
+    ).select("query_id", "centroid_id")
+    ivf2_cand = (
+        assign.join(F.broadcast(qassign2), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
 
     n_total = q.agg((F.count(F.lit(1)) * _TOP_K).alias("total"))
@@ -444,4 +477,5 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_row("lsh_bucket", topk(lsh_cand))
         .unionByName(recall_row("lsh_multiprobe1", topk(lshmp_cand)))
         .unionByName(recall_row("ivf_probe1", topk(ivf_cand)))
+        .unionByName(recall_row("ivf_probe2", topk(ivf2_cand)))
     )
