@@ -63,6 +63,7 @@ def _load_modules() -> None:
         dedup,
         events,
         multimodal,
+        physics,
         pipeline,
         relational,
         relational2,
