@@ -121,3 +121,77 @@ def physics_brine_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rho_brine") * GRAVITY * F.col("depth_m") / 1e6, 6).alias("p_hydro_mpa"),
         F.round(pc / 1000.0, 6).alias("pc_kpa"),
     )
+
+
+# --------------------------------------------------------------------------
+# F9 — bilinear property interpolation (CO2props() table shape)
+# --------------------------------------------------------------------------
+
+_IN_X, _IN_Y = 10, 8  # property grid
+_IN_GRID = (5.0, 2.5, 300.0, 5.0)  # x0, dx, y0, dy  (pressure MPa × temp K)
+_N_PTS = 40
+
+
+@register(
+    "physics_bilinear_interp",
+    sql=f"""
+    WITH prop AS (
+      SELECT ix, iy,
+             CAST(0.1 * ix * ix + 0.5 * iy + 2.0 AS DOUBLE) AS value
+      FROM generate_series(0, {_IN_X - 1}) a(ix)
+      CROSS JOIN generate_series(0, {_IN_Y - 1}) b(iy)
+    ),
+    pts AS (
+      SELECT CAST(i AS BIGINT) AS pt_id,
+             CAST(3.4 + 0.73 * i AS DOUBLE) AS x,    -- starts below x0, ends past the max edge
+             CAST(297.0 + 1.19 * i AS DOUBLE) AS y
+      FROM generate_series(0, {_N_PTS - 1}) t(i)
+    ),
+    idx AS (
+      SELECT pt_id, x, y,
+             LEAST(GREATEST(CAST(floor((x - 5.0) / 2.5) AS INTEGER), 0), {_IN_X - 2}) AS ix,
+             LEAST(GREATEST(CAST(floor((y - 300.0) / 5.0) AS INTEGER), 0), {_IN_Y - 2}) AS iy,
+             (x - 5.0) / 2.5 AS fx,
+             (y - 300.0) / 5.0 AS fy
+      FROM pts
+    ),
+    w AS (SELECT *, fx - ix AS tx, fy - iy AS ty FROM idx)
+    SELECT w.pt_id, w.x, w.y,
+           ROUND(p00.value * (1 - tx) * (1 - ty)
+                 + p10.value * tx * (1 - ty)
+                 + p01.value * (1 - tx) * ty
+                 + p11.value * tx * ty, 9) AS prop
+    FROM w
+    JOIN prop p00 ON p00.ix = w.ix     AND p00.iy = w.iy
+    JOIN prop p10 ON p10.ix = w.ix + 1 AND p10.iy = w.iy
+    JOIN prop p01 ON p01.ix = w.ix     AND p01.iy = w.iy + 1
+    JOIN prop p11 ON p11.ix = w.ix + 1 AND p11.iy = w.iy + 1
+    """,
+    tags=("physics", "F9", "interpolation"),
+)
+def physics_bilinear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 bilinear interpolation against a broadcast regular-grid property
+    table (the MRST CO2props() shape), including edge clamping for
+    off-grid queries — oracle-checked against the same 4-corner blend in
+    SQL. The probe points deliberately start below the grid and run past
+    its max edge so the clamp path is exercised, not just the interior."""
+    from pumle_spark.functions.physics import interpolate_bilinear
+
+    x0, dx, y0, dy = _IN_GRID
+    prop = (
+        spark.range(_IN_X)
+        .select(F.col("id").cast("int").alias("ix"))
+        .crossJoin(spark.range(_IN_Y).select(F.col("id").cast("int").alias("iy")))
+        .select(
+            "ix",
+            "iy",
+            (0.1 * F.col("ix") * F.col("ix") + 0.5 * F.col("iy") + 2.0).alias("value"),
+        )
+    )
+    pts = spark.range(_N_PTS).select(
+        F.col("id").alias("pt_id"),
+        (3.4 + 0.73 * F.col("id").cast("double")).alias("x"),
+        (297.0 + 1.19 * F.col("id").cast("double")).alias("y"),
+    )
+    out = interpolate_bilinear(pts, prop, "x", "y", _IN_GRID, _IN_X, _IN_Y, value_name="prop")
+    return out.select("pt_id", "x", "y", F.round("prop", 9).alias("prop"))
