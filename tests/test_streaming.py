@@ -296,3 +296,81 @@ def test_plume_monitor_matches_batch_pipeline(spark, tmp_path):
         for r in plume_size_over_time(golden, threshold=0.05).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_matches_batch_windows(spark, tmp_path):
+    """Equivalence gate for the custom stateful operator: driving
+    sessionize_stateful over the real events table (time-ordered chunks +
+    per-user far-future sentinels to flush every open session) yields
+    exactly the session set the batch lag/running-sum formulation computes
+    (same user, start, end, event count)."""
+    from pumle_spark.streaming.sessions import sessionize_stateful
+    from pumle_spark.tables import table
+
+    gap_us = 1800 * 1_000_000
+    src = tmp_path / "sess_eq_src"
+    src.mkdir()
+    ckpt = tmp_path / "sess_eq_ckpt"
+    events = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", F.unix_micros("ts").alias("tus"))
+        .cache()
+    )
+
+    q1, q2 = events.approxQuantile("tus", [0.33, 0.66], 0.0)
+    chunks = [
+        events.filter(F.col("tus") < q1),
+        events.filter((F.col("tus") >= q1) & (F.col("tus") < q2)),
+        events.filter(F.col("tus") >= q2),
+    ]
+    schema = "user_id bigint, tus bigint"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = sessionize_stateful(stream, gap_us=gap_us)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_equiv")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        for chunk in chunks:
+            chunk.write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        # flush: one sentinel per user, far beyond every real event
+        sentinels = events.groupBy("user_id").agg(
+            (F.max("tus") + 100 * gap_us).alias("tus")
+        )
+        events.agg(F.max("tus")).collect()  # force cache before reuse
+        sentinels.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_equiv").collect()
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("tus")
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull() | ((F.col("tus") - F.lag("tus").over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
