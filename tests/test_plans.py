@@ -107,3 +107,38 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain_l.collect()), key=str) == sorted(
         map(tuple, salted_l.collect()), key=str
     )
+
+
+def test_q2_broadcasts_dims_and_heap_topk(spark):
+    """q2: the only shuffle is the partsupp derivation; every dim join is a
+    broadcast and the top-100 is a heap, not a global sort."""
+    plan = plan_of("q2_min_cost_supplier", spark)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_single_shuffle_heap_topk(spark):
+    plan = plan_of("heavy_hitters_lineitem_parts", spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # single-row total joins via broadcast
+
+
+def test_trap_pointers_are_equijoin_no_cartesian(spark):
+    """Watershed neighbor search must stay an equi-join over exploded
+    offsets — a cartesian/range-join formulation would explode at scale."""
+    from pumle_spark.operators.terrain import steepest_ascent_pointers
+    from pumle_spark.workload.terrain import _surface
+
+    ptr = steepest_ascent_pointers(_surface(spark, SF))
+    plan = ptr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_all_pairs_cosine_has_no_hof_in_pair_loop(spark):
+    """The flattened dot product must stay codegen arithmetic — a reintroduced
+    zip_with/aggregate fold in the pair loop costs 2x (PERF.md)."""
+    plan = plan_of("dedup_embedding_cosine", spark)
+    pair_stage = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "aggregate(" not in pair_stage and "zip_with" not in pair_stage
