@@ -119,8 +119,8 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     sql="""
     SELECT n.n_name,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(18, 6))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -159,9 +159,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 

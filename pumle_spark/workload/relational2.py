@@ -471,9 +471,9 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              - 0.1 * p.p_retailprice * l.l_quantity
-                              AS DECIMAL(18, 6))) AS DOUBLE), 2) AS sum_profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.1 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -510,7 +510,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(profit.cast("decimal(18,6)")).cast("double"), 2).alias("sum_profit")
+            # round the EXACT decimal, cast to double after: casting first
+            # puts Spark's shortest-repr HALF_UP against DuckDB's binary
+            # rounding on half-cent sums (…0.665 → .67 vs .66)
+            F.round(F.sum(profit.cast("decimal(18,6)")), 2).cast("double").alias("sum_profit")
         )
     )
 
@@ -526,7 +529,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n.n_name = 'NATION_3'
     )
     SELECT l_partkey AS partkey,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))) AS DOUBLE), 2) AS part_value
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))), 2) AS DOUBLE) AS part_value
     FROM natps
     GROUP BY l_partkey
     HAVING SUM(CAST(l_extendedprice AS DECIMAL(18, 6)))
@@ -555,7 +558,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_raw_value").cast("double") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("_raw_value").cast("double"), 2).alias("part_value"),
+            F.round(F.col("_raw_value"), 2).cast("double").alias("part_value"),
         )
     )
 
@@ -606,8 +609,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18, 6))) AS DOUBLE), 2) AS total_revenue
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18, 6))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -632,7 +635,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(rev).cast("double"), 2).alias("total_revenue")
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
