@@ -58,11 +58,27 @@ class SimulationCatalog:
     def load(self) -> DataFrame:
         # retry-on-missing: a concurrent _atomic_overwrite swap has a
         # two-rename window where the path briefly doesn't exist; don't
-        # mistake it for an empty catalog.
+        # mistake it for an empty catalog. The retry wraps the READ itself
+        # (not just an exists() probe) and eagerly materializes via
+        # localCheckpoint — the catalog is dim-sized, so this is cheap, and
+        # the returned DataFrame no longer references the path, closing the
+        # window where a lazy scan lists files after a later swap.
+        last_err: Exception | None = None
         for _ in range(3):
             if os.path.exists(self.path):
-                return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.path)
+                try:
+                    return (
+                        self.spark.read.schema(CATALOG_SCHEMA)
+                        .parquet(self.path)
+                        .localCheckpoint(eager=True)
+                    )
+                except Exception as err:  # path swapped mid-read
+                    if "PATH_NOT_FOUND" not in str(err) and "does not exist" not in str(err):
+                        raise
+                    last_err = err
             time.sleep(0.05)
+        if last_err is not None:  # path kept vanishing: a writer is live; surface it
+            raise last_err
         return self.spark.createDataFrame([], CATALOG_SCHEMA)
 
     # -- write --------------------------------------------------------------

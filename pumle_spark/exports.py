@@ -143,7 +143,8 @@ def write_zarr_v2(store_dir: str, tensor: np.ndarray, chunk_t: int = 1, zlib_lev
     for ct in range((n_t + chunk_t - 1) // chunk_t):
         block = tensor[:, :, :, ct * chunk_t : (ct + 1) * chunk_t]
         if block.shape[3] < chunk_t:  # edge chunk: pad to full chunk shape
-            pad = np.full((ni, nj, nk, chunk_t - block.shape[3]), np.nan, dtype=tensor.dtype)
+            fill = np.nan if tensor.dtype.kind == "f" else 0  # match fill_value branch
+            pad = np.full((ni, nj, nk, chunk_t - block.shape[3]), fill, dtype=tensor.dtype)
             block = np.concatenate([block, pad], axis=3)
         payload = zlib.compress(np.ascontiguousarray(block).tobytes(), zlib_level)
         with open(os.path.join(store_dir, f"0.0.0.{ct}"), "wb") as fh:

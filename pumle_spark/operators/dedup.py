@@ -202,6 +202,19 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # exited via max_iter with labels still moving: the result is NOT a
+        # fixpoint (a fixpoint oracle like a recursive CTE would disagree).
+        # Warn loudly instead of silently returning partial components.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: {n_changed} labels still changing after "
+            f"max_iter={max_iter} rounds — graph diameter exceeds the round "
+            "budget; returned labels are unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels
 

@@ -111,6 +111,20 @@ def watershed_labels(pointers: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = jumped
         if n_moved == 0:
             break
+    else:
+        # pointer chains still moving at max_iter: labels are not a fixpoint
+        # (pointer jumping needs ⌈log₂ L⌉ rounds — hitting this means a
+        # pathologically long migration path or a pointer cycle). Warn rather
+        # than silently returning partial watersheds.
+        import warnings
+
+        warnings.warn(
+            f"watershed_labels: {n_moved} pointers still moving after "
+            f"max_iter={max_iter} pointer-jumping rounds — returned labels "
+            "are unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("i", "j", "z", F.col("pi").alias("trap_i"), F.col("pj").alias("trap_j"))
 
 

@@ -14,12 +14,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 
+def plume_predicate(threshold: float = 0.05) -> F.Column:
+    """The single source of truth for "cell is in the plume": sg strictly
+    above threshold, NaN/NULL-aware. Shared by the batch plume queries and
+    the streaming monitor so the two paths cannot drift at the boundary."""
+    return F.col("sg").isNotNull() & ~F.isnan("sg") & (F.col("sg") > threshold)
+
+
 def plume_cells(golden: DataFrame, threshold: float = 0.05) -> DataFrame:
     """P9: cells in the CO₂ plume — sg above threshold, NaN/NULL-aware
     (notebook cell 5.5: sg > th & ~isnan)."""
-    return golden.filter(
-        F.col("sg").isNotNull() & ~F.isnan("sg") & (F.col("sg") > threshold)
-    )
+    return golden.filter(plume_predicate(threshold))
 
 
 def plume_size_over_time(golden: DataFrame, threshold: float = 0.05) -> DataFrame:

@@ -103,6 +103,7 @@ def start_plume_monitor(
     output rows on restart (standard foreachBatch at-least-once residue),
     so downstream readers key by (sim_hash, t)."""
     from pumle_spark.ingest import active_index
+    from pumle_spark.plume import plume_predicate
     from pumle_spark.sources.bronze import read_actnum
 
     act_idx = active_index(read_actnum(spark, actnum_glob))
@@ -110,7 +111,7 @@ def start_plume_monitor(
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         out = (
             batch_df.join(act_idx, ["sim_hash", "row_idx"])
-            .filter(F.col("sg") >= threshold)
+            .filter(plume_predicate(threshold))
             .groupBy("sim_hash", "t")
             .agg(F.count(F.lit(1)).alias("n_plume_cells"))
         )

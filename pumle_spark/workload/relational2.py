@@ -550,12 +550,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     natps = li.join(broadcast(nat_sup), li.l_suppkey == nat_sup.s_suppkey).select(
         "l_partkey", F.col("l_extendedprice").cast("decimal(18,6)").alias("price_dec")
     )
-    threshold = natps.agg((F.sum("price_dec").cast("double") * 0.001).alias("threshold"))
+    # keep the HAVING comparison in exact decimal on BOTH engines: a part
+    # value within one double ulp of the threshold must not flip membership
+    threshold = natps.agg(
+        (F.sum("price_dec") * F.lit(0.001).cast("decimal(4,3)")).alias("threshold")
+    )
     return (
         natps.groupBy("l_partkey")
         .agg(F.sum("price_dec").alias("_raw_value"))
         .crossJoin(broadcast(threshold))
-        .filter(F.col("_raw_value").cast("double") > F.col("threshold"))
+        .filter(F.col("_raw_value") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(F.col("_raw_value"), 2).cast("double").alias("part_value"),
