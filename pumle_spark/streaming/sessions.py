@@ -8,6 +8,15 @@ Events arriving within `gap` extend it; a larger gap CLOSES the session
 per session in append mode; the open session lives in the state store until
 a later batch (or a timeout policy, in production) closes it.
 
+ORDERING CONTRACT: events may arrive in any order WITHIN a micro-batch (the
+handler sorts each batch's timestamps), but batches must be in-order ACROSS
+batches per key — an event older than the open session's last timestamp
+extends the session backwards-in-time rather than reopening history. That
+is the standard contract for watermarkless gap sessionization; feed
+out-of-order sources through a watermarked buffer first if cross-batch
+disorder is possible (file sources: commit each append atomically, e.g. one
+file per append, so a micro-batch never splits an append mid-commit).
+
 The batch twin is workload.events.events_sessionize — same session
 boundaries, computed with lag+running-sum windows.
 """

@@ -35,7 +35,11 @@ def test_bronze_stream_ingests_incrementally(spark, tmp_path):
         more = make_bronze(tmp_path / "stage2", n_sims=3, n_t=2, seed=22)
         newest = list(more)[-1]
         src = tmp_path / "stage2" / f"states_{CASE}_{newest}.json"
-        (landing / src.name).write_text(src.read_text())
+        # write-then-rename: the running stream must never list a
+        # partially-written JSON file
+        staged = tmp_path / "stage2" / f".incoming_{src.name}"
+        staged.write_text(src.read_text())
+        staged.rename(landing / src.name)
         q.processAllAvailable()
         n2 = spark.read.parquet(str(out)).count()
         extra = sum(len(st["pressure"]) for st in more[newest]["states"])
@@ -94,50 +98,71 @@ def test_events_hourly_stream_matches_batch(spark, tmp_path):
 
 def test_stateful_sessionize_closes_on_gap_across_batches(spark, tmp_path):
     """applyInPandasWithState: session state survives micro-batches; a gap
-    arriving in a LATER batch closes the session opened in an earlier one."""
+    arriving in a LATER batch closes the session opened in an earlier one.
+
+    Deflaked (round-2 verdict item 2): the streaming query runs in its OWN
+    SparkSession (isolated temp-view catalog and query namespace — the
+    shared session fixture also hosts other tests' streams), the memory sink
+    name is unique per run, and every append asserts the source actually
+    delivered the written rows via recentProgress before the sink is read —
+    a listing miss fails loudly at the append that lost rows instead of as a
+    downstream set mismatch."""
+    import uuid
+
     from pumle_spark.streaming.sessions import sessionize_stateful
 
+    sess = spark.newSession()
     src = tmp_path / "sess_src"
     src.mkdir()
     ckpt = tmp_path / "sess_ckpt"
     gap_us = 1000
+    sink = f"sessions_test_{uuid.uuid4().hex[:8]}"
 
     schema = "user_id bigint, tus bigint"
-    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream = sess.readStream.schema(schema).parquet(str(src))
     out = sessionize_stateful(stream, gap_us=gap_us)
     q = (
         out.writeStream.format("memory")
-        .queryName("sessions_test")
+        .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", str(ckpt))
         .start()
     )
+
+    total_in = 0
+
+    def append_and_drain(rows):
+        # coalesce(1): ONE data file per append. A multi-file append commits
+        # via sequential renames, and the running stream can list mid-commit
+        # — splitting the append across micro-batches in arbitrary file
+        # order, which reorders events ACROSS batches and legitimately
+        # shifts the session start (the operator's contract is in-order
+        # arrival across batches; only within-batch disorder is sorted).
+        # This was the actual root cause of the round-2 flake.
+        nonlocal total_in
+        sess.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        total_in += len(rows)
+        seen = sum(p.numInputRows for p in q.recentProgress)
+        assert seen == total_in, f"source delivered {seen} of {total_in} written rows"
+
     try:
         # batch 1: user 7 has a tight burst; nothing closes yet
-        spark.createDataFrame([(7, 100), (7, 200), (7, 300)], schema).write.mode(
-            "append"
-        ).parquet(str(src))
-        q.processAllAvailable()
-        assert spark.sql("SELECT * FROM sessions_test").count() == 0
+        append_and_drain([(7, 100), (7, 200), (7, 300)])
+        assert sess.sql(f"SELECT * FROM {sink}").count() == 0
 
         # batch 2: far-future event → closes session (100..300, 3 events);
         # also a second user bursting (stays open)
-        spark.createDataFrame([(7, 5000), (9, 100)], schema).write.mode("append").parquet(
-            str(src)
-        )
-        q.processAllAvailable()
-        rows = spark.sql("SELECT * FROM sessions_test").collect()
+        append_and_drain([(7, 5000), (9, 100)])
+        rows = sess.sql(f"SELECT * FROM {sink}").collect()
         got2 = {(r.user_id, r.start_us, r.end_us, r.n_events) for r in rows}
         assert got2 == {(7, 100, 300, 3)}, f"unexpected closures: {sorted(got2)}"
 
         # batch 3: two gaps in ONE batch for user 9 → two closures at once
-        spark.createDataFrame([(9, 3000), (9, 9000)], schema).write.mode("append").parquet(
-            str(src)
-        )
-        q.processAllAvailable()
+        append_and_drain([(9, 3000), (9, 9000)])
         got = {
             (r.user_id, r.start_us, r.end_us, r.n_events)
-            for r in spark.sql("SELECT * FROM sessions_test").collect()
+            for r in sess.sql(f"SELECT * FROM {sink}").collect()
         }
         assert (9, 100, 100, 1) in got and (9, 3000, 3000, 1) in got
     finally:
@@ -223,7 +248,10 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
     )
     try:
         for chunk in chunks:
-            chunk.select(*cols).write.mode("append").parquet(str(src))
+            # one file per chunk: a multi-file append can be listed
+            # mid-commit and split across micro-batches out of order,
+            # advancing the watermark past the chunk's earlier rows
+            chunk.select(*cols).coalesce(1).write.mode("append").parquet(str(src))
             q.processAllAvailable()
         sentinel = events.agg(
             (F.lit(10**9) + F.max_by(F.col("event_id"), F.col("event_id"))).alias("event_id"),
@@ -335,14 +363,16 @@ def test_stateful_sessionize_matches_batch_windows(spark, tmp_path):
     )
     try:
         for chunk in chunks:
-            chunk.write.mode("append").parquet(str(src))
+            # one file per chunk: mid-commit listing of a multi-file append
+            # reorders events across micro-batches (see gap test above)
+            chunk.coalesce(1).write.mode("append").parquet(str(src))
             q.processAllAvailable()
         # flush: one sentinel per user, far beyond every real event
         sentinels = events.groupBy("user_id").agg(
             (F.max("tus") + 100 * gap_us).alias("tus")
         )
         events.agg(F.max("tus")).collect()  # force cache before reuse
-        sentinels.write.mode("append").parquet(str(src))
+        sentinels.coalesce(1).write.mode("append").parquet(str(src))
         q.processAllAvailable()
         got = {
             (r.user_id, r.start_us, r.end_us, r.n_events)
