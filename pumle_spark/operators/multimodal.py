@@ -17,6 +17,7 @@ iteration, partitioning) is real and tested either way.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,10 +44,15 @@ def _decode_image_real(content: bytes) -> np.ndarray:
 
 def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in 'decoded image': pixels derived from the
-    content digest — stable across runs/executors, shape-correct."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    content digest in counter mode — stable across runs/executors,
+    shape-correct, and (deliberately) pure hash arithmetic so a SQL oracle
+    can reproduce every byte: pixel i of the flattened (h, w, 3) C-order
+    array is byte (i % 16) of md5(hexdigest(content) + '_' + str(i // 16))."""
+    key = hashlib.md5(content).hexdigest()
+    n = h * w * 3
+    n_blocks = (n + 15) // 16
+    raw = b"".join(hashlib.md5(f"{key}_{b}".encode()).digest() for b in range(n_blocks))
+    return np.frombuffer(raw[:n], dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def image_features(media: DataFrame, dim: int = 16, allow_fake: bool = True) -> DataFrame:
@@ -65,8 +71,20 @@ def image_features(media: DataFrame, dim: int = 16, allow_fake: bool = True) -> 
                         raise
                     px = _fake_pixels(bytes(content), int(w), int(h))
                     ok = False
-                flat = px.reshape(-1, 3).astype(np.float64)
-                pooled = np.concatenate([flat.mean(axis=0), flat.std(axis=0)])
+                # exact-integer pooling: channel sums and sum-of-squares are
+                # exact int64, so mean = s1/n and std = sqrt(s2/n - mean²)
+                # are single IEEE-double expressions — bit-identical when a
+                # SQL engine evaluates the same expression on the same ints
+                # (np.mean/np.std pairwise summation would not be)
+                flat = px.reshape(-1, 3).astype(np.int64)
+                n = flat.shape[0]
+                s1 = flat.sum(axis=0).tolist()
+                s2 = (flat * flat).sum(axis=0).tolist()
+                means = [s / n for s in s1]
+                stds = [
+                    math.sqrt(max(0.0, q / n - m * m)) for q, m in zip(s2, means)
+                ]
+                pooled = np.array(means + stds, dtype=np.float64)
                 reps = int(np.ceil(dim / pooled.size))
                 feats.append(np.tile(pooled, reps)[:dim].astype(np.float32).tolist())
                 oks.append(ok)

@@ -65,18 +65,88 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 16-dim feature is [m0,m1,m2,s0,s1,s2] tiled to 16 entries; the squared
+# norm folds the (float32-truncated) components in array order, so the SQL
+# reproduces the exact left-associated addition chain
+_TILE = ([0, 1, 2, 3, 4, 5] * 3)[:16]
+_SQ_CHAIN = " + ".join(f"d{i}*d{i}" for i in _TILE)
+
+_FEATURE_ROLLUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+              WHEN 1 THEN 'image/jpeg' ELSE 'video/mp4' END AS mime,
+         md5(text) AS key,
+         CAST(16 + doc_id % 32 AS BIGINT) * CAST(16 + (doc_id * 7) % 32 AS BIGINT) * 3
+           AS n_px
+  FROM documents
+),
+px AS (  -- fake codec in SQL: pixel i = byte (i % 16) of md5(key || '_' || i // 16)
+  SELECT m.media_id, m.mime, g.i % 3 AS c,
+         CAST(('0x' || substr(md5(m.key || '_' || CAST(g.i // 16 AS VARCHAR)),
+                              CAST(2 * (g.i % 16) + 1 AS INTEGER), 2))::UBIGINT AS BIGINT)
+           AS val
+  FROM m CROSS JOIN generate_series(0, 47 * 47 * 3 - 1) AS g(i)  -- max w,h = 47
+  WHERE g.i < m.n_px
+),
+chan AS (
+  SELECT media_id, mime, c,
+         SUM(val) AS s1, SUM(val * val) AS s2, COUNT(*) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+pooled AS (
+  SELECT media_id, mime,
+         MAX(CASE WHEN c = 0 THEN CAST(s1 AS DOUBLE) / n END) AS m0,
+         MAX(CASE WHEN c = 1 THEN CAST(s1 AS DOUBLE) / n END) AS m1,
+         MAX(CASE WHEN c = 2 THEN CAST(s1 AS DOUBLE) / n END) AS m2,
+         MAX(CASE WHEN c = 0 THEN CAST(s2 AS DOUBLE) / n END) AS q0,
+         MAX(CASE WHEN c = 1 THEN CAST(s2 AS DOUBLE) / n END) AS q1,
+         MAX(CASE WHEN c = 2 THEN CAST(s2 AS DOUBLE) / n END) AS q2
+  FROM chan GROUP BY 1, 2
+),
+f32 AS (  -- float32 truncation exactly where the Python kernel truncates
+  SELECT media_id, mime,
+         CAST(CAST(m0 AS FLOAT) AS DOUBLE) AS d0,
+         CAST(CAST(m1 AS FLOAT) AS DOUBLE) AS d1,
+         CAST(CAST(m2 AS FLOAT) AS DOUBLE) AS d2,
+         CAST(CAST(sqrt(GREATEST(0.0, q0 - m0 * m0)) AS FLOAT) AS DOUBLE) AS d3,
+         CAST(CAST(sqrt(GREATEST(0.0, q1 - m1 * m1)) AS FLOAT) AS DOUBLE) AS d4,
+         CAST(CAST(sqrt(GREATEST(0.0, q2 - m2 * m2)) AS FLOAT) AS DOUBLE) AS d5
+  FROM pooled
+),
+per_media AS (
+  SELECT mime,
+         ROUND(d0, 4) AS f0,
+         ROUND({_SQ_CHAIN}, 4) AS feat_sq_norm
+  FROM f32
+)
+SELECT mime,
+       COUNT(*) AS n_media,
+       CAST(0 AS BIGINT) AS n_real_decodes,
+       ROUND(AVG(f0), 4) AS avg_f0,
+       ROUND(AVG(feat_sq_norm), 4) AS avg_feat_sq_norm
+FROM per_media
+GROUP BY mime
+"""
+
+
 @register(
     "multimodal_feature_rollup",
-    sql=None,  # fake-codec decode is Python-side by design → rows-only check
-    tags=("multimodal", "features", "rows-only"),
+    sql=_FEATURE_ROLLUP_SQL,
+    tags=("multimodal", "features"),
 )
 def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-codec feature extraction + per-mime rollup: decode every media
     payload through the Arrow-batched mapInPandas kernel (deterministic
-    md5-seeded fake pixels — the container has no codec; plumbing is the
+    md5-counter fake pixels — the container has no codec; plumbing is the
     real pattern), pool a 16-dim feature, then aggregate per mime type.
-    Deterministic across runs/executors, so the driver's rows+schema check
-    is stable."""
+
+    Fully oracle-checked: the fake codec is pure md5 arithmetic and the
+    pooling uses exact-integer channel sums, so the DuckDB SQL reproduces
+    every pixel byte and every IEEE-double expression bit-identically (the
+    same trick ann_lsh_codes uses for md5-derived hyperplanes). The oracle
+    pins n_real_decodes = 0 — true whenever the real codec is absent, which
+    is exactly the environment the fake path exists for."""
     from pumle_spark.operators.multimodal import image_features
 
     media = _media_table(spark, sf_dir)
