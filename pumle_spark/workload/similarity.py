@@ -199,7 +199,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ_bucket c² pairs instead of n²/2), then exact cosine verification on
     candidates only. Recall vs the all-pairs baseline trades against the
     ~K× candidate reduction; multi-probe (operators.similarity.lsh_topk)
-    recovers most of it."""
+    recovers most of it.
+
+    Shuffle shape (round-3 rework): the embedding and its norm ride WITH
+    the bucket code into the self-join, so the whole query is ONE shuffle
+    on bucket_code — the previous pairs-then-lookup form shuffled three
+    times (bucket join + two joins back to fetch each side's embedding).
+    Payload per shuffled row grows by d floats, but rows shuffled drop from
+    2·|candidates|+2n to 2n, and at 100 TB the candidate count, not the
+    vector width, is the term that explodes."""
     from pumle_spark.operators.similarity import hyperplanes
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
@@ -212,24 +220,26 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         code = code + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    codes = e.select("vec_id", code.cast("int").alias("bucket_code"))
+    ec = e.select(
+        "vec_id", "emb", code.cast("int").alias("bucket_code")
+    ).withColumn("n", _dot(F.col("emb"), F.col("emb")))
 
-    ca = codes.select(F.col("vec_id").alias("vec_a"), "bucket_code")
-    cb = codes.select(F.col("vec_id").alias("vec_b"), "bucket_code")
-    cand = ca.join(cb, "bucket_code").filter(F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b"
+    a = ec.select(
+        "bucket_code",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("n").alias("na"),
     )
-
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea")).withColumn(
-        "na", _dot(F.col("ea"), F.col("ea"))
-    )
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb")).withColumn(
-        "nb", _dot(F.col("eb"), F.col("eb"))
+    b = ec.select(
+        "bucket_code",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("n").alias("nb"),
     )
     cos = _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        a.join(b, "bucket_code")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("raw", cos)
         .filter(F.col("raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("raw", 6).alias("cos_sim"))
