@@ -20,6 +20,68 @@ _SESSION_GAP_US = 1800 * 1_000_000  # 30 min
 
 
 @register(
+    "stream_hourly_rollup_final",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "streaming", "window-agg"),
+)
+def stream_hourly_rollup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING engine under the driver's hash gate: stage `events` as
+    a file stream (one data file + one far-future sentinel file that pushes
+    the watermark past every real window), drive stream_events_hourly to
+    completion through a real StreamingQuery, and return the final emitted
+    table. The DuckDB oracle is the plain batch rollup — append-mode
+    watermarked streaming must converge to exactly the batch aggregates
+    once every window is closed (the same equivalence the pytest gates pin,
+    now scored by the driver too)."""
+    import tempfile
+    import uuid
+
+    from pumle_spark.streaming.pipeline import stream_events_hourly
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    events = table(spark, sf_dir, "events").select(*cols)
+
+    tmp = tempfile.mkdtemp(prefix="stream_hourly_final_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    events.coalesce(1).write.mode("append").parquet(src)
+    sentinel = events.agg(
+        (F.lit(10**9) + F.max("event_id")).alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"stream_hourly_final_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        stream_events_hourly(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize off the transient memory sink before dropping the view
+    out = spark.table(sink).filter(F.col("event_type") != "sentinel").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+@register(
     "events_hourly_rollup",
     sql="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
