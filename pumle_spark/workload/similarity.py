@@ -489,3 +489,94 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall_row("ivf_probe1", topk(ivf_cand)))
         .unionByName(recall_row("ivf_probe2", topk(ivf2_cand)))
     )
+
+
+# -- product quantization ---------------------------------------------------
+
+_PQ_M = 8          # subspaces (64 dims → 8 × 8-dim subvectors)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16         # codewords per subspace
+_PQ_STRIDE = 13    # deterministic codebook = subvectors of strided vec_ids
+
+
+@register(
+    "ann_pq_codes",
+    sql=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id // {_PQ_STRIDE} AS cent_id, emb AS cemb FROM v
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    d2 AS (
+      SELECT v.vec_id, m.m, c.cent_id,
+             SUM((v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1])
+                 * (v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1]))
+               AS dist2
+      FROM v
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
+      CROSS JOIN cents c
+      CROSS JOIN generate_series(0, {_PQ_SUB - 1}) d(d)
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m,
+             MIN(struct_pack(r := ROUND(dist2, 6), cid := cent_id)) AS b
+      FROM d2 GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(SUM(b.cid * CAST(power(2, 4 * m) AS BIGINT)) AS BIGINT) AS pq_code,
+           ROUND(SUM(b.r), 6) AS q_err
+    FROM best GROUP BY vec_id
+    """,
+    tags=("similarity", "pq", "ann"),
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the third ANN family next to IVF and
+    LSH, and the one real 100 TB vector stores (IVF-PQ) actually ship: each
+    vector is stored as {_PQ_M} 4-bit codewords ({_PQ_M * 4} bits total)
+    instead of {_DIM} floats, a {_DIM * 4 * 8 // (_PQ_M * 4)}x memory
+    reduction, and ADC search scans codes against a per-query lookup table.
+
+    Codebook = subvectors of {_PQ_K} strided vec_ids (deterministic stand-in
+    for trained k-means, same trick as IVF's centroid set). Shape at scale:
+    explode {_PQ_M} subspaces → broadcast-join the {_PQ_M}x{_PQ_K}-row
+    codebook → map-side min-struct per (vector, subspace) → pack. Two
+    shuffles of n·{_PQ_M} and n rows; the n·M·K distance work is map-local.
+    Assignment ties and cross-engine float-sum noise resolve on
+    (ROUND(d2, 6), cent_id)."""
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    cents = v.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_K * _PQ_STRIDE)
+    ).select((F.col("vec_id") / _PQ_STRIDE).cast("bigint").alias("cent_id"), F.col("emb").alias("cemb"))
+
+    sub = v.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "emb",
+    ).select(
+        "vec_id", "m", F.expr(f"slice(emb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv")
+    )
+    csub = cents.select(
+        "cent_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "cemb",
+    ).select(
+        "cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        sub.join(F.broadcast(csub), "m")
+        .select("vec_id", "m", F.round(d2, 6).alias("r"), "cent_id")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("r"), F.col("cent_id").alias("cid"))).alias("b"))
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("b.cid * shiftleft(1L, cast(4 * m as int))"))
+        .cast("bigint")
+        .alias("pq_code"),
+        F.round(F.sum("b.r"), 6).alias("q_err"),
+    )

@@ -303,3 +303,66 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
     )
+
+
+_TFIDF_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, COUNT(*) AS dn FROM toks_ok GROUP BY 1),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks_ok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.cnt AS DOUBLE) / dlen.dn)
+               * ln((n.n_docs + 1.0) / (df.dfreq + 1.0)) AS score
+      FROM tf JOIN dlen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS tf_idf, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY ROUND(score, 6) DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TFIDF_K}
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF with per-document top-{_TFIDF_K} terms — the classic
+    keyword/feature extraction every corpus pipeline runs before topic
+    filtering or near-dup triage.
+
+    Shape at scale: one explode → two groupBys (per-(doc,term) counts; df
+    per term) → a broadcastable doc-count scalar → per-doc top-k window.
+    The term-frequency table, not the raw token stream, flows into the df
+    join, and ranking happens on the 6-decimal-rounded score (term
+    tiebreak) so cross-engine log/ulp noise cannot reorder the top-k."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens_col()).alias("term")
+    ).filter(F.col("term") != "")
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dn"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("cnt").cast("double") / F.col("dn")) * F.log(
+        (F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)
+    )
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", F.round(score, 6).alias("tf_idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf_idf", F.col("rnk").cast("int").alias("rnk"))
+    )
