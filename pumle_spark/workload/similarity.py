@@ -580,3 +580,110 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pq_code"),
         F.round(F.sum("b.r"), 6).alias("q_err"),
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    sql=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id // {_PQ_STRIDE} AS cent_id, emb AS cemb FROM v
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    d2 AS (
+      SELECT v.vec_id, m.m, c.cent_id,
+             SUM((v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1])
+                 * (v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1]))
+               AS dist2
+      FROM v
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
+      CROSS JOIN cents c
+      CROSS JOIN generate_series(0, {_PQ_SUB - 1}) d(d)
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (  -- corpus side: PQ code per (vector, subspace)
+      SELECT vec_id, m,
+             MIN(struct_pack(r := ROUND(dist2, 6), cid := cent_id)).cid AS code
+      FROM d2 GROUP BY 1, 2
+    ),
+    q AS (SELECT vec_id AS query_id FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    lut AS (  -- per-query ADC lookup table: exact query-to-codeword distances
+      SELECT d2.vec_id AS query_id, d2.m, d2.cent_id, ROUND(d2.dist2, 6) AS r
+      FROM d2 JOIN q ON q.query_id = d2.vec_id
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id, ROUND(SUM(l.r), 6) AS adc_d2
+      FROM assign a
+      JOIN lut l ON l.m = a.m AND l.cent_id = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "pq", "ann", "adc"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{_TOP_K} over PQ codes — how an IVF-PQ
+    store actually answers queries at 100 TB: the corpus is touched only as
+    {_PQ_M}-codeword rows, and each query precomputes a {_PQ_M}x{_PQ_K}
+    lookup table of exact subspace distances; a neighbor's score is then
+    {_PQ_M} table lookups summed, never a {_DIM}-dim float scan.
+
+    Plan shape: the code assignment reuses the ann_pq_codes join; the LUT
+    (|q|·{_PQ_M}·{_PQ_K} rows) broadcasts; scoring is a broadcast equi-join
+    on (m, codeword) + one groupBy(query, neighbor) whose partial aggregate
+    does the {_PQ_M}-way sum map-side. Rank ties and cross-engine float
+    noise resolve on (ROUND, neighbor_id)."""
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    cents = v.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_K * _PQ_STRIDE)
+    ).select((F.col("vec_id") / _PQ_STRIDE).cast("bigint").alias("cent_id"), F.col("emb").alias("cemb"))
+
+    sub = v.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "emb",
+    ).select(
+        "vec_id", "m", F.expr(f"slice(emb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv")
+    )
+    csub = cents.select(
+        "cent_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "cemb",
+    ).select(
+        "cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv")
+    )
+    d2_expr = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = sub.join(F.broadcast(csub), "m").select(
+        "vec_id", "m", "cent_id", F.round(d2_expr, 6).alias("r")
+    )
+    assign = d2.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("r"), F.col("cent_id").alias("cid"))).alias("b")
+    ).select("vec_id", "m", F.col("b.cid").alias("code"))
+
+    qids = v.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lut = d2.join(F.broadcast(qids), d2.vec_id == F.col("query_id")).select(
+        "query_id", "m", F.col("cent_id").alias("code"), "r"
+    )
+    adc = (
+        assign.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("r"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -13,7 +13,11 @@ import pytest
 
 from pumle_spark import workload
 
-SF = "/root/testdata/sf0.001"
+# override to re-assert the same invariants at another scale, e.g.
+#   SPARK_GRAFT_PLAN_SF=/root/repo/.bench/sf1 pytest tests/test_plans.py
+import os
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 
 def plan_of(q, spark):
