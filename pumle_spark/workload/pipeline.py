@@ -27,11 +27,50 @@ from pumle_spark.workload import register
 # --------------------------------------------------------------------------
 
 
+# The flagship's oracle reads the SAME bronze JSON files DuckDB-side
+# (read_text + json_transform), so the whole ingest contract — positional
+# zip, active-count bounds guard, strict plume threshold — is hash-checked
+# cross-engine, not just rows-counted. Fixtures are materialized at
+# registration time so the static path in the SQL always exists when the
+# driver runs the oracle. (The dense NULL scatter and F-order coordinates
+# drop out of the plume count by construction — their bit-exactness stays
+# pinned by the NumPy-parity tests in tests/test_ingest.py/test_exports.py.)
+from pumle_spark.fixtures import DEFAULT_FIXTURE_ROOT as _FIXROOT
+from pumle_spark.fixtures import ensure_demo_bronze as _ensure_bronze
+
+_ensure_bronze()
+
+_GOLDEN_SQL = f"""
+    WITH sf AS (
+      SELECT regexp_extract(filename, 'states_GCS01_([0-9a-f]+)\\.json', 1) AS sim_hash,
+             json_transform(content,
+               '[{{"pressure": ["DOUBLE"], "s": [["DOUBLE"]]}}]') AS sts
+      FROM read_text('{_FIXROOT}/states_GCS01_*.json')
+    ),
+    af AS (
+      SELECT regexp_extract(filename, 'grdecl_GCS01_([0-9a-f]+)\\.json', 1) AS sim_hash,
+             len(list_filter(json_transform(content, '["DOUBLE"]'), x -> x <> 0))
+               AS n_active
+      FROM read_text('{_FIXROOT}/grdecl_GCS01_*.json')
+    ),
+    st AS (
+      SELECT sf.sim_hash, g.t, sf.sts[g.t + 1].s AS s
+      FROM sf CROSS JOIN generate_series(0, 15) g(t)
+      WHERE g.t < len(sf.sts)
+    )
+    SELECT st.sim_hash, CAST(st.t AS INTEGER) AS t, COUNT(*) AS n_plume_cells
+    FROM st
+    JOIN af ON af.sim_hash = st.sim_hash
+    CROSS JOIN generate_series(0, 63) p(p)
+    WHERE p.p < least(len(st.s), af.n_active)
+      AND st.s[p.p + 1][2] > 0.05
+    GROUP BY 1, 2
+"""
+
+
 @register(
     "pumle_golden_pipeline",
-    sql=None,  # non-SQL-expressible end-to-end (JSON bronze ingest + scatter
-    # join over generated fixtures); bit-exactness vs the NumPy reference
-    # oracle is enforced in tests/test_ingest.py and tests/test_exports.py
+    sql=_GOLDEN_SQL,
     tags=("pipeline", "flagship", "M1"),
 )
 def pumle_golden_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
