@@ -73,7 +73,14 @@ _DRIVER_VERIFIED_R01_ONLY = frozenset({
 })
 
 
+# driver-verified in r02, but only as rows-only checks; both gained real
+# DuckDB oracles in round 3, so they must re-enter the hash-checked window
+_ORACLE_CHANGED_R03 = frozenset({"pumle_golden_pipeline", "multimodal_feature_rollup"})
+
+
 def _rotation_key(name: str) -> int:
+    if name in _ORACLE_CHANGED_R03:
+        return 0
     if name in _DRIVER_VERIFIED_R02:
         return 2
     if name in _DRIVER_VERIFIED_R01_ONLY:
