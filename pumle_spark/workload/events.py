@@ -273,3 +273,72 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 4) AS conv_from_view
+    FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    ) ORDER BY ord
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: first view → first click AFTER that view →
+    first purchase AFTER that click, per user; output is users-per-stage
+    with conversion from the top of the funnel.
+
+    Shape at scale: three conditional min-aggregations, each a shuffle on
+    user_id — the per-stage join reuses that same partitioning, and each
+    stage's input shrinks monotonically (classic funnel pruning). No
+    windows, no event explosion."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("nv"))
+    rows = [
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.crossJoin(F.broadcast(nv)).select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("nv"), 4).alias("conv_from_view"),
+    )

@@ -807,3 +807,51 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "orders_retention_cohort",
+    sql="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS ym
+      FROM orders
+    ),
+    first_ym AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM om GROUP BY 1),
+    k AS (
+      SELECT DISTINCT om.o_custkey, f.cohort_ym, om.ym - f.cohort_ym AS months_out
+      FROM om JOIN first_ym f USING (o_custkey)
+      WHERE om.ym - f.cohort_ym <= 3
+    )
+    SELECT cohort_ym, CAST(months_out AS INTEGER) AS months_out,
+           COUNT(*) AS n_customers
+    FROM k
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "cohort", "retention"),
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month; for each
+    cohort, how many come back with an order 0-3 months out. Month math is
+    explicit integer year*12+month on BOTH engines — no months_between /
+    date_diff semantics to drift cross-engine.
+
+    Shape at scale: one shuffle on custkey for the first-order min, the
+    month-key join reuses it, then a distinct + groupBy on the (cohort,
+    offset) pair — cohort cardinality is months², so the final agg is
+    dim-sized no matter the fact size."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int").alias("ym"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    k = (
+        o.join(first, "o_custkey")
+        .withColumn("months_out", F.col("ym") - F.col("cohort_ym"))
+        .filter(F.col("months_out") <= 3)
+        .select("o_custkey", "cohort_ym", "months_out")
+        .distinct()
+    )
+    return k.groupBy("cohort_ym", F.col("months_out").cast("int").alias("months_out")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
