@@ -151,3 +151,59 @@ def heavy_hitters_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "l_partkey")
         .limit(20)
     )
+
+
+@register(
+    "skew_salted_brand_revenue",
+    sql="""
+    WITH hot AS (
+      SELECT l_partkey FROM lineitem GROUP BY 1
+      ORDER BY COUNT(*) DESC, l_partkey LIMIT 5
+    )
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18, 6))), 2)::DOUBLE AS revenue,
+           SUM(CASE WHEN l.l_partkey IN (SELECT l_partkey FROM hot)
+                    THEN 1 ELSE 0 END) AS n_hot_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+    tags=("skew", "join", "agg"),
+)
+def skew_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware join under the driver gate: per-brand revenue where the
+    lineitem→part join routes the 5 hottest part keys through
+    operators.skew.salted_join (hot rows fan out over 16 salted reducers;
+    cold keys join normally; results union) — the split-union plan a 100 TB
+    job uses when one key exceeds an executor. The oracle is the plain
+    join+agg: salting must change the DISTRIBUTION, never the result.
+    Decimal-exact revenue sums cross-engine; hot keys are picked
+    deterministically ((count, key)-ordered top-5) on both sides."""
+    from pumle_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev_dec"),
+    )
+    hot = [
+        r.l_partkey
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(5)
+        .collect()  # 5-row driver pull: the hot-key list is plan metadata,
+        # computed once per job like any AQE statistics pass
+    ]
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, on="l_partkey", hot_keys=hot, n_salts=16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev_dec"), 2).cast("double").alias("revenue"),
+        F.sum(F.when(F.col("l_partkey").isin(hot), 1).otherwise(0)).alias("n_hot_lines"),
+    )
