@@ -7,7 +7,7 @@ aliases both sides, identical rounding, deterministic top-k."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from pumle_spark.tables import table
@@ -854,4 +854,107 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return k.groupBy("cohort_ym", F.col("months_out").cast("int").alias("months_out")).agg(
         F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "window_range_frame_trailing_spend",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per customer, the
+    trailing-30-day spend at each order — same-timestamp orders fall in one
+    frame regardless of row order, which is what makes the result
+    deterministic without an orderkey tiebreak (and what ROWS frames cannot
+    express). Spend sums in exact decimal before the double cast. One
+    shuffle on o_custkey."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("ts_s"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price_dec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("price_dec").over(w).cast("double").alias("trailing_30d_spend"),
+    )
+
+
+@register(
+    "agg_grouping_sets_revenue",
+    sql="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+           COALESCE(l_linestatus, 'ALL') AS line_status,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the shape ROLLUP/CUBE can't always express
+    (an arbitrary subset of grouping combinations, here exactly the rollup
+    lattice minus nothing, chosen explicitly). Spark evaluates all sets in
+    ONE Expand+Aggregate pass over the scan — not one scan per set."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price_dec"),
+    )
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+               COALESCE(l_linestatus, 'ALL') AS line_status,
+               COUNT(*) AS n_lines,
+               CAST(ROUND(SUM(price_dec), 2) AS DOUBLE) AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@register(
+    "events_transition_bigrams",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "sequence"),
+)
+def events_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (behavioral bigram model —
+    the Markov-chain input for path/dropout analysis). lead() over the
+    user's time-ordered stream, then a global bigram count: one shuffle on
+    user_id for the window, one dim-sized agg on (from, to)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
