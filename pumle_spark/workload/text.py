@@ -366,3 +366,145 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TFIDF_K)
         .select("doc_id", "term", "tf_idf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "text_repetition_filter",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT d.doc_id, LEN(d.ws) AS n_tokens,
+             d.ws[g.g + 1] || ' ' || d.ws[g.g + 2] || ' ' || d.ws[g.g + 3] AS gram
+      FROM d CROSS JOIN generate_series(0, 2047) g(g)
+      WHERE g.g < LEN(d.ws) - 2
+    ),
+    per_gram AS (
+      SELECT doc_id, n_tokens, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, n_tokens,
+             SUM(cnt) AS n_grams,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_grams,
+             MAX(cnt) AS top_gram_cnt
+      FROM per_gram GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 4) AS dup_gram_ratio,
+           ROUND(CAST(top_gram_cnt AS DOUBLE) / n_grams, 4) AS top_gram_ratio,
+           (CAST(n_dup_grams AS DOUBLE) / n_grams > 0.3
+            OR CAST(top_gram_cnt AS DOUBLE) / n_grams > 0.05) AS flagged
+    FROM per_doc
+    WHERE n_grams > 0
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: the fraction of a document covered by
+    duplicated word-3-grams and by its single most-repeated 3-gram —
+    boilerplate, keyword-stuffed, and looping-generator text scores high
+    and gets flagged (thresholds 0.30 / 0.05, Rae et al. 2021 table A1
+    ballpark). The gram explosion is per-document and bounded; both
+    aggregations are per-doc partial-agg shuffles — nothing global."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("ws"))
+    grams = d.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3), "
+                "g -> concat(ws[g], ' ', ws[g + 1], ' ', ws[g + 2])) "
+                "ELSE cast(array() as array<string>) END"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_tokens", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_grams"),
+        F.max("cnt").alias("top_gram_cnt"),
+    )
+    dup_ratio = F.col("n_dup_grams").cast("double") / F.col("n_grams")
+    top_ratio = F.col("top_gram_cnt").cast("double") / F.col("n_grams")
+    return per_doc.filter(F.col("n_grams") > 0).select(
+        "doc_id",
+        F.round(dup_ratio, 4).alias("dup_gram_ratio"),
+        F.round(top_ratio, 4).alias("top_gram_ratio"),
+        ((dup_ratio > 0.3) | (top_ratio > 0.05)).alias("flagged"),
+    )
+
+
+_DECON_N = 8        # benchmark-overlap shingle width (decontamination standard)
+_EVAL_STRIDE = 97   # doc_id % 97 == 0 → stand-in benchmark/eval set
+
+
+@register(
+    "text_decontaminate_overlap",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (
+      SELECT d.doc_id,
+             md5(array_to_string(d.ws[g.g + 1 : g.g + {_DECON_N}], ' ')) AS sh
+      FROM d CROSS JOIN generate_series(0, 2047) g(g)
+      WHERE g.g <= LEN(d.ws) - {_DECON_N}
+      GROUP BY 1, 2
+    ),
+    eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {_EVAL_STRIDE} = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % {_EVAL_STRIDE} <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hit_shingles
+      FROM train t JOIN eval_sh e ON e.sh = t.sh
+      GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1)
+    SELECT tt.doc_id,
+           CAST(COALESCE(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+           CAST(tt.n_shingles AS BIGINT) AS n_shingles,
+           ROUND(CAST(COALESCE(h.n_hit_shingles, 0) AS DOUBLE) / tt.n_shingles, 4)
+             AS overlap_ratio,
+           (CAST(COALESCE(h.n_hit_shingles, 0) AS DOUBLE) / tt.n_shingles > 0.1)
+             AS contaminated
+    FROM totals tt LEFT JOIN hits h ON h.doc_id = tt.doc_id
+    """,
+    tags=("text", "decontamination", "dedup"),
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    {_DECON_N}-gram shingles with the eval set (stand-in: doc_id %
+    {_EVAL_STRIDE} == 0) — the step every serious LLM corpus runs so test
+    sets don't leak into training data.
+
+    Scale shape: DISTINCT md5 shingles per doc (32-byte hashes, not text),
+    eval shingles are a small broadcastable side, and the overlap is an
+    equi-join on the hash — never doc×doc. The per-doc gram explosion is
+    bounded by doc length; everything downstream is hash-sized."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("ws"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) >= {_DECON_N} THEN "
+                f"transform(sequence(0, size(ws) - {_DECON_N}), "
+                f"g -> md5(array_join(slice(ws, g + 1, {_DECON_N}), ' '))) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("sh"),
+    ).distinct()
+    is_eval = F.col("doc_id") % _EVAL_STRIDE == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    train = sh.filter(~is_eval)
+    hits = train.join(F.broadcast(eval_sh), "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_shingles")
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ratio = F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("double") / F.col("n_shingles")
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hit_shingles"), F.lit(0)).cast("bigint").alias("n_hit_shingles"),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.round(ratio, 4).alias("overlap_ratio"),
+        (ratio > 0.1).alias("contaminated"),
+    )
