@@ -146,3 +146,39 @@ def test_all_pairs_cosine_has_no_hof_in_pair_loop(spark):
     plan = plan_of("dedup_embedding_cosine", spark)
     pair_stage = plan.split("BroadcastNestedLoopJoin")[0]
     assert "aggregate(" not in pair_stage and "zip_with" not in pair_stage
+
+
+def test_pq_codebook_is_broadcast_and_agg_partial(spark):
+    plan = plan_of("ann_pq_codes", spark)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan  # codebook must never shuffle the corpus
+
+
+def test_adc_scoring_joins_are_broadcast(spark):
+    plan = plan_of("ann_pq_adc_topk", spark)
+    # LUT and query sides broadcast; the corpus side is never sort-merge-joined
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_eval_side_broadcast(spark):
+    plan = plan_of("text_decontaminate_overlap", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_brand_revenue_no_cartesian(spark):
+    plan = plan_of("skew_salted_brand_revenue", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_frame_window_specifies_range(spark):
+    plan = plan_of("window_range_frame_trailing_spend", spark)
+    assert "RangeFrame" in plan and "-2592000" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    plan = plan_of("agg_grouping_sets_revenue", spark)
+    assert "Expand" in plan              # one Expand+Aggregate evaluates all sets
+    assert plan.count("FileScan") == 1   # never one scan per grouping set
