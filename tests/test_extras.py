@@ -385,3 +385,46 @@ def test_shingle_array_in_place_consumption(spark):
     ).select("doc_id", normalize_text("text").alias("ws"))
     out = {r.doc_id: r.n for r in df.select("doc_id", F.size(shingle_array("ws", 3)).alias("n")).collect()}
     assert out == {1: 2, 2: 0, 3: 0}  # 'a b c','b c d'; too short; empty
+
+
+def test_compact_golden_merges_small_files_preserves_rows(spark, tmp_path):
+    """Compaction merges micro-batch file litter, keeps the exact rowset,
+    and the compacted store still partition-prunes on sim_hash."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from pumle_spark.ingest import ingest_golden, read_golden
+    from pumle_spark.maintenance import compact_golden, golden_file_stats
+    from tests.fixtures import CASE, make_bronze
+
+    sims = make_bronze(tmp_path / "b", n_sims=3, n_t=3, seed=55)
+    g = ingest_golden(
+        spark,
+        str(tmp_path / f"b/states_{CASE}_*.json"),
+        str(tmp_path / f"b/grdecl_{CASE}_*.json"),
+        str(tmp_path / f"b/g_{CASE}.json"),
+    )
+    path = str(tmp_path / "golden")
+    # simulate micro-batch litter: many tiny files per partition
+    g.repartition(12).write.partitionBy("sim_hash").parquet(path)
+
+    before = {r.sim_hash: r.n_files for r in golden_file_stats(spark, path).collect()}
+    assert max(before.values()) > 3
+
+    rows_before = sorted(map(tuple, read_golden(spark, path).collect()), key=str)
+    compact_golden(spark, path)
+    after = {r.sim_hash: r.n_files for r in golden_file_stats(spark, path).collect()}
+    rows_after = sorted(map(tuple, read_golden(spark, path).collect()), key=str)
+
+    assert rows_before == rows_after
+    assert all(n == 1 for n in after.values())  # litter merged per partition
+    assert not glob.glob(path + "._*")  # no temp trees left behind
+
+    h = next(iter(sims))
+    plan = (
+        read_golden(spark, path)
+        .filter(F.col("sim_hash") == h)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(sim_hash" in plan
