@@ -428,3 +428,43 @@ def test_compact_golden_merges_small_files_preserves_rows(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(sim_hash" in plan
+
+
+def test_funnel_is_strictly_ordered(spark, tmp_path):
+    """A purchase BEFORE the user's first view (or with no click between)
+    must not count — the funnel is ordered, not a mere event-type filter."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from pumle_spark.workload.events import events_funnel_conversion
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), "view", 1), (2, ts(1), "click", 1), (3, ts(2), "purchase", 1),
+        # user 2: purchase BEFORE view → reaches view only
+        (4, ts(0), "purchase", 2), (5, ts(1), "view", 2),
+        # user 3: view then purchase with NO click → reaches view only
+        (6, ts(0), "view", 3), (7, ts(1), "purchase", 3),
+        # user 4: click before view, click after view → click counts from 2nd
+        (8, ts(0), "click", 4), (9, ts(1), "view", 4), (10, ts(2), "click", 4),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, ty, 0.0) for (e, t, ty, u) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.parquet(f"{sf}/events.parquet")
+    got = {r.stage: (r.n_users, r.conv_from_view) for r in
+           events_funnel_conversion(spark, sf).collect()}
+    assert got["view"] == (4, 1.0)
+    assert got["click"] == (2, 0.5)     # users 1 and 4
+    assert got["purchase"] == (1, 0.25)  # only user 1
