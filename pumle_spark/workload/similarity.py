@@ -687,3 +687,132 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    sql=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ivf_cents AS (
+      SELECT vec_id AS centroid_id, emb AS cemb FROM v
+      WHERE vec_id % {_CENTROID_STRIDE} = 0 AND vec_id < {_N_CENTROIDS * _CENTROID_STRIDE}
+    ),
+    assign AS (  -- IVF coarse partition (rank-1 centroid per vector)
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+                                           c.centroid_id) AS rn
+        FROM v CROSS JOIN ivf_cents c) WHERE rn = 1
+    ),
+    pq_cents AS (
+      SELECT vec_id // {_PQ_STRIDE} AS cent_id, emb AS cemb FROM v
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    d2 AS (
+      SELECT v.vec_id, m.m, c.cent_id,
+             SUM((v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1])
+                 * (v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1]))
+               AS dist2
+      FROM v
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
+      CROSS JOIN pq_cents c
+      CROSS JOIN generate_series(0, {_PQ_SUB - 1}) d(d)
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m,
+             MIN(struct_pack(r := ROUND(dist2, 6), cid := cent_id)).cid AS code
+      FROM d2 GROUP BY 1, 2
+    ),
+    q AS (SELECT vec_id AS query_id FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    lut AS (
+      SELECT d2.vec_id AS query_id, d2.m, d2.cent_id, ROUND(d2.dist2, 6) AS r
+      FROM d2 JOIN q ON q.query_id = d2.vec_id
+    ),
+    cand AS (  -- candidates = the query's OWN centroid cell only (probe=1)
+      SELECT q.query_id, av.vec_id AS neighbor_id
+      FROM assign aq JOIN q ON q.query_id = aq.vec_id
+      JOIN assign av ON av.centroid_id = aq.centroid_id
+                    AND av.vec_id <> q.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, ROUND(SUM(l.r), 6) AS adc_d2
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.cent_id = k.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rnk
+          FROM adc)
+    WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "ivf", "pq", "ann", "adc"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ retrieval path — what a production 100 TB vector
+    store executes per query: IVF restricts candidates to the query's
+    centroid cell (n/K of the corpus), then ADC scores those candidates
+    from {_PQ_M}-codeword rows against the query's lookup table. Composes
+    ann_ivf_assign's partitioning with ann_pq_adc_topk's scoring; at scale
+    the corpus is BUCKETED by centroid_id so the probe never rescans other
+    cells, and codes are {_PQ_M * 4} bits per vector in memory."""
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+
+    assign = _ivf_ranked(spark, sf_dir).filter(F.col("rn") == 1).select(
+        "vec_id", "centroid_id"
+    )
+
+    cents = v.filter(
+        (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_K * _PQ_STRIDE)
+    ).select((F.col("vec_id") / _PQ_STRIDE).cast("bigint").alias("cent_id"), F.col("emb").alias("cemb"))
+    sub = v.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "emb",
+    ).select("vec_id", "m", F.expr(f"slice(emb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"))
+    csub = cents.select(
+        "cent_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "cemb",
+    ).select("cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"))
+    d2_expr = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2 = sub.join(F.broadcast(csub), "m").select(
+        "vec_id", "m", "cent_id", F.round(d2_expr, 6).alias("r")
+    )
+    codes = d2.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("r"), F.col("cent_id").alias("cid"))).alias("b")
+    ).select("vec_id", "m", F.col("b.cid").alias("code"))
+
+    qids = v.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    lut = d2.join(F.broadcast(qids), d2.vec_id == F.col("query_id")).select(
+        "query_id", "m", F.col("cent_id").alias("code"), "r"
+    )
+    qassign = assign.join(
+        F.broadcast(qids), assign.vec_id == F.col("query_id")
+    ).select("query_id", "centroid_id")
+    cand = (
+        assign.join(F.broadcast(qassign), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("r"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+    )
