@@ -508,3 +508,66 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("overlap_ratio"),
         (ratio > 0.1).alias("contaminated"),
     )
+
+
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}"
+_RE_URL = "https?://[^ ]+"
+_RE_LONGNUM = "[0-9]{7,}"
+
+
+@register(
+    "text_pii_redaction",
+    sql=f"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{_RE_URL}', '<URL>', 'g'),
+               '{_RE_LONGNUM}', '<NUM>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT r.doc_id,
+           md5(r.redacted) AS redacted_hash,
+           CAST(LENGTH(d.text) - LENGTH(r.redacted) AS BIGINT) AS chars_removed,
+           CAST(LENGTH(r.redacted) - LENGTH(replace(r.redacted, '<EMAIL>', ''))
+                AS BIGINT) / 7 AS n_emails,
+           CAST(LENGTH(r.redacted) - LENGTH(replace(r.redacted, '<URL>', ''))
+                AS BIGINT) / 5 AS n_urls,
+           CAST(LENGTH(r.redacted) - LENGTH(replace(r.redacted, '<NUM>', ''))
+                AS BIGINT) / 5 AS n_longnums
+    FROM red r JOIN documents d USING (doc_id)
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing — the redaction pass every shared-corpus pipeline
+    runs before training: emails, URLs, and long digit runs replaced by
+    typed placeholders, with per-doc removal accounting. Patterns stay in
+    the RE2∩Java-regex common subset (no lookaround, no backrefs) so Spark
+    and DuckDB tokenize identically; the redacted text is compared by md5
+    so the driver hashes a stable 32-byte column, not megabytes of text.
+    Pure per-row map — no shuffle at all until the (broadcastable) id join
+    for the original length."""
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _RE_EMAIL.replace("\\\\", "\\"), "<EMAIL>"),
+            _RE_URL, "<URL>"),
+        _RE_LONGNUM, "<NUM>")
+    r = docs.select("doc_id", F.length("text").alias("orig_len"), redacted.alias("redacted"))
+
+    def marker_count(marker: str, width: int):
+        return (
+            (F.length("redacted") - F.length(F.replace(F.col("redacted"), F.lit(marker), F.lit(""))))
+            .cast("bigint") / width
+        )
+
+    return r.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_hash"),
+        (F.col("orig_len") - F.length("redacted")).cast("bigint").alias("chars_removed"),
+        marker_count("<EMAIL>", 7).alias("n_emails"),
+        marker_count("<URL>", 5).alias("n_urls"),
+        marker_count("<NUM>", 5).alias("n_longnums"),
+    )
