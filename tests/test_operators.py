@@ -259,3 +259,43 @@ def test_ivf_topk_recalls_cluster_neighbors(vectors, spark):
     # σ=0.05 clusters: all true top-3 live in the probed (own) cluster,
     # so IVF with 1 probe reproduces the exact result
     assert approx == exact
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """Advisory fix (round 2): exiting via max_iter with labels still moving
+    must warn — a silent partial result would diverge from any fixpoint
+    oracle."""
+    import warnings
+
+    from pumle_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "key_a int, key_b int"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iter=2).collect()
+    assert any("unconverged" in str(x.message) for x in w)
+
+    # and NO warning when it converges
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, max_iter=50).collect()
+    assert not any("unconverged" in str(x.message) for x in w)
+    assert {r.comp for r in labels} == {0}  # one chain, one component
+
+
+def test_watershed_warns_when_unconverged(spark):
+    import warnings
+
+    from pumle_spark.operators.terrain import trap_assignment
+
+    # long monotone ramp: pointer chains resolve in ceil(log2(L)) rounds,
+    # so max_iter=1 cannot finish a 40-cell path
+    ramp = spark.createDataFrame(
+        [(i, 0, float(i)) for i in range(40)], "i bigint, j bigint, z double"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trap_assignment(ramp, max_iter=1).collect()
+    assert any("unconverged" in str(x.message) for x in w)
