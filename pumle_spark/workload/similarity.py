@@ -24,6 +24,10 @@ _DIM = 64
 _TOP_K = 5
 _QUERY_STRIDE = 50  # vec_id % 50 == 0 → query set
 _N_PLANES = 8
+_PQ_M = 8          # subspaces (64 dims → 8 × 8-dim subvectors)
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16         # codewords per subspace
+_PQ_STRIDE = 13    # deterministic codebook = subvectors of strided vec_ids
 
 
 def _vecd():
@@ -370,7 +374,56 @@ def _sql_recall_row(method: str, topk_cte: str, k: int) -> str:
         SELECT DISTINCT q.query_id, av.vec_id AS neighbor_id
         FROM q JOIN assign2 aq ON aq.vec_id = q.query_id
                JOIN assign av ON av.centroid_id = aq.centroid_id
-                             AND av.vec_id <> q.query_id''', k=_TOP_K)})
+                             AND av.vec_id <> q.query_id''', k=_TOP_K)}),
+    pq_cents AS (
+      SELECT vec_id // {_PQ_STRIDE} AS cent_id, emb AS cemb FROM v
+      WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
+    ),
+    pq_d2 AS (
+      SELECT v.vec_id, m.m, c.cent_id,
+             SUM((v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1])
+                 * (v.emb[m.m * {_PQ_SUB} + d.d + 1] - c.cemb[m.m * {_PQ_SUB} + d.d + 1]))
+               AS dist2
+      FROM v
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) m(m)
+      CROSS JOIN pq_cents c
+      CROSS JOIN generate_series(0, {_PQ_SUB - 1}) d(d)
+      GROUP BY 1, 2, 3
+    ),
+    pq_codes AS (
+      SELECT vec_id, m,
+             MIN(struct_pack(r := ROUND(dist2, 6), cid := cent_id)).cid AS code
+      FROM pq_d2 GROUP BY 1, 2
+    ),
+    pq_lut AS (
+      SELECT pq_d2.vec_id AS query_id, pq_d2.m, pq_d2.cent_id, ROUND(pq_d2.dist2, 6) AS r
+      FROM pq_d2 JOIN q ON q.query_id = pq_d2.vec_id
+    ),
+    pq_adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id, ROUND(SUM(l.r), 6) AS adc_d2
+      FROM pq_codes a JOIN pq_lut l ON l.m = a.m AND l.cent_id = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    pqadc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM pq_adc) WHERE rnk <= {_TOP_K}
+    ),
+    ivfpq_adc AS (
+      SELECT a.query_id, a.neighbor_id, a.adc_d2
+      FROM pq_adc a
+      JOIN assign aq ON aq.vec_id = a.query_id
+      JOIN assign av ON av.vec_id = a.neighbor_id
+                    AND av.centroid_id = aq.centroid_id
+    ),
+    ivfpq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM ivfpq_adc) WHERE rnk <= {_TOP_K}
+    )
     {_sql_recall_row("lsh_bucket", "lsh_topk", _TOP_K)}
     UNION ALL
     {_sql_recall_row("lsh_multiprobe1", "lshmp_topk", _TOP_K)}
@@ -378,6 +431,10 @@ def _sql_recall_row(method: str, topk_cte: str, k: int) -> str:
     {_sql_recall_row("ivf_probe1", "ivf_topk", _TOP_K)}
     UNION ALL
     {_sql_recall_row("ivf_probe2", "ivf2_topk", _TOP_K)}
+    UNION ALL
+    {_sql_recall_row("pq_adc_full", "pqadc_topk", _TOP_K)}
+    UNION ALL
+    {_sql_recall_row("ivfpq_probe1", "ivfpq_topk", _TOP_K)}
     """,
     tags=("similarity", "ann", "recall"),
 )
@@ -483,20 +540,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits") / F.col("total").cast("double"), 4).alias("recall_at_k"),
         )
 
+    # the two PQ paths rank by ADC distance (not the exact-cosine rerank the
+    # other methods share): their recall rows measure quantization loss too
+    pq_topk = ann_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivfpq_topk = ann_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
     return (
         recall_row("lsh_bucket", topk(lsh_cand))
         .unionByName(recall_row("lsh_multiprobe1", topk(lshmp_cand)))
         .unionByName(recall_row("ivf_probe1", topk(ivf_cand)))
         .unionByName(recall_row("ivf_probe2", topk(ivf2_cand)))
+        .unionByName(recall_row("pq_adc_full", pq_topk))
+        .unionByName(recall_row("ivfpq_probe1", ivfpq_topk))
     )
 
 
 # -- product quantization ---------------------------------------------------
 
-_PQ_M = 8          # subspaces (64 dims → 8 × 8-dim subvectors)
-_PQ_SUB = _DIM // _PQ_M
-_PQ_K = 16         # codewords per subspace
-_PQ_STRIDE = 13    # deterministic codebook = subvectors of strided vec_ids
 
 
 @register(
