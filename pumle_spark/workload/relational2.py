@@ -958,3 +958,105 @@ def events_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "agg_price_histogram",
+    sql="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INTEGER) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(ROUND((bucket + 1) * 25000.0, 2) AS DOUBLE) AS bucket_hi,
+           COUNT(*) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25k bins) — the profiling primitive for
+    choosing salting thresholds and partition splits. Bucketing is explicit
+    floor division (identical IEEE arithmetic on both engines; DuckDB here
+    ships no width_bucket). One partial-agg shuffle over ~26 buckets
+    regardless of fact size."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0)
+    return (
+        o.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            F.round((F.col("bucket") + 1) * 25000.0, 2).cast("double").alias("bucket_hi"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "basket_brand_lift",
+    sql="""
+    WITH ob AS (  -- distinct brands per order
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bf AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_both
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                         AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_both,
+           ROUND((CAST(pr.n_both AS DOUBLE) / n.n_orders)
+                 / ((CAST(fa.n AS DOUBLE) / n.n_orders)
+                    * (CAST(fb.n AS DOUBLE) / n.n_orders)), 4) AS lift
+    FROM pairs pr
+    JOIN bf fa ON fa.p_brand = pr.brand_a
+    JOIN bf fb ON fb.p_brand = pr.brand_b
+    CROSS JOIN n
+    WHERE pr.n_both >= 5
+    """,
+    tags=("basket", "join", "agg"),
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: brand pairs appearing in the
+    same order, scored by P(a,b)/(P(a)P(b)) — the association-rule primitive.
+
+    Scale shape: the pair explosion is a SELF-JOIN ON THE ORDER KEY, so it
+    is bounded by Σ_order (brands-per-order choose 2) — basket size, never
+    catalog size. Brand frequencies and the order count are dim-sized
+    broadcast sides; n_both >= 5 prunes the noise tail before the lift
+    arithmetic."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    bf = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    fa = bf.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
+    fb = bf.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    lift = (F.col("n_both").cast("double") / F.col("n_orders")) / (
+        (F.col("na").cast("double") / F.col("n_orders"))
+        * (F.col("nb").cast("double") / F.col("n_orders"))
+    )
+    return (
+        pairs.join(broadcast(fa), "brand_a")
+        .join(broadcast(fb), "brand_b")
+        .crossJoin(broadcast(n))
+        .select("brand_a", "brand_b", "n_both", F.round(lift, 4).alias("lift"))
+    )
