@@ -48,6 +48,8 @@ ALLOW = {
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
     "scatter_dense_grid": {"BroadcastNestedLoopJoin": "J1 dense domain: sims_t x cells IS the output size"},
     "join_theta_balance_dominance": {"BroadcastNestedLoopJoin": "deliberate theta-join shape, broadcast side"},
+    "basket_brand_lift": {"BroadcastNestedLoopJoin": "single-row order-count scalar"},
+    "ann_ivfpq_topk": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out (IVF assign)"},
 }
 
 
