@@ -111,6 +111,7 @@ def _load_modules() -> None:
         return
     # import for side effect: each module fills REGISTRY
     from pumle_spark.workload import (  # noqa: F401
+        clustering,
         dedup,
         events,
         multimodal,

@@ -1,0 +1,276 @@
+"""Embedding clustering + cluster-blocked semantic dedup (SemDeDup-style).
+
+The reference has no clustering (its grouping needs stop at trap labels,
+`/root/reference/simulation/co2lab3DPUMLE.m:141-144`); this module is part of
+the beyond-reference training-data surface (SURVEY.md §2.13): cluster a corpus
+of embeddings, profile the clusters, and use cluster membership as the
+*blocking key* for semantic near-dedup — the SemDeDup recipe (Abbas et al.
+2023: k-means the embeddings, then dedup only within clusters, never across).
+
+Determinism is the whole game for a distributed pipeline, so this is
+**fixed-point spherical k-means**:
+
+- init centroids = strided vec_ids (no RNG state; same trick as IVF,
+  `workload/similarity.py`);
+- assignment = argmax cosine, ranked on the 6-decimal-rounded similarity with
+  centroid-id tiebreak (cross-engine ties resolve identically);
+- the Lloyd mean update runs in **fixed-point integer arithmetic**: each
+  coordinate is scaled by 1e6 and summed as BIGINT, then divided back in
+  double. Integer sums are exact and associative, so the recomputed centroid
+  is bit-identical regardless of partition count, reduce order, or engine —
+  float means are not (fp addition is non-associative), and a one-ulp
+  centroid wobble can flip an argmax near a tie. This is what makes a
+  1000-executor retrain reproduce the oracle bit-for-bit.
+
+Scale shape (100 TB): assignment is map-side only — K centroids broadcast,
+no shuffle of the corpus; the update is a partial-aggregated groupBy on
+(cluster, dim) — K·D rows out of the map side per partition; iterations are a
+driver-side loop of bounded depth (checkpoint the assignment each round at
+real scale to cap lineage). SemDeDup then inherits IVF economics: pairs form
+only inside a cluster, Σ_c |c|² instead of n²/2, and K grows with n to hold
+|c| constant.
+
+All vector math is JVM expression-tree (zip_with/aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_K = 8
+_STRIDE = 61           # init centroids = vec_id % 61 == 0, vec_id < 488
+_ITERS = 2             # Lloyd iterations (unrolled in the SQL oracle)
+_FP = 1_000_000        # fixed-point scale for the mean update
+_DIM = 64
+_SEM_THRESHOLD = 0.4   # SemDeDup within-cluster cosine threshold
+
+
+# ---------------------------------------------------------------- SQL oracle
+
+def _sql_kmeans_ctes() -> str:
+    """CTE chain: v, c0, (a1, m1, c1) … unrolled _ITERS times, then `final`
+    = assignment against the last centroid set."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, emb AS cemb FROM v
+              WHERE vec_id % {_STRIDE} = 0 AND vec_id < {_K * _STRIDE})""",
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, cid, cos_sim FROM (
+            SELECT v.vec_id, c.cid,
+                   ROUND(list_cosine_similarity(v.emb, c.cemb), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+                              c.cid) AS rn
+            FROM v CROSS JOIN {cents} c)
+          WHERE rn = 1)"""
+
+    for i in range(1, _ITERS + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(f"""m{i} AS (
+          SELECT a.cid, g.d,
+                 SUM(CAST(ROUND(v.emb[g.d + 1] * {_FP}) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM a{i} a JOIN v USING (vec_id)
+          CROSS JOIN generate_series(0, {_DIM - 1}) g(d)
+          GROUP BY a.cid, g.d)""")
+        # empty-cluster fallback: a centroid that captured no members keeps
+        # its previous position (mirrors the Spark-side left-anti union)
+        parts.append(f"""c{i} AS (
+          SELECT cid, list(s / ({_FP}.0 * n) ORDER BY d) AS cemb
+          FROM m{i} GROUP BY cid
+          UNION ALL
+          SELECT cid, cemb FROM c{i - 1}
+          WHERE cid NOT IN (SELECT cid FROM m{i}))""")
+    parts.append(assign("final", f"c{_ITERS}"))
+    return ",\n".join(parts)
+
+
+_SQL_KMEANS_ASSIGN = f"""
+    WITH {_sql_kmeans_ctes()}
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, cos_sim
+    FROM final
+"""
+
+_SQL_KMEANS_PROFILE = f"""
+    WITH {_sql_kmeans_ctes()}
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_members,
+           ROUND(SUM(CAST(ROUND(cos_sim * {_FP}) AS BIGINT)) / ({_FP}.0 * COUNT(*)), 6)
+             AS mean_cos
+    FROM final
+    GROUP BY cid
+"""
+
+_SQL_SEMDEDUP = f"""
+    WITH {_sql_kmeans_ctes()},
+    pairs AS (
+      SELECT fa.cid, fa.vec_id AS keeper_id, fb.vec_id AS vec_id,
+             ROUND(list_cosine_similarity(va.emb, vb.emb), 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY fb.vec_id ORDER BY fa.vec_id) AS rn
+      FROM final fa
+      JOIN final fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+      JOIN v va ON va.vec_id = fa.vec_id
+      JOIN v vb ON vb.vec_id = fb.vec_id
+      WHERE list_cosine_similarity(va.emb, vb.emb) >= {_SEM_THRESHOLD}
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, keeper_id, cos_sim
+    FROM pairs WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------- Spark side
+
+def _vecd():
+    return F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+
+
+def _init_centroids(v: DataFrame) -> DataFrame:
+    return v.filter((F.col("vec_id") % _STRIDE == 0) & (F.col("vec_id") < _K * _STRIDE)).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, cos_sim): nearest centroid by rounded cosine; the
+    centroid side is always broadcast — the corpus never shuffles."""
+    cn = cents.withColumn("cn", _dot(F.col("cemb"), F.col("cemb")))
+    vn = v.withColumn("vn", _dot(F.col("emb"), F.col("emb")))
+    cos = _dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("vn") * F.col("cn"))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
+        "vec_id", "cid", F.round(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def _update(v: DataFrame, asg: DataFrame, cents_prev: DataFrame) -> DataFrame:
+    """Fixed-point Lloyd update: per-(cluster, dim) exact BIGINT sums of
+    1e6-scaled coordinates, divided back in double. Bit-reproducible under
+    any partitioning (integer addition is associative). Empty clusters keep
+    their previous centroid."""
+    memb = asg.select("vec_id", "cid").join(v, "vec_id")
+    per_dim = (
+        memb.select("cid", F.posexplode("emb").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(
+            F.sum(F.round(F.col("x") * _FP).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("val", F.col("s") / (F.lit(float(_FP)) * F.col("n")))
+    )
+    new_c = per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "val"))), lambda s: s["val"]
+        ).alias("cemb")
+    )
+    kept = cents_prev.join(new_c.select("cid"), "cid", "left_anti").select("cid", "cemb")
+    return new_c.unionByName(kept)
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _corpus(spark, sf_dir)
+    cents = _init_centroids(v)
+    for _ in range(_ITERS):
+        asg = _assign(v, cents)
+        # localCheckpoint truncates the per-iteration lineage: without it the
+        # final plan re-executes every earlier assignment once per downstream
+        # use (same pattern as the watershed pointer-jumping loop,
+        # operators/terrain.py). K·D stays tiny next to the corpus, so the
+        # checkpoint is O(K·D) — never collect()ed to the driver, which keeps
+        # the path viable at K=100k on a real cluster.
+        cents = _update(v, asg, cents).localCheckpoint(eager=True)
+    return _assign(v, cents)
+
+
+@register("cluster_kmeans_embeddings", sql=_SQL_KMEANS_ASSIGN, tags=("clustering", "kmeans"))
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignment after {_ITERS} fixed-point Lloyd
+    iterations: (vec_id, cluster_id, cos_sim). See module docstring for the
+    determinism contract; the DuckDB oracle unrolls the identical iterations
+    as CTEs and hash-matches bit-for-bit."""
+    return _kmeans_final(spark, sf_dir).select(
+        "vec_id", F.col("cid").cast("int").alias("cluster_id"), "cos_sim"
+    )
+
+
+@register("cluster_kmeans_profile", sql=_SQL_KMEANS_PROFILE, tags=("clustering", "kmeans"))
+def cluster_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality profile: size + mean member-to-centroid cosine per
+    cluster. The mean pools via exact BIGINT sums of the 6-decimal cosines
+    (group-sum fold order is engine-dependent for doubles, never for ints) —
+    the same fixed-point pooling rule the multimodal fake codec uses."""
+    final = _kmeans_final(spark, sf_dir)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("cos_sim") * _FP).cast("long")) / (F.lit(float(_FP)) * F.count(F.lit(1))),
+            6,
+        ).alias("mean_cos"),
+    ).select(F.col("cid").cast("int").alias("cluster_id"), "n_members", "mean_cos")
+
+
+@register("cluster_semdedup_pairs", sql=_SQL_SEMDEDUP, tags=("clustering", "dedup", "semdedup"))
+def cluster_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop a vector when a lower-id vector in the SAME k-means
+    cluster is cosine-similar above {_SEM_THRESHOLD}; report each dropped
+    vector with its smallest keeper. Cluster membership is the blocking key —
+    candidate pairs are Σ_c |c|², not n²/2, and K scales with corpus size to
+    hold |c| constant (the 100 TB path). Chains collapse leftward like the
+    min-label rule in dedup_minhash_clusters: a keeper may itself be dropped
+    by a still-smaller keeper."""
+    v = _corpus(spark, sf_dir)
+    # attach embedding + squared norm ONCE per vector before the pair join:
+    # per-pair work is then a single dot product, not three (the norms of a
+    # vector are invariant across the |c| pairs it appears in)
+    memb = (
+        _kmeans_final(spark, sf_dir)
+        .select("vec_id", "cid")
+        .join(v, "vec_id")
+        .withColumn("nn", _dot(F.col("emb"), F.col("emb")))
+    )
+    a = memb.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ka"),
+        F.col("emb").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = memb.select(
+        F.col("cid"),
+        F.col("vec_id").alias("kb"),
+        F.col("emb").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .filter(F.col("ka") < F.col("kb"))
+        .withColumn("cos_raw", _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= _SEM_THRESHOLD)
+        .select(
+            F.col("kb").alias("vec_id"),
+            F.col("cid"),
+            F.col("ka").alias("keeper_id"),
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("keeper_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").cast("int").alias("cluster_id"), "keeper_id", "cos_sim")
+    )

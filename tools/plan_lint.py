@@ -50,6 +50,11 @@ ALLOW = {
     "join_theta_balance_dominance": {"BroadcastNestedLoopJoin": "deliberate theta-join shape, broadcast side"},
     "basket_brand_lift": {"BroadcastNestedLoopJoin": "single-row order-count scalar"},
     "ann_ivfpq_topk": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out (IVF assign)"},
+    # k-means assignment is the same corpus x K-centroid constant fan-out as
+    # IVF assign, once per Lloyd iteration; the corpus never shuffles
+    "cluster_kmeans_embeddings": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
+    "cluster_kmeans_profile": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
+    "cluster_semdedup_pairs": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
 }
 
 
