@@ -114,6 +114,9 @@ def _load_modules() -> None:
         clustering,
         dedup,
         events,
+        graph,
+        layout,
+        linkage,
         multimodal,
         physics,
         pipeline,

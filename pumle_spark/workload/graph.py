@@ -1,0 +1,141 @@
+"""Graph centrality on DataFrames: integer PageRank over the trade graph.
+
+Beyond-reference surface (SURVEY.md §2.13). The engine already runs two
+iterative graph algorithms with *convergence-driven* loops (connected
+components, watershed pointer-jumping — `operators/terrain.py`); this adds
+the third classic shape: a *fixed-iteration* damped random walk, unrolled
+identically in the DuckDB oracle.
+
+Determinism rule (same as fixed-point k-means, `workload/clustering.py`):
+PageRank in doubles is not cross-engine reproducible — the per-node
+contribution sum is a float reduction whose fold order differs per engine
+and per partitioning. So ranks live in **integer micro-units** (total mass
+10^12): contributions are `rank DIV out_degree`, damping is `(85·Σ) DIV
+100`, every step exact BIGINT arithmetic. The result is bit-identical on
+any cluster size — an auditable centrality score.
+
+Graph: bipartite customer↔supplier edges (a distinct (custkey, suppkey)
+pair per order line), symmetrized, so every node has out-degree ≥ 1 and no
+dangling-mass correction is needed.
+
+Scale shape: edges + degrees are computed once and localCheckpoint-ed
+(lineage truncation for the loop — terrain's pattern); each iteration is
+one equi-join on src + one groupBy dst, both hash-partitioned on the node
+id; the node-count scalar is a single-row broadcast. At 100 TB the edge
+list is the big table and it shuffles exactly once per iteration — the same
+economics as every vertex-centric BSP system (Pregel), expressed in plain
+DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_MASS = 1_000_000_000_000  # total rank mass, micro-units
+_ITERS = 3
+_TOP = 20
+
+_SQL_GRAPH = """
+    pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
+def _sql_iter(i: int, prev: str) -> str:
+    return f"""
+    s{i} AS (
+      SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    it{i} AS (
+      SELECT node, (15 * {_MASS}) // (100 * nn.n) + (85 * s) // 100 AS r
+      FROM s{i} CROSS JOIN nn
+    )"""
+
+
+_SQL_PAGERANK = (
+    "WITH "
+    + _SQL_GRAPH
+    + f""",
+    r0 AS (SELECT src AS node, {_MASS} // nn.n AS r FROM deg CROSS JOIN nn),
+    """
+    + ",".join(_sql_iter(i, f"it{i - 1}" if i > 1 else "r0") for i in range(1, _ITERS + 1))
+    + f"""
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           r AS rank_micro,
+           CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT node, r,
+                 ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn
+          FROM it{_ITERS})
+    WHERE rn <= {_TOP}
+    """
+)
+
+
+@register("graph_pagerank_trade", sql=_SQL_PAGERANK, tags=("graph", "pagerank", "iterative"))
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOP} nodes of the customer↔supplier trade graph after {_ITERS}
+    integer PageRank iterations (damping 0.85 as the exact 85//100). See
+    module docstring for the graph and determinism contract."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .unionAll(pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")))
+        .localCheckpoint(eager=True)  # computed once, reused every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    nn = deg.select(F.count(F.lit(1)).alias("n"))
+
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), F.expr(f"{_MASS} div n").alias("r")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        ranks = sums.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            (F.expr(f"(15 * {_MASS}) div (100 * n)") + F.expr("(85 * s) div 100")).alias("r"),
+        )
+    # distributed top-k first (TakeOrderedAndProject — per-partition heads,
+    # driver merge of _TOP rows), THEN a row_number over just those rows;
+    # a global window here would sort the whole node set on one partition
+    top = ranks.orderBy(F.col("r").desc(), F.col("node")).limit(_TOP)
+    w = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("r").alias("rank_micro"),
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )

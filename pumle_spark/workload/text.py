@@ -571,3 +571,69 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker_count("<URL>", 5).alias("n_urls"),
         marker_count("<NUM>", 5).alias("n_longnums"),
     )
+
+
+_POSTINGS_K = 8
+_MIN_DF = 5
+
+
+@register(
+    "text_inverted_postings",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM d),
+    stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM (SELECT DISTINCT term, doc_id FROM tok)
+    ),
+    heads AS (
+      SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS postings_head
+      FROM ranked WHERE rn <= {_POSTINGS_K} GROUP BY term
+    )
+    SELECT s.term, s.tf, s.df, h.postings_head
+    FROM stats s JOIN heads h USING (term)
+    WHERE s.df >= {_MIN_DF}
+    """,
+    tags=("text", "index", "retrieval"),
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → (total tf, document frequency, first
+    {_POSTINGS_K} doc ids of the posting list as a CSV string). The posting
+    head is computed with a per-term window rank BEFORE any collection, so
+    no executor ever materializes a full posting list — the standard way to
+    keep index construction memory-flat when a stopword-like term matches
+    half the corpus. Output heads are strings (not arrays) so the driver's
+    value hash sees an identical scalar on both engines.
+
+    Scale shape: one explode (map-side), one (term, doc) distinct + window
+    shuffle partitioned by term, one groupBy term. At 100 TB the full index
+    would instead write `repartition(term).sortWithinPartitions(doc_id)`
+    straight to a partitioned store — same plan minus the head truncation."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col("doc_id")).alias("df"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        tok.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_K)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string"))
+            ).alias("postings_head")
+        )
+    )
+    return (
+        stats.join(heads, "term")
+        .filter(F.col("df") >= _MIN_DF)
+        .select("term", "tf", "df", "postings_head")
+    )

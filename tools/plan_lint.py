@@ -55,6 +55,8 @@ ALLOW = {
     "cluster_kmeans_embeddings": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
     "cluster_kmeans_profile": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
     "cluster_semdedup_pairs": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
+    "layout_zorder_orders": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
+    "graph_pagerank_trade": {"BroadcastNestedLoopJoin": "single-row node-count scalar per iteration"},
 }
 
 
