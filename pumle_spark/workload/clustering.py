@@ -148,9 +148,11 @@ def _init_centroids(v: DataFrame) -> DataFrame:
 
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid, cos_sim): nearest centroid by rounded cosine; the
-    centroid side is always broadcast — the corpus never shuffles."""
+    centroid side is always broadcast — the corpus never shuffles. `v` may
+    already carry a `vn` squared-norm column (computed once per pipeline,
+    not once per iteration)."""
     cn = cents.withColumn("cn", _dot(F.col("cemb"), F.col("cemb")))
-    vn = v.withColumn("vn", _dot(F.col("emb"), F.col("emb")))
+    vn = v if "vn" in v.columns else v.withColumn("vn", _dot(F.col("emb"), F.col("emb")))
     cos = _dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("vn") * F.col("cn"))
     scored = vn.crossJoin(F.broadcast(cn)).select(
         "vec_id", "cid", F.round(cos, 6).alias("cos_sim")
@@ -184,7 +186,7 @@ def _update(v: DataFrame, asg: DataFrame, cents_prev: DataFrame) -> DataFrame:
 
 
 def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _corpus(spark, sf_dir)
+    v = _corpus(spark, sf_dir).withColumn("vn", _dot(F.col("emb"), F.col("emb")))
     cents = _init_centroids(v)
     for _ in range(_ITERS):
         asg = _assign(v, cents)

@@ -342,3 +342,176 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / F.col("nv"), 4).alias("conv_from_view"),
     )
+
+
+@register(
+    "events_session_window_builtin",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ),
+    flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(tus) AS session_start_us,
+           MIN(tus) + (MAX(tus) - MIN(tus)) + {_SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("events", "session", "window"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization as events_sessionize, but through Spark's
+    native ``session_window`` operator — the one Structured Streaming uses
+    for stateful session aggregation (its batch and streaming semantics are
+    identical, which is why this query exists: it pins the builtin against
+    the gaps-and-islands SQL formulation, probe-verified to merge on
+    diff == gap exactly). session_window.end is max(ts)+gap by definition,
+    so the oracle reconstructs it arithmetically.
+
+    Scale note: one shuffle on user_id, sessions merged map-side per
+    partition — unlike the lag/running-sum formulation this needs no second
+    window pass, and it is the only formulation that carries over to the
+    streaming path with state eviction."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    gap_sec = _SESSION_GAP_US // 1_000_000
+    return (
+        e.groupBy("user_id", F.session_window("ts", f"{gap_sec} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_GRID_STEP_US = 3600 * 1_000_000  # hourly slots
+_GRID_CAP = 1000  # ≥ hours in any test window (30 days = 720)
+_GAPFILL_USER_MOD = 10  # user subset: user_id % 10 == 0
+
+
+@register(
+    "events_gapfill_interpolate",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tus, value
+      FROM events WHERE user_id % {_GAPFILL_USER_MOD} = 0
+    ),
+    bounds AS (
+      SELECT (MIN(tus) // {_GRID_STEP_US}) * {_GRID_STEP_US} AS h0,
+             (MAX(tus) // {_GRID_STEP_US}) AS hmax
+      FROM ev
+    ),
+    slots AS (
+      SELECT b.h0 + g.i * {_GRID_STEP_US} AS tus
+      FROM bounds b CROSS JOIN generate_series(0, {_GRID_CAP}) g(i)
+      WHERE b.h0 + g.i * {_GRID_STEP_US} <= b.hmax * {_GRID_STEP_US}
+    ),
+    unioned AS (
+      SELECT user_id, tus, value, 1 AS is_event FROM ev
+      UNION ALL
+      SELECT u.user_id, s.tus, NULL AS value, 0 AS is_event
+      FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN slots s
+    ),
+    walled AS (
+      SELECT user_id, tus, is_event,
+             LAST_VALUE(value IGNORE NULLS) OVER wprev AS pv,
+             LAST_VALUE(CASE WHEN is_event = 1 THEN tus END IGNORE NULLS) OVER wprev AS pt,
+             FIRST_VALUE(value IGNORE NULLS) OVER wnext AS nv,
+             FIRST_VALUE(CASE WHEN is_event = 1 THEN tus END IGNORE NULLS) OVER wnext AS nt
+      FROM unioned
+      WINDOW
+        wprev AS (PARTITION BY user_id ORDER BY tus, is_event DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wnext AS (PARTITION BY user_id ORDER BY tus, is_event DESC
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, tus AS slot_us,
+           ROUND(pv + (nv - pv) * ((tus - pt) / CAST(nt - pt AS DOUBLE)), 6)
+             AS value_interp
+    FROM walled
+    WHERE is_event = 0 AND pv IS NOT NULL AND nv IS NOT NULL
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: linear interpolation of `value` onto an hourly
+    grid per user (the hypertable `time_bucket_gapfill + interpolate`
+    surface). One union of events + grid slots, one window pass backward
+    (last event at-or-before the slot) and one forward (first event strictly
+    after), interpolate in plain arithmetic; slots outside a user's event
+    span stay absent (no extrapolation).
+
+    Ordering contract at a slot that coincides with an event: the event
+    sorts BEFORE the slot (is_event DESC), so the backward window sees it
+    (prev = value at the slot instant, interpolation degenerates to exactly
+    that value) and the forward window — which starts 1 ROW FOLLOWING —
+    does not. Both engines state the identical window, so the tie is not
+    engine-dependent.
+
+    Scale shape: the grid is constant-size per time range (a broadcast),
+    events shuffle once on user_id, both windows share that partitioning.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % _GAPFILL_USER_MOD == 0)
+        .select("user_id", F.unix_micros("ts").alias("tus"), "value")
+    )
+    step = F.lit(_GRID_STEP_US).cast("long")
+    bounds = ev.select(
+        (F.floor(F.min("tus") / step) * step).cast("long").alias("h0"),
+        F.floor(F.max("tus") / step).cast("long").alias("hmax"),
+    )
+    slots = (
+        bounds.select(F.explode(F.sequence(F.lit(0), F.lit(_GRID_CAP))).alias("i"), "h0", "hmax")
+        .withColumn("tus", F.col("h0") + F.col("i") * step)
+        .filter(F.col("tus") <= F.col("hmax") * step)
+        .select("tus")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(slots)).select(
+        "user_id", "tus", F.lit(None).cast("double").alias("value"), F.lit(0).alias("is_event")
+    )
+    unioned = ev.select("user_id", "tus", "value", F.lit(1).alias("is_event")).unionByName(grid)
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tus"), F.col("is_event").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tus"), F.col("is_event").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev_tus = F.when(F.col("is_event") == 1, F.col("tus"))
+    walled = unioned.select(
+        "user_id",
+        "tus",
+        "is_event",
+        F.last("value", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(ev_tus, ignorenulls=True).over(wprev).alias("pt"),
+        F.first("value", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(ev_tus, ignorenulls=True).over(wnext).alias("nt"),
+    )
+    frac = (F.col("tus") - F.col("pt")) / (F.col("nt") - F.col("pt")).cast("double")
+    return (
+        walled.filter((F.col("is_event") == 0) & F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            "user_id",
+            F.col("tus").alias("slot_us"),
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6).alias("value_interp"),
+        )
+    )

@@ -57,6 +57,7 @@ ALLOW = {
     "cluster_semdedup_pairs": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out per iteration"},
     "layout_zorder_orders": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
     "graph_pagerank_trade": {"BroadcastNestedLoopJoin": "single-row node-count scalar per iteration"},
+    "events_gapfill_interpolate": {"BroadcastNestedLoopJoin": "constant-size hourly slot grid broadcast"},
 }
 
 
