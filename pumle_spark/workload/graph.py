@@ -101,12 +101,19 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = (
-        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
-        .unionAll(pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")))
-        .localCheckpoint(eager=True)  # computed once, reused every iteration
+    # NO explicit materialization of the edge list: localCheckpoint pins
+    # deserialized rows and persist() pins columnar batches — both measured
+    # to OOM a small heap at sf1 with 32 concurrent tasks. The fixed
+    # 3-iteration unroll keeps everything in ONE action, where Catalyst's
+    # ReuseExchange deduplicates the identical edge/degree subtrees (the
+    # shuffle files are the cache), so nothing is ever pinned in executor
+    # memory and the query is spill-safe at any scale. Explicit
+    # checkpointing only pays off for unbounded convergence loops
+    # (operators/terrain.py).
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nn = deg.select(F.count(F.lit(1)).alias("n"))
 
     ranks = deg.crossJoin(F.broadcast(nn)).select(
