@@ -124,6 +124,7 @@ def _load_modules() -> None:
         relational2,
         sampling,
         similarity,
+        sketches,
         terrain,
         text,
     )

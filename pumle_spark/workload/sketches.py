@@ -1,0 +1,403 @@
+"""Probabilistic-sketch operators: HyperLogLog distinct, count-min frequency,
+bloom-filter membership.
+
+Sketches are the 100 TB answer to "how many / how often / is it there"
+questions that don't need exact answers: a fixed-size summary replaces a
+full-cardinality shuffle. The catch for a distributed engine is
+determinism — a sketch built from RNG-seeded hashes differs between
+engines and reruns. Every sketch here derives its hash bits from md5 of
+the key (the repo-wide determinism trick, cf. workload/sampling.py), so a
+1000-executor Spark build and the DuckDB oracle produce byte-identical
+sketches and therefore identical estimates — the estimates themselves are
+hash-compared, not just bounded.
+
+All three are pure JVM expression + groupBy plans: no UDFs, no state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: m=256 buckets, 32-bit hash window.
+#
+# bucket = first byte of md5(key); w = next 32 bits; rho = position of the
+# leftmost 1-bit of w (1..33, 33 when w=0). Registers M_b = max(rho) per
+# bucket. The harmonic-mean estimate sums 2^-M_b over buckets; to keep that
+# sum EXACT (a 256-term double sum is order-dependent), each term is scaled
+# by 2^33 into an integer: term = 1 << (33 - M), empty bucket term = 2^33.
+# The only floating-point step is one final division — deterministic on both
+# engines because the operands are identical integers.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+# alpha_256 * m^2 * 2^33, written as the same literal arithmetic on both
+# engines so the doubles match bit-for-bit
+_HLL_NUM = f"(0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M * _HLL_M}.0 * 8589934592.0"
+
+# Small-range (linear-counting) correction: E = m * ln(m / V) when the raw
+# harmonic estimate is <= 2.5m and V (empty buckets) > 0. ln() differs
+# between libm and the JVM in the last ulp, so it can't appear in an
+# oracle-compared expression — but V only takes 256 possible values, so the
+# correction ships as a literal lookup table computed once in Python.
+# repr() round-trips doubles exactly, so both engines parse the identical
+# bit pattern and the CASE/join lookup stays deterministic.
+import math as _math
+
+_HLL_LC = [(v, _HLL_M * _math.log(_HLL_M / v)) for v in range(1, _HLL_M + 1)]
+_HLL_LC_SQL = ", ".join(f"({v}, {est!r})" for v, est in _HLL_LC)
+_HLL_SMALL = 2.5 * _HLL_M
+
+
+@register(
+    "sketch_hll_distinct",
+    sql=f"""
+    WITH hashed AS (
+      SELECT o_orderstatus AS status,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 8))::BIGINT AS w32
+      FROM orders
+    ),
+    regs AS (
+      SELECT status, bucket,
+             MAX(CASE WHEN w32 = 0 THEN 33 ELSE 33 - length(bin(w32)) END) AS m_reg
+      FROM hashed GROUP BY status, bucket
+    ),
+    per_status AS (
+      SELECT status,
+             COUNT(*) AS n_filled,
+             SUM(1::BIGINT << (33 - m_reg))::BIGINT AS s_filled
+      FROM regs GROUP BY status
+    ),
+    est AS (
+      SELECT status,
+             CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty_buckets,
+             {_HLL_NUM} / CAST(s_filled + ({_HLL_M} - n_filled) * 8589934592 AS DOUBLE)
+               AS raw_est
+      FROM per_status
+    ),
+    corrected AS (
+      SELECT e.status, e.n_empty_buckets,
+             CASE WHEN e.raw_est <= {_HLL_SMALL!r} AND e.n_empty_buckets > 0
+                  THEN lc.lc_est ELSE e.raw_est END AS chosen_est
+      FROM est e LEFT JOIN (VALUES {_HLL_LC_SQL}) lc(v, lc_est)
+        ON lc.v = e.n_empty_buckets
+    ),
+    exact AS (
+      SELECT o_orderstatus AS status, COUNT(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT c.status, x.exact_distinct, c.n_empty_buckets,
+           ROUND(c.chosen_est, 3) AS hll_estimate,
+           ROUND(100.0 * (c.chosen_est - x.exact_distinct) / x.exact_distinct, 3) AS rel_err_pct
+    FROM corrected c JOIN exact x ON c.status = x.status
+    ORDER BY c.status
+    """,
+    tags=("sketch", "hll", "distinct"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate (m=256) of customers per order
+    status, next to the exact count and the relative error — the sketch
+    accuracy is part of the result, not an assertion. Includes the
+    standard small-range linear-counting correction (m*ln(m/V)), shipped
+    as a 256-entry literal lookup because ln() itself is not
+    ulp-identical across engines.
+
+    Scale: the exact COUNT(DISTINCT) shuffles every distinct key; the HLL
+    path shuffles at most 256 register rows per group no matter how many
+    keys exist — at 100 TB that is the difference between a full-data
+    exchange and a few KB. Registers also merge associatively (max per
+    bucket), so partial sketches combine map-side. Spark's own
+    approx_count_distinct is the production shortcut; this formulation
+    exists because its HLL++ seed is engine-private, while md5-derived
+    registers are reproducible anywhere — the property the oracle gate
+    hash-verifies.
+    """
+    o = table(spark, sf_dir, "orders")
+    key_md5 = F.md5(F.col("o_custkey").cast("string"))
+    w32 = F.conv(F.substring(key_md5, 3, 8), 16, 10).cast("bigint")
+    hashed = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.conv(F.substring(key_md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        w32.alias("w32"),
+    )
+    # rho = leftmost-1-bit position in the 32-bit window: 33 - bitlength(w)
+    rho = F.when(F.col("w32") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(F.col("w32").cast("string"), 10, 2))
+    )
+    regs = hashed.groupBy("status", "bucket").agg(F.max(rho).alias("m_reg"))
+    per_status = regs.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        # python shiftleft() only takes a literal bit count, so column shifts go via expr
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - m_reg)")).alias("s_filled"),
+    )
+    est = per_status.select(
+        "status",
+        (F.lit(_HLL_M) - F.col("n_filled")).cast("bigint").alias("n_empty_buckets"),
+        (
+            F.expr(_HLL_NUM)
+            / (
+                F.col("s_filled") + (F.lit(_HLL_M) - F.col("n_filled")) * F.lit(8589934592)
+            ).cast("double")
+        ).alias("raw_est"),
+    )
+    lc = spark.createDataFrame(_HLL_LC, "v bigint, lc_est double")
+    corrected = (
+        est.join(F.broadcast(lc), est["n_empty_buckets"] == lc["v"], "left")
+        .withColumn(
+            "chosen_est",
+            F.when(
+                (F.col("raw_est") <= F.lit(_HLL_SMALL)) & (F.col("n_empty_buckets") > 0),
+                F.col("lc_est"),
+            ).otherwise(F.col("raw_est")),
+        )
+        .drop("v", "lc_est")
+    )
+    exact = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        corrected.join(exact, "status")
+        .select(
+            "status",
+            "exact_distinct",
+            "n_empty_buckets",
+            F.round("chosen_est", 3).alias("hll_estimate"),
+            F.round(
+                100.0 * (F.col("chosen_est") - F.col("exact_distinct")) / F.col("exact_distinct"),
+                3,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: d=4 rows x w=512 columns over lineitem part frequencies.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOPK = 20
+
+
+@register(
+    "sketch_cms_frequency",
+    sql=f"""
+    WITH cells AS (
+      SELECT r.i AS row_i,
+             ('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR) || '|' || r.i), 1, 8))::BIGINT
+               % {_CMS_W} AS col_j,
+             COUNT(*) AS cnt
+      FROM lineitem l CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+      GROUP BY r.i, col_j
+    ),
+    exact AS (
+      SELECT l_partkey, COUNT(*) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, l_partkey LIMIT {_CMS_TOPK}
+    ),
+    probe AS (
+      SELECT e.l_partkey, e.exact_cnt, r.i AS row_i,
+             ('0x' || substr(md5(CAST(e.l_partkey AS VARCHAR) || '|' || r.i), 1, 8))::BIGINT
+               % {_CMS_W} AS col_j
+      FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+    )
+    SELECT p.l_partkey, p.exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_cnt,
+           CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probe p JOIN cells c ON p.row_i = c.row_i AND p.col_j = c.col_j
+    GROUP BY p.l_partkey, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.l_partkey
+    """,
+    tags=("sketch", "cms", "frequency"),
+)
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 x w=512) of part frequencies in lineitem,
+    probed at the top-20 exact heavy hitters; reports estimate and
+    overcount (CMS never undercounts — a pytest invariant).
+
+    Scale: the sketch is a FIXED d*w = 2048-cell table regardless of input
+    size — the build is one groupBy over (row, col) with map-side partial
+    counts, and the probe is a broadcast-sized join. Heavy-hitter tracking
+    over 100 TB of token/url/partkey streams with bounded memory is
+    exactly this shape; compare workload/sampling.py heavy_hitters (exact,
+    shuffles every key) for the cost the sketch avoids.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("row_i")
+
+    def col_j(key: F.Column, row_i: F.Column) -> F.Column:
+        h = F.md5(F.concat(key.cast("string"), F.lit("|"), row_i.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    cells = (
+        li.select(F.col("l_partkey"), rows)
+        .select("row_i", col_j(F.col("l_partkey"), F.col("row_i")).alias("col_j"))
+        .groupBy("row_i", "col_j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(_CMS_TOPK)
+    )
+    probe = exact.select("l_partkey", "exact_cnt", rows).select(
+        "l_partkey",
+        "exact_cnt",
+        "row_i",
+        col_j(F.col("l_partkey"), F.col("row_i")).alias("col_j"),
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["row_i", "col_j"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_cnt",
+            (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: m=4096 bits as 128 x 32-bit words, k=3 hashes.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_BLOOM_WORD = 32  # bits per word; masks stay well inside a signed 64-bit lane
+
+
+def _bloom_pos_sql(i: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || {i}), 1, 8))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "sketch_bloom_membership",
+    sql=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    member_bits AS (
+      SELECT ({_bloom_pos_sql('r.i')}) // {_BLOOM_WORD} AS word_idx,
+             bit_or(1::BIGINT << (({_bloom_pos_sql('r.i')}) % {_BLOOM_WORD})) AS word
+      FROM members CROSS JOIN (VALUES (0), (1), (2)) r(i)
+      GROUP BY word_idx
+    ),
+    probe AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             ({_bloom_pos_sql('r.i')}) // {_BLOOM_WORD} AS word_idx,
+             ({_bloom_pos_sql('r.i')}) % {_BLOOM_WORD} AS bit_pos
+      FROM customer c CROSS JOIN (VALUES (0), (1), (2)) r(i)
+    ),
+    verdicts AS (
+      SELECT p.c_custkey, p.c_mktsegment,
+             MIN((COALESCE(b.word, 0) >> p.bit_pos) & 1) AS all_bits,
+             MAX(CASE WHEN m.c_custkey IS NULL THEN 0 ELSE 1 END) AS is_member
+      FROM probe p
+      LEFT JOIN member_bits b ON p.word_idx = b.word_idx
+      LEFT JOIN members m ON p.c_custkey = m.c_custkey
+      GROUP BY p.c_custkey, p.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(all_bits) AS BIGINT) AS n_bloom_positive,
+           CAST(SUM(CASE WHEN all_bits = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive,
+           ROUND(100.0 * SUM(CASE WHEN all_bits = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                 / NULLIF(COUNT(*) - SUM(is_member), 0), 3) AS fpr_pct
+    FROM verdicts
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sketch", "bloom", "membership"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (4096 bits, k=3) over customers who ordered in 1995,
+    probed by the full customer table; per market segment reports bloom
+    positives vs ground truth and the measured false-positive rate
+    (never a false negative — a pytest invariant).
+
+    Scale: the filter is 128 words — broadcastable state that stands in
+    for the full member set. At 100 TB this is the pre-filter that turns
+    a fact-to-fact semi-join into [broadcast bloom probe -> tiny exact
+    join on survivors]: the same runtime-filter pattern Spark's own
+    bloom-join rule injects, materialized here as an explicit, portable
+    operator (the sketch words are engine-neutral integers).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def pos(i: int, key: F.Column = F.col("c_custkey")) -> F.Column:
+        h = F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+
+    members = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    bits = members.select(
+        F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("bit")
+    ).select(
+        (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))").alias("mask"),
+    )
+    sketch = bits.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+
+    probe = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("bit"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+        (F.col("bit") % _BLOOM_WORD).cast("int").alias("bit_pos"),
+    )
+    checked = (
+        probe.join(F.broadcast(sketch), "word_idx", "left")
+        .withColumn(
+            "bit_set",
+            F.expr("shiftright(coalesce(word, CAST(0 AS BIGINT)), bit_pos) & CAST(1 AS BIGINT)"),
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.min("bit_set").alias("all_bits"))
+    )
+    verdicts = checked.join(
+        members.withColumn("is_member_", F.lit(1)), "c_custkey", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_member_"), F.lit(0)))
+    fp = F.when((F.col("all_bits") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    return (
+        verdicts.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("is_member").alias("n_true_members"),
+            F.sum("all_bits").alias("n_bloom_positive"),
+            F.sum(fp).alias("n_false_positive"),
+            F.round(
+                100.0
+                * F.sum(fp)
+                / F.nullif((F.count(F.lit(1)) - F.sum("is_member")).cast("double"), F.lit(0.0)),
+                3,
+            ).alias("fpr_pct"),
+        )
+        .orderBy("c_mktsegment")
+    )
