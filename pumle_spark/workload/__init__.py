@@ -113,6 +113,7 @@ def _load_modules() -> None:
     from pumle_spark.workload import (  # noqa: F401
         clustering,
         dedup,
+        drift,
         events,
         graph,
         layout,

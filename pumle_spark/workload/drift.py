@@ -1,0 +1,184 @@
+"""Dataset-evolution operators: distribution drift and snapshot change
+capture.
+
+A long-lived corpus pipeline re-ingests sources continually; the two
+questions its operators must answer are "did a source's composition shift?"
+(drift) and "what exactly changed since the last snapshot?" (CDC). Both are
+pure relational plans here.
+
+Determinism note for the drift statistics: a chi-square or TVD total is a
+SUM of double terms, and double summation is fold-order-dependent — a
+1000-partition Spark sum and DuckDB's serial sum disagree in the last ulp.
+The repo-wide fix applies: each term is a single deterministic double
+expression, cast to DECIMAL(28,9) (fixing term precision at 1e-9), summed
+EXACTLY in decimal, and only then surfaced as a rounded double. The
+statistic is thus defined to 1e-9 term precision — identical on every
+engine and every partitioning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_TERM_DEC = "decimal(28,9)"
+
+
+@register(
+    "drift_source_lang_profile",
+    sql="""
+    WITH nt AS (SELECT COUNT(*) AS n_total FROM documents),
+    per_source AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
+    per_lang AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    observed AS (SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang),
+    grid AS (
+      SELECT s.source, s.n_source, l.lang, l.n_lang, nt.n_total,
+             COALESCE(ob.o, 0) AS o
+      FROM per_source s CROSS JOIN per_lang l CROSS JOIN nt
+      LEFT JOIN observed ob ON ob.source = s.source AND ob.lang = l.lang
+    ),
+    terms AS (
+      SELECT source, n_source, o,
+             CAST(n_source * n_lang AS DOUBLE) / n_total AS e,
+             abs(CAST(o AS DOUBLE) / n_source - CAST(n_lang AS DOUBLE) / n_total) AS tvd_term
+      FROM grid
+    ),
+    sums AS (
+      SELECT source, MAX(n_source) AS n_docs,
+             SUM(CAST((o - e) * (o - e) / e AS DECIMAL(28,9))) AS chi2_dec,
+             SUM(CAST(tvd_term AS DECIMAL(28,9))) AS tvd_dec
+      FROM terms GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(chi2_dec AS DOUBLE), 6) AS chi2,
+           ROUND(CAST(tvd_dec AS DOUBLE) / 2.0, 6) AS tvd
+    FROM sums ORDER BY source
+    """,
+    tags=("drift", "quality"),
+)
+def drift_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source composition drift vs the global corpus: chi-square
+    statistic and total-variation distance of each source's language
+    distribution against the pooled one (zero cells included — a source
+    missing a language entirely is exactly the drift signal).
+
+    Scale: three tiny aggregates (|sources|, |langs|, grid of their
+    product) after one map-side-combinable count per (source, lang); the
+    fact table is scanned once, everything downstream is dimension-sized.
+    The decimal-sum trick makes the statistics partition-count-invariant,
+    so a monitoring job can diff them across runs byte-for-byte.
+    """
+    d = table(spark, sf_dir, "documents")
+    nt = d.agg(F.count(F.lit(1)).alias("n_total"))
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    observed = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        per_source.crossJoin(F.broadcast(per_lang))
+        .crossJoin(F.broadcast(nt))
+        .join(observed, ["source", "lang"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    terms = grid.select(
+        "source",
+        "n_source",
+        "o",
+        ((F.col("n_source") * F.col("n_lang")).cast("double") / F.col("n_total")).alias("e"),
+        F.abs(
+            F.col("o").cast("double") / F.col("n_source")
+            - F.col("n_lang").cast("double") / F.col("n_total")
+        ).alias("tvd_term"),
+    )
+    sums = terms.groupBy("source").agg(
+        F.max("n_source").alias("n_docs"),
+        F.sum(
+            ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).cast(_TERM_DEC)
+        ).alias("chi2_dec"),
+        F.sum(F.col("tvd_term").cast(_TERM_DEC)).alias("tvd_dec"),
+    )
+    return sums.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("chi2_dec").cast("double"), 6).alias("chi2"),
+        F.round(F.col("tvd_dec").cast("double") / 2.0, 6).alias("tvd"),
+    ).orderBy("source")
+
+
+_T1_CUT = "1997-01-01"
+
+
+@register(
+    "snapshot_diff_customer_state",
+    sql=f"""
+    WITH t1 AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_T1_CUT}'
+      GROUP BY o_custkey
+    ),
+    t2 AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(t2.o_custkey, t1.o_custkey) AS c_custkey,
+           CASE WHEN t1.o_custkey IS NULL THEN 'ADDED'
+                WHEN t2.o_custkey IS NULL THEN 'REMOVED'
+                WHEN t1.n_orders = t2.n_orders AND t1.spend = t2.spend THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS change_type,
+           CAST(COALESCE(t1.n_orders, 0) AS BIGINT) AS n_orders_t1,
+           CAST(COALESCE(t2.n_orders, 0) AS BIGINT) AS n_orders_t2,
+           CAST(ROUND(COALESCE(t1.spend, 0), 2) AS DOUBLE) AS spend_t1,
+           CAST(ROUND(COALESCE(t2.spend, 0), 2) AS DOUBLE) AS spend_t2
+    FROM t1 FULL OUTER JOIN t2 ON t1.o_custkey = t2.o_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("snapshot", "cdc"),
+)
+def snapshot_diff_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture between two snapshots of a per-customer rollup
+    (orders before {_T1_CUT} vs all orders): every customer classified
+    ADDED / REMOVED / CHANGED / UNCHANGED with both states attached —
+    the diff a downstream incremental consumer replays instead of
+    recomputing the world. Spend comparison is exact-decimal, so
+    'UNCHANGED' can never flip on a double ulp.
+
+    Scale: both snapshot rollups partial-aggregate map-side and shuffle
+    once on the same key, so the full-outer join co-partitions with no
+    extra exchange; the diff never materializes raw facts. REMOVED is
+    structurally possible (full outer) though empty here, where snapshots
+    grow append-only.
+    """
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"), F.sum(dec).alias("spend")
+        )
+
+    t1 = rollup(o.filter(F.col("o_orderdate") < F.lit(_T1_CUT).cast("timestamp"))).select(
+        F.col("o_custkey").alias("k1"), F.col("n_orders").alias("n1"), F.col("spend").alias("s1")
+    )
+    t2 = rollup(o).select(
+        F.col("o_custkey").alias("k2"), F.col("n_orders").alias("n2"), F.col("spend").alias("s2")
+    )
+    joined = t1.join(t2, t1["k1"] == t2["k2"], "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), F.lit("ADDED"))
+        .when(F.col("k2").isNull(), F.lit("REMOVED"))
+        .when((F.col("n1") == F.col("n2")) & (F.col("s1") == F.col("s2")), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return joined.select(
+        F.coalesce(F.col("k2"), F.col("k1")).alias("c_custkey"),
+        change.alias("change_type"),
+        F.coalesce(F.col("n1"), F.lit(0)).cast("bigint").alias("n_orders_t1"),
+        F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n_orders_t2"),
+        F.round(F.coalesce(F.col("s1"), zero), 2).cast("double").alias("spend_t1"),
+        F.round(F.coalesce(F.col("s2"), zero), 2).cast("double").alias("spend_t2"),
+    ).orderBy("c_custkey")

@@ -58,6 +58,9 @@ ALLOW = {
     "layout_zorder_orders": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
     "graph_pagerank_trade": {"BroadcastNestedLoopJoin": "single-row node-count scalar per iteration"},
     "events_gapfill_interpolate": {"BroadcastNestedLoopJoin": "constant-size hourly slot grid broadcast"},
+    # |sources| x |langs| contingency grid (zero cells included by design):
+    # both sides are post-aggregation dims, the fact table is scanned once
+    "drift_source_lang_profile": {"BroadcastNestedLoopJoin": "dim-sized source x lang contingency grid"},
 }
 
 
