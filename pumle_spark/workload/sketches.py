@@ -53,6 +53,55 @@ _HLL_LC_SQL = ", ".join(f"({v}, {est!r})" for v, est in _HLL_LC)
 _HLL_SMALL = 2.5 * _HLL_M
 
 
+def _hll_registers(tagged: DataFrame) -> DataFrame:
+    """(tag, key) -> one register row (tag, bucket, m_reg) per non-empty
+    bucket. The second column of `tagged` is the key, any integer/string."""
+    key_col = tagged.columns[1]
+    key_md5 = F.md5(F.col(key_col).cast("string"))
+    hashed = tagged.select(
+        "tag",
+        F.conv(F.substring(key_md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(key_md5, 3, 8), 16, 10).cast("bigint").alias("w32"),
+    )
+    # rho = leftmost-1-bit position in the 32-bit window: 33 - bitlength(w)
+    rho = F.when(F.col("w32") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(F.col("w32").cast("string"), 10, 2))
+    )
+    return hashed.groupBy("tag", "bucket").agg(F.max(rho).alias("m_reg"))
+
+
+def _hll_estimates(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """registers -> (tag, n_empty_buckets, chosen_est): harmonic estimate
+    with exact integer register sums, linear-counting below 2.5m."""
+    per_tag = regs.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        # python shiftleft() only takes a literal bit count, so column shifts go via expr
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - m_reg)")).alias("s_filled"),
+    )
+    est = per_tag.select(
+        "tag",
+        (F.lit(_HLL_M) - F.col("n_filled")).cast("bigint").alias("n_empty_buckets"),
+        (
+            F.expr(_HLL_NUM)
+            / (
+                F.col("s_filled") + (F.lit(_HLL_M) - F.col("n_filled")) * F.lit(8589934592)
+            ).cast("double")
+        ).alias("raw_est"),
+    )
+    lc = spark.createDataFrame(_HLL_LC, "v bigint, lc_est double")
+    return (
+        est.join(F.broadcast(lc), est["n_empty_buckets"] == lc["v"], "left")
+        .withColumn(
+            "chosen_est",
+            F.when(
+                (F.col("raw_est") <= F.lit(_HLL_SMALL)) & (F.col("n_empty_buckets") > 0),
+                F.col("lc_est"),
+            ).otherwise(F.col("raw_est")),
+        )
+        .drop("v", "lc_est", "raw_est")
+    )
+
+
 @register(
     "sketch_hll_distinct",
     sql=f"""
@@ -118,45 +167,8 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifies.
     """
     o = table(spark, sf_dir, "orders")
-    key_md5 = F.md5(F.col("o_custkey").cast("string"))
-    w32 = F.conv(F.substring(key_md5, 3, 8), 16, 10).cast("bigint")
-    hashed = o.select(
-        F.col("o_orderstatus").alias("status"),
-        F.conv(F.substring(key_md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
-        w32.alias("w32"),
-    )
-    # rho = leftmost-1-bit position in the 32-bit window: 33 - bitlength(w)
-    rho = F.when(F.col("w32") == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(F.col("w32").cast("string"), 10, 2))
-    )
-    regs = hashed.groupBy("status", "bucket").agg(F.max(rho).alias("m_reg"))
-    per_status = regs.groupBy("status").agg(
-        F.count(F.lit(1)).alias("n_filled"),
-        # python shiftleft() only takes a literal bit count, so column shifts go via expr
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - m_reg)")).alias("s_filled"),
-    )
-    est = per_status.select(
-        "status",
-        (F.lit(_HLL_M) - F.col("n_filled")).cast("bigint").alias("n_empty_buckets"),
-        (
-            F.expr(_HLL_NUM)
-            / (
-                F.col("s_filled") + (F.lit(_HLL_M) - F.col("n_filled")) * F.lit(8589934592)
-            ).cast("double")
-        ).alias("raw_est"),
-    )
-    lc = spark.createDataFrame(_HLL_LC, "v bigint, lc_est double")
-    corrected = (
-        est.join(F.broadcast(lc), est["n_empty_buckets"] == lc["v"], "left")
-        .withColumn(
-            "chosen_est",
-            F.when(
-                (F.col("raw_est") <= F.lit(_HLL_SMALL)) & (F.col("n_empty_buckets") > 0),
-                F.col("lc_est"),
-            ).otherwise(F.col("raw_est")),
-        )
-        .drop("v", "lc_est")
-    )
+    regs = _hll_registers(o.select(F.col("o_orderstatus").alias("tag"), F.col("o_custkey")))
+    corrected = _hll_estimates(spark, regs).withColumnRenamed("tag", "status")
     exact = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
@@ -400,4 +412,166 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fpr_pct"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register max, intersection by inclusion-exclusion.
+# ---------------------------------------------------------------------------
+
+_HLL_EST_SQL = f"""
+    per_tag AS (
+      SELECT tag, COUNT(*) AS n_filled,
+             SUM(1::BIGINT << (33 - m_reg))::BIGINT AS s_filled
+      FROM regs GROUP BY tag
+    ),
+    est AS (
+      SELECT tag, CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty_buckets,
+             {_HLL_NUM} / CAST(s_filled + ({_HLL_M} - n_filled) * 8589934592 AS DOUBLE)
+               AS raw_est
+      FROM per_tag
+    ),
+    corrected AS (
+      SELECT e.tag,
+             CASE WHEN e.raw_est <= {_HLL_SMALL!r} AND e.n_empty_buckets > 0
+                  THEN lc.lc_est ELSE e.raw_est END AS chosen_est
+      FROM est e LEFT JOIN (VALUES {_HLL_LC_SQL}) lc(v, lc_est)
+        ON lc.v = e.n_empty_buckets
+    )
+"""
+
+
+@register(
+    "sketch_hll_setops",
+    sql=f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    b_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    tagged AS (
+      SELECT '1995' AS tag, k FROM a_keys
+      UNION ALL SELECT '1996' AS tag, k FROM b_keys
+    ),
+    hashed AS (
+      SELECT tag,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 3, 8))::BIGINT AS w32
+      FROM tagged
+    ),
+    regs0 AS (
+      SELECT tag, bucket,
+             MAX(CASE WHEN w32 = 0 THEN 33 ELSE 33 - length(bin(w32)) END) AS m_reg
+      FROM hashed GROUP BY tag, bucket
+    ),
+    regs AS (
+      SELECT tag, bucket, m_reg FROM regs0
+      UNION ALL
+      SELECT 'union' AS tag, bucket, MAX(m_reg) AS m_reg FROM regs0 GROUP BY bucket
+    ),
+    {_HLL_EST_SQL},
+    ests AS (
+      SELECT tag, chosen_est FROM corrected
+      UNION ALL
+      SELECT 'intersection' AS tag,
+             (a.chosen_est + b.chosen_est) - u.chosen_est AS chosen_est
+      FROM (SELECT chosen_est FROM corrected WHERE tag = '1995') a,
+           (SELECT chosen_est FROM corrected WHERE tag = '1996') b,
+           (SELECT chosen_est FROM corrected WHERE tag = 'union') u
+    ),
+    exact AS (
+      SELECT '1995' AS tag, COUNT(*) AS exact_n FROM a_keys
+      UNION ALL SELECT '1996', COUNT(*) FROM b_keys
+      UNION ALL SELECT 'union', COUNT(DISTINCT k) FROM tagged
+      UNION ALL SELECT 'intersection', COUNT(*)
+        FROM a_keys JOIN b_keys ON a_keys.k = b_keys.k
+    )
+    SELECT x.tag AS set_name, CAST(x.exact_n AS BIGINT) AS exact_n,
+           ROUND(e.chosen_est, 3) AS hll_n,
+           ROUND(100.0 * (e.chosen_est - x.exact_n) / NULLIF(x.exact_n, 0), 3)
+             AS rel_err_pct
+    FROM exact x JOIN ests e ON x.tag = e.tag
+    ORDER BY set_name
+    """,
+    tags=("sketch", "hll", "setops"),
+)
+def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over 1995-buyers vs 1996-buyers: per-set estimates,
+    a UNION estimate obtained purely by merging registers (elementwise
+    max — no re-scan of either input), and an intersection estimate by
+    inclusion-exclusion, each next to its exact count.
+
+    This is the property that makes sketches a distributed primitive: the
+    union of two 100 TB scans is 256 integer maxes on two prebuilt
+    sketches. Cross-set overlap questions (dedup audits, join-cardinality
+    estimation before picking a join strategy) run on sketch bytes alone.
+    Inclusion-exclusion error compounds — rel_err_pct on the intersection
+    row is the honest number.
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    a, b = year_keys(1995), year_keys(1996)
+    tagged = a.select(F.lit("1995").alias("tag"), "k").unionAll(
+        b.select(F.lit("1996").alias("tag"), "k")
+    )
+    regs0 = _hll_registers(tagged)
+    regs = regs0.unionAll(
+        regs0.groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .select(F.lit("union").alias("tag"), "bucket", "m_reg")
+    )
+    ests = _hll_estimates(spark, regs).select("tag", "chosen_est")
+
+    def only(tag: str) -> F.Column:
+        # singleton pick via conditional agg — no driver-side collect
+        return F.sum(F.when(F.col("tag") == tag, F.col("chosen_est")))
+
+    inter_est = ests.agg(
+        ((only("1995") + only("1996")) - only("union")).alias("chosen_est")
+    ).select(F.lit("intersection").alias("tag"), "chosen_est")
+    all_ests = ests.unionAll(inter_est)
+    exact = (
+        a.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("1995").alias("tag"), "exact_n")
+        .unionAll(
+            b.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("1996").alias("tag"), "exact_n")
+        )
+        .unionAll(
+            tagged.select("k")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .select(F.lit("union").alias("tag"), "exact_n")
+        )
+        .unionAll(
+            a.join(b, "k")
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .select(F.lit("intersection").alias("tag"), "exact_n")
+        )
+    )
+    return (
+        exact.join(all_ests, "tag")
+        .select(
+            F.col("tag").alias("set_name"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.round("chosen_est", 3).alias("hll_n"),
+            F.round(
+                100.0
+                * (F.col("chosen_est") - F.col("exact_n"))
+                / F.nullif(F.col("exact_n").cast("double"), F.lit(0.0)),
+                3,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("set_name")
     )

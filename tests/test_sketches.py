@@ -79,3 +79,41 @@ def test_hll_registers_merge_associatively(spark):
     a = hashed.groupBy("bucket").agg(F.max(rho).alias("m")).collect()
     b = hashed.repartition(13).groupBy("bucket").agg(F.max(rho).alias("m")).collect()
     assert sorted((r.bucket, r.m) for r in a) == sorted((r.bucket, r.m) for r in b)
+
+
+def test_hll_union_equals_merged_registers(spark):
+    """sketch(A UNION B) computed from the raw keys must equal the
+    elementwise-max merge of sketch(A) and sketch(B) — the algebra the
+    setops query relies on to avoid re-scanning inputs."""
+    import pyspark.sql.functions as F
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sketches import _hll_estimates, _hll_registers
+
+    o = table(spark, SF, "orders")
+    halves = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd").alias("tag"),
+        F.col("o_custkey"),
+    )
+    merged = (
+        _hll_registers(halves)
+        .groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .select(F.lit("u").alias("tag"), "bucket", "m_reg")
+    )
+    direct = _hll_registers(o.select(F.lit("u").alias("tag"), F.col("o_custkey")))
+    est_merged = _hll_estimates(spark, merged).collect()[0]
+    est_direct = _hll_estimates(spark, direct).collect()[0]
+    assert est_merged.chosen_est == est_direct.chosen_est  # bit-identical, not approx
+
+
+def test_hll_setops_shape_and_bounds(spark):
+    from pumle_spark.workload.sketches import sketch_hll_setops
+
+    rows = {r.set_name: r for r in sketch_hll_setops(spark, SF).collect()}
+    assert set(rows) == {"1995", "1996", "union", "intersection"}
+    # union can't exceed the sum of the parts, and inclusion-exclusion must
+    # reproduce the intersection row exactly
+    assert rows["union"].hll_n <= rows["1995"].hll_n + rows["1996"].hll_n
+    recomputed = rows["1995"].hll_n + rows["1996"].hll_n - rows["union"].hll_n
+    assert abs(recomputed - rows["intersection"].hll_n) < 1e-2  # rounding at 3dp
