@@ -61,11 +61,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so ts arrives as int64 nanos — convert to a proper timestamp
         # (truncating to micros, matching DuckDB's ns→us truncation).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div — float division of ~1e18 nanos loses µs precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # newer driver testdata stores naive TIMESTAMP(MICROS), which
+            # Spark 4 reads as TIMESTAMP_NTZ (inferTimestampNTZ). The naive
+            # wall-clock IS the UTC instant (same convention as the nanos
+            # path above), and the session tz is pinned UTC two lines up, so
+            # a plain cast re-interprets it losslessly as TIMESTAMP_LTZ —
+            # keeping unix_micros()/window() and every downstream query
+            # identical across both physical encodings.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
