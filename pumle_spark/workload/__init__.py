@@ -112,6 +112,7 @@ def _load_modules() -> None:
     # import for side effect: each module fills REGISTRY
     from pumle_spark.workload import (  # noqa: F401
         clustering,
+        curation,
         dedup,
         drift,
         events,

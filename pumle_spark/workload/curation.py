@@ -1,0 +1,229 @@
+"""Corpus-curation operators: the decisions a training-data pipeline makes
+AFTER scoring/dedup — how documents are packed into training sequences, how
+they are chunked for retrieval, and which near-duplicate survives.
+
+Beyond-reference surface (SURVEY.md §2.13, LLM-pipeline family). Three ops:
+
+- ``pack_greedy_token_bins`` — greedy no-split bin packing of documents
+  into fixed token-budget bins (the SFT/sample-packing path: each example
+  stays whole, bins are training sequences). Greedy packing is a
+  sequential scan — inherently order-dependent, NOT prefix-sum
+  expressible — so the Spark side runs it per source group via
+  ``applyInPandas`` (Arrow-batched; the ONE registered query where Python
+  touches rows, suppressed with reason in tools/plan_lint.py). Scale
+  story: the parallel unit is the (source) group — at 100 TB you key by
+  (source, shard) and every shard packs independently; state per task is
+  two integers.
+- ``chunk_sliding_windows`` — overlapping token-window chunking (the
+  RAG/context-window split). Pure JVM: sequence → explode → slice; no
+  shuffle at all.
+- ``dedup_cluster_keep_best`` — retention policy over MinHash near-dup
+  clusters: keep the highest-token-count member (ties → lowest doc_id),
+  account for what was dropped. Composes dedup_minhash_clusters' exact
+  cluster semantics (shared CTE chain, workload/dedup.py) with an argmax
+  window — the step that turns "these documents are duplicates" into
+  "train on THIS one".
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+from pumle_spark.workload.dedup import _SQL_COMPONENT_CHAIN, _SQL_TOKENS, _tokens_col
+
+_BIN_CAPACITY = 256  # tokens per packed bin (≈4-5 synthetic docs)
+_CHUNK_W = 32  # chunk window, tokens
+_CHUNK_S = 24  # chunk stride, tokens (8-token overlap)
+
+
+# --------------------------------------------------------------------------
+# greedy no-split packing
+# --------------------------------------------------------------------------
+
+_PACK_SCHEMA = "source string, doc_id bigint, n_tokens bigint, bin_id bigint"
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # greedy first-fit-in-order: docs arrive sorted by doc_id; a doc that
+    # doesn't fit closes the bin. Oversize docs (> capacity) get a bin of
+    # their own. O(1) state — two counters — per group scan.
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bin_ids = []
+    bin_id, fill = 0, 0
+    for t in pdf["n_tokens"]:
+        if bin_id == 0 or fill + t > _BIN_CAPACITY:
+            bin_id += 1
+            fill = int(t)
+        else:
+            fill += int(t)
+        bin_ids.append(bin_id)
+    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    return pdf[["source", "doc_id", "n_tokens", "bin_id"]]
+
+
+@register(
+    "pack_greedy_token_bins",
+    sql=f"""
+    WITH RECURSIVE docs AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM (SELECT source, doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    packed AS (                    -- linear recursion = the greedy scan
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens <= {_BIN_CAPACITY}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_BIN_CAPACITY}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM packed p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM packed
+    """,
+    tags=("curation", "packing", "stateful"),
+)
+def pack_greedy_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split packing of documents into {_BIN_CAPACITY}-token bins,
+    per source, in doc_id order: (source, doc_id, n_tokens, bin_id).
+
+    The scan state is (current bin, current fill) — order-dependent and not
+    expressible as a window prefix-sum, so this is the canonical
+    ``applyInPandas`` stateful-scan operator (module docstring has the
+    scale contract). The DuckDB oracle runs the same scan as a linear
+    recursive CTE.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    return sized.groupBy("source").applyInPandas(_pack_group, _PACK_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# sliding-window chunking
+# --------------------------------------------------------------------------
+
+
+@register(
+    "chunk_sliding_windows",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, ws, LEN(ws) AS n
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    idx AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= {_CHUNK_W} THEN 0
+                    ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} END)) AS ci
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(ci * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(LEN(list_slice(ws, ci * {_CHUNK_S} + 1, ci * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(ws, ci * {_CHUNK_S} + 1, ci * {_CHUNK_S} + {_CHUNK_W}), ' '))
+             AS chunk_hash
+    FROM idx
+    """,
+    tags=("curation", "chunking", "rag"),
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document (window {_CHUNK_W},
+    stride {_CHUNK_S}): every token is covered, consecutive chunks share
+    {_CHUNK_W - _CHUNK_S} tokens, the chunk content is pinned by an md5 over
+    its joined tokens. Start count: 1 + ceil((n-W)/S) for n > W, else 1 —
+    so the last window reaches the end without degenerate tails.
+
+    Pure per-row expressions (sequence → explode → slice → hash): no
+    shuffle, no Python; chunking 100 TB is a map-only job. The token array
+    is re-derived per chunk row (~3× per doc) — measured cheaper than
+    pinning exploded arrays through an exchange (see shingle_array caveat,
+    operators/dedup.py).
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("ws")).withColumn("n", F.size("ws"))
+    k = F.expr(
+        f"CASE WHEN n <= {_CHUNK_W} THEN 0 "
+        f"ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} END"
+    )
+    exploded = d.select(
+        "doc_id", "ws", F.explode(F.sequence(F.lit(0), k.cast("int"))).alias("ci")
+    )
+    start = F.col("ci") * _CHUNK_S
+    chunk = F.slice("ws", start + 1, F.lit(_CHUNK_W))
+    return exploded.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# near-dup retention: keep the best cluster member
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_keep_best",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN},
+    tok AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY t.n_tokens DESC, c.doc_id) AS rk
+      FROM comp c JOIN tok t USING (doc_id)
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rk = 1 THEN n_tokens END) AS kept_tokens,
+           CAST(SUM(n_tokens) - MAX(CASE WHEN rk = 1 THEN n_tokens END) AS BIGINT)
+             AS dropped_tokens
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags=("curation", "dedup", "retention"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decision per MinHash near-dup cluster: keep the member
+    with the most tokens (ties → lowest doc_id); report cluster size and
+    the token mass dropped. One row per cluster.
+
+    Reuses dedup_minhash_clusters' exact cluster assignment (shared oracle
+    CTE chain) + a per-cluster argmax window — clusters are small by
+    construction (LSH candidates verified at Jaccard ≥ threshold), so the
+    window partition is bounded; the heavy lifting happened in the
+    bucketed cluster build.
+    """
+    from pumle_spark.workload.dedup import dedup_minhash_clusters
+
+    clusters = dedup_minhash_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens"))
+    )
+    j = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    kept_tok = F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias("kept_tokens")
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        kept_tok,
+        (F.sum("n_tokens") - F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )

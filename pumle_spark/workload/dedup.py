@@ -268,10 +268,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_clusters",
-    sql=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
+# Full MinHash → LSH bands → verify → transitive-closure CTE chain, shared
+# with workload.curation (dedup_cluster_keep_best extends the same clusters
+# with a retention decision — the oracles must agree on what a cluster IS).
+_SQL_COMPONENT_CHAIN = f"""{_SQL_SHINGLES},
     mh AS (
       SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mhash
       FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
@@ -311,7 +311,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst AS key, w.comp FROM walk w JOIN edges e ON e.src = w.key
     ),
-    comp AS (SELECT key AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY key)
+    comp AS (SELECT key AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY key)"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN}
     SELECT c.doc_id, c.cluster_id, s.n_docs, c.doc_id = c.cluster_id AS is_keeper
     FROM comp c
     JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
