@@ -182,3 +182,69 @@ def snapshot_diff_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("s1"), zero), 2).cast("double").alias("spend_t1"),
         F.round(F.coalesce(F.col("s2"), zero), 2).cast("double").alias("spend_t2"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection (median / MAD)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "outlier_mad_brand_quantity",
+    sql="""
+    WITH x AS (
+      SELECT p.p_brand AS brand, l.l_quantity AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (SELECT brand, quantile_cont(q, 0.5) AS med FROM x GROUP BY brand),
+    d AS (SELECT x.brand, x.q, m.med FROM x JOIN m USING (brand)),
+    md AS (SELECT brand, quantile_cont(abs(q - med), 0.5) AS mad FROM d GROUP BY brand)
+    SELECT d.brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(MAX(d.med), 4) AS med_qty,
+           ROUND(MAX(md.mad), 4) AS mad_qty,
+           CAST(SUM(CASE WHEN abs(d.q - d.med) > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN md USING (brand)
+    GROUP BY d.brand
+    """,
+    tags=("quality", "outliers", "robust-stats"),
+)
+def outlier_mad_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-brand outlier screen on order quantities: median, MAD
+    (median absolute deviation), and the count of items beyond the 3-MAD
+    fence. Median/MAD resist the contamination that wrecks mean/stddev
+    fences — the standard data-quality gate before a numeric column feeds
+    a model.
+
+    Determinism: quantities are integer-valued doubles, so the exact
+    interpolated median is always .0 or .5 — bit-identical across engines
+    with no rounding tricks; both engines use linearly-interpolated
+    percentile semantics (Spark `percentile` ≡ DuckDB `quantile_cont`).
+
+    Scale shape: two grouped exact-percentile passes over the fact table;
+    the 25-row median/MAD tables broadcast back — the fact table shuffles
+    on brand twice and is never collected. (At 100 TB swap the exact
+    percentile for percentile_approx and the plan is identical.)"""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"), F.col("l_quantity").alias("q")
+    )
+    m = x.groupBy("brand").agg(F.percentile("q", 0.5).alias("med"))
+    d = x.join(F.broadcast(m), "brand")
+    md = d.groupBy("brand").agg(F.percentile(F.abs(F.col("q") - F.col("med")), 0.5).alias("mad"))
+    return (
+        d.join(F.broadcast(md), "brand")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.max("med"), 4).alias("med_qty"),
+            F.round(F.max("mad"), 4).alias("mad_qty"),
+            F.sum(
+                F.when(F.abs(F.col("q") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -515,3 +515,84 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6).alias("value_interp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 state history (CDC → slowly-changing-dimension build)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_intervals",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, tus, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, tus,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version,
+             MIN(event_type) AS state,
+             MIN(tus) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from_us,
+           LEAD(valid_from_us) OVER wv AS valid_to_us,
+           LEAD(valid_from_us) OVER wv IS NULL AS is_current,
+           n_events
+    FROM per WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    tags=("events", "scd2", "cdc"),
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from an event stream: collapse each user's
+    consecutive same-state events into one versioned run, emit half-open
+    validity intervals [valid_from, valid_to) with the current run open
+    (valid_to NULL, is_current true). The CDC→dimension pattern: the same
+    shape maintains any slowly-changing dimension from a change feed.
+
+    One shuffle on user_id; the change-flag lag, the version running sum,
+    the run rollup, and the interval lead all share that partitioning —
+    Catalyst plans a single exchange."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    per = runs.groupBy("user_id", F.col("version").cast("int").alias("version")).agg(
+        F.min("event_type").alias("state"),
+        F.min("tus").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return per.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

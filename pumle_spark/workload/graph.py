@@ -146,3 +146,117 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# triangle census on the supplier co-occurrence graph
+# --------------------------------------------------------------------------
+
+_EDGE_QUANTILE = 0.9  # keep pair edges above this co-occurrence quantile
+
+
+@register(
+    "graph_triangle_census",
+    sql=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS na, b.l_suppkey AS nb
+      FROM lineitem a
+      JOIN lineitem b ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    pc AS (SELECT na, nb, COUNT(*) AS c FROM pairs GROUP BY na, nb),
+    thr AS (SELECT quantile_cont(c, {_EDGE_QUANTILE}) AS t FROM pc),
+    e AS (SELECT na, nb FROM pc, thr WHERE c > thr.t),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT na AS node FROM e UNION ALL SELECT nb FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM e e1
+      JOIN e e2 ON e2.na = e1.nb
+      JOIN e e3 ON e3.na = e1.na AND e3.nb = e2.nb
+    ),
+    dd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT dd.n_nodes, ec.n_edges, dd.n_wedges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN dd.n_wedges = 0 THEN 0
+                     ELSE (3 * tri.n_tri * 1000000) // dd.n_wedges END AS BIGINT)
+             AS clustering_micro
+    FROM dd, ec, tri
+    """,
+    tags=("graph", "triangles", "census"),
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the supplier co-occurrence graph: nodes,
+    edges, wedges (Σ C(deg,2)), triangles, and the global clustering
+    coefficient 3·tri/wedges in exact integer micro-units (single row).
+
+    Graph: an edge joins two suppliers whose distinct-co-order count is
+    above the {_EDGE_QUANTILE:.0%} quantile of all pair counts — a
+    RELATIVE sparsifier, so the edge set stays a bounded top decile as the
+    fact table (and the absolute co-occurrence level) grows, where any
+    fixed absolute threshold degenerates to complete or empty. Every edge
+    is oriented small→large node id, so each triangle is enumerated
+    exactly once as (a<b<c).
+
+    Scale shape: pair generation is an equi-self-join on the order key
+    (co-partitioned, no skew beyond lines-per-order²); the triangle count
+    is two equi-joins partitioned on the shared endpoint; the census
+    aggregates are single-row broadcasts combined at the end. No global
+    collect, no driver loop."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_suppkey").alias("na"),
+            F.col("b.l_suppkey").alias("nb"),
+        )
+        .distinct()
+    )
+    pc = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("c"))
+    thr = pc.agg(F.percentile("c", _EDGE_QUANTILE).alias("t"))
+    e = pc.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("t")).select("na", "nb")
+    deg = (
+        e.select(F.col("na").alias("node"))
+        .unionAll(e.select(F.col("nb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dd = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ec = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.na") == F.col("e1.nb"))
+        .join(e3, (F.col("e3.na") == F.col("e1.na")) & (F.col("e3.nb") == F.col("e2.nb")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        dd.crossJoin(F.broadcast(ec))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.when(F.col("n_wedges") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("(3 * n_tri * 1000000) div n_wedges"))
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+    )

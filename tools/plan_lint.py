@@ -61,6 +61,8 @@ ALLOW = {
     # |sources| x |langs| contingency grid (zero cells included by design):
     # both sides are post-aggregation dims, the fact table is scanned once
     "drift_source_lang_profile": {"BroadcastNestedLoopJoin": "dim-sized source x lang contingency grid"},
+    # single-row edge-quantile threshold + three single-row census scalars
+    "graph_triangle_census": {"BroadcastNestedLoopJoin": "single-row threshold/census scalars"},
 }
 
 
