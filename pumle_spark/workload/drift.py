@@ -248,3 +248,89 @@ def outlier_mad_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# numeric-profile correlations (exact-decimal moment sums)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "profile_numeric_correlations",
+    sql="""
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS DECIMAL(14,4)) AS x,
+             CAST(l_extendedprice AS DECIMAL(14,4)) AS y,
+             CAST(l_discount AS DECIMAL(14,4)) AS z
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(z) AS DOUBLE) AS sz,
+             -- widen one operand to DECIMAL(19,4): forces DuckDB's int128
+             -- multiply path (int64 overflows on price*price); still exact
+             CAST(SUM(CAST(x AS DECIMAL(19,4)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(19,4)) * z) AS DOUBLE) AS syz,
+             CAST(SUM(CAST(x AS DECIMAL(19,4)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,4)) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(z AS DECIMAL(19,4)) * z) AS DOUBLE) AS szz
+      FROM t GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           ROUND((n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+             AS corr_price_discount
+    FROM s
+    """,
+    tags=("profiling", "statistics", "decimal-stabilized"),
+)
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between lineitem measures per return flag — the
+    numeric-profile step of a data-quality report (is price still tracking
+    quantity? did a discount regime change?).
+
+    Determinism contract: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    computed EXACTLY in decimal — per-row terms cast to DECIMAL(14,4), so
+    products and sums have no rounding at all — and only the final
+    correlation formula runs in double, as the same expression tree on
+    both engines over bit-identical inputs. The built-in corr() is a
+    fold-order-dependent double reduction (different answer per
+    partitioning); this form is reproducible on any cluster size. One
+    partial-aggregated groupBy; the formula is driver-free scalar math."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(14,4)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(14,4)").alias("y"),
+        F.col("l_discount").cast("decimal(14,4)").alias("z"),
+    )
+    s = t.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+    )
+    corr_xy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    corr_yz = (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(corr_xy, 6).alias("corr_qty_price"),
+        F.round(corr_yz, 6).alias("corr_price_discount"),
+    )

@@ -596,3 +596,115 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# interval-overlap join (banded temporal self-join over sessions)
+# --------------------------------------------------------------------------
+
+_BUCKET_US = 3600 * 1_000_000  # 1-hour band for the overlap prefilter
+
+
+@register(
+    "interval_overlap_sessions",
+    sql=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, tus, event_id,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, sid, MIN(tus) AS ivs, MAX(tus) AS ive
+      FROM sess GROUP BY user_id, sid
+    ),
+    ov AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.ive, b.ive) - GREATEST(a.ivs, b.ivs) AS ov_us
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.ivs <= b.ive AND b.ivs <= a.ive
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS overlap_us_total
+    FROM ov GROUP BY user_a, user_b
+    """,
+    tags=("events", "interval-join", "banded"),
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join over gap-based sessions: for every pair
+    of users with concurrently-open sessions, the count of overlapping
+    session pairs and the total overlap time. The temporal-join shape that
+    powers co-presence / concurrency analytics.
+
+    Scale shape (the whole point): a naive overlap join is a quadratic
+    theta join (the DuckDB oracle runs exactly that, via its IEJoin). The
+    Spark path BANDS time into 1-hour buckets: each session explodes to
+    the buckets it touches (sessions are gap-bounded, so almost always
+    1-2), pairs meet through a bucket equi-join — a hash shuffle Spark
+    executes at any scale — are deduped on session ids (a pair can share
+    several buckets), and only then verified with the exact overlap
+    predicate. Cost is Σ_bucket c², the same bucketize-verify economics as
+    the LSH dedup family."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "ns",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("ivs"), F.max("tus").alias("ive")
+    )
+    banded = iv.select(
+        "user_id",
+        "sid",
+        "ivs",
+        "ive",
+        F.explode(
+            # integer div: a double quotient of ~1e15 µs can floor into the
+            # wrong band at bucket boundaries
+            F.sequence(F.expr(f"ivs div {_BUCKET_US}"), F.expr(f"ive div {_BUCKET_US}"))
+        ).alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("a.ivs").alias("as_"),
+            F.col("a.ive").alias("ae"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            F.col("b.ivs").alias("bs"),
+            F.col("b.ive").alias("be"),
+        )
+        .distinct()  # a session pair can meet in several buckets
+        .filter((F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
+    )
+    ov = F.least("ae", "be") - F.greatest("as_", "bs")
+    return cand.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(ov).cast("bigint").alias("overlap_us_total"),
+    )

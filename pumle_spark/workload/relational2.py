@@ -1060,3 +1060,49 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(n))
         .select("brand_a", "brand_b", "n_both", F.round(lift, 4).alias("lift"))
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide → long measure rotation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    sql="""
+    WITH long AS (
+      SELECT measure, value FROM (
+        SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem
+      ) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM long GROUP BY measure
+    """,
+    tags=("relational", "unpivot", "reshape"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: rotate the four lineitem measure columns into (measure,
+    value) rows, then profile each measure — the wide→long reshape that
+    feeds any per-metric pipeline (R2's melt as a first-class relational
+    operator, here via Spark's `stack`, DuckDB's native UNPIVOT).
+
+    stack() is a pure per-row generator (no shuffle; the groupBy after it
+    is 4 keys with map-side partials); the sum is decimal-exact before the
+    final rounded double."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount, 'l_tax', l_tax) AS (measure, value)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+    )

@@ -207,3 +207,59 @@ def skew_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev_dec"), 2).cast("double").alias("revenue"),
         F.sum(F.when(F.col("l_partkey").isin(hot), 1).otherwise(0)).alias("n_hot_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# temperature-rebalanced source mixing (weights DERIVED from corpus counts)
+# --------------------------------------------------------------------------
+
+_TEMP_BUDGET = 200  # total docs the rebalanced mixture should select
+
+
+@register(
+    "mix_temperature_rebalance",
+    sql=f"""
+    WITH pc AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n,
+             CAST(ROUND(sqrt(n) * 1000000) AS BIGINT) AS w_micro
+      FROM pc
+    ),
+    tot AS (SELECT SUM(w_micro) AS t FROM w)
+    SELECT w.source,
+           CAST(w.n AS BIGINT) AS n_docs,
+           w.w_micro,
+           CAST(({_TEMP_BUDGET} * w.w_micro) // tot.t AS BIGINT) AS take_k
+    FROM w CROSS JOIN tot
+    """,
+    tags=("sampling", "temperature", "mixture"),
+)
+def mix_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mixture (α = 0.5): per-source take
+    quotas ∝ √count, the standard rebalancing that keeps huge sources from
+    drowning small ones while still favoring them (multilingual/multi-
+    domain pretraining mixes). Unlike mix_weighted_sources (operator-given
+    weights) the weights here are DERIVED from the corpus itself.
+
+    Exactness contract: √n is IEEE-exact on every engine (sqrt is
+    correctly rounded, unlike pow — which is why the temperature is pinned
+    at 0.5), weights are fixed at micro-precision in BIGINT, and quota =
+    budget·w // Σw is pure integer arithmetic — identical take counts on
+    any engine or partitioning. Two tiny aggregates; nothing scans twice.
+    The quota feeds the same md5-rank top-k selection as
+    sample_stratified_documents."""
+    pc = table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = pc.select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n")) * 1_000_000).cast("bigint").alias("w_micro"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("t"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "w_micro",
+        F.expr(f"({_TEMP_BUDGET} * w_micro) div t").cast("bigint").alias("take_k"),
+    )

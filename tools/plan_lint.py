@@ -63,6 +63,7 @@ ALLOW = {
     "drift_source_lang_profile": {"BroadcastNestedLoopJoin": "dim-sized source x lang contingency grid"},
     # single-row edge-quantile threshold + three single-row census scalars
     "graph_triangle_census": {"BroadcastNestedLoopJoin": "single-row threshold/census scalars"},
+    "mix_temperature_rebalance": {"BroadcastNestedLoopJoin": "single-row weight-total scalar"},
 }
 
 
