@@ -1106,3 +1106,68 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental rollup maintenance (merge(state, delta) ≡ recompute)
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1997-06-01"
+
+
+@register(
+    "incremental_rollup_merge",
+    sql=f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "incremental", "materialized-view"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue rollup
+    is kept as a STATE table of mergeable partials (count, exact decimal
+    sum); a new delta batch (shipdate ≥ {_INCR_CUTOFF}) is aggregated to the
+    same partial shape, unioned with the state, and merge-aggregated.
+
+    THE ORACLE IS THE FULL RECOMPUTE — the single-pass DuckDB aggregate
+    over all rows — so a green row is a cross-engine proof that
+    merge(state, delta) ≡ recompute. That identity is exactly why the
+    partials must be decimal (a double partial-sum would drift per merge
+    order) and is the contract every incremental pipeline / streaming
+    state store relies on.
+
+    Scale: each side aggregates map-side before the union; the merge
+    groupBy shuffles |months × flags| partial rows, not facts. At 100 TB
+    the state table is read from storage instead of rebuilt — the plan
+    from the union onward is unchanged."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+        F.col("l_shipdate").alias("sd"),
+    )
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("ship_month", "flag").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("price_dec").alias("psum")
+        )
+
+    state = partials(li.filter(F.col("sd") < cutoff))  # yesterday's MV state
+    delta = partials(li.filter(F.col("sd") >= cutoff))  # today's new batch
+    return (
+        state.unionAll(delta)
+        .groupBy("ship_month", "flag")
+        .agg(F.sum("pn").alias("n_items"), F.sum("psum").alias("rsum"))
+        .select(
+            "ship_month",
+            "flag",
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.round(F.col("rsum").cast("double"), 2).alias("revenue"),
+        )
+    )
