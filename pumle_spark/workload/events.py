@@ -603,6 +603,7 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BUCKET_US = 3600 * 1_000_000  # 1-hour band for the overlap prefilter
+_OVERLAP_TOPK = 100  # co-presence pairs to report (bounds the O(users²) output)
 
 
 @register(
@@ -636,6 +637,8 @@ _BUCKET_US = 3600 * 1_000_000  # 1-hour band for the overlap prefilter
            CAST(COUNT(*) AS BIGINT) AS n_overlaps,
            CAST(SUM(ov_us) AS BIGINT) AS overlap_us_total
     FROM ov GROUP BY user_a, user_b
+    ORDER BY overlap_us_total DESC, user_a, user_b
+    LIMIT {_OVERLAP_TOPK}
     """,
     tags=("events", "interval-join", "banded"),
 )
@@ -653,7 +656,13 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes at any scale — are deduped on session ids (a pair can share
     several buckets), and only then verified with the exact overlap
     predicate. Cost is Σ_bucket c², the same bucketize-verify economics as
-    the LSH dedup family."""
+    the LSH dedup family.
+
+    Output is the top-{_OVERLAP_TOPK} pairs by total overlap
+    (TakeOrderedAndProject — per-partition heads, driver merges
+    {_OVERLAP_TOPK} rows): the full pair aggregate is O(concurrent
+    users²) rows — measured 14.2M at the sf1 step — so an unbounded
+    emit, not the join, is what breaks at scale."""
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("tus")
     )
@@ -704,7 +713,12 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("as_") <= F.col("be")) & (F.col("bs") <= F.col("ae")))
     )
     ov = F.least("ae", "be") - F.greatest("as_", "bs")
-    return cand.groupBy("user_a", "user_b").agg(
-        F.count(F.lit(1)).alias("n_overlaps"),
-        F.sum(ov).cast("bigint").alias("overlap_us_total"),
+    return (
+        cand.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(ov).cast("bigint").alias("overlap_us_total"),
+        )
+        .orderBy(F.col("overlap_us_total").desc(), "user_a", "user_b")
+        .limit(_OVERLAP_TOPK)
     )

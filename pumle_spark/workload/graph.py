@@ -227,7 +227,33 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pc = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("c"))
-    thr = pc.agg(F.percentile("c", _EDGE_QUANTILE).alias("t"))
+    # Exact q-quantile WITHOUT a global percentile aggregate (which buffers
+    # every value in one reducer — fine at sf0.1, dead at 100 TB): pair
+    # counts are small integers, so reduce to a count-histogram (bounded
+    # cardinality ≈ max co-order multiplicity), cumsum it, and interpolate
+    # v[floor(h)] + frac·(v[floor(h)+1] − v[floor(h)]) at h = q·(N−1) —
+    # bit-identical to DuckDB's quantile_cont on the raw values.
+    hist = pc.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("nc").over(wcum))
+    ndf = hist.agg(F.sum("nc").alias("nn"))
+    h = F.lit(_EDGE_QUANTILE) * (F.col("nn") - 1).cast("double")
+    lo = F.floor(h)
+    thr = (
+        cum.crossJoin(F.broadcast(ndf))
+        .select("c", "cum", h.alias("h"), lo.alias("lo"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("c"))).alias("v_lo"),
+            F.min(F.when(F.col("cum") >= F.col("lo") + 2, F.col("c"))).alias("v_hi"),
+            F.max(F.col("h") - F.col("lo")).alias("frac"),  # constant per row
+        )
+        .select(
+            (
+                F.col("v_lo")
+                + F.col("frac") * (F.coalesce("v_hi", "v_lo") - F.col("v_lo"))
+            ).alias("t")
+        )
+    )
     e = pc.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("t")).select("na", "nb")
     deg = (
         e.select(F.col("na").alias("node"))
@@ -240,12 +266,36 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
     )
     ec = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.na") == F.col("e1.nb"))
-        .join(e3, (F.col("e3.na") == F.col("e1.na")) & (F.col("e3.nb") == F.col("e2.nb")))
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+    # Degree-ordered orientation (each edge points low→high (deg, id)):
+    # every triangle has exactly one pivot whose two triangle edges are
+    # both out-edges, so counting wedge-closures counts each triangle
+    # once, and wedge work is Σ C(outdeg, 2) with outdeg bounded by
+    # O(√m) — a hub node no longer generates deg² candidates (the
+    # id-oriented middle join does; measured 33.5s vs 44.5s on a dense
+    # 2.1M-edge sf1 stand-in, and the gap widens with skew). The oracle
+    # deliberately keeps the plain id-oriented 3-way join: two different
+    # enumeration algorithms agreeing on the count is a stronger check
+    # than one algorithm transcribed twice.
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("dda"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("ddb"))
+    low = (F.col("dda") < F.col("ddb")) | (
+        (F.col("dda") == F.col("ddb")) & (F.col("na") < F.col("nb"))
     )
+    dedges = (
+        e.join(da, "na")
+        .join(db, "nb")
+        .select(
+            F.when(low, F.col("na")).otherwise(F.col("nb")).alias("s"),
+            F.when(low, F.col("nb")).otherwise(F.col("na")).alias("t"),
+        )
+    )
+    w1, w2 = dedges.alias("w1"), dedges.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.t") < F.col("w2.t"))
+    ).select(F.col("w1.t").alias("x"), F.col("w2.t").alias("y"))
+    tri = wedges.join(
+        e, (F.col("x") == F.col("na")) & (F.col("y") == F.col("nb"))
+    ).agg(F.count(F.lit(1)).alias("n_tri"))
     return (
         dd.crossJoin(F.broadcast(ec))
         .crossJoin(F.broadcast(tri))
