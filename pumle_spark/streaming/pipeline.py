@@ -161,3 +161,39 @@ def stream_events_hourly(events: DataFrame, watermark: str = "2 hours") -> DataF
             "sum_value",
         )
     )
+
+
+def stream_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase to
+    every click by the same user within the preceding ``horizon``.
+
+    The canonical Structured Streaming two-stream join: both sides carry an
+    event-time watermark and the join predicate bounds purchase time to
+    [click.ts, click.ts + horizon], so the state store retains each side
+    only for watermark + horizon — bounded state at any input rate. Inner
+    join ⇒ matches emit as soon as both rows have arrived; the watermark
+    exists for state eviction, not emission.
+
+    Batch equivalence (the gate): once all input is processed, the emitted
+    pairs equal the batch interval join — workload.events registers the
+    driver-checked twin.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    joined = c.join(
+        p,
+        F.expr(
+            f"p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + interval {horizon}"
+        ),
+    )
+    return joined.select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_event_id"),
+        F.col("p.event_id").alias("purchase_event_id"),
+        (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias("lag_us"),
+    )

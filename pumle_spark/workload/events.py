@@ -722,3 +722,65 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("overlap_us_total").desc(), "user_a", "user_b")
         .limit(_OVERLAP_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join under the driver gate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_join_click_attribution",
+    sql="""
+    SELECT c.user_id,
+           c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("events", "streaming", "stream-stream-join"),
+)
+def stream_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the driver's hash gate: clicks and
+    purchases are staged as two file streams, joined by
+    streaming.pipeline.stream_click_attribution through a real
+    StreamingQuery (watermarked two-stream state), and the emitted pairs
+    are returned. The DuckDB oracle is the plain batch interval join —
+    a green row proves the streaming join converges to batch semantics,
+    the same equivalence contract as stream_hourly_rollup_final."""
+    import tempfile
+    import uuid
+
+    from pumle_spark.streaming.pipeline import stream_click_attribution
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    events = table(spark, sf_dir, "events").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="stream_join_attr_")
+    csrc, psrc, ckpt = f"{tmp}/clicks", f"{tmp}/purchases", f"{tmp}/ckpt"
+    events.filter(F.col("event_type") == "click").coalesce(1).write.parquet(csrc)
+    events.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(psrc)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    clicks = spark.readStream.schema(schema).parquet(csrc)
+    purchases = spark.readStream.schema(schema).parquet(psrc)
+
+    sink = f"stream_join_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_click_attribution(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
