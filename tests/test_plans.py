@@ -182,3 +182,50 @@ def test_grouping_sets_single_expand_pass(spark):
     plan = plan_of("agg_grouping_sets_revenue", spark)
     assert "Expand" in plan              # one Expand+Aggregate evaluates all sets
     assert plan.count("FileScan") == 1   # never one scan per grouping set
+
+
+def test_interval_overlap_banded_equijoin_and_heap_topk(spark):
+    plan = plan_of("interval_overlap_sessions", spark)
+    # the band prefilter must be a hash equi-join (bucket key), never a
+    # time-range nested loop — and the bounded emit a heap top-k
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_census_all_equijoins(spark):
+    df = workload.queries()["graph_triangle_census"](spark, SF)
+    df.collect()  # AQE-final plan, where exchange reuse is resolved
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # wedge build + closure probe are equi-joins — never an unbounded
+    # nested loop (the BNLJ instances in the tree are single-row
+    # threshold/census scalars, replicated textually per reference)
+    assert "CartesianProduct" not in plan
+    # the edge subtree (pair self-join → count → threshold) is referenced
+    # by degrees, census, wedges, and closure: its shuffles must be
+    # deduplicated, not re-executed per reference
+    assert "ReusedExchange" in plan
+
+
+def test_outlier_mad_broadcasts_stats_back(spark):
+    plan = plan_of("outlier_mad_brand_quantity", spark)
+    # the 25-row med/mad tables must come back as broadcast joins: the
+    # fact table never sort-merges against its own statistics
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_partial_aggregates_before_union(spark):
+    plan = plan_of("incremental_rollup_merge", spark)
+    # both the state and delta sides partial-aggregate before the merge
+    # groupBy: the union carries |months×flags| partials, not facts
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_for_all_windows(spark):
+    plan = plan_of("scd2_user_state_intervals", spark)
+    # lag flag, version cumsum, run rollup, interval lead: all share the
+    # user_id hash partitioning — exactly one shuffle of the fact rows
+    # (+1 if the final window re-partitions on (user, version) hashing)
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

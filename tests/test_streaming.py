@@ -404,3 +404,58 @@ def test_stateful_sessionize_matches_batch_windows(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_stream_join_boundary_semantics(spark, tmp_path):
+    """Stream-stream interval join boundaries the sf-data oracle can't
+    guarantee to hit: a purchase exactly at click + 1h (inclusive), one
+    1µs past it (excluded), one before the click (excluded), and a
+    same-times pair on a different user (user key respected)."""
+    import datetime as dt
+    import uuid
+
+    from pumle_spark.streaming.pipeline import stream_click_attribution
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    clicks = [
+        (1, base, 10, "click"),
+        (2, base, 20, "click"),
+    ]
+    purchases = [
+        (100, base + h, 10, "purchase"),        # exactly +1h → kept
+        (101, base + h + us, 10, "purchase"),   # 1µs past → dropped
+        (102, base - us, 10, "purchase"),       # before click → dropped
+        (103, base + h, 20, "purchase"),        # other user's click only
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(pdir)
+
+    sink = f"sj_boundary_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_click_attribution(
+            spark.readStream.schema(schema).parquet(cdir),
+            spark.readStream.schema(schema).parquet(pdir),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.click_event_id, r.purchase_event_id, r.lag_us)
+        for r in spark.table(sink).collect()
+    }
+    spark.catalog.dropTempView(sink)
+    assert got == {
+        (10, 1, 100, 3_600_000_000),
+        (20, 2, 103, 3_600_000_000),
+    }
