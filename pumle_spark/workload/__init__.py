@@ -77,15 +77,31 @@ _DRIVER_VERIFIED_R01_ONLY = frozenset({
 # DuckDB oracles in round 3, so they must re-enter the hash-checked window
 _ORACLE_CHANGED_R03 = frozenset({"pumle_golden_pipeline", "multimodal_feature_rollup"})
 
+# The r02 verdict names the queries whose driver-green rows it wants in
+# CORRECTNESS_r03 ("done = ... at least q2,q8,q9,q11,q12,q15,q20,q21,
+# trap_*, ann_recall_report, text_*, sample_*"). More never-driver-verified
+# queries exist than the 50-row window holds, so this named set goes first;
+# the judge re-runs whatever falls outside via tools/oracle_check.py.
+_DRIVER_PRIORITY_R03 = frozenset({
+    "q2_min_cost_supplier", "q8_national_market_share", "q9_product_type_profit",
+    "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "trap_watershed_assignment", "trap_spill_volumes", "ann_recall_report",
+    "text_quality_score", "text_lang_id", "text_token_counts",
+    "text_fingerprint_winnow", "text_tfidf_top_terms", "text_repetition_filter",
+    "text_decontaminate_overlap", "text_pii_redaction", "text_inverted_postings",
+    "sample_stratified_documents",
+})
+
 
 def _rotation_key(name: str) -> int:
-    if name in _ORACLE_CHANGED_R03:
+    if name in _DRIVER_PRIORITY_R03 or name in _ORACLE_CHANGED_R03:
         return 0
     if name in _DRIVER_VERIFIED_R02:
-        return 2
+        return 3
     if name in _DRIVER_VERIFIED_R01_ONLY:
-        return 1
-    return 0  # never driver-verified (or new this round) → front of window
+        return 2
+    return 1  # never driver-verified (or new this round) → next in line
 
 
 def _ordered() -> list[Query]:
