@@ -55,26 +55,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # would shift every hour/rollup boundary vs the (naive) oracle
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
-        # reader rejects; the session sets spark.sql.legacy.parquet.nanosAsLong
-        # so ts arrives as int64 nanos — convert to a proper timestamp
-        # (truncating to micros, matching DuckDB's ns→us truncation).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div — float division of ~1e18 nanos loses µs precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # newer driver testdata stores naive TIMESTAMP(MICROS), which
-            # Spark 4 reads as TIMESTAMP_NTZ (inferTimestampNTZ). The naive
-            # wall-clock IS the UTC instant (same convention as the nanos
-            # path above), and the session tz is pinned UTC two lines up, so
-            # a plain cast re-interprets it losslessly as TIMESTAMP_LTZ —
-            # keeping unix_micros()/window() and every downstream query
-            # identical across both physical encodings.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+        # reader rejects; the session set nanosAsLong above so ts arrives as
+        # int64 nanos — convert with integer div (float division of ~1e18
+        # nanos loses µs precision), truncating to micros like DuckDB ns→us.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            # driver testdata regenerations have flipped physical encodings
+            # before (events: NANOS → naive MICROS, which Spark 4 reads as
+            # TIMESTAMP_NTZ) — normalize ANY naive column: its wall-clock IS
+            # the UTC instant (same convention as the nanos path above), so
+            # with the session tz pinned UTC the plain cast re-interprets it
+            # losslessly as TIMESTAMP_LTZ and every downstream
+            # unix_micros()/window()/date_format() stays identical across
+            # encodings.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
