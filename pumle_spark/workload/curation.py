@@ -2,7 +2,12 @@
 AFTER scoring/dedup — how documents are packed into training sequences, how
 they are chunked for retrieval, and which near-duplicate survives.
 
-Beyond-reference surface (SURVEY.md §2.13, LLM-pipeline family). Three ops:
+Beyond-reference surface (SURVEY.md §2.13, LLM-pipeline family). Five ops —
+the two packing disciplines deliberately bracket the design space:
+``pack_greedy_token_bins`` (no-split → stateful scan → applyInPandas) vs
+``pack_concat_fixed_blocks`` (split-allowed → pure prefix sum → zero
+Python); ``select_top_mass_per_source`` is the budgeted quality cut that
+decides WHAT enters the packer at all.
 
 - ``pack_greedy_token_bins`` — greedy no-split bin packing of documents
   into fixed token-budget bins (the SFT/sample-packing path: each example
@@ -227,3 +232,142 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# concat-and-cut block packing (the split-allowed pretraining path)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pack_concat_fixed_blocks",
+    sql=f"""
+    WITH docs AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens
+      FROM (SELECT source, doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM docs
+    )
+    SELECT source, doc_id, n_tokens,
+           (cum_tokens - n_tokens) // {_BIN_CAPACITY} AS first_block,
+           (cum_tokens - 1) // {_BIN_CAPACITY} AS last_block,
+           (cum_tokens - n_tokens) % {_BIN_CAPACITY} AS offset_in_block
+    FROM cum
+    """,
+    tags=("curation", "packing", "pretraining"),
+)
+def pack_concat_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing — the OTHER packing discipline: per source,
+    the token streams of all documents (doc_id order) are concatenated and
+    cut into exact {_BIN_CAPACITY}-token blocks; documents may straddle a
+    cut. Emits each document's block span (first_block, last_block) and
+    its start offset inside the first block — the index a pretraining
+    loader needs to reassemble attention-mask boundaries.
+
+    Contrast with pack_greedy_token_bins (no-split, order-dependent scan →
+    applyInPandas): allowing splits makes placement a PURE PREFIX SUM —
+    block ids are integer arithmetic over a per-source window cumsum, so
+    this path needs no Python, no sequential state, and one shuffle on
+    source. Blocks are exactly full by construction (zero padding waste vs
+    the greedy path's per-bin slack)."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_BIN_CAPACITY}").alias("first_block"),
+        F.expr(f"(cum_tokens - 1) div {_BIN_CAPACITY}").alias("last_block"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % _BIN_CAPACITY).alias("offset_in_block"),
+    )
+
+
+# --------------------------------------------------------------------------
+# within-source token-budget selection (top-mass / nucleus pruning)
+# --------------------------------------------------------------------------
+
+_MASS_PCT = 70  # keep the best docs until 70% of each source's token mass
+
+
+@register(
+    "select_top_mass_per_source",
+    sql=f"""
+    WITH d AS (
+      SELECT source, doc_id, ws, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+               AS n_alnum,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM (SELECT source, doc_id, text, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    scored AS (
+      -- quality = alnum chars per 1000 text chars, in exact integer milli-units
+      SELECT source, doc_id, n_tokens,
+             (n_alnum * 1000) // NULLIF(n_chars, 0) AS quality_milli
+      FROM d
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_tokens, quality_milli,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality_milli DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source) AS tot_tokens
+      FROM scored
+    )
+    SELECT source, doc_id, n_tokens, quality_milli,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens * 100 <= tot_tokens * {_MASS_PCT}
+    """,
+    tags=("curation", "selection", "quality"),
+)
+def select_top_mass_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-mass (nucleus) corpus pruning: per source, keep the
+    highest-quality documents until {_MASS_PCT}% of that source's token
+    mass is covered — the budgeted quality cut that trims each domain's
+    tail without fixed per-domain doc counts.
+
+    Determinism: quality is alnum-chars-per-1000 in exact integer
+    milli-units (no float ratio), the keep rule is BIGINT cross-multiply
+    (cum·100 ≤ tot·{_MASS_PCT}), and the order (quality DESC, doc_id) is
+    total. One shuffle on source; both window sums share it."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+        .cast("bigint")
+        .alias("n_alnum"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    scored = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr("(n_alnum * 1000) div nullif(n_chars, 0)").alias("quality_milli"),
+    )
+    wq = Window.partitionBy("source").orderBy(
+        F.col("quality_milli").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ws = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "quality_milli",
+        F.sum("n_tokens").over(wq).alias("cum_tokens"),
+        F.sum("n_tokens").over(ws).alias("tot_tokens"),
+    )
+    return ranked.filter(
+        F.col("cum_tokens") * 100 <= F.col("tot_tokens") * _MASS_PCT
+    ).select("source", "doc_id", "n_tokens", "quality_milli", "cum_tokens")
