@@ -151,3 +151,34 @@ def test_interval_overlap_banding_matches_bruteforce(spark, tmp_path):
         (1, 2): (1, 50_000_000),
         (3, 4): (1, 0),  # touching endpoints: closed-interval overlap of zero
     }
+
+
+# -- concat-and-cut block packing ---------------------------------------------
+
+
+def test_concat_blocks_span_math(spark, tmp_path):
+    """Block-boundary cases: a doc ending exactly at a block cut (last_block
+    stays in its own block, next doc starts at offset 0 of the next), a doc
+    straddling a cut, and per-source independence of the token stream."""
+    from pumle_spark.workload.curation import _BIN_CAPACITY
+
+    C = _BIN_CAPACITY
+    # source "a": 3 docs of C, C//2, C tokens → doc1 fills block 0 exactly;
+    # doc2 starts block 1 offset 0; doc3 straddles blocks 1→2
+    rows = []
+    for src_name, sizes in [("a", [C, C // 2, C]), ("b", [5])]:
+        for i, n in enumerate(sizes, start=1):
+            rows.append((src_name, i, " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from pumle_spark.workload.curation import pack_concat_fixed_blocks
+
+    got = {
+        (r.source, r.doc_id): (r.first_block, r.last_block, r.offset_in_block)
+        for r in pack_concat_fixed_blocks(spark, str(tmp_path)).collect()
+    }
+    assert got[("a", 1)] == (0, 0, 0)          # exactly fills block 0
+    assert got[("a", 2)] == (1, 1, 0)          # next doc opens block 1 at 0
+    assert got[("a", 3)] == (1, 2, C // 2)     # straddles the 1→2 cut
+    assert got[("b", 1)] == (0, 0, 0)          # sources pack independently
