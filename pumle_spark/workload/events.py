@@ -784,3 +784,64 @@ def stream_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+# --------------------------------------------------------------------------
+# multi-touch attribution (linear credit within the lookback window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "attribution_linear_credit",
+    sql="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_event_id,
+             p.event_id AS purchase_event_id,
+             p.value AS purchase_value,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT click_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(purchase_value / n_touches), 6) AS credited_value
+    FROM pairs GROUP BY click_event_id
+    """,
+    tags=("events", "attribution", "marketing"),
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across every click by the same user in the preceding hour;
+    per click, the number of conversions it participated in and its total
+    credited value. The step after the interval join — turning matched
+    touchpoints into a credit assignment (ads/marketing analytics; the
+    same shape weights training examples by provenance).
+
+    Determinism: value/n_touches is one double division over identical
+    operands on both engines (n_touches is an exact window count), summed
+    per click over a deterministic set, rounded at 6. Plan: the interval
+    join shuffles on user_id; the touch-count window repartitions on
+    purchase id; the final groupBy on click id — three keyed exchanges,
+    no driver round-trips."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    pairs = c.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("interval 1 hour")),
+    ).select(
+        F.col("c.event_id").alias("click_event_id"),
+        F.col("p.event_id").alias("purchase_event_id"),
+        F.col("p.value").alias("purchase_value"),
+    )
+    wt = Window.partitionBy("purchase_event_id")
+    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(wt))
+    return credited.groupBy("click_event_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(F.col("purchase_value") / F.col("n_touches")), 6).alias("credited_value"),
+    )
