@@ -473,3 +473,66 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(32)
     )
     return hs.select("doc_id", F.expr(bit_terms).cast("bigint").alias("simhash32"))
+
+
+# --------------------------------------------------------------------------
+# connected components via Spark's OWN recursive CTE (engine-surface twin)
+# --------------------------------------------------------------------------
+
+# ≥ any LSH cluster diameter; truncation would fail the oracle. Cost model:
+# UNION ALL recursion enumerates WALKS, not reachability, so level-L work is
+# O(Σ_component c·(c-1)^L) — fine for LSH clusters (measured max size 4 at
+# sf0.1), exponential on large cliques; that asymmetry is exactly why the
+# DataFrame min-label loop stays the production operator.
+_RC_MAX_DEPTH = 8
+
+
+@register(
+    "dedup_clusters_recursive_sql",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN}
+    SELECT c.doc_id, c.cluster_id, s.n_docs, c.doc_id = c.cluster_id AS is_keeper
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
+      ON s.cluster_id = c.cluster_id
+    """,
+    tags=("dedup", "recursive-cte", "components"),
+)
+def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup clusters as dedup_minhash_clusters, but the
+    transitive closure runs through Spark 4's native WITH RECURSIVE over
+    the verified pair graph — a three-way agreement: DataFrame min-label
+    loop (operators/dedup.connected_components), Spark recursive SQL
+    (this query), and DuckDB recursive SQL (the oracle) must all produce
+    the identical clustering.
+
+    Engine-surface note: Spark's recursive CTE only accepts UNION ALL (no
+    per-step dedup), so the unguarded closure would cycle forever on a
+    symmetric edge list; the walk therefore carries a level counter capped
+    at {_RC_MAX_DEPTH} — sound because LSH-verified components have tiny
+    diameters, and UNSOUND truncation cannot pass silently: the oracle's
+    run-to-fixpoint closure would hash-mismatch. For unbounded-diameter
+    graphs the pointer-jumping operator with localCheckpoint per round is
+    the scale path; this query pins the ENGINE SURFACE, not a new
+    algorithm."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.localCheckpoint(eager=True).createOrReplaceTempView("__rc_vpairs")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM __rc_vpairs
+          UNION
+          SELECT doc_b, doc_a FROM __rc_vpairs
+        ),
+        walk AS (
+          SELECT src AS key, src AS comp, 0 AS lvl FROM edges
+          UNION ALL
+          SELECT e.dst, w.comp, w.lvl + 1
+          FROM walk w JOIN edges e ON e.src = w.key
+          WHERE w.lvl < {_RC_MAX_DEPTH}
+        ),
+        comp AS (SELECT key AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY key)
+        SELECT c.doc_id, c.cluster_id, s.n_docs, c.doc_id = c.cluster_id AS is_keeper
+        FROM comp c
+        JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY 1) s
+          ON s.cluster_id = c.cluster_id
+    """)

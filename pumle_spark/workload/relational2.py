@@ -1171,3 +1171,57 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rsum").cast("double"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# correlated LATERAL join (per-row dependent subquery)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_lateral_topk_orders",
+    sql="""
+    WITH top_cust AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    )
+    SELECT c.c_custkey AS custkey,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           l.o_orderkey AS orderkey,
+           ROUND(l.o_totalprice, 2) AS total_price
+    FROM top_cust c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+    tags=("relational", "lateral", "join"),
+)
+def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: for each of the 10 highest-balance
+    customers, their top-2 orders by price — the per-row dependent
+    subquery surface (SQL:1999 LATERAL), exercised through spark.sql so
+    Catalyst's decorrelation machinery (rewrite to ranked join) is what
+    runs, not a hand-written window. The window formulation exists
+    elsewhere (window_topk_orders_per_customer); agreement between the
+    two pins the decorrelation as semantics-preserving.
+
+    Plan: Catalyst decorrelates the LIMIT-ed lateral into a partitioned
+    rank over a broadcast-joined order subset — no per-row re-execution;
+    at scale this is one keyed shuffle, identical economics to the
+    explicit window form."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql("""
+        WITH top_cust AS (
+          SELECT c_custkey, c_acctbal FROM __lat_customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+        )
+        SELECT c.c_custkey AS custkey,
+               ROUND(c.c_acctbal, 2) AS acctbal,
+               l.o_orderkey AS orderkey,
+               ROUND(l.o_totalprice, 2) AS total_price
+        FROM top_cust c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """)
