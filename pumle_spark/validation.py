@@ -92,3 +92,24 @@ def base_metadata_checks() -> list[Check]:
         gt("fluid__rho_h2o", 0),
         in_range("initial_conditions__sw_0", 0, 1),
     ]
+
+
+def observed_counts(df: DataFrame, checks: list[Check], name: str = "validation"):
+    """Piggyback validation TELEMETRY on whatever action consumes ``df``:
+    returns (df, observation) where the observation collects total rows and
+    per-check violation counts as query metrics — ZERO extra scans (the
+    metrics ride the existing job, unlike validate()'s own action). The
+    production shape for continuous pipelines: write the batch AND get its
+    quality counters from the same pass.
+
+    ``observation.get`` blocks until the first action on the returned
+    DataFrame completes; keys are 'n_rows' and 'bad_<check name>'.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(~cond, 1).otherwise(0)).alias(f"bad_{cname}")
+        for cname, cond in checks
+    ]
+    return df.observe(obs, *metrics), obs

@@ -59,3 +59,20 @@ def test_all_valid_passes_fail_fast(spark):
     ok = spark.createDataFrame([("1", 1.0, 0.5, "flux")], "sim_id string, pres double, srw double, bc string")
     valid, bad = validate(ok, checks(), fail_fast=True)
     assert valid.count() == 1 and bad.count() == 0
+
+
+def test_observed_counts_rides_the_write_action(spark, tmp_path):
+    """observe()-based telemetry: quality counters arrive from the SAME job
+    that writes the batch — no second scan of the input."""
+    from pumle_spark.validation import ge, not_null, observed_counts
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 7.0)], "id long, v double"
+    )
+    checks = [ge("v", 0.0), not_null("v")]
+    out, obs = observed_counts(df, checks)
+    out.write.mode("overwrite").parquet(str(tmp_path / "sink"))  # the one action
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["bad_v>=0.0"] == 1  # the -3.0 row (NULL comparison is not a failure here)
+    assert got["bad_vnotnull"] == 1
