@@ -182,3 +182,26 @@ def test_concat_blocks_span_math(spark, tmp_path):
     assert got[("a", 2)] == (1, 1, 0)          # next doc opens block 1 at 0
     assert got[("a", 3)] == (1, 2, C // 2)     # straddles the 1→2 cut
     assert got[("b", 1)] == (0, 0, 0)          # sources pack independently
+
+
+# -- top-mass selection boundary ------------------------------------------------
+
+
+def test_top_mass_keeps_exact_boundary_doc(spark, tmp_path):
+    """The keep rule is cum*100 <= tot*PCT (inclusive): a doc whose
+    cumulative mass lands EXACTLY on the threshold stays; quota math is
+    pure BIGINT cross-multiplication (no float share)."""
+    # doc1: high alnum ratio (long clean tokens), 70 tokens → ranks first,
+    # cum=70 of tot=100 → 70*100 == 100*70 → kept (inclusive boundary);
+    # doc2: punctuation-heavy (low ratio), 30 tokens → cum=100 → dropped
+    rows = [
+        ("s", 1, " ".join("aaaaaaaaaa" for _ in range(70))),
+        ("s", 2, " ".join("a!!!!" for _ in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from pumle_spark.workload.curation import select_top_mass_per_source
+
+    kept = {r.doc_id for r in select_top_mass_per_source(spark, str(tmp_path)).collect()}
+    assert kept == {1}
