@@ -73,30 +73,46 @@ _DRIVER_VERIFIED_R01_ONLY = frozenset({
 })
 
 
-# driver-verified in r02, but only as rows-only checks; both gained real
-# DuckDB oracles in round 3, so they must re-enter the hash-checked window
-_ORACLE_CHANGED_R03 = frozenset({"pumle_golden_pipeline", "multimodal_feature_rollup"})
+# hash-green in the driver's CORRECTNESS_r03.json (48 of 50)
+_DRIVER_VERIFIED_R03 = frozenset({
+    "ann_recall_report", "attribution_linear_credit", "chunk_sliding_windows",
+    "cluster_kmeans_embeddings", "cluster_kmeans_profile",
+    "cluster_semdedup_pairs", "dedup_cluster_keep_best",
+    "dedup_clusters_recursive_sql", "drift_source_lang_profile",
+    "events_funnel_conversion", "events_gapfill_interpolate",
+    "events_session_window_builtin", "graph_triangle_census",
+    "interval_overlap_sessions", "layout_zorder_orders",
+    "link_fuzzy_part_names", "multimodal_feature_rollup",
+    "outlier_mad_brand_quantity", "pack_greedy_token_bins",
+    "profile_numeric_correlations", "pumle_golden_pipeline",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_order_count_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q8_national_market_share",
+    "q9_product_type_profit", "sample_stratified_documents",
+    "scd2_user_state_intervals", "select_top_mass_per_source",
+    "snapshot_diff_customer_state", "stream_hourly_rollup_final",
+    "stream_join_click_attribution", "text_decontaminate_overlap",
+    "text_fingerprint_winnow", "text_inverted_postings", "text_lang_id",
+    "text_pii_redaction", "text_quality_score", "text_repetition_filter",
+    "text_tfidf_top_terms", "text_token_counts", "trap_spill_volumes",
+    "trap_watershed_assignment",
+})
 
-# The r02 verdict names the queries whose driver-green rows it wants in
-# CORRECTNESS_r03 ("done = ... at least q2,q8,q9,q11,q12,q15,q20,q21,
-# trap_*, ann_recall_report, text_*, sample_*"). More never-driver-verified
-# queries exist than the 50-row window holds, so this named set goes first;
-# the judge re-runs whatever falls outside via tools/oracle_check.py.
-_DRIVER_PRIORITY_R03 = frozenset({
-    "q2_min_cost_supplier", "q8_national_market_share", "q9_product_type_profit",
-    "q11_important_stock", "q12_shipmode_priority", "q15_top_supplier",
-    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "trap_watershed_assignment", "trap_spill_volumes", "ann_recall_report",
-    "text_quality_score", "text_lang_id", "text_token_counts",
-    "text_fingerprint_winnow", "text_tfidf_top_terms", "text_repetition_filter",
-    "text_decontaminate_overlap", "text_pii_redaction", "text_inverted_postings",
-    "sample_stratified_documents",
+# The r03 verdict's top-priority fix set: the two driver-red HUGEINT-oracle
+# queries plus the latent third (same defect, outside the r03 window). Their
+# oracles now CAST to BIGINT; they must lead CORRECTNESS_r04 to prove it.
+_DRIVER_PRIORITY_R04 = frozenset({
+    "pack_concat_fixed_blocks", "graph_pagerank_trade",
+    "skew_salted_brand_revenue",
 })
 
 
 def _rotation_key(name: str) -> int:
-    if name in _DRIVER_PRIORITY_R03 or name in _ORACLE_CHANGED_R03:
+    if name in _DRIVER_PRIORITY_R04:
         return 0
+    if name in _DRIVER_VERIFIED_R03:
+        return 4
     if name in _DRIVER_VERIFIED_R02:
         return 3
     if name in _DRIVER_VERIFIED_R01_ONLY:

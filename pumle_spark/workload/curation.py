@@ -253,9 +253,15 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs
     )
     SELECT source, doc_id, n_tokens,
-           (cum_tokens - n_tokens) // {_BIN_CAPACITY} AS first_block,
-           (cum_tokens - 1) // {_BIN_CAPACITY} AS last_block,
-           (cum_tokens - n_tokens) % {_BIN_CAPACITY} AS offset_in_block
+           -- CASTs matter: the window SUM() above is HUGEINT in DuckDB, and
+           -- un-cast arithmetic stays HUGEINT, which the driver's pandas
+           -- fetch path renders as float (hash mismatch vs Spark's bigint).
+           CAST((cum_tokens - n_tokens) // {_BIN_CAPACITY} AS BIGINT) AS first_block,
+           -- GREATEST guards the zero-token-leading-doc boundary where
+           -- cum_tokens = 0: DuckDB // floors (-1 // cap = -1) while Spark
+           -- div truncates toward zero (0).
+           CAST(GREATEST(cum_tokens - 1, 0) // {_BIN_CAPACITY} AS BIGINT) AS last_block,
+           CAST((cum_tokens - n_tokens) % {_BIN_CAPACITY} AS BIGINT) AS offset_in_block
     FROM cum
     """,
     tags=("curation", "packing", "pretraining"),
@@ -286,9 +292,15 @@ def pack_concat_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_tokens",
-        F.expr(f"(cum_tokens - n_tokens) div {_BIN_CAPACITY}").alias("first_block"),
-        F.expr(f"(cum_tokens - 1) div {_BIN_CAPACITY}").alias("last_block"),
-        ((F.col("cum_tokens") - F.col("n_tokens")) % _BIN_CAPACITY).alias("offset_in_block"),
+        F.expr(f"(cum_tokens - n_tokens) div {_BIN_CAPACITY}")
+        .cast("bigint")
+        .alias("first_block"),
+        F.expr(f"greatest(cum_tokens - 1, 0L) div {_BIN_CAPACITY}")
+        .cast("bigint")
+        .alias("last_block"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % _BIN_CAPACITY)
+        .cast("bigint")
+        .alias("offset_in_block"),
     )
 
 

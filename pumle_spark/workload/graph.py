@@ -79,7 +79,9 @@ _SQL_PAGERANK = (
     + f"""
     SELECT node AS node_id,
            CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
-           r AS rank_micro,
+           -- the iterative SUM() arithmetic is HUGEINT in DuckDB; cast so
+           -- the driver's pandas fetch sees bigint like Spark does
+           CAST(r AS BIGINT) AS rank_micro,
            CAST(rn AS INTEGER) AS rnk
     FROM (SELECT node, r,
                  ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn

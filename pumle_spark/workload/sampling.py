@@ -164,8 +164,8 @@ def heavy_hitters_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_lines,
            ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                           AS DECIMAL(18, 6))), 2)::DOUBLE AS revenue,
-           SUM(CASE WHEN l.l_partkey IN (SELECT l_partkey FROM hot)
-                    THEN 1 ELSE 0 END) AS n_hot_lines
+           CAST(SUM(CASE WHEN l.l_partkey IN (SELECT l_partkey FROM hot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1

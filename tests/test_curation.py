@@ -184,6 +184,57 @@ def test_concat_blocks_span_math(spark, tmp_path):
     assert got[("b", 1)] == (0, 0, 0)          # sources pack independently
 
 
+def test_concat_blocks_zero_dividend_guard(spark):
+    """The last_block formula divides cum_tokens - 1, which is negative when
+    cum_tokens = 0. Pin the negative-dividend semantics: BOTH engines
+    truncate toward zero (-1 div C == -1 // C == 0; measured — DuckDB's //
+    is trunc-division, not Python-style floor), so the GREATEST(..., 0)
+    guard in the query is pure defense against an engine/version that
+    floors. Assert raw agreement AND guarded agreement across the
+    boundary."""
+    import duckdb
+
+    C = _BIN_CAPACITY
+    spark_raw = spark.sql(f"SELECT CAST(-1 AS BIGINT) div {C} AS v").collect()[0].v
+    duck_raw = duckdb.sql(f"SELECT -1 // {C} AS v").fetchone()[0]
+    assert spark_raw == duck_raw == 0  # both truncate toward zero
+
+    for cum in (0, 1, C, C + 1):
+        s = spark.sql(
+            f"SELECT greatest(CAST({cum} AS BIGINT) - 1, 0L) div {C} AS v"
+        ).collect()[0].v
+        d = duckdb.sql(f"SELECT GREATEST({cum} - 1, 0) // {C} AS v").fetchone()[0]
+        assert s == d, f"cum_tokens={cum}: spark {s} != duckdb {d}"
+
+
+def test_concat_blocks_empty_text_leading_doc_matches_oracle(spark, tmp_path):
+    """Adversarial fixture: the LEADING document of a source has empty /
+    punctuation-only text (the normalizer still yields one '' token, the
+    minimum cum_tokens the tokenizer can produce). The Spark plan and the
+    registered DuckDB oracle must agree cell-for-cell, and every block id
+    must be non-negative (the un-guarded formula would emit -1 on a true
+    zero-token stream)."""
+    import duckdb
+
+    from pumle_spark.workload import REGISTRY
+    from pumle_spark.workload.curation import pack_concat_fixed_blocks
+
+    rows = [("a", 1, ""), ("a", 2, "x " * 7), ("b", 1, "!!! ???"), ("b", 2, "y")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+
+    got = sorted(
+        (r.source, r.doc_id, r.n_tokens, r.first_block, r.last_block, r.offset_in_block)
+        for r in pack_concat_fixed_blocks(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(map(tuple, con.execute(REGISTRY["pack_concat_fixed_blocks"].sql).fetchall()))
+    assert got == want
+    assert all(r[3] >= 0 and r[4] >= 0 and r[5] >= 0 for r in got)
+
+
 # -- top-mass selection boundary ------------------------------------------------
 
 
