@@ -90,8 +90,19 @@ def main() -> None:
     else:
         names = [n for n in HEADLINE if n in qs]
 
-    # warmup: JVM + codegen + parquet footer caches
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warmup pass: scan every table once, then run the whole headline set
+    # untimed. Whole-stage codegen compiles per plan shape on first
+    # execution (measured: corpus_clean_pipeline 2.5s cold vs 0.8s warm in
+    # the same session), so without this the reported number for a query is
+    # dominated by WHERE it sits in the run order, not by its plan. The
+    # timed pass below then measures steady-state execution — the number
+    # that extrapolates to a long-lived cluster job.
+    from pumle_spark.tables import TABLE_NAMES, table
+
+    for t in TABLE_NAMES:
+        table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
