@@ -31,10 +31,36 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def _format_doc(fn: QueryFn) -> None:
+    """Resolve {_CONSTANT}-style placeholders in a query docstring against
+    its module's globals. Docstrings must be literal strings to be picked
+    up as __doc__, so f-strings can't be used directly; without this,
+    help() renders literal braces instead of the tuning constants the text
+    refers to. All-or-nothing: a docstring whose braces aren't valid format
+    fields (e.g. a set literal in prose) is left untouched."""
+    if not fn.__doc__ or "{" not in fn.__doc__:
+        return
+    import re
+    import sys
+
+    mod_vars = vars(sys.modules[fn.__module__])
+
+    def sub(m: re.Match) -> str:
+        expr, _, spec = m.group(1).partition(":")
+        try:
+            val = eval(expr, {"__builtins__": {}}, mod_vars)  # noqa: S307 — our own docstrings
+            return format(val, spec) if spec else str(val)
+        except Exception:
+            return m.group(0)  # prose braces (set literals etc.) stay as-is
+
+    fn.__doc__ = re.sub(r"\{([^{}]+)\}", sub, fn.__doc__)
+
+
 def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        _format_doc(fn)
         REGISTRY[name] = Query(name=name, fn=fn, sql=sql, tags=tags, doc=fn.__doc__ or "")
         return fn
 

@@ -486,6 +486,37 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame min-label loop stays the production operator.
 _RC_MAX_DEPTH = 8
 
+# Fail-fast budget for the recursive walk: UNION ALL recursion enumerates
+# walks, so total level-L rows are bounded by n_sym_edges * max_degree^(L-1).
+# A modestly larger LSH cluster (clique of ~20 → ~10^10 walks) would hang
+# the job rather than fail the gate; refuse it upfront instead.
+_RC_WALK_BUDGET = 100_000_000
+
+
+def _assert_walk_bounded(pairs) -> None:
+    """Cheap degree-based pre-check over the (tiny, checkpointed) verified
+    pair list: refuse to start the recursive closure if the worst-case walk
+    count exceeds _RC_WALK_BUDGET. Degree is a one-pass proxy for component
+    size (the size itself needs the closure we're guarding)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 — local to keep module import light
+
+    sym = pairs.select(F.col("doc_a").alias("s")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"))
+    )
+    row = sym.groupBy("s").count().agg(
+        F.max("count").alias("max_deg"), F.sum("count").alias("n_dir_edges")
+    ).collect()[0]
+    if row.max_deg is None:
+        return
+    est = int(row.n_dir_edges) * int(row.max_deg) ** (_RC_MAX_DEPTH - 1)
+    if est > _RC_WALK_BUDGET:
+        raise RuntimeError(
+            f"recursive component walk refused: {row.n_dir_edges} edges with "
+            f"max degree {row.max_deg} bound ~{est:.2e} level-{_RC_MAX_DEPTH} "
+            f"walks (> budget {_RC_WALK_BUDGET:.0e}); use the pointer-jumping "
+            "connected_components operator for graphs this dense"
+        )
+
 
 @register(
     "dedup_clusters_recursive_sql",
@@ -515,8 +546,9 @@ def dedup_clusters_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs the pointer-jumping operator with localCheckpoint per round is
     the scale path; this query pins the ENGINE SURFACE, not a new
     algorithm."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    pairs.localCheckpoint(eager=True).createOrReplaceTempView("__rc_vpairs")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    _assert_walk_bounded(pairs)
+    pairs.createOrReplaceTempView("__rc_vpairs")
     return spark.sql(f"""
         WITH RECURSIVE edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM __rc_vpairs

@@ -837,7 +837,12 @@ def stream_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT click_event_id,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
-           ROUND(SUM(purchase_value / n_touches), 6) AS credited_value
+           -- exact integer credit per touch (micro-units, trunc division)
+           -- so the SUM is fold-order independent; BIGINT cast defuses
+           -- DuckDB's HUGEINT widening of SUM()
+           ROUND(CAST(SUM(CAST(ROUND(purchase_value * 1000000) AS BIGINT)
+                          // n_touches) AS BIGINT) / 1000000.0, 6)
+             AS credited_value
     FROM pairs GROUP BY click_event_id
     """,
     tags=("events", "attribution", "marketing"),
@@ -850,9 +855,14 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     touchpoints into a credit assignment (ads/marketing analytics; the
     same shape weights training examples by provenance).
 
-    Determinism: value/n_touches is one double division over identical
-    operands on both engines (n_touches is an exact window count), summed
-    per click over a deterministic set, rounded at 6. Plan: the interval
+    Determinism: each touch's credit is an EXACT integer — the purchase
+    value in micro-units trunc-divided by n_touches (Spark div and DuckDB
+    // both truncate toward zero; n_touches is an exact window count) — so
+    the per-click SUM is a BIGINT fold, independent of partitioning and
+    accumulation order on both engines; a double quotient sum here could
+    flip the 6th decimal at rounding boundaries depending on fold order.
+    Each credit under-counts by at most n_touches-1 micro-units, a
+    documented contract of this query. Plan: the interval
     join shuffles on user_id; the touch-count window repartitions on
     purchase id; the final groupBy on click id — three keyed exchanges,
     no driver round-trips."""
@@ -871,7 +881,10 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.partitionBy("purchase_event_id")
     credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(wt))
+    credit_micro = F.expr(
+        "CAST(ROUND(purchase_value * 1000000) AS BIGINT) div n_touches"
+    )
     return credited.groupBy("click_event_id").agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        F.round(F.sum(F.col("purchase_value") / F.col("n_touches")), 6).alias("credited_value"),
+        F.round(F.sum(credit_micro) / F.lit(1000000.0), 6).alias("credited_value"),
     )

@@ -46,3 +46,22 @@ def test_pending_skips_completed(spark, tmp_path, configs):
     cat.update_status(["aaaa1111"], "COMPLETED")
     pending = cat.pending(configs.dropDuplicates(["sim_hash"]))
     assert [r.sim_hash for r in pending.collect()] == ["bbbb2222"]
+
+
+def test_load_survives_concurrent_swap(spark, tmp_path, configs):
+    """The swap-race contract: load() materializes eagerly, so the returned
+    DataFrame keeps working even if a writer swaps (or deletes) the backing
+    path immediately afterwards — a lazy scan would list files at action
+    time and die mid-swap. Also: a missing path is an empty catalog, not an
+    error."""
+    import shutil
+
+    path = tmp_path / "catalog"
+    cat = SimulationCatalog(spark, str(path))
+    assert cat.load().count() == 0  # missing path == empty catalog
+
+    cat.register(configs)
+    snapshot = cat.load()
+    shutil.rmtree(path)  # writer swapped the tree away after our read
+    assert {r.sim_hash for r in snapshot.collect()} == {"aaaa1111", "bbbb2222"}
+    assert cat.load().count() == 0  # fresh read sees the new (absent) state

@@ -468,3 +468,58 @@ def test_funnel_is_strictly_ordered(spark, tmp_path):
     assert got["view"] == (4, 1.0)
     assert got["click"] == (2, 0.5)     # users 1 and 4
     assert got["purchase"] == (1, 0.25)  # only user 1
+
+
+def test_recursive_walk_guard_refuses_dense_component(spark):
+    """The recursive-CTE closure enumerates walks (~c*(c-1)^L per clique),
+    so a dense verified-pair component must fail fast at the degree
+    pre-check instead of hanging the job. A 20-clique exceeds the budget; a
+    sparse chain passes."""
+    import pytest
+
+    from pumle_spark.workload.dedup import _assert_walk_bounded
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(a + 1, 20)],
+        "doc_a long, doc_b long",
+    )
+    with pytest.raises(RuntimeError, match="walk refused"):
+        _assert_walk_bounded(clique)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    _assert_walk_bounded(chain)  # sparse: must not raise
+
+
+def test_zarr_int_dtype_edge_chunk_roundtrip(spark, tmp_path):
+    """Integer tensors with a ragged final chunk: the edge-chunk pad must
+    use 0 (np.full with np.nan raises ValueError on int dtypes) and the
+    fill_value metadata must be 0, not "NaN". Round-trips through the scan
+    with chunk_t=2 over n_t=5 so the last chunk is genuinely padded."""
+    import json
+
+    import numpy as np
+
+    from pumle_spark.exports import write_zarr_v2
+
+    rng = np.random.default_rng(7)
+    tensor = rng.integers(-50, 50, size=(3, 2, 2, 5)).astype(np.int32)
+    store = str(tmp_path / "ints_cafebabe.zarr")
+    write_zarr_v2(store, tensor, chunk_t=2)
+
+    meta = json.loads((tmp_path / "ints_cafebabe.zarr" / ".zarray").read_text())
+    assert meta["fill_value"] == 0 and meta["dtype"] == "<i4"
+    assert sorted(p.name for p in (tmp_path / "ints_cafebabe.zarr").iterdir()) == [
+        ".zarray", "0.0.0.0", "0.0.0.1", "0.0.0.2",  # ceil(5/2) chunks
+    ]
+
+    back = read_zarr_tensors(spark, f"{tmp_path}/ints_*.zarr")
+    rows = back.collect()
+    ni, nj, nk, n_t = tensor.shape
+    assert len(rows) == ni * nj * nk * n_t  # padding never leaks rows
+    for r in rows:
+        i = r.cell_id % ni
+        j = (r.cell_id // ni) % nj
+        k = r.cell_id // (ni * nj)
+        assert r.value == float(tensor[i, j, k, r.t])

@@ -32,11 +32,33 @@ def load_queries(path: str) -> dict[str, float]:
         # driver artifact: salvage pairs from the (possibly truncated) tail
         text = str(doc.get("tail", ""))
     out: dict[str, float] = {}
+    known = _registry_names()
     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', text):
         name, val = m.group(1), float(m.group(2))
-        if name not in ("value", "sf", "n", "rc", "cpus"):
+        if known is not None:
+            if name in known:
+                out[name] = val
+        elif name not in ("value", "sf", "n", "rc", "cpus", "parsed"):
             out[name] = val
     return out
+
+
+def _registry_names() -> frozenset[str] | None:
+    """Query names the engine actually registers — salvaged pairs from a
+    truncated tail are restricted to these so stray numeric fields in a
+    driver artifact can never masquerade as phantom queries. None if the
+    registry can't be imported (standalone use of this tool)."""
+    try:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from pumle_spark.workload import REGISTRY, _load_modules
+
+        _load_modules()
+        return frozenset(REGISTRY)
+    except Exception:
+        return None
 
 
 def main() -> int:
@@ -54,8 +76,14 @@ def main() -> int:
     removed = sorted(set(a) - set(b))
 
     ta, tb = sum(a[q] for q in shared), sum(b[q] for q in shared)
-    print(f"shared queries: {len(shared)}  total {ta:.1f}s -> {tb:.1f}s "
-          f"({(tb - ta) / ta * 100:+.1f}%)" if shared and ta else "no shared queries")
+    if not shared:
+        print("no shared queries")
+    elif ta == 0.0:
+        # all-sub-ms before side: totals exist but a percent delta doesn't
+        print(f"shared queries: {len(shared)}  total {ta:.1f}s -> {tb:.1f}s (n/a%)")
+    else:
+        print(f"shared queries: {len(shared)}  total {ta:.1f}s -> {tb:.1f}s "
+              f"({(tb - ta) / ta * 100:+.1f}%)")
     if added:
         print(f"added ({len(added)}): {' '.join(added)}")
     if removed:
