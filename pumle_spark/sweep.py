@@ -154,3 +154,43 @@ def generate_variations(
     grid = grid.withColumn("sim_hash", sim_hash_udf(F.col("fluid_params")))
 
     return grid.select("sim_hash", "sim_id", "fluid_params", *all_names)
+
+
+def variation_summary(
+    spark: SparkSession,
+    varied: list[VariedParam],
+    delta_default: float = 0.2,
+    class_of_parameters: str = "Fluid",
+) -> dict:
+    """Parity of the reference's get_variation_summary
+    (parameters_variation.py:202-213): the sweep's shape as a small dict —
+    class, parameter names, effective deltas, points per parameter, total
+    combinations.
+
+    The reference counts an already-materialized combination list; here
+    total_combinations comes from a real Spark agg over the lazy index-only
+    crossJoin grid (no hashing, no param columns), so the summary stays
+    cheap even for sweeps whose pointsⁿ grid would never fit on the
+    driver."""
+    if not varied:
+        raise ValueError("need at least one varied parameter")
+    _validate_delta(delta_default)
+    eff = [
+        vp if vp.delta is not None else VariedParam(vp.name, vp.base, delta_default)
+        for vp in varied
+    ]
+    points = {vp.name: n_points(vp.delta) for vp in eff}
+
+    grid: DataFrame | None = None
+    for vp in eff:
+        g = spark.range(points[vp.name])
+        grid = g if grid is None else grid.crossJoin(g)
+    total = grid.count()
+
+    return {
+        "class": class_of_parameters,
+        "parameters": [vp.name for vp in eff],
+        "delta": {vp.name: vp.delta for vp in eff},
+        "points_per_parameter": points,
+        "total_combinations": total,
+    }

@@ -120,3 +120,27 @@ def test_delta_validation_mirrors_reference(spark):
         generate_variations(
             spark, {"pres_ref": 35.0}, [VariedParam("pres_ref", 35.0)], delta_default=0.001
         )
+
+
+def test_variation_summary_matches_reference_shape(spark):
+    """get_variation_summary parity (parameters_variation.py:202-213):
+    names, per-param deltas/points, and a total that equals the actual
+    generated-grid row count; delta=None resolves to the default."""
+    from pumle_spark.sweep import variation_summary
+
+    varied = [
+        VariedParam("pres_ref", 35.0, 0.2),   # 5 points
+        VariedParam("srw", 0.11, 0.5),        # 2 points
+        VariedParam("temp_ref", 60.0),        # None → default 0.25 → 4 points
+    ]
+    s = variation_summary(spark, varied, delta_default=0.25)
+    assert s["class"] == "Fluid"
+    assert s["parameters"] == ["pres_ref", "srw", "temp_ref"]
+    assert s["delta"] == {"pres_ref": 0.2, "srw": 0.5, "temp_ref": 0.25}
+    assert s["points_per_parameter"] == {"pres_ref": 5, "srw": 2, "temp_ref": 4}
+    assert s["total_combinations"] == 5 * 2 * 4
+    base = {"pres_ref": 35.0, "srw": 0.11, "temp_ref": 60.0}
+    assert (
+        generate_variations(spark, base, varied, delta_default=0.25).count()
+        == s["total_combinations"]
+    )
