@@ -888,3 +888,93 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.sum(credit_micro) / F.lit(1000000.0), 6).alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming dedup under the driver gate (at-least-once replay → exactly-once)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_events_final",
+    sql="""
+    SELECT event_type,
+           COUNT(*)                AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           -- micro-unit BIGINT sum: fold-order independent on both engines
+           ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 2)   AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "streaming", "dedup"),
+)
+def stream_dedup_events_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-once dedup under the driver's hash gate: the events
+    table is staged TWICE into a file stream (simulating the at-least-once
+    replay every real broker delivers), plus a far-future sentinel file
+    that pushes the watermark past all real rows. The stream runs through
+    streaming.pipeline.stream_dedup_events (dropDuplicatesWithinWatermark
+    on event_id — bounded state, evicted as the watermark passes) to
+    completion, and the deduped output is batch-aggregated per event_type.
+    The DuckDB oracle aggregates the SINGLE-copy events table — a green row
+    proves the doubled input collapsed to exactly-once semantics.
+
+    Determinism: the doubled copies are bit-identical rows, so whichever
+    copy survives dedup yields the same values; the value sum is an exact
+    micro-unit BIGINT fold on both engines (same idiom as
+    attribution_linear_credit)."""
+    import tempfile
+    import uuid
+
+    from pumle_spark.streaming.pipeline import stream_dedup_events
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    events = table(spark, sf_dir, "events").select(*cols)
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_final_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    events.coalesce(1).write.mode("append").parquet(src)  # copy 1
+    events.coalesce(1).write.mode("append").parquet(src)  # replayed copy 2
+    sentinel = events.agg(
+        (F.lit(10**9) + F.max("event_id")).alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"stream_dedup_final_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).parquet(src)
+    with _scoped_stream_partitions(spark):
+        q = (
+            stream_dedup_events(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(sink)
+            .filter(F.col("event_type") != "sentinel")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 1000000).cast("bigint")) / F.lit(1000000.0),
+                    2,
+                ).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark.catalog.dropTempView(sink)
+    return out

@@ -312,3 +312,102 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BFS reachability profile from a seed node
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+
+
+def _sql_bfs_levels() -> str:
+    steps = ",\n    ".join(
+        f"n{i} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+        f"JOIN n{i - 1} f ON f.node = e.src)"
+        for i in range(1, _BFS_DEPTH + 1)
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT node, {i} AS hops FROM n{i}" for i in range(_BFS_DEPTH + 1)
+    )
+    return f"""
+    seed AS (SELECT CAST(2 * MIN(c) AS BIGINT) AS node FROM pairs),
+    n0 AS (SELECT node FROM seed),
+    {steps},
+    lv AS (
+      {union}
+    ),
+    reach AS (SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM lv GROUP BY node)
+    """
+
+
+_SQL_BFS = (
+    "WITH "
+    + _SQL_GRAPH
+    + ","
+    + _sql_bfs_levels()
+    + """
+    SELECT hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM reach GROUP BY hops
+    """
+)
+
+
+@register("graph_bfs_reach", sql=_SQL_BFS, tags=("graph", "bfs", "iterative"))
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance profile of the trade graph: BFS from the smallest
+    customer node, levels 0..{_BFS_DEPTH}, reporting per-hop node counts by
+    side plus the id range — the reachability/latency question every graph
+    store answers, expressed as {_BFS_DEPTH} BSP supersteps.
+
+    Min-hop semantics without a mutable visited set: level k is the
+    DISTINCT neighbor set of level k-1 (distinct bounds each frontier by
+    the node count, so the unrolled expansion cannot blow up on the dense
+    trade graph the way a path-enumeration walk would —
+    dedup_clusters_recursive_sql documents that failure shape), and the
+    final MIN(hops) per node collapses re-discoveries to first discovery.
+    Everything is integer arithmetic on node ids — bit-identical on both
+    engines.
+
+    Scale shape: each superstep is ONE equi-join of the edge list against
+    the current frontier, hash-partitioned on the node id, followed by a
+    distinct on the frontier — the Pregel economics, like graph_pagerank's
+    fixed-iteration unroll one file up. Catalyst's ReuseExchange shares
+    the edge-list shuffle across all {_BFS_DEPTH} supersteps in the single
+    unrolled plan; the seed scalar is a broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    frontier = pairs.agg((2 * F.min("c")).cast("bigint").alias("node"))
+    levels = [frontier.select("node", F.lit(0).alias("hops"))]
+    for i in range(1, _BFS_DEPTH + 1):
+        frontier = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(i).alias("hops")))
+    lv = levels[0]
+    for df in levels[1:]:
+        lv = lv.unionAll(df)
+    reach = lv.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
+    even = (F.col("node") % 2 == 0).cast("bigint")
+    return reach.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(even).alias("n_customers"),
+        F.sum(1 - even).alias("n_suppliers"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

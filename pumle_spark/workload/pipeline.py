@@ -526,3 +526,68 @@ def minpos_quantity_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.10 extension — cross-table referential-integrity audit
+# --------------------------------------------------------------------------
+
+# (relationship, child table, child FK, parent table, parent PK)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_SQL_FK_AUDIT = "\nUNION ALL\n".join(
+    f"""SELECT '{rel}' AS relationship,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} c
+             WHERE c.{fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+             AS n_orphans"""
+    for rel, child, fk, parent, pk in _FK_EDGES
+)
+
+
+@register(
+    "validate_fk_orphans",
+    sql=_SQL_FK_AUDIT,
+    tags=("validate", "2.10", "referential-integrity"),
+)
+def validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the warehouse
+    schema: per relationship, the child row count and the number of child
+    rows whose (non-null) FK has no parent — the first data-quality gate a
+    training pipeline runs after ingesting a new drop, extending the
+    per-row constraint checks of validate_customer_constraints (§2.10,
+    pandera BASE_SCHEMA, metadata.py:30-59) to cross-table invariants.
+
+    Each edge is a LEFT ANTI join (Spark's dedicated null-skipping
+    existence operator — the plan the §2.11 J5 anti-join family pins) plus
+    one count; the seven audits are independent subtrees unioned into a
+    single job, so Spark schedules them concurrently. At scale each
+    anti-join shuffles only the FK column — never the child payload — and
+    AQE broadcasts the small parents (nation, region, supplier)."""
+    rows = []
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent)
+        orphans = c.filter(F.col(fk).isNotNull()).join(
+            p, c[fk] == p[pk], "left_anti"
+        )
+        rows.append(
+            c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(rel).alias("relationship"), "n_child_rows", "n_orphans"
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out

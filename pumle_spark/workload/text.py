@@ -637,3 +637,81 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _MIN_DF)
         .select("term", "tf", "df", "postings_head")
     )
+
+
+# --------------------------------------------------------------------------
+# unigram-LM document scoring (perplexity-style quality filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    model AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM model),
+    cost AS (
+      SELECT w,
+             CAST(ROUND(-log2(CAST(c AS DOUBLE) / t.n) * 1000000) AS BIGINT)
+               AS bits_micro
+      FROM model CROSS JOIN total t
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(k.bits_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS bits_micro_per_token
+    FROM toks JOIN cost k ON k.w = toks.w
+    GROUP BY toks.doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under a corpus-trained
+    unigram language model — the CCNet-style perplexity quality filter: a
+    document whose tokens are atypical for the corpus scores high
+    bits-per-token and gets down-weighted or dropped by a curation
+    pipeline.
+
+    Train and score in one job: token counts over the whole corpus ARE the
+    model (no iteration); each token's information content -log2(c/N) is
+    quantized once per VOCABULARY entry to exact micro-bit BIGINTs, so the
+    per-document reduction is an integer fold — independent of partitioning
+    and accumulation order on both engines (the only doubles ever touched
+    are one log2 per distinct token, identical IEEE inputs both sides).
+    Mean bits/token is integer division (both engines floor on positives).
+
+    Scale shape: the model is a groupBy on the token (vocabulary-sized,
+    shuffles counts not text); scoring joins occurrences to the vocabulary
+    on the token key and re-aggregates per doc_id — two keyed exchanges,
+    both on small keys, with AQE free to broadcast the vocabulary when it
+    fits. No Python, no driver round-trip."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    model = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n"))
+    cost = model.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(-F.log2(F.col("c").cast("double") / F.col("n")) * 1000000)
+        .cast("bigint")
+        .alias("bits_micro"),
+    )
+    return (
+        toks.join(cost, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits_micro").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_bits div n_tokens").alias("bits_micro_per_token"),
+        )
+    )
