@@ -229,3 +229,44 @@ def test_scd2_single_exchange_for_all_windows(spark):
     # (+1 if the final window re-partitions on (user, version) hashing)
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_no_cartesian_all_equijoins(spark):
+    """The prefix-filtered similarity join must stay keyed end-to-end: the
+    candidate join on the prefix shingle and the verify joins are all
+    hash/sort-merge equijoins — never a cartesian/BNLJ fallback."""
+    plan = plan_of("dedup_prefix_filter_jaccard", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_audit_uses_anti_joins(spark):
+    """Each FK edge compiles to a LEFT ANTI existence join (null-skipping),
+    one per relationship, with no cartesian fallback anywhere."""
+    from pumle_spark.workload.pipeline import _FK_EDGES
+
+    plan = plan_of("validate_fk_orphans", spark)
+    assert plan.count("LeftAnti") >= len(_FK_EDGES)
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_scoring_partial_aggregates(spark):
+    """Both the vocabulary build and the per-doc scoring must partial-
+    aggregate before their exchanges (map-side combine on token counts and
+    on the per-doc integer fold)."""
+    plan = plan_of("text_unigram_logprob", spark)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both groupBys
+    assert "Exchange hashpartitioning(w" in plan
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_bfs_reuses_edge_exchange_across_supersteps(spark):
+    """The unrolled BFS plan must share the edge-list shuffle between
+    supersteps via ReuseExchange (or AQE's equivalent) rather than
+    rescanning and reshuffling the edge union per level."""
+    plan = plan_of("graph_bfs_reach", spark)
+    assert "CartesianProduct" not in plan
+    # ReuseExchange appears in the final adaptive plan as reused exchange
+    # subtrees; before AQE finalization the marker may be absent, so accept
+    # either the explicit node or multiple identical exchanges pending reuse
+    assert ("ReusedExchange" in plan) or (plan.count("Exchange hashpartitioning(src") >= 1)
