@@ -606,10 +606,26 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     then |A∩B| >= t·|A∩B ∪ ...| >= t·max(|A|,|B|), and by the prefix-
     filtering lemma the two prefixes of length n - ceil(t·n) + 1 under any
     shared total order must intersect — so joining only on PREFIX shingles
-    loses no qualifying pair. Candidates are additionally pruned by the
-    exact size bound {_PF_DEN}·min(n_a,n_b) >= {_PF_NUM}·max(n_a,n_b), then
-    verified by counting the true intersection restricted to candidate
-    pairs. All thresholds are integer arithmetic (t as the rational
+    loses no qualifying pair. Three further EXACT prunes run before
+    verification:
+
+    - size bound: J >= t forces {_PF_DEN}·min(n_a,n_b) >= {_PF_NUM}·max;
+    - positional filter (PPJoin): if the matching token sits at rarity
+      rank p in each doc, the overlap can never exceed
+      min(n_a-p_a, n_b-p_b)+1, yet J >= t needs overlap >=
+      ceil(t·(n_a+n_b)/(1+t)) — prune the occurrence when the bound can't
+      reach it. Sound per pair because the FIRST common token's occurrence
+      always satisfies the bound (every common token ranks at or after it
+      in both docs), and that occurrence is always inside both prefixes.
+    - verification by per-pair sorted-array intersection
+      (size(array_intersect)) against each doc's full shingle array — a
+      codegen-tight per-row merge instead of re-exploding candidates
+      against the shingle table (measured at the replicated sf1 probe:
+      the explode-and-count verify was 355 s for 31M candidates; the
+      positional filter cuts the candidates and the array verify removes
+      the billion-row join).
+
+    All thresholds are integer arithmetic (t as the rational
     {_PF_NUM}/{_PF_DEN}), so Spark and the all-pairs DuckDB oracle agree
     bit-for-bit.
 
@@ -619,7 +635,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stop-word-like) shingles never reach the join, so the quadratic term
     collapses and the shuffle carries prefix rows only. Unlike MinHash/LSH
     this path is EXACT — no recall loss — which is the trade a curation
-    pipeline wants for a high-precision dedup sweep at 100 TB.
+    pipeline wants for a high-precision dedup sweep at 100 TB. On a corpus
+    with large EXACT-duplicate clusters the true pair set itself is
+    quadratic in cluster size (any exact pair-emitter pays it) — the
+    production composition is dedup_exact first, this sweep second.
     """
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)  # (doc_id, sh), reused 3×
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -633,31 +652,41 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .filter(F.col("pos") <= prefix_len)
     )
-    pa = ranked.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("n_a"))
-    pb = ranked.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("n_b"))
+    pa = ranked.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("n_a"), F.col("pos").alias("p_a")
+    )
+    pb = ranked.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("n_b"), F.col("pos").alias("p_b")
+    )
+    # overlap upper bound from THIS occurrence vs the exact lower bound
+    # alpha = ceil(NUM*(n_a+n_b)/(NUM+DEN)); integer comparison form.
+    overlap_ub = F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")) + 1
     cand = (
         pa.join(pb, "sh")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (_PF_DEN * F.least("n_a", "n_b") >= _PF_NUM * F.greatest("n_a", "n_b"))
+            & ((_PF_NUM + _PF_DEN) * overlap_ub >= _PF_NUM * (F.col("n_a") + F.col("n_b")))
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("sh")).alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sets_a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    )
+    sets_b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (
-        common.join(sza, "doc_a")
-        .join(szb, "doc_b")
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("n_common", n_common)
         .filter(_PF_DEN * F.col("n_common") >= _PF_NUM * union_sz)
         .select(
             "doc_a",
