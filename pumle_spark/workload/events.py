@@ -978,3 +978,80 @@ def stream_dedup_events_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     spark.catalog.dropTempView(sink)
     return out
+
+
+# --------------------------------------------------------------------------
+# per-user EWMA (sequential stateful fold, JVM higher-order functions)
+# --------------------------------------------------------------------------
+
+# smoothing factor alpha = 1/4 as the exact update s' = (3*s + x) div 4:
+# operands stay positive (event values are > 0), so Spark's trunc `div`
+# and DuckDB's floor `//` agree and the recurrence is pure BIGINT.
+_EWMA_DECAY_NUM, _EWMA_DECAY_DEN = 3, 4
+
+
+@register(
+    "events_ewma_smoothing",
+    sql=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS x
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, x AS s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn,
+             ({_EWMA_DECAY_NUM} * r.s + q.x) // {_EWMA_DECAY_DEN}
+      FROM rec r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1
+    ),
+    last AS (SELECT user_id, MAX(rn) AS n FROM rec GROUP BY user_id)
+    SELECT r.user_id,
+           CAST(l.n AS BIGINT) AS n_events,
+           CAST(r.s AS BIGINT) AS ewma_micro
+    FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n
+    """,
+    tags=("events", "time-series", "stateful-fold"),
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponentially-weighted moving average of each user's event
+    values (alpha = 1/{_EWMA_DECAY_DEN}) — the sequential stateful
+    recurrence (s' = (1-a)s + a·x) that anomaly detectors, rate limiters,
+    and engagement scores all reduce to, and that plain SQL aggregation
+    cannot express.
+
+    Engine surface: the fold runs INSIDE the JVM via higher-order
+    functions — per user, events are collected as (ts, event_id, x)
+    structs, sort_array gives the deterministic event-time order (ties
+    broken by the unique event_id), and F.aggregate folds the exact
+    integer recurrence left-to-right. No Python, no UDF, no window
+    self-join; one shuffle on user_id. The DuckDB oracle is a recursive
+    CTE walking rn = 1,2,... per user — engine-independent because every
+    step is positive BIGINT arithmetic ((3s + x) div 4), so trunc-vs-floor
+    division can never diverge.
+
+    Scale: state per key is one struct array bounded by the user's event
+    count — the same per-key bound every sessionizer accepts; the fold
+    itself is O(n) per user and partitions freely across users."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            "ts", "event_id", F.round(F.col("value") * 1000000).cast("bigint").alias("x")
+        ).alias("r"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .select(
+            "user_id",
+            F.size("rs").cast("bigint").alias("n_events"),
+            F.expr(
+                f"""aggregate(
+                       transform(slice(rs, 2, size(rs) - 1), r -> r.x),
+                       rs[0].x,
+                       (acc, x) -> ({_EWMA_DECAY_NUM} * acc + x) div {_EWMA_DECAY_DEN}
+                   )"""
+            ).alias("ewma_micro"),
+        )
+    )

@@ -183,3 +183,82 @@ def test_unigram_logprob_exact_on_fixture(spark, tmp_path):
     }
     assert got == expect
     assert got[3][1] > got[1][1]  # rare doc scores higher than common doc
+
+
+# --------------------------------------------------------------------------
+# events_ewma_smoothing — exact integer fold on a controlled sequence
+# --------------------------------------------------------------------------
+
+
+def test_ewma_exact_on_fixture(spark, tmp_path):
+    """Hand-computed EWMA recurrence, including a same-timestamp tie broken
+    by event_id — the order the sort contract guarantees."""
+    import datetime as dt
+
+    from pumle_spark.workload.events import events_ewma_smoothing
+
+    sf = str(tmp_path)
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: values 4.0, 8.0, 8.0 (last two share a ts; ids order them)
+        (1, t, 7, "click", 4.0),
+        (2, t + dt.timedelta(hours=1), 7, "click", 8.0),
+        (3, t + dt.timedelta(hours=1), 7, "click", 8.0),
+        # user 2: single event
+        (4, t, 9, "view", 2.5),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    s1 = 4_000_000
+    s1 = (3 * s1 + 8_000_000) // 4  # 5_000_000
+    s1 = (3 * s1 + 8_000_000) // 4  # 5_750_000
+    got = {r.user_id: (r.n_events, r.ewma_micro) for r in events_ewma_smoothing(spark, sf).collect()}
+    assert got == {7: (3, s1), 9: (1, 2_500_000)}
+
+
+# --------------------------------------------------------------------------
+# embedding_power_iteration — semantic check against numpy's eigenvector
+# --------------------------------------------------------------------------
+
+
+def test_power_iteration_matches_numpy_replica_bit_exact(spark):
+    """The operator's contract is the deterministic integer recurrence, so
+    a numpy replica of the exact same quantize → Gram-downscale → iterate
+    steps must agree BIT-FOR-BIT with the distributed result. (Alignment
+    with the true eigenvector is a data property: this synthetic corpus is
+    near-isotropic — eigengap ratio ~0.93 — so no small iteration count
+    converges; the kernel, not the spectrum, is under test.) The Rayleigh
+    quotient must still improve materially over the start vector — each
+    power step provably increases it for a PSD Gram matrix."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pumle_spark.workload.clustering import _PI_FP, _PI_ITERS, embedding_power_iteration
+
+    got = embedding_power_iteration(spark, SF).collect()
+    v_spark = np.zeros(64, dtype=np.int64)
+    for r in got:
+        v_spark[r.dim - 1] = r.component_micro
+
+    emb = np.array(pq.read_table(f"{SF}/embeddings.parquet").column("embedding").to_pylist())
+    x = np.round(emb.astype(np.float64) * _PI_FP).astype(np.int64)
+    gram_raw = x.T.astype(object) @ x.astype(object)  # exact int (beyond int64 at scale)
+    gram = np.array(
+        [[int(abs(s)) // _PI_FP * (1 if s >= 0 else -1) for s in row] for row in gram_raw],
+        dtype=np.int64,
+    )
+    v = np.full(64, _PI_FP, dtype=np.int64)
+    for _ in range(_PI_ITERS):
+        w = gram @ v
+        m = max(int(np.abs(w).max()) // _PI_FP, 1)
+        v = np.sign(w) * (np.abs(w) // m)
+
+    assert np.array_equal(v_spark, v), f"first diff at {np.argmax(v_spark != v)}"
+
+    def rayleigh(u):
+        u = u.astype(np.float64)
+        return (u @ gram.astype(np.float64) @ u) / (u @ u)
+
+    assert rayleigh(v_spark) >= 1.2 * rayleigh(np.full(64, _PI_FP))

@@ -46,6 +46,7 @@ ALLOW = {
     "text_tfidf_top_terms": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "text_unigram_logprob": {"BroadcastNestedLoopJoin": "single-row corpus token-total scalar"},
     "validate_fk_orphans": {"BroadcastNestedLoopJoin": "single-row count x count audit scalars"},
+    "embedding_power_iteration": {"BroadcastNestedLoopJoin": "single-row max-norm scalar per iteration"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
     "scatter_dense_grid": {"BroadcastNestedLoopJoin": "J1 dense domain: sims_t x cells IS the output size"},
