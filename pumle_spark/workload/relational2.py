@@ -904,6 +904,9 @@ def window_range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataF
              AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- no-op on real data; drops the ANSI grand-total-on-empty-input row so
+    -- the oracle matches Spark's grouping-sets (empty relation -> empty output)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "grouping-sets"),
 )

@@ -539,9 +539,14 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # singleton pick via conditional agg — no driver-side collect
         return F.sum(F.when(F.col("tag") == tag, F.col("chosen_est")))
 
-    inter_est = ests.agg(
-        ((only("1995") + only("1996")) - only("union")).alias("chosen_est")
-    ).select(F.lit("intersection").alias("tag"), "chosen_est")
+    inter_est = (
+        ests.agg(((only("1995") + only("1996")) - only("union")).alias("chosen_est"))
+        .select(F.lit("intersection").alias("tag"), "chosen_est")
+        # scalar agg over an EMPTY ests emits one all-NULL row where the
+        # oracle's cross of empty subqueries emits none; never-null on any
+        # non-empty input, so this only aligns the empty-relation case
+        .filter(F.col("chosen_est").isNotNull())
+    )
     all_ests = ests.unionAll(inter_est)
     exact = (
         a.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("1995").alias("tag"), "exact_n")
