@@ -279,12 +279,18 @@ def outlier_mad_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY flag
     )
     SELECT flag, CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-             AS corr_qty_price,
-           ROUND((n * syz - sy * sz)
-                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
-             AS corr_price_discount
+           -- degenerate-group guard (no-op on real data): with n = 1 the
+           -- variance terms are mathematically zero but round to tiny
+           -- negatives in double, and sqrt(negative) raises; an undefined
+           -- correlation is NULL on both engines
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+             ROUND((n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS corr_qty_price,
+           CASE WHEN (n * syy - sy * sy) * (n * szz - sz * sz) > 0 THEN
+             ROUND((n * syz - sy * sz)
+                   / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+           END AS corr_price_discount
     FROM s
     """,
     tags=("profiling", "statistics", "decimal-stabilized"),
@@ -320,13 +326,20 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
         F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
     )
-    corr_xy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    vp_xy = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    corr_yz = (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-        * (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+    vp_yz = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) * (
+        F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+    )
+    # degenerate-group guard mirrors the oracle: undefined correlation -> NULL
+    corr_xy = F.when(
+        vp_xy > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(vp_xy),
+    )
+    corr_yz = F.when(
+        vp_yz > 0,
+        (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(vp_yz),
     )
     return s.select(
         "flag",
