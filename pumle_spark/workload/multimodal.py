@@ -174,3 +174,47 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("feat_sq_norm"), 4).alias("avg_feat_sq_norm"),
         )
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents),
+    p AS (SELECT media_id, text, len,
+                 LEAST(4, GREATEST(1, len // 10)) AS n
+          FROM m),
+    q AS (SELECT media_id, text, len, n, GREATEST(1, len // n) AS step FROM p),
+    f AS (SELECT media_id, i AS frame_idx,
+                 substring(text, i * step + 1, step) AS frame
+          FROM q, generate_series(0, 3) t(i) WHERE i < n)
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(frame) AS BIGINT) AS frame_len,
+           md5(frame) AS frame_md5
+    FROM f
+    """,
+    tags=("multimodal", "frame-sample", "python-interop"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the driver's hash gate: the
+    Arrow-batched one-row-to-many mapInPandas fan-out
+    (operators/multimodal.sample_frames — stride-sliced fake frames, since
+    the container ships no video codec) with each emitted frame audited by
+    byte length and md5. The oracle re-derives the identical slicing in
+    SQL; character positions equal byte positions because the synthetic
+    corpus is pure ASCII (asserted: octet_length == length corpus-wide),
+    so DuckDB's VARCHAR md5 hashes the same bytes Spark's binary md5 sees.
+
+    This closes the fourth multimodal verb (decode / feature-extract /
+    resize / frame-sample) as a driver-checked row; the fan-out ratio is
+    bounded (<= 4 frames/row), so the Arrow batch shape is stable at any
+    corpus size."""
+    from pumle_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media_table(spark, sf_dir), every_n=10, max_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame").cast("bigint").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )

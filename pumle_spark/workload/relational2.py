@@ -1228,3 +1228,114 @@ def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey
                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
     """)
+
+
+# --------------------------------------------------------------------------
+# distribution window functions (percent_rank / cume_dist / nth_value)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution_ranks",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)    AS cum_dist,
+           NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window-function trio over one shared window spec:
+    percent_rank (relative rank in [0,1]), cume_dist, and nth_value under
+    the ANSI default frame (nth_value is NULL until the 3rd row of each
+    partition — identical frame semantics on both engines). The order key
+    is the rounded price with the unique o_orderkey tiebreak, so ranks and
+    the running frame are a total order and both engines compute the same
+    exact rationals (k/(n-1), k/n) before the 6-decimal round. One
+    exchange serves all three functions."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round("o_totalprice", 2).desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# closed-form OLS trend per group (decimal-stabilized)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_linreg_by_priority",
+    sql="""
+    WITH t AS (
+      SELECT o_orderpriority AS priority,
+             CAST(DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS DECIMAL(18,4)) AS x,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT priority, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM t GROUP BY priority
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_orders,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope_per_day,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 2)
+           END AS intercept
+    FROM s
+    """,
+    tags=("regression", "statistics", "decimal-stabilized"),
+)
+def orders_linreg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares price trend per order priority — the
+    closed-form regression every monitoring dashboard computes (is spend
+    drifting per segment?), as pure aggregates: slope and intercept from
+    the four moment sums over (days-since-epoch, total price).
+
+    Same determinism contract as profile_numeric_correlations: moments are
+    EXACT decimal sums (x and y cast to DECIMAL(18,4); products and sums
+    never round), only the final slope/intercept formula runs in double as
+    the same expression tree over bit-identical inputs on both engines.
+    Degenerate groups (zero x-variance) yield NULL, guarded identically.
+    One partial-aggregated groupBy — regression at 100 TB costs exactly
+    one scan plus a 5-row reduce."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("decimal(18,4)")
+        .alias("x"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("y"),
+    )
+    s = t.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x
+    return s.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.when(var_x > 0, F.round(slope, 6)).alias("slope_per_day"),
+        F.when(var_x > 0, F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2)).alias(
+            "intercept"
+        ),
+    )
