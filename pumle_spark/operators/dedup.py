@@ -182,23 +182,31 @@ def connected_components(
     labels = edges.select(F.col("src").alias("key")).distinct().select(
         "key", F.col("key").alias("comp")
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.key)
             .groupBy(F.col("dst").alias("key"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the convergence count rides the SAME action as the checkpoint via
+        # observe() — a label changes iff the neighborhood min undercuts it,
+        # so no second join-and-count pass over the labels is needed
+        # (measured: halves the actions per round)
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "key", "left")
-            .select("key", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+            .select(
+                "key",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).cast("long").alias("changed"),
+            )
+            .observe(obs, F.sum("changed").alias("n_changed"))
+            .select("key", "comp")
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        n_changed = int(obs.get["n_changed"] or 0)
         labels = new_labels
         if n_changed == 0:
             break
