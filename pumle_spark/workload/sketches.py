@@ -201,8 +201,10 @@ _CMS_TOPK = 20
     "sketch_cms_frequency",
     sql=f"""
     WITH cells AS (
+      -- ONE md5 per key; the 128-bit digest is sliced into d=4 independent
+      -- 32-bit row hashes (8 hex chars each) instead of re-hashing per row
       SELECT r.i AS row_i,
-             ('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR) || '|' || r.i), 1, 8))::BIGINT
+             ('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
                % {_CMS_W} AS col_j,
              COUNT(*) AS cnt
       FROM lineitem l CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
@@ -215,7 +217,7 @@ _CMS_TOPK = 20
     ),
     probe AS (
       SELECT e.l_partkey, e.exact_cnt, r.i AS row_i,
-             ('0x' || substr(md5(CAST(e.l_partkey AS VARCHAR) || '|' || r.i), 1, 8))::BIGINT
+             ('0x' || substr(md5(CAST(e.l_partkey AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
                % {_CMS_W} AS col_j
       FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
     )
@@ -241,15 +243,29 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles every key) for the cost the sketch avoids.
     """
     li = table(spark, sf_dir, "lineitem")
-    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("row_i")
 
-    def col_j(key: F.Column, row_i: F.Column) -> F.Column:
-        h = F.md5(F.concat(key.cast("string"), F.lit("|"), row_i.cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+    def entries() -> F.Column:
+        # one md5 per key, sliced into d 32-bit row hashes; codegen's
+        # common-subexpression elimination computes the digest once
+        h = F.md5(F.col("l_partkey").cast("string"))
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (
+                            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+                            % _CMS_W
+                        ).alias("col_j"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("e")
 
     cells = (
-        li.select(F.col("l_partkey"), rows)
-        .select("row_i", col_j(F.col("l_partkey"), F.col("row_i")).alias("col_j"))
+        li.select(entries())
+        .select("e.row_i", "e.col_j")
         .groupBy("row_i", "col_j")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -259,11 +275,8 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "l_partkey")
         .limit(_CMS_TOPK)
     )
-    probe = exact.select("l_partkey", "exact_cnt", rows).select(
-        "l_partkey",
-        "exact_cnt",
-        "row_i",
-        col_j(F.col("l_partkey"), F.col("row_i")).alias("col_j"),
+    probe = exact.select("l_partkey", "exact_cnt", entries()).select(
+        "l_partkey", "exact_cnt", "e.row_i", "e.col_j"
     )
     return (
         F.broadcast(probe)
