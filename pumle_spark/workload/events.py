@@ -1055,3 +1055,94 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# rate-anomaly detection (trailing-window z-score, integer-exact moments)
+# --------------------------------------------------------------------------
+
+_ZS_LOOKBACK = 24  # trailing observed hours in the baseline window
+_ZS_MIN_N = 12     # minimum baseline hours before scoring
+
+
+@register(
+    "events_rate_anomaly",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hr, x,
+             CAST(COUNT(*) OVER tw AS BIGINT)    AS n,
+             CAST(SUM(x) OVER tw AS BIGINT)      AS sx,
+             CAST(SUM(x * x) OVER tw AS BIGINT)  AS sxx
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN {_ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           x AS n_events,
+           ROUND((x * n - sx) / sqrt(CAST(n * (n * sxx - sx * sx) AS DOUBLE)), 4)
+             AS zscore,
+           n * (x * n - sx) * (x * n - sx) > 9 * (n * (n * sxx - sx * sx))
+             AS is_spike
+    FROM w
+    -- only scored hours are emitted: a NULLABLE BOOLEAN output column is a
+    -- fetch-path hazard (pandas renders DuckDB's NULL bool as NaN but
+    -- Spark's as None), so the insufficient-baseline rows are filtered,
+    -- not NULL-scored
+    WHERE n >= {_ZS_MIN_N} AND n * sxx - sx * sx > 0
+    """,
+    tags=("events", "time-series", "anomaly"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event-rate anomaly score: each (event_type, hour) count is
+    z-scored against the {_ZS_LOOKBACK} previously OBSERVED hours of the
+    same type (rows-frame trailing window, current hour excluded), with a
+    3-sigma spike flag — the monitoring primitive behind ingestion alarms
+    and traffic-shift detection. Hours with fewer than {_ZS_MIN_N} baseline
+    points or zero baseline variance are filtered out, not NULL-scored: a
+    nullable boolean output is a driver fetch-path hazard (pandas renders
+    DuckDB NULL booleans as NaN, Spark's as None).
+
+    Determinism: counts are integers, so the baseline moments (n, Σx, Σx²)
+    are EXACT integer window sums and the spike predicate is the exact
+    cross-multiplied form n·(x·n−Σx)² > 9·n·(n·Σx²−(Σx)²) — no double
+    enters until the single reported z value (one sqrt over identical
+    integer operands on both engines; population σ).
+
+    Scale shape: one groupBy to hourly grain (map-side partial counts over
+    the raw stream), then a keyed window whose frame is {_ZS_LOOKBACK}
+    rows per partition — bounded state per event type, the same economics
+    as a streaming sliding aggregate."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-_ZS_LOOKBACK, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "x",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("n"),
+        F.sum("x").over(tw).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(tw).cast("bigint").alias("sxx"),
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    return (
+        w.filter((F.col("n") >= _ZS_MIN_N) & (var_num > 0))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.col("x").alias("n_events"),
+            F.round(dev / F.sqrt((F.col("n") * var_num).cast("double")), 4).alias("zscore"),
+            (F.col("n") * dev * dev > 9 * (F.col("n") * var_num)).alias("is_spike"),
+        )
+    )

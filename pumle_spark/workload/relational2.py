@@ -1339,3 +1339,75 @@ def orders_linreg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto cumulative-share classification
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_abc_parts",
+    sql="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(38,4)) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev
+      FROM rev
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(revenue), 2) AS DOUBLE) AS class_revenue
+    FROM (
+      SELECT l_partkey, revenue,
+             -- integer cross-multiplication: cum*100 <= total*80 etc. keeps
+             -- the class boundary exact decimal, no double division
+             CASE WHEN cum_rev * 100 <= t.total * 80 THEN 'A'
+                  WHEN cum_rev * 100 <= t.total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot t
+    )
+    GROUP BY abc_class
+    """,
+    tags=("window", "pareto", "analytics"),
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue share: parts covering
+    the first 80% of cumulative revenue are class A, the next 15% B, the
+    tail C — the inventory-analytics classic, and the same cumulative-mass
+    shape a data-curation budget uses (cf. select_top_mass_per_source).
+
+    Determinism: revenues are exact decimal sums; the running total is a
+    window over the total order (revenue DESC, partkey); class boundaries
+    compare cum*100 <= total*k by exact decimal cross-multiplication — no
+    double division anywhere before the final rounded class sums.
+
+    Scale shape: one groupBy(partkey), then a global running sum. The
+    ORDER BY window has no PARTITION BY, so Spark plans a single-partition
+    window — correct and fine for the ~200k-part dimension here, while a
+    100 TB fact table never enters the window (it was reduced by the
+    groupBy first); for a billion-key dimension the two-pass equivalent
+    (partition-local cumsums + broadcast prefix offsets) replaces it."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").cast("decimal(38,4)").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.col("l_partkey"))
+    ranked = rev.withColumn("cum_rev", F.sum("revenue").over(w))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "revenue",
+        F.when(F.col("cum_rev") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum_rev") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+    )

@@ -17,7 +17,7 @@ All three are pure JVM expression + groupBy plans: no UDFs, no state.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pumle_spark.tables import table
 from pumle_spark.workload import register
@@ -592,4 +592,90 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_pct"),
         )
         .orderBy("set_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: k=64, 48-bit md5-prefix hashes.
+#
+# The order-statistics counterpart to HyperLogLog: keep the k smallest hash
+# values of the key set; if the k-th smallest of n uniform hashes over
+# [0, 2^48) is u_k, then E[n] ≈ (k-1) * 2^48 / u_k. Mergeable (union = k
+# smallest of the concatenation), exact below k, and — like every sketch in
+# this module — md5-derived so both engines build the identical sketch and
+# the ESTIMATE is hash-compared, not just bounded.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_RANGE = float(16**12)  # 2^48 as the same literal on both engines
+
+
+@register(
+    "sketch_kmv_distinct",
+    sql=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_orderstatus AS status, o_custkey AS k FROM orders
+    ),
+    h AS (
+      SELECT status,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12))::BIGINT AS u
+      FROM keys
+    ),
+    r AS (
+      SELECT status, u,
+             ROW_NUMBER() OVER (PARTITION BY status ORDER BY u, status) AS rn,
+             COUNT(*) OVER (PARTITION BY status) AS nd
+      FROM h
+    ),
+    sel AS (SELECT status, u, CAST(nd AS BIGINT) AS nd FROM r WHERE rn = LEAST({_KMV_K}, nd))
+    SELECT status,
+           nd AS exact_distinct,
+           ROUND(CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                      ELSE {_KMV_K - 1}.0::DOUBLE * {_KMV_RANGE!r}::DOUBLE / u END, 3) AS kmv_estimate,
+           ROUND(100.0 * (CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
+                               ELSE {_KMV_K - 1}.0::DOUBLE * {_KMV_RANGE!r}::DOUBLE / u END - nd)
+                 / nd, 3) AS rel_err_pct
+    FROM sel
+    ORDER BY status
+    """,
+    tags=("sketch", "kmv", "distinct"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, k={_KMV_K}) distinct-customer estimate per
+    order status, next to the exact count and relative error — the second
+    classic distinct sketch beside HLL (`sketch_hll_distinct`), built on
+    order statistics instead of register maxima: estimate = (k-1)·2⁴⁸/u_k
+    where u_k is the k-th smallest 48-bit md5-prefix hash. Exact when the
+    set has fewer than k keys (the estimator degenerates to the count).
+
+    Scale: the sketch is the k smallest hashes per group — a top-k
+    (TakeOrdered-shaped) reduction that combines map-side, shuffling at
+    most k values per group regardless of input size, and two KMV
+    sketches union by re-taking the k smallest of their concatenation.
+    md5 hashing makes a 1000-executor build and the DuckDB oracle
+    byte-identical (hash compares the ESTIMATES)."""
+    o = table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderstatus").alias("status"), F.col("o_custkey").alias("k")).distinct()
+    h = keys.select(
+        "status",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("u"),
+    )
+    wp = Window.partitionBy("status")
+    r = h.select(
+        "status",
+        "u",
+        F.row_number().over(wp.orderBy("u", "status")).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("nd"),
+    )
+    sel = r.filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("nd")))
+    est = F.when(F.col("nd") < _KMV_K, F.col("nd").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("u")
+    )
+    return sel.select(
+        "status",
+        F.col("nd").alias("exact_distinct"),
+        F.round(est, 3).alias("kmv_estimate"),
+        F.round(100.0 * (est - F.col("nd")) / F.col("nd"), 3).alias("rel_err_pct"),
     )

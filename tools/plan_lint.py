@@ -47,6 +47,7 @@ ALLOW = {
     "text_unigram_logprob": {"BroadcastNestedLoopJoin": "single-row corpus token-total scalar"},
     "validate_fk_orphans": {"BroadcastNestedLoopJoin": "single-row count x count audit scalars"},
     "embedding_power_iteration": {"BroadcastNestedLoopJoin": "single-row max-norm scalar per iteration"},
+    "pareto_abc_parts": {"BroadcastNestedLoopJoin": "single-row revenue-total scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
     "scatter_dense_grid": {"BroadcastNestedLoopJoin": "J1 dense domain: sims_t x cells IS the output size"},
