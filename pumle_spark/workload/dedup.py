@@ -196,7 +196,11 @@ _N_BANDS = 4  # 4 bands × 2 rows
     sql=f"""
     WITH {_SQL_SHINGLES},
     mh AS (                               -- minhash: min over md5(seed|shingle)
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mhash
+      SELECT doc_id, seed,
+             -- four 32-bit hashes per md5 digest (seed//4 picks the digest,
+             -- seed%4 the slice) — same family as the Spark side
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh),
+                        1 + 8 * (seed % 4), 8)) AS mhash
       FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
       GROUP BY doc_id, seed
     ),
@@ -230,8 +234,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection (shingle → minhash → band →
     bucket-join → verify).
 
-    The minhash family is h_i(s) = md5(i|s) with the min taken over the hex
-    string — engine-portable and deterministic, no RNG state to ship.
+    The minhash family packs four 32-bit hashes per digest:
+    h_i(s) = substr(md5(i//4|s), 1+8*(i%4), 8), min over the fixed-width
+    hex slice — engine-portable and deterministic, no RNG state to ship,
+    and one md5 per shingle serves four signature rows.
     {_N_HASHES} hashes in {_N_BANDS} bands of 2: candidate recall ≈
     1-(1-j²)⁴. Only candidates are verified with the exact Jaccard, so the
     quadratic step runs on buckets, not the corpus.
@@ -273,7 +279,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a retention decision — the oracles must agree on what a cluster IS).
 _SQL_COMPONENT_CHAIN = f"""{_SQL_SHINGLES},
     mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mhash
+      SELECT doc_id, seed,
+             -- four 32-bit hashes per md5 digest (seed//4 picks the digest,
+             -- seed%4 the slice) — same family as the Spark side
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh),
+                        1 + 8 * (seed % 4), 8)) AS mhash
       FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
       GROUP BY doc_id, seed
     ),
