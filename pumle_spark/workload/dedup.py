@@ -705,3 +705,93 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common").cast("double") / union_sz, 4).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Containment join (asymmetric set similarity) — prefix-filtered, exact
+# --------------------------------------------------------------------------
+
+# containment threshold t = 4/5: C(A,B) = |A∩B| / |A| >= 4/5
+_CT_NUM, _CT_DEN = 4, 5
+
+
+@register(
+    "dedup_containment_pairs",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE) / sa.n_sh, 4) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    WHERE {_CT_DEN} * p.n_common >= {_CT_NUM} * sa.n_sh
+    """,
+    tags=("dedup", "containment", "prefix-filter"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs where document A's shingle set is >= {_CT_NUM}/{_CT_DEN}
+    CONTAINED in document B — the asymmetric companion to Jaccard dedup:
+    containment catches a truncated copy, a quote-with-commentary, or a
+    template-with-insertions, which symmetric Jaccard under-scores when
+    the sizes differ (|A∩B|/|A∪B| shrinks with |B| while |A∩B|/|A| does
+    not). A curation pipeline drops A as subsumed when C(A,B) is high.
+
+    Exact prefix filtering, containment variant: C(A,B) >= t forces
+    |A∩B| >= ceil(t·|A|), so by the pigeonhole argument A's prefix of its
+    n_a - ceil(t·n_a) + 1 RAREST shingles (global df order, as in
+    dedup_prefix_filter_jaccard) must hit A∩B — but B is NOT prefix-
+    restricted (containment puts no lower bound on |A∩B|/|B|), so
+    candidates come from joining A-prefixes against B's FULL shingle set.
+    Verification is the per-pair sorted-array intersection. All thresholds
+    are integer arithmetic; the DuckDB oracle is the all-pairs join.
+
+    Scale shape: the candidate join keys are A's rarest shingles only —
+    the hot-shingle quadratic term collapses on the prefix side; the full
+    side streams once through the equi-join. Directionality costs nothing:
+    both orders of a pair emerge from the same join because every doc
+    appears on both sides."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n_sh") - F.expr(
+        f"({_CT_NUM} * n_sh + {_CT_DEN} - 1) div {_CT_DEN}"
+    ) + F.lit(1)
+    pref_a = (
+        sh.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_a"), "sh")
+    )
+    full_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        pref_a.join(full_b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("sh")).alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sets_a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    )
+    sets_b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    n_common = F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint")
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("n_common", n_common)
+        .filter(_CT_DEN * F.col("n_common") >= _CT_NUM * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), 4).alias("containment"),
+        )
+    )

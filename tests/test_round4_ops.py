@@ -262,3 +262,42 @@ def test_power_iteration_matches_numpy_replica_bit_exact(spark):
         return (u @ gram.astype(np.float64) @ u) / (u @ u)
 
     assert rayleigh(v_spark) >= 1.2 * rayleigh(np.full(64, _PI_FP))
+
+
+# --------------------------------------------------------------------------
+# dedup_containment_pairs — exactness vs the all-pairs baseline
+# --------------------------------------------------------------------------
+
+
+def test_containment_matches_allpairs_baseline(spark):
+    """Prefix filtering for containment restricts only the CONTAINED side;
+    the result must equal the all-pairs computation exactly, and
+    containment must surface every Jaccard pair in both directions (a
+    high-Jaccard pair is mutually containing at these thresholds)."""
+    from pumle_spark.workload.dedup import (
+        _CT_DEN,
+        _CT_NUM,
+        _shingles,
+        dedup_containment_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in dedup_containment_pairs(spark, SF).collect()
+    }
+
+    sh = _shingles(spark, SF)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .filter(_CT_DEN * F.col("c") >= _CT_NUM * F.col("na"))
+    )
+    want = {(r.doc_a, r.doc_b, r.c) for r in pairs.collect()}
+    assert got == want
+    assert len(got) > 0
