@@ -1411,3 +1411,57 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE with GROUPING() disambiguation — completes the grouping lattice trio
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube_flag_status",
+    sql="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+           COALESCE(l_linestatus, 'ALL') AS line_status,
+           -- GROUPING() bits distinguish a grouped-out NULL from a data
+           -- NULL — the standard disambiguator the COALESCE alone can't be
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+             AS grouping_id,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18, 4))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- no-op on real data; drops the ANSI grand-total-on-empty-input row so
+    -- the oracle matches Spark's cube (empty relation -> empty output)
+    HAVING COUNT(*) > 0
+    """,
+    tags=("agg", "cube", "grouping-id"),
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (return flag, line status) — all four grouping-set
+    combinations in ONE Expand+Aggregate pass — completing the grouping
+    lattice trio beside ROLLUP (`agg_rollup_region_nation`) and explicit
+    GROUPING SETS (`agg_grouping_sets_revenue`). grouping_id carries the
+    GROUPING() bit vector, the standard way to tell a grouped-out NULL
+    from a data NULL; Spark's grouping_id() and the composed GROUPING()
+    bits agree by construction. Quantities sum in exact decimal before the
+    single rounded double cast."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.grouping_id().cast("int").alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("ret_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "grouping_id",
+            "n_lines",
+            "sum_qty",
+        )
+    )
