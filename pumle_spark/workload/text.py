@@ -715,3 +715,95 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_bits div n_tokens").alias("bits_micro_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# token co-occurrence PMI (phrase-mining / vocabulary-induction statistic)
+# --------------------------------------------------------------------------
+
+_PMI_VOCAB = 50  # top-df vocabulary considered for pairs
+
+
+@register(
+    "text_cooccurrence_pmi",
+    sql=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks),
+    vocab AS (
+      SELECT w, COUNT(*) AS df FROM toks GROUP BY w
+      ORDER BY df DESC, w LIMIT {_PMI_VOCAB}
+    ),
+    vt AS (SELECT t.doc_id, t.w FROM toks t JOIN vocab v ON v.w = t.w),
+    pairs AS (
+      SELECT a.w AS term_a, b.w AS term_b, COUNT(*) AS n_co
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT p.term_a, p.term_b,
+           CAST(p.n_co AS BIGINT) AS n_co,
+           CAST(ROUND(log2((CAST(p.n_co AS DOUBLE) * n.n_docs)
+                           / (CAST(va.df AS DOUBLE) * vb.df)) * 1000000)
+                AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN vocab va ON va.w = p.term_a
+    JOIN vocab vb ON vb.w = p.term_b
+    CROSS JOIN n
+    """,
+    tags=("text", "cooccurrence", "pmi"),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs at document granularity
+    over the top-{_PMI_VOCAB} document-frequency vocabulary — the
+    collocation statistic behind phrase mining, tokenizer-vocabulary
+    induction, and topic coherence scores: PMI = log2(p(a,b)/(p(a)p(b)))
+    with document-level probabilities.
+
+    Scale containment: the pair space is capped by the broadcastable
+    vocabulary (at most {_PMI_VOCAB}·({_PMI_VOCAB}-1)/2 pairs), so the
+    within-doc self-join explodes per-doc vocabulary hits, never raw
+    tokens — the join keys are doc ids, the output is vocabulary-sized.
+    Determinism: counts are exact; one log2 per surviving pair over
+    identical IEEE inputs, quantized to micro-bits (the unigram-LM
+    contract, text_unigram_logprob)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens_col())).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    n = toks.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(_PMI_VOCAB)
+    )
+    vt = toks.join(F.broadcast(vocab.select("w")), "w").select("doc_id", "w")
+    a = vt.select("doc_id", F.col("w").alias("term_a"))
+    b = vt.select("doc_id", F.col("w").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    va = vocab.select(F.col("w").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("w").alias("term_b"), F.col("df").alias("df_b"))
+    pmi = F.log2(
+        (F.col("n_co").cast("double") * F.col("n_docs"))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.round(pmi * 1000000).cast("bigint").alias("pmi_micro"),
+        )
+    )

@@ -48,6 +48,7 @@ ALLOW = {
     "validate_fk_orphans": {"BroadcastNestedLoopJoin": "single-row count x count audit scalars"},
     "embedding_power_iteration": {"BroadcastNestedLoopJoin": "single-row max-norm scalar per iteration"},
     "pareto_abc_parts": {"BroadcastNestedLoopJoin": "single-row revenue-total scalar"},
+    "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
     "scatter_dense_grid": {"BroadcastNestedLoopJoin": "J1 dense domain: sims_t x cells IS the output size"},
