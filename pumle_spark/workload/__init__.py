@@ -133,17 +133,32 @@ _DRIVER_PRIORITY_R04 = frozenset({
     "skew_salted_brand_revenue",
 })
 
+# Operators ADDED in round 4: ahead of older never-verified queries so the
+# round's new surface lands inside the driver's 50-row window (3 priority +
+# 16 new + 31 older never-verified fills it exactly minus one).
+_DRIVER_NEW_R04 = frozenset({
+    "dedup_prefix_filter_jaccard", "dedup_containment_pairs",
+    "stream_dedup_events_final", "text_unigram_logprob",
+    "text_cooccurrence_pmi", "graph_bfs_reach", "validate_fk_orphans",
+    "events_ewma_smoothing", "events_rate_anomaly",
+    "embedding_power_iteration", "window_distribution_ranks",
+    "orders_linreg_by_priority", "multimodal_frame_sample",
+    "pareto_abc_parts", "sketch_kmv_distinct", "agg_cube_flag_status",
+})
+
 
 def _rotation_key(name: str) -> int:
     if name in _DRIVER_PRIORITY_R04:
         return 0
+    if name in _DRIVER_NEW_R04:
+        return 1
     if name in _DRIVER_VERIFIED_R03:
-        return 4
+        return 5
     if name in _DRIVER_VERIFIED_R02:
-        return 3
+        return 4
     if name in _DRIVER_VERIFIED_R01_ONLY:
-        return 2
-    return 1  # never driver-verified (or new this round) → next in line
+        return 3
+    return 2  # never driver-verified from earlier rounds → next in line
 
 
 def _ordered() -> list[Query]:
