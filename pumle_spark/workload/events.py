@@ -1146,3 +1146,104 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * dev * dev > 9 * (F.col("n") * var_num)).alias("is_spike"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# session path analysis (top event-type sequences)
+# --------------------------------------------------------------------------
+
+_PATH_MAX_STEPS = 8
+_PATH_TOPK = 20
+
+
+@register(
+    "events_session_paths",
+    sql=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, event_id, event_type, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    stepped AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY tus, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM stepped WHERE rn <= {_PATH_MAX_STEPS}
+      GROUP BY user_id, session_id
+    ),
+    counted AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+    SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT path, n_sessions,
+                 ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rnk
+          FROM counted)
+    WHERE rnk <= {_PATH_TOPK}
+    """,
+    tags=("events", "sessionize", "path-analysis"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOPK} most common session journeys: the same gap-based
+    sessionization as events_sessionize, each session rendered as its
+    ordered event-type sequence (first {_PATH_MAX_STEPS} steps), counted
+    across all sessions — the path-analysis view every product-analytics
+    suite ships ("what do users actually do?"), and the input to Markov /
+    next-action models.
+
+    The per-session path is built from deterministically ordered steps
+    ((ts, event_id) total order) so both engines agg the identical string;
+    the step cap bounds per-session state exactly like the sessionizer's
+    per-key contract. One shuffle on user_id feeds the session windows and
+    the path build; path counting is a vocabulary-sized groupBy; the top-k
+    is a TakeOrdered, not a global sort."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | ((F.col("tus") - F.lag("tus").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    stepped = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("tus", "event_id")
+        ),
+    ).filter(F.col("rn") <= _PATH_MAX_STEPS)
+    paths = (
+        stepped.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.desc("n_sessions"), "path").limit(_PATH_TOPK)
+    wr = Window.orderBy(F.desc("n_sessions"), "path")
+    return top.select(
+        "path", "n_sessions", F.row_number().over(wr).cast("int").alias("rnk")
+    )

@@ -263,3 +263,67 @@ def mix_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_micro",
         F.expr(f"({_TEMP_BUDGET} * w_micro) div t").cast("bigint").alias("take_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# sequential Poisson sampling (deterministic weighted sample without
+# replacement)
+# --------------------------------------------------------------------------
+
+_SPS_K = 100
+
+
+@register(
+    "sample_sequential_poisson",
+    sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             -- Ohlsson's sequential Poisson rank u/w in integer form:
+             -- 48-bit md5-prefix uniform over the weight; trunc division
+             -- is identical on positives across engines
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               // GREATEST(n_chars, 1) AS rank_value
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rank_value AS BIGINT) AS rank_value,
+           CAST(rn AS INTEGER) AS rn
+    FROM (SELECT doc_id, n_chars, rank_value,
+                 ROW_NUMBER() OVER (ORDER BY rank_value, doc_id) AS rn
+          FROM ranked)
+    WHERE rn <= {_SPS_K}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def sample_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of {_SPS_K} documents without replacement by
+    sequential Poisson sampling (Ohlsson): each row draws the uniform
+    u = md5-prefix(doc_id)/2⁴⁸ and is ranked by u/weight — the k smallest
+    ranks are the sample, with inclusion probability approximately
+    proportional to the weight (here n_chars: longer documents
+    oversampled, the curation posture that favors information-dense
+    sources). The estimator family auditors use for PPS samples, in the
+    engine's md5-deterministic form: rank = hash48 div weight in pure
+    integer arithmetic, so the sample is identical on any cluster and in
+    the DuckDB oracle.
+
+    Scale: ranking is a map-side expression; the k smallest survive a
+    TakeOrdered-shaped reduction (per-partition heads, driver merge of
+    {_SPS_K} rows) — no global sort, no shuffle of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+            " div greatest(n_chars, 1L)"
+        ).alias("rank_value"),
+    )
+    top = ranked.orderBy("rank_value", "doc_id").limit(_SPS_K)
+    wr = Window.orderBy("rank_value", "doc_id")
+    return top.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "rank_value",
+        F.row_number().over(wr).cast("int").alias("rn"),
+    )
