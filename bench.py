@@ -8,7 +8,7 @@ no driver materialization cost). A warmup query absorbs JVM/codegen startup.
 
 The driver retains only the last ~2000 bytes of stdout (BENCH_r02/r03 both
 recorded "parsed": null with a mid-line 2000-byte JSON fragment as "tail"),
-so the full 154-query registry cannot be reported on stdout: the line is
+so the full 155-query registry cannot be reported on stdout: the line is
 capped at _LINE_BUDGET bytes and times a fixed HEADLINE subset chosen for
 round-over-round comparability (every query name retained in the r02/r03
 tails, i.e. everything the judge could geomean so far) plus the production

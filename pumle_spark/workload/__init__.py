@@ -144,7 +144,7 @@ _DRIVER_NEW_R04 = frozenset({
     "embedding_power_iteration", "window_distribution_ranks",
     "orders_linreg_by_priority", "multimodal_frame_sample",
     "pareto_abc_parts", "sketch_kmv_distinct", "agg_cube_flag_status",
-    "events_session_paths", "sample_sequential_poisson",
+    "events_session_paths", "sample_sequential_poisson", "agg_argmax_orders",
 })
 
 

@@ -1465,3 +1465,59 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# argmax/argmin aggregates (MAX_BY / MIN_BY) with a deterministic ordinal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_argmax_orders",
+    sql="""
+    WITH t AS (
+      SELECT o_orderpriority, o_orderkey,
+             -- composite integer ordinal: cents then key — makes the argmax
+             -- TOTAL (price ties broken by key), so MAX_BY/MIN_BY are
+             -- deterministic on both engines; key slot holds to ~1e8 orders
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey
+               AS ord
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*)                          AS n_orders,
+           CAST(MAX_BY(o_orderkey, ord) AS BIGINT) AS max_price_orderkey,
+           CAST(MIN_BY(o_orderkey, ord) AS BIGINT) AS min_price_orderkey,
+           CAST(MAX(ord) AS BIGINT)          AS max_ord,
+           CAST(MIN(ord) AS BIGINT)          AS min_ord
+    FROM t GROUP BY o_orderpriority
+    """,
+    tags=("agg", "argmax", "max_by"),
+)
+def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax/argmin aggregate surface (MAX_BY / MIN_BY): per priority,
+    which order carries the highest and lowest total price — the
+    "which row won" question that otherwise costs a window + filter pass.
+
+    MAX_BY is nondeterministic under ties, so the ordering value is a
+    composite integer ordinal (price cents · 1e8 + order key): a TOTAL
+    order, making the winning key unique and the aggregate reproducible
+    on both engines under any partitioning. One partial-aggregated
+    groupBy — argmax at 100 TB costs exactly one scan, no window, no
+    self-join."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * 100000000
+            + F.col("o_orderkey")
+        ).alias("ord"),
+    )
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max_by("o_orderkey", "ord").cast("bigint").alias("max_price_orderkey"),
+        F.min_by("o_orderkey", "ord").cast("bigint").alias("min_price_orderkey"),
+        F.max("ord").alias("max_ord"),
+        F.min("ord").alias("min_ord"),
+    )
