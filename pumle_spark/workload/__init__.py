@@ -145,6 +145,9 @@ _DRIVER_NEW_R04 = frozenset({
     "orders_linreg_by_priority", "multimodal_frame_sample",
     "pareto_abc_parts", "sketch_kmv_distinct", "agg_cube_flag_status",
     "events_session_paths", "sample_sequential_poisson", "agg_argmax_orders",
+    # wave 3
+    "skyline_parts_2d", "join_null_aware_not_in", "subquery_correlated_scalar",
+    "join_bloom_semireduction",
 })
 
 
@@ -198,6 +201,7 @@ def _load_modules() -> None:
         pipeline,
         relational,
         relational2,
+        relational3,
         sampling,
         similarity,
         sketches,
