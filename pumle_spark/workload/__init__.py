@@ -147,7 +147,8 @@ _DRIVER_NEW_R04 = frozenset({
     "events_session_paths", "sample_sequential_poisson", "agg_argmax_orders",
     # wave 3
     "skyline_parts_2d", "join_null_aware_not_in", "subquery_correlated_scalar",
-    "join_bloom_semireduction",
+    "join_bloom_semireduction", "events_time_weighted_value",
+    "drift_psi_totalprice", "text_zipf_slope", "graph_sssp_bounded",
 })
 
 

@@ -19,7 +19,7 @@ engine and every partitioning.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pumle_spark.tables import table
 from pumle_spark.workload import register
@@ -347,3 +347,97 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr_xy, 6).alias("corr_qty_price"),
         F.round(corr_yz, 6).alias("corr_price_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# population stability index (PSI) between order-date halves
+# --------------------------------------------------------------------------
+
+_PSI_CUT = "1998-01-01"
+_PSI_BIN_W = 50000.0
+_PSI_MAX_BIN = 9
+
+
+@register(
+    "drift_psi_totalprice",
+    sql=f"""
+    WITH o AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{_PSI_CUT}' THEN 0 ELSE 1 END AS half,
+             LEAST(CAST(FLOOR(o_totalprice / {_PSI_BIN_W}) AS BIGINT), {_PSI_MAX_BIN}) AS bin
+      FROM orders
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS b
+      FROM o GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb FROM c),
+    terms AS (
+      SELECT c.bin, c.a - 1 AS n_early, c.b - 1 AS n_late,
+             (CAST(c.a AS DOUBLE) / ta - CAST(c.b AS DOUBLE) / tb)
+               * LN((CAST(c.a AS DOUBLE) / ta) / (CAST(c.b AS DOUBLE) / tb))
+               AS term
+      FROM c CROSS JOIN tot
+    )
+    SELECT bin, n_early, n_late,
+           ROUND(term, 9) AS psi_term,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+    tags=("drift", "psi", "quality"),
+)
+def drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-price distribution between
+    the pre-{_PSI_CUT} and post-{_PSI_CUT} halves of the corpus — THE
+    standard "did my input distribution shift between snapshots" score
+    model-monitoring pipelines alarm on (PSI > 0.2 = investigate).
+
+    Prices land in {_PSI_MAX_BIN}+1 fixed-width bins (width {_PSI_BIN_W:.0f},
+    top bin open); +1 Laplace smoothing keeps every observed bin's ratio
+    finite, with proportions taken over the smoothed totals so they sum to
+    one. Each PSI term is ONE double expression built from exact integer
+    counts — deterministic on both engines — and the total follows the
+    module-wide decimal-sum contract (terms fixed at 1e-9, summed exactly,
+    surfaced rounded) so it is partition-count-invariant. The per-bin term
+    is also emitted (rounded separately from the total: never round a
+    rounded value) for drill-down.
+
+    Scale: one map-side-combinable count per (half, bin) — a scan plus a
+    {_PSI_MAX_BIN}+1-row aggregate; the window total runs over ≤10 rows.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderdate") < _PSI_CUT, 0).otherwise(1).alias("half"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("bigint"),
+            F.lit(_PSI_MAX_BIN).cast("bigint"),
+        ).alias("bin"),
+    )
+    c = o.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint") + 1).alias("a"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint") + 1).alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.col("a") - 1).alias("n_early"),
+        (F.col("b") - 1).alias("n_late"),
+        ((pa - pb) * F.log(pa / pb)).alias("term"),
+    )
+    return terms.select(
+        "bin",
+        "n_early",
+        "n_late",
+        F.round(F.col("term"), 9).alias("psi_term"),
+        F.round(
+            F.sum(F.col("term").cast(_TERM_DEC))
+            .over(Window.partitionBy(F.lit(1)))
+            .cast("double"),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bin")

@@ -1247,3 +1247,85 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "path", "n_sessions", F.row_number().over(wr).cast("int").alias("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# time-weighted average value (TWAP over a step function of events)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_value",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, vmic,
+             LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               - tus AS dt_us
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             SUM(dt_us) AS span_us,
+             SUM(CAST(vmic AS HUGEINT) * dt_us) AS wsum
+      FROM iv WHERE dt_us IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(span_us AS BIGINT) AS span_us,
+           ROUND(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 1000000.0, 6)
+             AS twap_value
+    FROM agg
+    ORDER BY user_id
+    """,
+    tags=("events", "window", "time-weighted"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user — the TWAP/metering
+    semantics (billing, position, gauge readings): each event's value holds
+    until the next event, so the mean must weight by holding duration, not
+    by event count. A user who spikes to 100 for one second and sits at 1
+    for a day averages ~1, which a plain AVG gets wrong.
+
+    Exactness: value is quantized once to integer micro-units (one ROUND,
+    same expression both engines), durations are integer microseconds from
+    unix_micros, and the weighted sum accumulates exactly — DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB, both exact integer containers, so the
+    per-user totals are bit-identical under any partitioning (value·dt
+    reaches ~5e21, past BIGINT). Only the final TWAP divides, one double
+    expression mirrored on both engines.
+
+    Scale: one shuffle on user_id for the LEAD window; the groupBy reuses
+    that partitioning (no second exchange). State per row is O(1); no
+    driver-side anything. The streaming twin of this shape is
+    applyInPandasWithState in streaming/ — this is the batch contract.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vmic"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    iv = e.select(
+        "user_id", "vmic", (F.lead("tus").over(w) - F.col("tus")).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("vmic").cast("decimal(38,0)") * F.col("dt_us")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_intervals").cast("bigint").alias("n_intervals"),
+        F.col("span_us").cast("bigint").alias("span_us"),
+        F.round(
+            F.col("wsum").cast("double") / F.col("span_us").cast("double") / 1_000_000.0, 6
+        ).alias("twap_value"),
+    ).orderBy("user_id")

@@ -807,3 +807,104 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi * 1000000).cast("bigint").alias("pmi_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope of the token frequency distribution per source
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 50
+
+
+@register(
+    "text_zipf_slope",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS tk FROM documents
+    ),
+    cnt AS (
+      SELECT source, tk, COUNT(*) AS c FROM tok WHERE tk <> '' GROUP BY source, tk
+    ),
+    rk AS (
+      SELECT source, tk, c,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tk) AS r
+      FROM cnt
+    ),
+    q AS (
+      SELECT source, r, c,
+             CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM rk WHERE r <= {_ZIPF_TOPK}
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) AS top_count
+      FROM q GROUP BY source
+    )
+    SELECT source, n AS n_points, top_count,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    ORDER BY source
+    """,
+    tags=("text", "zipf", "corpus-stats"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: OLS slope of log(count) against log(rank)
+    over each source's top-{_ZIPF_TOPK} tokens. Natural text sits near -1;
+    a source drifting toward 0 (too uniform — boilerplate, tables, spam)
+    or past -1.5 (token collapse — repeated template text) is a corpus-
+    quality alarm, which is why Zipf fit shows up in every large-corpus
+    audit (Gopher's and CCNet's quality analyses both report it).
+
+    Determinism follows text_unigram_logprob's micro-quantization contract:
+    ln(rank) and ln(count) — logs of exact integers — are quantized ONCE to
+    integer micro-nats, every OLS moment is then an exact BIGINT sum
+    (|Σxy| ≤ 50·(16e6)² ≈ 1e16), and the slope is a single double division
+    rounded at the end. Rank ties are totalized by (count DESC, token ASC).
+
+    Scale: token counting is the map-side-combinable groupBy the TF-IDF
+    query already does; the rank window partitions by source (parallel
+    across sources) over the counted — already shrunk — relation; the
+    top-{_ZIPF_TOPK} filter then leaves 50 rows per source for the moment
+    aggregation. Nothing driver-side, no double accumulation anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens_col()).alias("tk")).filter(
+        F.col("tk") != ""
+    )
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    rk = cnt.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tk"))
+        ),
+    ).filter(F.col("r") <= _ZIPF_TOPK)
+    q = rk.select(
+        "source",
+        "r",
+        "c",
+        F.round(F.log(F.col("r").cast("double")) * 1_000_000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast("bigint").alias("y"),
+    )
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.max(F.when(F.col("r") == 1, F.col("c"))).cast("bigint").alias("top_count"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_points"),
+        "top_count",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+    ).orderBy("source")

@@ -48,6 +48,7 @@ ALLOW = {
     "validate_fk_orphans": {"BroadcastNestedLoopJoin": "single-row count x count audit scalars"},
     "embedding_power_iteration": {"BroadcastNestedLoopJoin": "single-row max-norm scalar per iteration"},
     "pareto_abc_parts": {"BroadcastNestedLoopJoin": "single-row revenue-total scalar"},
+    "drift_psi_totalprice": {"BroadcastNestedLoopJoin": "single-row smoothed-total scalar x 10 bins"},
     "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
