@@ -149,6 +149,8 @@ _DRIVER_NEW_R04 = frozenset({
     "skyline_parts_2d", "join_null_aware_not_in", "subquery_correlated_scalar",
     "join_bloom_semireduction", "events_time_weighted_value",
     "drift_psi_totalprice", "text_zipf_slope", "graph_sssp_bounded",
+    "orders_rfm_segments", "audit_benford_totalprice",
+    "orders_cusum_changepoint", "sketch_kmv_corpus_jaccard",
 })
 
 
@@ -189,6 +191,7 @@ def _load_modules() -> None:
         return
     # import for side effect: each module fills REGISTRY
     from pumle_spark.workload import (  # noqa: F401
+        analytics,
         clustering,
         curation,
         dedup,

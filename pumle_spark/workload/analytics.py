@@ -1,0 +1,305 @@
+"""Business/quality analytics operators: RFM segmentation, Benford's-law
+digit audit, CUSUM changepoint detection.
+
+Three more shapes a warehouse team migrating to this engine expects:
+
+- ``orders_rfm_segments`` — recency/frequency/monetary quintile scoring,
+  the canonical customer-segmentation rollup.
+- ``audit_benford_totalprice`` — first-significant-digit distribution vs
+  Benford's law with a chi-square score, the classic synthetic-data /
+  fraud / ETL-corruption alarm (a generator or a unit bug shifts leading
+  digits long before it shifts means).
+- ``orders_cusum_changepoint`` — CUSUM upward-shift detection over the
+  daily order-count series. The textbook CUSUM is a sequential recurrence
+  s_t = max(0, s_{t-1} + x_t) — not a prefix sum — but it has a closed
+  window form: s_t = P_t − min(0, min_{j≤t} P_j) where P is the plain
+  prefix sum of deviations. That identity (s_t is the best partial sum
+  ending at t) turns an "inherently sequential" statistic into two window
+  passes over an already-aggregated daily series — exactly the kind of
+  rewrite that keeps 100 TB pipelines out of applyInPandas.
+
+Determinism: every statistic is built from exact integer counts; doubles
+appear only inside single mirrored expressions (Benford's log10 terms,
+summed under the repo-wide DECIMAL(28,9) contract). CUSUM never leaves
+integers — deviations are scaled by n_days so the mean subtraction stays
+exact (c − total/n becomes c·n − total).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+_TERM_DEC = "decimal(28,9)"
+_CUSUM_TOP = 20
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_rfm_segments",
+    sql="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE), CAST(mx.maxd AS DATE))
+               AS recency_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxd
+    ),
+    scored AS (
+      SELECT o_custkey, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INTEGER)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER)
+               AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "rfm", "segmentation", "ntile"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for recency (days since
+    last order, 1 = most recent), frequency (order count, 1 = most
+    frequent) and monetary (lifetime cents, 1 = highest spend), rolled up
+    to segment sizes — the marketing-warehouse workhorse.
+
+    NTILE is made deterministic the same way agg_argmax_orders totalizes
+    MAX_BY: every ordering carries o_custkey as the tie-breaker, so bucket
+    boundaries are identical on both engines. Monetary is exact integer
+    cents (one ROUND per order, summed as BIGINT).
+
+    Scale: the per-customer rollup is one partial-aggregated groupBy of
+    the fact table; the three NTILE windows then run over the CUSTOMER
+    dimension (not the fact table) — a global sort each, but of
+    dimension-sized data, and Spark's rangepartitioning keeps even that
+    parallel. The final segment rollup is 125 rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd").cast("date"), F.col("lastd").cast("date")).alias(
+                "recency_days"
+            ),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audit_benford_totalprice",
+    sql="""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT digit, n_obs,
+             CAST(n AS DOUBLE) * LOG10(1.0 + 1.0 / digit) AS e,
+             (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * LOG10(1.0 + 1.0 / digit))
+               * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * LOG10(1.0 + 1.0 / digit))
+               / (CAST(n AS DOUBLE) * LOG10(1.0 + 1.0 / digit)) AS term
+      FROM c CROSS JOIN t
+    )
+    SELECT digit, n_obs,
+           ROUND(e, 6) AS n_expected,
+           ROUND(term, 9) AS chi2_term,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER () AS DOUBLE), 6)
+             AS chi2_total
+    FROM terms
+    ORDER BY digit
+    """,
+    tags=("analytics", "audit", "benford", "quality"),
+)
+def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the distribution of the first
+    significant digit (of the integer cents value) against the expected
+    log10(1 + 1/d), scored by chi-square. Natural multiplicative data
+    follows Benford closely; uniform synthetic generators, unit mix-ups,
+    and fabricated figures do not — which makes this the cheapest
+    whole-table ETL-corruption alarm there is (one scan, nine rows out).
+
+    Determinism: digits come from exact integer cents; each chi-square
+    term is one mirrored double expression over (n_obs, n) and the total
+    follows the DECIMAL(28,9) exact-sum contract, so the statistic is
+    partition-count-invariant. The per-digit expected count and term are
+    rounded independently of the total (never round a rounded value).
+
+    Scale: map-side-combinable count per digit — nine groups — then a
+    9-row window. Nothing else.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    e = F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        e.alias("e"),
+        ((F.col("n_obs").cast("double") - e) * (F.col("n_obs").cast("double") - e) / e).alias(
+            "term"
+        ),
+    )
+    return terms.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("e"), 6).alias("n_expected"),
+        F.round(F.col("term"), 9).alias("chi2_term"),
+        F.round(
+            F.sum(F.col("term").cast(_TERM_DEC))
+            .over(Window.partitionBy(F.lit(1)))
+            .cast("double"),
+            6,
+        ).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint over the daily order-count series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_cusum_changepoint",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS total
+           FROM daily),
+    pfx AS (
+      SELECT day, c,
+             SUM(c * nd - total) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily CROSS JOIN nn
+    ),
+    cus AS (
+      SELECT day, c,
+             CAST(p - LEAST(0, MIN(p) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s
+      FROM pfx
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, c AS n_orders,
+           s AS cusum_scaled, CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT day, c, s, ROW_NUMBER() OVER (ORDER BY s DESC, day) AS rn FROM cus)
+    WHERE rn <= {_CUSUM_TOP}
+    """,
+    tags=("analytics", "cusum", "changepoint", "window"),
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-shift CUSUM over daily order counts, reporting the
+    {_CUSUM_TOP} highest-pressure days — where the cumulative excess over
+    the series mean peaks, i.e. the end of the strongest sustained demand
+    surge. The standard page-Hinkley/CUSUM recurrence
+    s_t = max(0, s_(t-1) + x_t) looks sequential, but
+    s_t = P_t − min(0, min_(j≤t) P_j) (the max-suffix-sum identity), so
+    the whole statistic is ONE prefix-sum window plus ONE prefix-min
+    window over the daily aggregate — no recursion, no stateful fold, no
+    Python.
+
+    Integer-exact: the mean subtraction is scaled by n_days
+    (x_t = c_t·n − total), so s is an exact BIGINT in count·n_days units
+    under any partitioning; DuckDB's HUGEINT widening of the window SUM is
+    cast back at the boundary.
+
+    Scale: the fact scan collapses to ~|distinct days| rows (bounded by
+    the calendar, thousands even at 100 TB) before any window runs; the
+    global-ordered windows therefore cost nothing regardless of fact size.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pfx = daily.crossJoin(F.broadcast(nn)).withColumn(
+        "p", F.sum(F.col("c") * F.col("nd") - F.col("total")).over(wp)
+    )
+    cus = pfx.select(
+        "day",
+        "c",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(wp))).cast("bigint").alias("s"),
+    )
+    wr = Window.orderBy(F.desc("s"), F.asc("day"))
+    return (
+        cus.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _CUSUM_TOP)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("n_orders"),
+            F.col("s").alias("cusum_scaled"),
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )

@@ -679,3 +679,151 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 3).alias("kmv_estimate"),
         F.round(100.0 * (est - F.col("nd")) / F.col("nd"), 3).alias("rel_err_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV corpus-overlap: pairwise source Jaccard from bottom-k signatures
+# --------------------------------------------------------------------------
+
+_KJ_K = 128
+
+
+@register(
+    "sketch_kmv_corpus_jaccard",
+    sql=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest(string_split_regex(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tk
+      FROM documents
+    ),
+    tok2 AS (SELECT source, tk FROM tok WHERE tk <> ''),
+    h AS (SELECT source, ('0x' || substr(md5(tk), 1, 12))::BIGINT AS u FROM tok2),
+    sig AS (
+      SELECT source, u FROM (
+        SELECT source, u,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, source) AS rn
+        FROM h
+      ) WHERE rn <= {_KJ_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM tok2),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    merged AS (
+      SELECT p.sa, p.sb, s.u FROM pairs p JOIN sig s ON s.source = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, s.u FROM pairs p JOIN sig s ON s.source = p.sb
+    ),
+    g AS (SELECT sa, sb, u, COUNT(*) AS cnt FROM merged GROUP BY sa, sb, u),
+    rk AS (SELECT sa, sb, cnt,
+                  ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY u, sa) AS rn
+           FROM g),
+    est AS (
+      SELECT sa, sb,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM rk WHERE rn <= {_KJ_K} GROUP BY sa, sb
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM tok2 GROUP BY source),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ninter
+      FROM tok2 a JOIN tok2 b ON a.tk = b.tk AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b, e.k_used, e.n_shared,
+           ROUND(CAST(e.n_shared AS DOUBLE) / e.k_used, 6) AS jaccard_est,
+           ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+                   / (za.nv + zb.nv - COALESCE(i.ninter, 0)), 6) AS jaccard_exact
+    FROM est e
+    JOIN sizes za ON za.source = e.sa
+    JOIN sizes zb ON zb.source = e.sb
+    LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+    ORDER BY source_a, source_b
+    """,
+    tags=("sketch", "kmv", "jaccard", "corpus-overlap"),
+)
+def sketch_kmv_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources, estimated from
+    bottom-{_KJ_K} KMV signatures: for each source pair, take the
+    {_KJ_K} smallest hashes of the UNION of their signatures and count how
+    many belong to both — an unbiased Jaccard estimate from O(k) state per
+    source (Beyer et al.'s KMV set-operation estimator, the order-
+    statistics sibling of sketch_hll_setops one section up). The corpus-
+    level question it answers — "which sources substantially duplicate
+    each other's vocabulary?" — is how a training-data pipeline decides
+    which source pairs need cross-source dedup at all.
+
+    The exact per-pair Jaccard rides along for grading (like
+    sketch_kmv_distinct's exact_distinct and ann_recall_report's ground-
+    truth pass): the token-level self-join is the EXPENSIVE truth path,
+    feasible because source count is bounded; the signature path — the
+    production path — shuffles only {_KJ_K} hashes per source no matter
+    how many tokens a source has, and two signatures union by re-taking
+    the k smallest of their concatenation (mergeable, associative,
+    partition-invariant). md5 keeps a 1000-executor build byte-identical
+    to the DuckDB oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from pumle_spark.workload.text import _tokens_col
+
+    tok2 = (
+        docs.select("source", F.explode(_tokens_col()).alias("tk"))
+        .filter(F.col("tk") != "")
+        .distinct()
+    )
+    h = tok2.select(
+        "source",
+        F.conv(F.substring(F.md5("tk"), 1, 12), 16, 10).cast("bigint").alias("u"),
+    )
+    sig = (
+        h.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("u", "source"))
+        )
+        .filter(F.col("rn") <= _KJ_K)
+        .select("source", "u")
+    )
+    srcs = tok2.select("source").distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+    )
+    m1 = pairs.join(sig, pairs.sa == sig.source).select("sa", "sb", "u")
+    m2 = pairs.join(sig, pairs.sb == sig.source).select("sa", "sb", "u")
+    g = m1.unionAll(m2).groupBy("sa", "sb", "u").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = g.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("sa", "sb").orderBy("u", "sa"))
+    ).filter(F.col("rn") <= _KJ_K)
+    est = rk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+    )
+    sizes = tok2.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    ta, tb = tok2.alias("ta"), tok2.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.tk") == F.col("tb.tk")) & (F.col("ta.source") < F.col("tb.source")),
+        )
+        .groupBy(F.col("ta.source").alias("sa"), F.col("tb.source").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ninter"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("nv").alias("nva"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("nv").alias("nvb"))
+    ninter = F.coalesce(F.col("ninter"), F.lit(0))
+    return (
+        est.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .join(F.broadcast(inter), ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "k_used",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("k_used"), 6).alias(
+                "jaccard_est"
+            ),
+            F.round(
+                ninter.cast("double") / (F.col("nva") + F.col("nvb") - ninter), 6
+            ).alias("jaccard_exact"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -49,6 +49,10 @@ ALLOW = {
     "embedding_power_iteration": {"BroadcastNestedLoopJoin": "single-row max-norm scalar per iteration"},
     "pareto_abc_parts": {"BroadcastNestedLoopJoin": "single-row revenue-total scalar"},
     "drift_psi_totalprice": {"BroadcastNestedLoopJoin": "single-row smoothed-total scalar x 10 bins"},
+    "orders_rfm_segments": {"BroadcastNestedLoopJoin": "single-row max-date scalar"},
+    "audit_benford_totalprice": {"BroadcastNestedLoopJoin": "single-row digit-total scalar x 9 digits"},
+    "orders_cusum_changepoint": {"BroadcastNestedLoopJoin": "single-row (n_days,total) scalar x calendar"},
+    "sketch_kmv_corpus_jaccard": {"BroadcastNestedLoopJoin": "bounded source x source pair product"},
     "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
