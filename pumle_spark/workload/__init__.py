@@ -151,6 +151,7 @@ _DRIVER_NEW_R04 = frozenset({
     "drift_psi_totalprice", "text_zipf_slope", "graph_sssp_bounded",
     "orders_rfm_segments", "audit_benford_totalprice",
     "orders_cusum_changepoint", "sketch_kmv_corpus_jaccard",
+    "join_point_in_time_state", "events_rolling_active_users",
 })
 
 

@@ -1329,3 +1329,205 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / F.col("span_us").cast("double") / 1_000_000.0, 6
         ).alias("twap_value"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# point-in-time join: purchases against the SCD2 activity dimension
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_point_in_time_state",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    ),
+    d AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+    flagged AS (
+      SELECT user_id, event_type, tus, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, tus,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version,
+             MIN(event_type) AS state, MIN(tus) AS valid_from_us
+      FROM runs GROUP BY user_id, version
+    ),
+    iv AS (
+      SELECT user_id, version, state, valid_from_us,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to_us
+      FROM per
+    ),
+    p AS (SELECT user_id, event_id, tus, vmic FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id, p.vmic, iv.state, iv.version
+      FROM p LEFT JOIN iv
+        ON iv.user_id = p.user_id
+       AND iv.valid_from_us <= p.tus
+       AND (iv.valid_to_us IS NULL OR p.tus < iv.valid_to_us)
+    )
+    SELECT COALESCE(state, 'none') AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(vmic) AS BIGINT) AS total_value_micro,
+           CAST(MAX(version) AS INTEGER) AS max_version
+    FROM j GROUP BY COALESCE(state, 'none')
+    ORDER BY state
+    """,
+    tags=("events", "scd2", "asof", "point-in-time"),
+)
+def join_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join — the feature-store contract:
+    each purchase is joined to the SCD2 activity state (built from the
+    user's NON-purchase events, scd2_user_state_intervals' run collapse)
+    that was valid AT the purchase instant, never to a later version (no
+    feature leakage). "What was the user doing when they bought" per
+    state, with purchases before any tracked activity kept as 'none'.
+
+    The oracle formulates it as the textbook interval theta join
+    (valid_from <= t < valid_to); the Spark plan is the single-shuffle
+    as-of composition instead — dimension run-starts and purchases
+    unioned, one window per user carries the latest run forward
+    (operators/joins.py:asof_join), so no range predicate ever reaches
+    the executor. Runs that would form an empty [t, t) interval (two
+    state events in the same microsecond) are deduped to the surviving
+    one — exactly the rows the interval join drops.
+
+    Scale: SCD2 build, as-of fill, and purchase pickup all share ONE
+    hash partitioning on user_id; the final state rollup is five rows.
+    Integer micro-value sums; versions are exact integers.
+    """
+    from pumle_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vmic"),
+    )
+    d = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = d.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = runs.groupBy("user_id", F.col("version").cast("int").alias("version")).agg(
+        F.min("event_type").alias("state"), F.min("tus").alias("valid_from_us")
+    )
+    # drop empty [t, t) intervals: same user, same microsecond, two runs —
+    # only the later (higher-version) one is ever valid
+    iv = (
+        per.withColumn(
+            "rv",
+            F.row_number().over(
+                Window.partitionBy("user_id", "valid_from_us").orderBy(F.desc("version"))
+            ),
+        )
+        .filter(F.col("rv") == 1)
+        .select("user_id", "version", "state", "valid_from_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("tus").alias("ptus"), "vmic"
+    )
+    j = asof_join(
+        p,
+        iv,
+        on=["user_id"],
+        left_ts="ptus",
+        right_ts="valid_from_us",
+        value_cols=["state", "version"],
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("vmic").cast("bigint").alias("total_value_micro"),
+            F.max("version").cast("int").alias("max_version"),
+        )
+        .orderBy("state")
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling 7-day distinct active users (DAU / WAU / stickiness)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_active_users",
+    sql="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    fan AS (
+      SELECT du.day + j.j * INTERVAL '1 day' AS day_out, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range(7)) AS j) j
+    ),
+    wau AS (
+      SELECT CAST(day_out AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+      FROM fan GROUP BY CAST(day_out AS DATE)
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau7,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau7, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    ORDER BY day
+    """,
+    tags=("events", "rolling-distinct", "dau-wau"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per
+    observed day — the rolling COUNT DISTINCT that window frames cannot
+    express (distinct is not decomposable over a sliding frame).
+
+    The classic exact rewrite: collapse to distinct (day, user) pairs
+    FIRST (the only scan of the fact table), then fan each pair out to
+    the 7 days it keeps the user "active" for and count distinct per
+    target day. The fan-out is 7× the daily-distinct relation — already
+    thousands of times smaller than the event log — so the exact answer
+    stays cheap at any fact-table size; the approximate alternative
+    (merging 7 daily HLLs per day, sketch_hll_setops' machinery) only
+    becomes necessary when |users|/day itself explodes. Days with events
+    are reported; the ratio is one mirrored double division.
+    """
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("j"), "day", "user_id"
+    ).select(F.date_add("day", F.col("j")).alias("day"), "user_id")
+    wau = fan.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau7")
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
