@@ -152,6 +152,8 @@ _DRIVER_NEW_R04 = frozenset({
     "orders_rfm_segments", "audit_benford_totalprice",
     "orders_cusum_changepoint", "sketch_kmv_corpus_jaccard",
     "join_point_in_time_state", "events_rolling_active_users",
+    "orders_seasonal_naive_backtest", "audit_order_line_reconciliation",
+    "share_of_parent_revenue", "sketch_cms_join_size",
 })
 
 

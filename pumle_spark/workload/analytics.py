@@ -303,3 +303,255 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# seasonal-naive forecast backtest over the daily order series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonal_naive_backtest",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    scored AS (
+      SELECT a.day, a.c, b.c AS f, ABS(a.c - b.c) AS abs_err
+      FROM daily a JOIN daily b ON b.day = a.day - INTERVAL '7 days'
+    )
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(CAST(CAST(abs_err AS DOUBLE) / c AS DECIMAL(28,9)))
+                      AS DOUBLE) * 100.0 / COUNT(*), 6) AS mape_pct
+    FROM scored
+    GROUP BY strftime(day, '%Y-%m')
+    ORDER BY month
+    """,
+    tags=("analytics", "forecast", "backtest", "timeseries"),
+)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today = same
+    weekday last week) over daily order counts, scored per month with MAE
+    and MAPE — the baseline every demand-forecast model must beat, and
+    the shape of any forecast-evaluation job (join actuals to lagged
+    predictions, roll up error metrics).
+
+    The lag is a calendar self-join on day − 7 (NOT LAG(c, 7): a row-
+    offset silently misaligns the weekday the moment the series has a
+    gap). Errors are exact integers; MAPE's per-day ratio follows the
+    DECIMAL(28,9) exact-sum contract so the mean of ratios is partition-
+    invariant; MAE divides two exact integers once.
+
+    Scale: the fact table collapses to the calendar first; the self-join
+    and rollup touch only |days| rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    scored = a.join(b, F.col("b.day") == F.date_sub(F.col("a.day"), 7)).select(
+        F.col("a.day").alias("day"),
+        F.col("a.c").alias("c"),
+        F.abs(F.col("a.c") - F.col("b.c")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("abs_err").cast("bigint").alias("total_abs_err"),
+            F.round(
+                F.sum("abs_err").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae"),
+            F.round(
+                F.sum(
+                    (F.col("abs_err").cast("double") / F.col("c")).cast(_TERM_DEC)
+                ).cast("double")
+                * 100.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# order ↔ line-item monetary reconciliation audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audit_order_line_reconciliation",
+    sql="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 100) AS BIGINT)) AS BIGINT) AS line_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+             COALESCE(l.line_cents, 0) AS line_cents,
+             COALESCE(l.n_lines, 0) AS n_lines
+      FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN n_lines = 0 THEN 'no_lines'
+                WHEN ABS(order_cents - line_cents) <= n_lines THEN 'reconciled'
+                ELSE 'mismatch' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ABS(order_cents - line_cents)) AS BIGINT) AS total_drift_cents,
+           CAST(MAX(ABS(order_cents - line_cents)) AS BIGINT) AS max_drift_cents
+    FROM j
+    GROUP BY CASE WHEN n_lines = 0 THEN 'no_lines'
+                  WHEN ABS(order_cents - line_cents) <= n_lines THEN 'reconciled'
+                  ELSE 'mismatch' END
+    ORDER BY status
+    """,
+    tags=("analytics", "audit", "reconciliation", "quality"),
+)
+def audit_order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table monetary reconciliation: does each order's header total
+    equal the sum of its priced lines (extended · (1−discount) · (1+tax))?
+    The financial-close audit every warehouse runs nightly; headers with
+    no lines are called out separately, and a per-line cent of rounding
+    tolerance separates float noise from real drift.
+
+    All money is exact integer cents (one ROUND per line, summed as
+    BIGINT), so the drift histogram is bit-stable. validate_fk_orphans
+    audits key integrity; this audits the VALUES across the same
+    relationship — the two halves of referential trust.
+
+    Scale: one partial-aggregated groupBy of lineitem on its join key,
+    one join against orders on that key (co-partitioned if both are
+    bucketed by orderkey — the layout tables.py documents for the
+    cluster), three output rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("line_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("order_cents"),
+        F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+    )
+    drift = F.abs(F.col("order_cents") - F.col("line_cents"))
+    status = (
+        F.when(F.col("n_lines") == 0, "no_lines")
+        .when(drift <= F.col("n_lines"), "reconciled")
+        .otherwise("mismatch")
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(drift).cast("bigint").alias("total_drift_cents"),
+            F.max(drift).cast("bigint").alias("max_drift_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# ratio-to-parent shares down the region → nation hierarchy
+# --------------------------------------------------------------------------
+
+
+@register(
+    "share_of_parent_revenue",
+    sql="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, cents,
+           ROUND(100.0 * cents
+                 / CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT), 6)
+             AS pct_of_region,
+           ROUND(100.0 * cents / CAST(SUM(cents) OVER () AS BIGINT), 6)
+             AS pct_of_total,
+           CAST(RANK() OVER (PARTITION BY region ORDER BY cents DESC, nation)
+                AS INTEGER) AS rank_in_region
+    FROM rev
+    ORDER BY region, nation
+    """,
+    tags=("analytics", "ratio-to-report", "hierarchy", "window"),
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent report down the geography hierarchy: each nation's
+    revenue as a share of its region and of the world, plus its rank
+    within the region — the drill-down table behind every BI treemap,
+    exercising the ratio_to_report window pattern (a windowed total used
+    as a divisor) that agg_rollup_region_nation's additive rollup does
+    not cover.
+
+    Revenue is exact integer cents; each percentage is one double
+    division of exact BIGINTs (the window SUM is cast back from DuckDB's
+    HUGEINT widening before dividing so both engines divide identical
+    64-bit values). RANK carries a nation tie-break for total order.
+
+    Scale: the fact scan partial-aggregates to 25 (region, nation) rows
+    before any window runs; dimension joins are broadcast
+    (tables.ALWAYS_BROADCAST covers region/nation, customer prunes to
+    two columns).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy(F.lit(1))
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.round(
+            100.0 * F.col("cents") / F.sum("cents").over(wr).cast("bigint"), 6
+        ).alias("pct_of_region"),
+        F.round(
+            100.0 * F.col("cents") / F.sum("cents").over(wt).cast("bigint"), 6
+        ).alias("pct_of_total"),
+        F.rank()
+        .over(wr.orderBy(F.desc("cents"), F.asc("nation")))
+        .cast("int")
+        .alias("rank_in_region"),
+    ).orderBy("region", "nation")

@@ -827,3 +827,133 @@ def sketch_kmv_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-size estimation
+# --------------------------------------------------------------------------
+
+_JS_W = 4096
+
+
+@register(
+    "sketch_cms_join_size",
+    sql=f"""
+    WITH okeys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    lkeys AS (
+      SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 30
+    ),
+    oc AS (
+      SELECT r.i AS row_i,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
+               % {_JS_W} AS col_j,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM okeys CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+      GROUP BY r.i, col_j
+    ),
+    lc AS (
+      SELECT r.i AS row_i,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
+               % {_JS_W} AS col_j,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lkeys CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+      GROUP BY r.i, col_j
+    ),
+    dots AS (
+      SELECT oc.row_i, CAST(SUM(oc.cnt * lc.cnt) AS BIGINT) AS est
+      FROM oc JOIN lc ON lc.row_i = oc.row_i AND lc.col_j = oc.col_j
+      GROUP BY oc.row_i
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+      FROM okeys o JOIN lkeys l ON l.k = o.k
+    )
+    SELECT d.row_i, d.est AS row_estimate, x.true_size,
+           CAST(MIN(d.est) OVER () AS BIGINT) AS cms_estimate,
+           ROUND(100.0 * (CAST(MIN(d.est) OVER () AS BIGINT) - x.true_size)
+                 / x.true_size, 6) AS overest_pct
+    FROM dots d CROSS JOIN exact x
+    ORDER BY d.row_i
+    """,
+    tags=("sketch", "cms", "join-size", "cardinality-estimation"),
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches: |A ⋈ B| on a
+    key equals the inner product of the two frequency vectors, and the
+    CMS estimate is min over rows d of Σ_j A_sketch[d,j]·B_sketch[d,j]
+    (Cormode & Muthukrishnan's inner-product estimator, never an
+    underestimate). Estimating the URGENT-orders × heavy-lines join size
+    from two fixed d=4 × w={_JS_W} tables is exactly what a cost-based
+    optimizer or an admission controller needs BEFORE paying for the
+    join; the exact join rides along as the truth path, so the result
+    reports each row's estimate, their min, and the overestimate, keeping
+    the estimator's honesty measurable (ann_recall_report's posture).
+
+    Shares the frequency sketch's digest-slicing discipline (one md5 per
+    key, 4 row-hashes from one digest) and its scale shape: each sketch
+    build is a map-side-combinable groupBy onto {4 * _JS_W} cells
+    regardless of input size, and the dot product joins two
+    sketch-sized — broadcastable — tables. Counts, products, and sums are
+    exact BIGINTs (products bounded by per-cell counts ≪ 2³¹ each).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    okeys = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lkeys = li.filter(F.col("l_quantity") >= 30).select(F.col("l_orderkey").alias("k"))
+
+    def sketch(keys: DataFrame) -> DataFrame:
+        h = F.md5(F.col("k").cast("string"))
+        e = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (
+                            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+                            % _JS_W
+                        ).alias("col_j"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("e")
+        return (
+            keys.select(e)
+            .select("e.row_i", "e.col_j")
+            .groupBy("row_i", "col_j")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    oc = sketch(okeys)
+    lc = sketch(lkeys).select(
+        F.col("row_i"), F.col("col_j"), F.col("cnt").alias("cnt_l")
+    )
+    dots = (
+        oc.join(lc, ["row_i", "col_j"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_l")).cast("bigint").alias("est"))
+    )
+    exact = okeys.join(lkeys, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_size")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        dots.crossJoin(F.broadcast(exact))
+        .select(
+            "row_i",
+            F.col("est").alias("row_estimate"),
+            "true_size",
+            F.min("est").over(wall).cast("bigint").alias("cms_estimate"),
+            F.round(
+                100.0
+                * (F.min("est").over(wall).cast("bigint") - F.col("true_size"))
+                / F.col("true_size"),
+                6,
+            ).alias("overest_pct"),
+        )
+        .orderBy("row_i")
+    )

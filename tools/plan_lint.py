@@ -53,6 +53,7 @@ ALLOW = {
     "audit_benford_totalprice": {"BroadcastNestedLoopJoin": "single-row digit-total scalar x 9 digits"},
     "orders_cusum_changepoint": {"BroadcastNestedLoopJoin": "single-row (n_days,total) scalar x calendar"},
     "sketch_kmv_corpus_jaccard": {"BroadcastNestedLoopJoin": "bounded source x source pair product"},
+    "sketch_cms_join_size": {"BroadcastNestedLoopJoin": "single-row exact-size scalar x 4 sketch rows"},
     "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
