@@ -154,6 +154,8 @@ _DRIVER_NEW_R04 = frozenset({
     "join_point_in_time_state", "events_rolling_active_users",
     "orders_seasonal_naive_backtest", "audit_order_line_reconciliation",
     "share_of_parent_revenue", "sketch_cms_join_size",
+    "dedup_blocking_quality", "dedup_incremental_delta",
+    "sample_balanced_labels",
 })
 
 

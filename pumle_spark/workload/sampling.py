@@ -327,3 +327,76 @@ def sample_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_value",
         F.row_number().over(wr).cast("int").alias("rn"),
     )
+
+
+# --------------------------------------------------------------------------
+# class-balanced downsampling over the embedding labels
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_labels",
+    sql="""
+    WITH sized AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM embeddings GROUP BY label
+    ),
+    m AS (SELECT CAST(MIN(n_total) AS BIGINT) AS quota FROM sized),
+    ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rn
+      FROM embeddings
+    ),
+    kept AS (
+      SELECT r.label, r.vec_id FROM ranked r CROSS JOIN m WHERE r.rn <= m.quota
+    )
+    SELECT s.label, s.n_total, CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_sum,
+           CAST(MIN(k.vec_id) AS BIGINT) AS min_kept_id
+    FROM sized s JOIN kept k ON k.label = s.label
+    GROUP BY s.label, s.n_total
+    ORDER BY s.label
+    """,
+    tags=("sampling", "class-balance", "ml-prep"),
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, chosen by md5 rank — the classifier-training
+    prep that neutralizes class imbalance without upsampling. The md5
+    rank makes the SELECTION ITSELF deterministic and content-free: a
+    row's keep/drop never changes when other rows arrive (the
+    deterministic_split stability property, per class), and the oracle
+    hash-checks the exact kept set via its id-sum, not just counts.
+
+    Scale: one count per label (map-side combinable), one broadcast
+    scalar (the quota), one rank window per label partition — the same
+    shuffle the stratified sampler pays, with the quota replacing the
+    fraction. No driver-side anything, no RNG state.
+    """
+    em = table(spark, sf_dir, "embeddings")
+    sized = em.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    m = sized.agg(F.min("n_total").cast("bigint").alias("quota"))
+    ranked = em.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string"))), "vec_id"
+            )
+        )
+        .alias("rn"),
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).filter(F.col("rn") <= F.col("quota"))
+    return (
+        sized.join(kept.select("label", "vec_id"), "label")
+        .groupBy("label", "n_total")
+        .agg(
+            F.count("vec_id").cast("bigint").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+            F.min("vec_id").cast("bigint").alias("min_kept_id"),
+        )
+        .orderBy("label")
+    )

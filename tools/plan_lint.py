@@ -54,6 +54,8 @@ ALLOW = {
     "orders_cusum_changepoint": {"BroadcastNestedLoopJoin": "single-row (n_days,total) scalar x calendar"},
     "sketch_kmv_corpus_jaccard": {"BroadcastNestedLoopJoin": "bounded source x source pair product"},
     "sketch_cms_join_size": {"BroadcastNestedLoopJoin": "single-row exact-size scalar x 4 sketch rows"},
+    "dedup_blocking_quality": {"BroadcastNestedLoopJoin": "four single-row metric scalars composed"},
+    "sample_balanced_labels": {"BroadcastNestedLoopJoin": "single-row quota scalar"},
     "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
     "physics_bilinear_interp": {"BroadcastNestedLoopJoin": "constant-size property lattice product"},
