@@ -155,7 +155,8 @@ _DRIVER_NEW_R04 = frozenset({
     "orders_seasonal_naive_backtest", "audit_order_line_reconciliation",
     "share_of_parent_revenue", "sketch_cms_join_size",
     "dedup_blocking_quality", "dedup_incremental_delta",
-    "sample_balanced_labels",
+    "sample_balanced_labels", "events_asof_tolerance",
+    "orders_gini_concentration", "text_lexical_diversity",
 })
 
 

@@ -555,3 +555,95 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rank_in_region"),
     ).orderBy("region", "nation")
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer spend per nation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_gini_concentration",
+    sql="""
+    WITH cust AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    ),
+    ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_custkey) AS rk
+      FROM cust
+    ),
+    s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(rk AS HUGEINT) * cents) AS DECIMAL(38,0)) AS wsum
+      FROM ranked GROUP BY nation
+    )
+    SELECT nation, n_customers, total_cents,
+           ROUND(2.0 * CAST(wsum AS DOUBLE)
+                   / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                 - (CAST(n_customers AS DOUBLE) + 1.0) / n_customers, 6) AS gini
+    FROM s
+    ORDER BY nation
+    """,
+    tags=("analytics", "gini", "concentration", "window"),
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend per nation — revenue-
+    concentration analysis ("do five whales carry this market?"), the
+    inequality statistic concentration dashboards and sampling designs
+    (pareto_abc_parts' continuous sibling) are built on. G = 2·Σᵢ i·xᵢ /
+    (n·Σx) − (n+1)/n over spend sorted ascending with rank tie-broken by
+    custkey, so the rank-weighted sum is a TOTAL-order quantity both
+    engines reproduce bit-for-bit (exact integer cents · exact ranks,
+    accumulated in 128-bit: DECIMAL(38,0) on Spark, HUGEINT inside
+    DuckDB's SUM — rank·cents already needs >64 bits at warehouse
+    cardinalities). The only doubles are in the final mirrored formula.
+
+    Scale: per-customer rollup (partial-agg on the fact table), rank
+    window partitioned by nation over the customer dimension, 25-row
+    output. Same window economics as orders_rfm_segments.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = cust.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("nation").orderBy(F.asc("cents"), F.asc("o_custkey"))
+        ),
+    )
+    s = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents")).alias("wsum"),
+    )
+    nn = F.col("n_customers").cast("double")
+    return s.select(
+        "nation",
+        "n_customers",
+        "total_cents",
+        F.round(
+            2.0 * F.col("wsum").cast("double") / (nn * F.col("total_cents").cast("double"))
+            - (nn + 1.0) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    ).orderBy("nation")

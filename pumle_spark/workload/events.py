@@ -1531,3 +1531,94 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# as-of join with a max-staleness tolerance
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "events_asof_tolerance",
+    sql=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS ptus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(ts) AS vtus, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    j AS (
+      SELECT p.user_id, p.purchase_event_id, p.ptus,
+             (SELECT MAX(v.vtus) FROM v
+              WHERE v.user_id = p.user_id
+                AND v.vtus <= p.ptus
+                AND v.vtus >= p.ptus - {_ASOF_TOL_US}) AS vtus
+      FROM p
+    )
+    SELECT CASE WHEN vtus IS NULL THEN 'stale_or_none' ELSE 'fresh' END AS match_class,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN vtus IS NULL THEN 0
+                         ELSE ptus - vtus END) AS BIGINT) AS total_gap_us,
+           CAST(MAX(ptus - vtus) AS BIGINT) AS max_gap_us
+    FROM j GROUP BY 1 ORDER BY match_class
+    """,
+    tags=("events", "asof", "tolerance", "feature-store"),
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound — the feature-store variant
+    events_asof_purchase_view lacks: a purchase only matches its most
+    recent preceding view if that view is at most {_ASOF_TOL_US} µs (one
+    hour) old; anything staler counts as no signal (serving a feature
+    older than its TTL is worse than serving none). Reports fresh vs
+    stale-or-missing purchase counts and the gap mass.
+
+    Same single-shuffle union+last(ignorenulls) machinery (the tolerance
+    is a FILTER on the filled gap, applied after the carry-forward — the
+    join itself never becomes a range join); the oracle formulates it as
+    a correlated MAX subquery with the staleness predicate, a third
+    independent phrasing cross-checking asof_join's semantics. Integer
+    microsecond gaps throughout.
+    """
+    from pumle_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("ptus"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("vtus"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_join(
+        p,
+        v.select("user_id", "vtus", F.col("vtus").alias("view_tus")),
+        on=["user_id"],
+        left_ts="ptus",
+        right_ts="vtus",
+        value_cols=["view_tus"],
+    )
+    fresh = F.col("view_tus").isNotNull() & (
+        F.col("ptus") - F.col("view_tus") <= _ASOF_TOL_US
+    )
+    gap = F.when(fresh, F.col("ptus") - F.col("view_tus")).otherwise(F.lit(None))
+    return (
+        j.select(
+            F.when(fresh, "fresh").otherwise("stale_or_none").alias("match_class"),
+            gap.alias("gap_us"),
+        )
+        .groupBy("match_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum("gap_us"), F.lit(0)).cast("bigint").alias("total_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("match_class")
+    )

@@ -908,3 +908,83 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# lexical diversity: type-token ratio and hapax share per source
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_diversity",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS tk FROM documents
+    ),
+    cnt AS (
+      SELECT source, tk, COUNT(*) AS c FROM tok WHERE tk <> '' GROUP BY source, tk
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+           -- Herdan/Heaps-style log-log richness, micro-nat quantized
+           ROUND(CAST(CAST(ROUND(LN(CAST(n_types AS DOUBLE)) * 1000000) AS BIGINT)
+                      AS DOUBLE)
+                 / CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT), 6)
+             AS herdan_c
+    FROM s
+    ORDER BY source
+    """,
+    tags=("text", "lexical-diversity", "corpus-stats"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio, hapax-
+    legomenon share, and Herdan's C (log types / log tokens) — the corpus
+    statistics that flag template spam (TTR collapses), OCR noise (hapax
+    share explodes: every error is a new "word"), and boilerplate
+    duplication, complementing text_zipf_slope's rank-frequency view with
+    the vocabulary-growth view.
+
+    All three ratios divide exact BIGINT aggregates once; Herdan's C
+    quantizes each log to integer micro-nats first (text_unigram_logprob's
+    discipline) so both engines divide identical 64-bit values.
+
+    Scale: one map-side-combinable (source, token) count — the same first
+    shuffle every text statistic here shares — then a per-source rollup
+    of counters. Nothing holds a vocabulary in memory.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens_col()).alias("tk")).filter(
+        F.col("tk") != ""
+    )
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    s = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+    )
+    ln_types = F.round(F.log(F.col("n_types").cast("double")) * 1_000_000).cast("bigint")
+    ln_tokens = F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000).cast(
+        "bigint"
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+            "hapax_share"
+        ),
+        F.round(ln_types.cast("double") / ln_tokens, 6).alias("herdan_c"),
+    ).orderBy("source")
