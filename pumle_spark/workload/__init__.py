@@ -157,6 +157,8 @@ _DRIVER_NEW_R04 = frozenset({
     "dedup_blocking_quality", "dedup_incremental_delta",
     "sample_balanced_labels", "events_asof_tolerance",
     "orders_gini_concentration", "text_lexical_diversity",
+    "embedding_matryoshka_error", "multimodal_shard_manifest",
+    "weighted_median_quantity",
 })
 
 

@@ -11,7 +11,7 @@ deterministic fake codec (operators/multimodal.py) as a rows-only entry.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pumle_spark.tables import table
 from pumle_spark.workload import register
@@ -217,4 +217,99 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.length("frame").cast("bigint").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-shard manifest (WebDataset-style packing of media blobs)
+# --------------------------------------------------------------------------
+
+_SHARD_BYTES = 4096
+
+
+@register(
+    "multimodal_shard_manifest",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'image/jpeg' ELSE 'video/mp4' END AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    placed AS (
+      SELECT media_id, mime, n_bytes,
+             CAST((GREATEST(SUM(n_bytes) OVER (PARTITION BY mime ORDER BY media_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 0))
+                  // {_SHARD_BYTES} AS BIGINT) AS shard_id
+      FROM m
+    )
+    SELECT mime, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(MIN(media_id) AS BIGINT) AS min_media_id,
+           CAST(MAX(media_id) AS BIGINT) AS max_media_id,
+           md5(string_agg(CAST(media_id AS VARCHAR), ',' ORDER BY media_id))
+             AS member_checksum
+    FROM placed
+    GROUP BY mime, shard_id
+    ORDER BY mime, shard_id
+    """,
+    tags=("multimodal", "sharding", "manifest", "training-infra"),
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: pack each modality's media blobs,
+    in deterministic media_id order, into ~{_SHARD_BYTES}-byte shards by
+    byte-budget prefix sum, and emit the manifest a training loader
+    consumes — items, bytes, id range, and an md5 member checksum per
+    shard, so a resumed or re-run packing job can PROVE it produced the
+    identical sharding (the manifest hash is the contract, not the file
+    listing).
+
+    Same prefix-sum block math as pack_concat_fixed_blocks (with its
+    zero-dividend GREATEST guard), applied to byte budgets per modality;
+    the member checksum hashes the ordered id list via the sort_array
+    struct-fold idiom (events_session_paths) so it never depends on
+    collect order. A shard can exceed the budget only by its last item
+    (split-forbidden packing — blobs are atomic).
+
+    Scale: one shuffle per modality partition for the window, one for
+    the rollup; manifests are tiny. The blobs themselves are never
+    moved — this plans the layout; the writer streams bytes per shard.
+    """
+    m = _media_table(spark, sf_dir).select(
+        "media_id", "mime", F.octet_length("content").cast("bigint").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("mime")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = m.withColumn(
+        "shard_id",
+        F.floor(
+            F.greatest(F.sum("n_bytes").over(w) - 1, F.lit(0)) / _SHARD_BYTES
+        ).cast("bigint"),
+    )
+    return (
+        placed.groupBy("mime", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("media_id").cast("bigint").alias("min_media_id"),
+            F.max("media_id").cast("bigint").alias("max_media_id"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.expr(
+                            "transform(array_sort(collect_list(struct(media_id))),"
+                            " s -> cast(s.media_id as string))"
+                        ),
+                        ",",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("member_checksum"),
+        )
+        .orderBy("mime", "shard_id")
     )

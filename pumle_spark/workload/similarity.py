@@ -876,3 +876,89 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation-error report (MRL dimensionality audit)
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+@register(
+    "embedding_matryoshka_error",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.v AS va, b.v AS vb,
+             list_cosine_similarity(a.v, b.v) AS cos_full
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    ),
+    devs AS (
+      SELECT k.k,
+             ABS(cos_full - list_cosine_similarity(va[1:k.k], vb[1:k.k])) AS dev
+      FROM pairs CROSS JOIN (VALUES (8), (16), (32)) k(k)
+    )
+    SELECT CAST(k AS INTEGER) AS trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(dev AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_abs_dev,
+           ROUND(MAX(dev), 6) AS max_abs_dev
+    FROM devs GROUP BY k
+    ORDER BY trunc_dim
+    """,
+    tags=("embedding", "matryoshka", "truncation", "audit"),
+)
+def embedding_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much does pairwise cosine
+    similarity move when embeddings are truncated to their first
+    {_MRL_DIMS} dimensions? The dimension-vs-recall budget question every
+    MRL / truncated-index deployment answers before shrinking its ANN
+    footprint — reported as mean/max absolute cosine deviation per
+    truncation level over the deterministic consecutive-id pair set
+    (|corpus| pairs, no quadratic join; the pair choice is content-free
+    and stable as the corpus grows).
+
+    Cross-engine float discipline is knn_bruteforce_cosine's: vectors are
+    cast to f64 BEFORE any arithmetic, the cosine uses the same fold
+    order on both engines, each |Δcos| is one deterministic double, and
+    the mean follows the DECIMAL(28,9) exact-sum contract. No second
+    rounding anywhere.
+
+    Scale: one self-join on an integer key (co-partitioned), then a
+    constant ×{len(_MRL_DIMS)} fan-out and a 3-row aggregate — linear in
+    the corpus with sub-vector slices computed JVM-side.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
+    a = e.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("ida"), F.col("v").alias("vb"))
+
+    def cos(x, y):
+        return _dot(x, y) / F.sqrt(_dot(x, x) * _dot(y, y))
+
+    pairs = a.join(b, "ida").select(
+        "va", "vb", cos(F.col("va"), F.col("vb")).alias("cos_full")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("k")
+    devs = pairs.select("va", "vb", "cos_full", ks).select(
+        "k",
+        F.abs(
+            F.col("cos_full")
+            - cos(F.slice("va", 1, F.col("k")), F.slice("vb", 1, F.col("k")))
+        ).alias("dev"),
+    )
+    return (
+        devs.groupBy(F.col("k").cast("int").alias("trunc_dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("dev").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_dev"),
+            F.round(F.max("dev"), 6).alias("max_abs_dev"),
+        )
+        .orderBy("trunc_dim")
+    )
