@@ -160,6 +160,10 @@ _DRIVER_NEW_R04 = frozenset({
     "embedding_matryoshka_error", "multimodal_shard_manifest",
     "weighted_median_quantity",
 })
+# CAP: _DRIVER_PRIORITY_R04 (3) + _DRIVER_NEW_R04 (46) fill window rows 1-49;
+# row 50 is stream_plume_monitor_final (verdict item 6 — must stay inside the
+# driver's 50-row record). Do NOT add further names to the sets above this
+# round; later additions take rotation key 2 and queue for round 5.
 
 
 def _rotation_key(name: str) -> int:

@@ -195,8 +195,13 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts priced above their brand average, written with correlated
     scalar subqueries in both WHERE and SELECT — the SQL shape users write
     and Catalyst must decorrelate (RewriteCorrelatedScalarSubquery turns
-    each into one aggregate joined back on p_brand; the three identical
-    subqueries collapse onto the same aggregate subtree).
+    each occurrence into a brand-level aggregate joined back by
+    broadcast). Measured reality, pinned by test_plans: Spark 4 does NOT
+    merge the identical subtrees — five occurrences mean five aggregate
+    scans — so the pytest twin also pins the hand-decorrelated
+    single-scan groupBy+join form; the semantic win of decorrelation is
+    the broadcast join instead of per-row subquery execution, not
+    common-subexpression elimination.
 
     No engine ever divides: "above average" is the integer cross-multiply
     price·n > Σprice in cents (BIGINT-safe to ~1e10 rows per brand at 2e5

@@ -270,3 +270,65 @@ def test_bfs_reuses_edge_exchange_across_supersteps(spark):
     # subtrees; before AQE finalization the marker may be absent, so accept
     # either the explicit node or multiple identical exchanges pending reuse
     assert ("ReusedExchange" in plan) or (plan.count("Exchange hashpartitioning(src") >= 1)
+
+
+# --------------------------------------------------------------------------
+# wave-3 plan invariants
+# --------------------------------------------------------------------------
+
+
+def test_bloom_semireduction_prunes_before_real_join(spark):
+    """The probe side must pass a broadcast LEFT-SEMI bucket filter before
+    the real equi-join — the semi-join-reduction shape itself."""
+    plan = plan_of("join_bloom_semireduction", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "xxhash64" in plan  # engine-private hash never reaches the oracle
+
+
+def test_correlated_scalar_decorrelates_to_broadcast_joins(spark):
+    """Catalyst must decorrelate every scalar subquery into an aggregate +
+    broadcast join (never a per-row re-execution or a nested loop).
+    Spark 4 does NOT merge the identical correlated subtrees — each
+    occurrence gets its own aggregate scan (5 here), which is exactly why
+    the pytest twin also pins the hand-decorrelated single-scan groupBy
+    form a performance-sensitive user would write."""
+    plan = plan_of("subquery_correlated_scalar", spark)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_window_runs_on_distinct_prices_only(spark):
+    """The global-order window must consume the per-price aggregate, never
+    raw part rows: a partial/final HashAggregate pair sits below the
+    single-partition exchange feeding the window."""
+    plan = plan_of("skyline_parts_2d", spark)
+    assert "Window" in plan
+    w_idx = plan.index("Window")
+    assert "HashAggregate" in plan[w_idx:], "window input is not the collapsed relation"
+    assert "Exchange SinglePartition" in plan
+
+
+def test_weighted_median_collapses_before_window(spark):
+    """The cumulative window input must be the distinct-(flag, qm) rollup:
+    partial aggregation happens below the window's exchange."""
+    plan = plan_of("weighted_median_quantity", spark)
+    w_idx = plan.index("Window")
+    below = plan[w_idx:]
+    assert "HashAggregate" in below
+    assert "partial_sum" in below or "partial_count" in below
+
+
+def test_gini_broadcasts_nation_dim(spark):
+    plan = plan_of("orders_gini_concentration", spark)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_delta_never_joins_existing_to_existing(spark):
+    """The near-dup probe joins delta fingerprints against the existing
+    index; both sides of every SortMergeJoin/ShuffledHashJoin must carry
+    the split filter — visible as the md5('split|…') bucket predicate on
+    each scan branch (one < 90, one >= 90)."""
+    plan = plan_of("dedup_incremental_delta", spark)
+    assert plan.count("split|") >= 2  # both sides bucket-filtered
