@@ -394,3 +394,88 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_sql_sdiv("w", "m").replace("//", "div")).cast("bigint").alias("v"),
         )
     return v.select(F.col("j").cast("int").alias("dim"), F.col("v").alias("component_micro"))
+
+
+# --------------------------------------------------------------------------
+# assignment-margin audit for the k-means clustering
+# --------------------------------------------------------------------------
+
+_SQL_MARGIN = f"""
+    WITH {_sql_kmeans_ctes()},
+    ranked AS (
+      SELECT v.vec_id, c.cid,
+             ROUND(list_cosine_similarity(v.emb, c.cemb), 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+                        c.cid) AS rn
+      FROM v CROSS JOIN c{_ITERS} c
+    ),
+    top2 AS (
+      SELECT a.vec_id, a.cid,
+             CAST(ROUND(a.cos_sim * {_FP}) AS BIGINT)
+               - CAST(ROUND(b.cos_sim * {_FP}) AS BIGINT) AS margin_fp
+      FROM ranked a JOIN ranked b ON b.vec_id = a.vec_id
+      WHERE a.rn = 1 AND b.rn = 2
+    )
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SUM(margin_fp) / ({_FP}.0 * COUNT(*)), 6) AS mean_margin,
+           ROUND(MIN(margin_fp) / {_FP}.0, 6) AS min_margin
+    FROM top2 GROUP BY cid ORDER BY cluster_id
+"""
+
+
+@register("cluster_assignment_margin", sql=_SQL_MARGIN, tags=("clustering", "kmeans", "audit"))
+def cluster_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-confidence audit for the k-means clustering: per cluster,
+    the mean and minimum MARGIN between each member's best and second-best
+    centroid cosine — the silhouette-style ambiguity signal computed
+    against centroids only (O(n·K), never member-to-member). A cluster
+    whose margins hug zero is a boundary artifact: its members would flip
+    under tiny drift, so SemDeDup blocking (cluster_semdedup_pairs) and
+    IVF probe settings (ann_ivf_assign) should not trust it with
+    single-probe traffic.
+
+    Margins are exact integers by construction: both cosines are already
+    6-decimal-rounded (the module's assignment contract), so the
+    difference is computed on their micro-unit BIGINT forms and pooled
+    with exact sums — engine- and partitioning-invariant, like
+    cluster_kmeans_profile's fixed-point mean.
+
+    Scale: the scoring relation is corpus × K broadcast centroids (the
+    assignment pass the pipeline already pays), plus one rank window per
+    vec_id over K rows; nothing quadratic in members.
+    """
+    v = _corpus(spark, sf_dir).withColumn("vn", _dot(F.col("emb"), F.col("emb")))
+    cents = _init_centroids(v)
+    for _ in range(_ITERS):
+        asg = _assign(v, cents)
+        cents = _update(v, asg, cents).localCheckpoint(eager=True)
+    cn = cents.withColumn("cn", _dot(F.col("cemb"), F.col("cemb")))
+    cos = _dot(F.col("emb"), F.col("cemb")) / F.sqrt(F.col("vn") * F.col("cn"))
+    scored = v.crossJoin(F.broadcast(cn)).select(
+        "vec_id", "cid", F.round(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.round(F.col("cos_sim") * _FP).cast("long").alias("c1")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.round(F.col("cos_sim") * _FP).cast("long").alias("c2")
+    )
+    top2 = a.join(b, "vec_id").select(
+        "cid", (F.col("c1") - F.col("c2")).alias("margin_fp")
+    )
+    return (
+        top2.groupBy(F.col("cid").cast("int").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum("margin_fp") / (F.lit(float(_FP)) * F.count(F.lit(1))), 6
+            ).alias("mean_margin"),
+            F.round(F.min("margin_fp") / F.lit(float(_FP)), 6).alias("min_margin"),
+        )
+        .orderBy("cluster_id")
+    )

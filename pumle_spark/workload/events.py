@@ -1622,3 +1622,117 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("match_class")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain
+# --------------------------------------------------------------------------
+
+_MKV_MASS = 1_000_000_000_000
+_MKV_ITERS = 3
+
+
+def _sql_markov_iter(i: int, prev: str) -> str:
+    return f"""
+    it{i} AS (
+      SELECT t.to_type AS state,
+             CAST(SUM((p.mass // t.row_n) * t.n) AS BIGINT) AS mass
+      FROM t JOIN {prev} p ON p.state = t.from_type
+      GROUP BY t.to_type
+    )"""
+
+
+_SQL_MARKOV = (
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS next_type
+      FROM events
+    ),
+    tc AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT from_type, to_type, n,
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_n
+      FROM tc
+    ),
+    states AS (SELECT DISTINCT from_type AS state FROM tc),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+    it0 AS (SELECT state, CAST({_MKV_MASS} // ns.k AS BIGINT) AS mass
+            FROM states CROSS JOIN ns),"""
+    + ",".join(_sql_markov_iter(i, f"it{i - 1}") for i in range(1, _MKV_ITERS + 1))
+    + f"""
+    SELECT state,
+           mass AS mass_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY mass DESC, state) AS INTEGER) AS rnk
+    FROM it{_MKV_ITERS}
+    ORDER BY rnk
+    """
+)
+
+
+@register("events_markov_stationary", sql=_SQL_MARKOV, tags=("events", "markov", "iterative"))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the user-behavior Markov
+    chain: push {_MKV_ITERS} integer power-iteration steps of probability
+    mass through the event-type transition matrix
+    (events_transition_bigrams' counts, row-normalized) — where user
+    attention concentrates in the long run, the chain-level summary that
+    path analysis (events_session_paths) samples and this closes in
+    expectation.
+
+    The same integer-semiring discipline as graph_pagerank_trade: total
+    mass {_MKV_MASS} micro-units, each step (mass DIV row_total)·n in
+    exact BIGINT — dividing BEFORE multiplying bounds the product by the
+    state's own mass ((mass DIV row_n)·n ≤ mass since n ≤ row_n), so the
+    arithmetic can never overflow 64 bits at ANY transition-count scale
+    (mass·n DIV row_n would: Spark wraps silently where DuckDB raises).
+    Every iterate is bit-identical under any partitioning. Truncation
+    loss from DIV stays (it is NOT redistributed) — mass is
+    sub-conservative by ≤ row_count units per state per step, a
+    documented property the pytest twin asserts.
+
+    Scale: the transition matrix is |event types|² rows — broadcast-sized
+    for any real taxonomy — so each step is a broadcast join + K-row agg;
+    the expensive part (the lead() window over the event log) runs once.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w))
+    tc = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = tc.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
+    ).localCheckpoint(eager=True)
+    states = t.select(F.col("from_type").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    mass = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(_MKV_MASS) / F.col("k")).cast("bigint").alias("mass")
+    )
+    for _ in range(_MKV_ITERS):
+        mass = (
+            t.join(F.broadcast(mass.withColumnRenamed("state", "from_type")), "from_type")
+            .select(
+                F.col("to_type").alias("state"),
+                (F.expr("mass div row_n") * F.col("n")).cast("bigint").alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").cast("bigint").alias("mass"))
+        )
+    wr = Window.orderBy(F.desc("mass"), F.asc("state"))
+    return mass.select(
+        "state",
+        F.col("mass").alias("mass_micro"),
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    ).orderBy("rnk")

@@ -1,0 +1,81 @@
+"""Round-4 wave-3 operator tests (batch 9): k-means assignment margin,
+Markov stationary distribution."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_assignment_margin_nonnegative_and_covers_corpus(spark):
+    """Margins are best-minus-second-best — never negative; member counts
+    must sum to the corpus size, and cluster ids match the profile
+    query's clustering."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.clustering import (
+        cluster_assignment_margin,
+        cluster_kmeans_profile,
+    )
+
+    rows = cluster_assignment_margin(spark, SF).collect()
+    assert rows
+    n_vec = table(spark, SF, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vec
+    for r in rows:
+        assert r.min_margin >= 0.0
+        assert r.mean_margin >= r.min_margin - 1e-9
+
+    prof = {(r.cluster_id, r.n_members) for r in cluster_kmeans_profile(spark, SF).collect()}
+    assert {(r.cluster_id, r.n_members) for r in rows} == prof
+
+
+def test_markov_mass_subconservative_and_ranked(spark):
+    """Integer DIV truncation only ever loses mass: each iterate's total
+    is <= the initial mass, and within K·iters units of it. Ranks are a
+    permutation of 1..K."""
+    from pumle_spark.workload.events import _MKV_ITERS, _MKV_MASS, events_markov_stationary
+
+    rows = events_markov_stationary(spark, SF).collect()
+    k = len(rows)
+    assert k >= 2
+    total = sum(r.mass_micro for r in rows)
+    assert total <= _MKV_MASS
+    # per step each from-state loses < row_count_of_that_state units; with
+    # the uniform-init remainder that stays microscopically small
+    assert total >= _MKV_MASS - (k + 1) * _MKV_ITERS * 10**7
+    assert sorted(r.rnk for r in rows) == list(range(1, k + 1))
+    masses = [r.mass_micro for r in sorted(rows, key=lambda r: r.rnk)]
+    assert masses == sorted(masses, reverse=True)
+
+
+def test_markov_uniform_chain_stays_uniform(spark, tmp_path):
+    """A symmetric 2-state chain (a<->b alternating) has the uniform
+    distribution as its fixed point — the iterates must not drift."""
+    import pandas as pd
+
+    seq = ["a", "b"] * 20
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(seq)),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}" for i in range(len(seq))]
+            ),
+            "user_id": [1] * len(seq),
+            "event_type": seq,
+            "value": [0.0] * len(seq),
+            "props": ["{}"] * len(seq),
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from pumle_spark.workload.events import _MKV_MASS, events_markov_stationary
+
+    rows = {r.state: r.mass_micro for r in events_markov_stationary(spark, str(d)).collect()}
+    assert set(rows) == {"a", "b"}
+    # a->b 20x, b->a 19x: row-stochastic either way; uniform stays uniform
+    # up to DIV truncation (< row_n units per state per step: ≤ ~60 total)
+    assert abs(rows["a"] - rows["b"]) <= 100
+    assert 0 <= _MKV_MASS - (rows["a"] + rows["b"]) <= 200

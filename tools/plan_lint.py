@@ -55,6 +55,8 @@ ALLOW = {
     "sketch_kmv_corpus_jaccard": {"BroadcastNestedLoopJoin": "bounded source x source pair product"},
     "sketch_cms_join_size": {"BroadcastNestedLoopJoin": "single-row exact-size scalar x 4 sketch rows"},
     "dedup_blocking_quality": {"BroadcastNestedLoopJoin": "four single-row metric scalars composed"},
+    "cluster_assignment_margin": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out (same as kmeans assign)"},
+    "events_markov_stationary": {"BroadcastNestedLoopJoin": "single-row state-count scalar for uniform init"},
     "sample_balanced_labels": {"BroadcastNestedLoopJoin": "single-row quota scalar"},
     "text_cooccurrence_pmi": {"BroadcastNestedLoopJoin": "single-row corpus doc-count scalar"},
     "physics_brine_properties": {"BroadcastNestedLoopJoin": "constant-size parameter table product"},
