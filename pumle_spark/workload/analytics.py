@@ -740,3 +740,73 @@ def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# period-over-period: monthly revenue with YoY growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_yoy_growth",
+    sql="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    j AS (
+      SELECT a.month, a.rev_cents, a.n_orders, b.rev_cents AS prev_cents
+      FROM m a LEFT JOIN m b
+        ON b.month = strftime(CAST(a.month || '-01' AS DATE)
+                              - INTERVAL '12 months', '%Y-%m')
+    )
+    SELECT month, n_orders, rev_cents, prev_cents,
+           ROUND(100.0 * (rev_cents - prev_cents) / prev_cents, 6) AS yoy_pct
+    FROM j
+    ORDER BY month
+    """,
+    tags=("analytics", "yoy", "period-over-period"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the first chart on
+    every revenue dashboard. The comparison is a CALENDAR self-join on
+    month − 12 (orders_seasonal_naive_backtest's rule: row-offset LAG
+    silently misaligns across gaps; the calendar join cannot), left outer
+    so the first year reports NULL growth rather than vanishing.
+
+    Revenue is exact integer cents; the growth rate is one mirrored
+    double division of two exact BIGINTs. Scale: the fact table collapses
+    to ≤ |months| rows before the join; everything downstream is
+    calendar-sized.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mstart")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    a = m.select(
+        F.col("mstart"), F.col("rev_cents"), F.col("n_orders")
+    )
+    b = m.select(
+        F.add_months(F.col("mstart"), 12).alias("mstart"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    return (
+        a.join(b, "mstart", "left")
+        .select(
+            F.date_format("mstart", "yyyy-MM").alias("month"),
+            "n_orders",
+            "rev_cents",
+            "prev_cents",
+            F.round(
+                100.0 * (F.col("rev_cents") - F.col("prev_cents")) / F.col("prev_cents"),
+                6,
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )

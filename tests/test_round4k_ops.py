@@ -79,3 +79,21 @@ def test_markov_uniform_chain_stays_uniform(spark, tmp_path):
     # up to DIV truncation (< row_n units per state per step: ≤ ~60 total)
     assert abs(rows["a"] - rows["b"]) <= 100
     assert 0 <= _MKV_MASS - (rows["a"] + rows["b"]) <= 200
+
+
+def test_yoy_growth_aligns_calendar_months(spark):
+    """Each month with a month-12 sibling must carry that sibling's
+    revenue as prev_cents; first-year months carry NULL."""
+    from pumle_spark.workload.analytics import orders_yoy_growth
+
+    rows = {r.month: r for r in orders_yoy_growth(spark, SF).collect()}
+    assert rows
+    for month, r in rows.items():
+        y, m = int(month[:4]), int(month[5:7])
+        prev_key = f"{y - 1:04d}-{m:02d}"
+        if prev_key in rows:
+            assert r.prev_cents == rows[prev_key].rev_cents
+            want = round(100.0 * (r.rev_cents - r.prev_cents) / r.prev_cents, 6)
+            assert r.yoy_pct == want
+        else:
+            assert r.prev_cents is None and r.yoy_pct is None
