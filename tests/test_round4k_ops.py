@@ -97,3 +97,36 @@ def test_yoy_growth_aligns_calendar_months(spark):
             assert r.yoy_pct == want
         else:
             assert r.prev_cents is None and r.yoy_pct is None
+
+
+def test_ship_lag_percentiles_match_python_replica(spark):
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import lineitem_ship_lag_percentiles
+
+    got = {r.priority: r for r in lineitem_ship_lag_percentiles(spark, SF).collect()}
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lag"),
+        )
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        per.setdefault(r.p, []).append(r.lag)
+    for p, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        def pct(q):
+            # smallest value whose cumulative count reaches q% (disc, lower)
+            import math
+            return xs[math.ceil(q * n / 100) - 1]
+        g = got[p]
+        assert g.n_lines == n
+        assert (g.p25, g.p50, g.p90) == (pct(25), pct(50), pct(90))
+        assert g.p25 <= g.p50 <= g.p90
