@@ -1736,3 +1736,101 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mass").alias("mass_micro"),
         F.row_number().over(wr).cast("int").alias("rnk"),
     ).orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# bot detection: inter-event regularity screening
+# --------------------------------------------------------------------------
+
+# flag a user when CV² = var/mean² of inter-event gaps is below 5% —
+# machine-like regularity. Cross-multiplied: 20·n·Σd² < Σd·Σd + 19·(Σd)²/n…
+# kept exactly: n·Σ(d²)·DEN < (Σd)²·(DEN + NUM)… see docstring.
+_BOT_CV2_NUM = 1
+_BOT_CV2_DEN = 20
+_BOT_MIN_EVENTS = 5
+
+
+@register(
+    "events_bot_regularity",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+               AS d
+      FROM e
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS DECIMAL(38,0)) AS sdd
+      FROM gaps WHERE d IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= {_BOT_MIN_EVENTS}
+    ),
+    flagged AS (
+      SELECT user_id, n, sd,
+             -- CV² < NUM/DEN  ⇔  DEN·(n·Σd² − (Σd)²) < NUM·(Σd)²  (exact)
+             CASE WHEN {_BOT_CV2_DEN} * (n * sdd - CAST(sd AS HUGEINT) * sd)
+                       < {_BOT_CV2_NUM} * CAST(sd AS HUGEINT) * sd
+                  THEN 1 ELSE 0 END AS is_bot
+      FROM s
+    )
+    SELECT CASE WHEN is_bot = 1 THEN 'bot_like' ELSE 'organic' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(user_id) AS BIGINT) AS min_user_id
+    FROM flagged GROUP BY is_bot
+    ORDER BY verdict
+    """,
+    tags=("events", "bot-detection", "quality"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot screening by inter-event regularity: humans arrive with bursty,
+    high-variance gaps; schedulers and scrapers tick. A user with at
+    least {_BOT_MIN_EVENTS} gaps is flagged bot-like when the squared
+    coefficient of variation of their inter-event microseconds falls
+    below {_BOT_CV2_NUM}/{_BOT_CV2_DEN} — the standard first-pass
+    traffic-cleaning filter before any engagement corpus is trusted.
+
+    The variance test never divides: CV² < N/D ⇔ D·(n·Σd² − (Σd)²) <
+    N·(Σd)², evaluated in 128-bit integers (Σd² of microsecond gaps
+    overflows 64 bits — DECIMAL(38,0) on Spark, HUGEINT on DuckDB), so
+    the verdict is bit-exact on both engines under any partitioning.
+
+    Scale: one lag() window per user (the shuffle every per-user statistic
+    here shares), then a per-user rollup and a 2-row verdict aggregate.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("tus") - F.lag("tus").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d").cast("bigint").alias("sd"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sdd"),
+        )
+        .filter(F.col("n") >= _BOT_MIN_EVENTS)
+    )
+    sd_dec = F.col("sd").cast("decimal(38,0)")
+    is_bot = (
+        _BOT_CV2_DEN * (F.col("n") * F.col("sdd") - sd_dec * sd_dec)
+        < _BOT_CV2_NUM * sd_dec * sd_dec
+    )
+    return (
+        s.select("user_id", "n", is_bot.alias("is_bot"))
+        .groupBy(F.when(F.col("is_bot"), "bot_like").otherwise("organic").alias("verdict"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_gaps"),
+            F.min("user_id").cast("bigint").alias("min_user_id"),
+        )
+        .orderBy("verdict")
+    )

@@ -130,3 +130,46 @@ def test_ship_lag_percentiles_match_python_replica(spark):
         assert g.n_lines == n
         assert (g.p25, g.p50, g.p90) == (pct(25), pct(50), pct(90))
         assert g.p25 <= g.p50 <= g.p90
+
+
+def test_bot_regularity_flags_planted_metronome(spark, tmp_path):
+    """A user ticking exactly every 60 s is bot_like; a user with wildly
+    varying gaps is organic; a 3-event user is below the floor and
+    excluded entirely."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # bot: 10 events, exact 60 s cadence
+    for i in range(10):
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "view", 0.0))
+        eid += 1
+    # organic: gaps 1s, 1h, 30s, 3h, 5s, ...
+    offsets = [0, 1, 3601, 3631, 14431, 14436, 20000]
+    for o in offsets:
+        rows.append((eid, pd.Timestamp("2024-01-02") + pd.Timedelta(seconds=o), 2, "view", 0.0))
+        eid += 1
+    # too few events
+    for i in range(3):
+        rows.append((eid, f"2024-01-03 00:0{i}:00", 3, "view", 0.0))
+        eid += 1
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from pumle_spark.workload.events import events_bot_regularity
+
+    by = {r.verdict: r for r in events_bot_regularity(spark, str(d)).collect()}
+    assert by["bot_like"].n_users == 1 and by["bot_like"].min_user_id == 1
+    assert by["organic"].n_users == 1 and by["organic"].min_user_id == 2
+    assert sum(r.n_users for r in by.values()) == 2  # user 3 excluded
