@@ -909,3 +909,82 @@ def lineitem_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(*aggs)
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# supplier concentration: Herfindahl–Hirschman index per part brand
+# --------------------------------------------------------------------------
+
+
+@register(
+    "supplier_hhi_by_brand",
+    sql="""
+    WITH s AS (
+      SELECT p.p_brand AS brand, l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    agg AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sq
+      FROM s GROUP BY brand
+    )
+    SELECT brand, n_suppliers, total_cents,
+           ROUND(10000.0 * CAST(sq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+             AS hhi
+    FROM agg
+    ORDER BY brand
+    """,
+    tags=("analytics", "hhi", "concentration"),
+)
+def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per part brand: 10000·Σ(shareᵢ²) of each
+    supplier's revenue share — the antitrust/procurement-risk index
+    (>2500 = highly concentrated: one supplier failure takes the brand's
+    supply with it). Complements orders_gini_concentration: Gini measures
+    inequality among participants, HHI measures how few of them matter.
+
+    Σ(cᵢ²) accumulates in 128-bit integers (supplier cents² overflows 64
+    bits at warehouse scale — DECIMAL(38,0) on Spark, HUGEINT inside
+    DuckDB's SUM) and the index is ONE mirrored double expression over
+    two exact totals. No per-supplier division: shares never materialize.
+
+    Scale: one partial-aggregated groupBy per (brand, supplier) — the
+    natural fact rollup — then a brand-level fold; output is brand-
+    dimension-sized.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    agg = s.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+    )
+    return agg.select(
+        "brand",
+        "n_suppliers",
+        "total_cents",
+        F.round(
+            10000.0
+            * F.col("sq").cast("double")
+            / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("brand")

@@ -1834,3 +1834,96 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+# --------------------------------------------------------------------------
+# weekly retention triangle over the event stream
+# --------------------------------------------------------------------------
+
+_RET_MAX_WEEKS = 4
+
+
+@register(
+    "events_retention_weekly",
+    sql=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_DIFF('day', DATE '2020-01-06', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS week
+      FROM events
+    ),
+    first_wk AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+    tri AS (
+      SELECT f.cohort_week, w.week - f.cohort_week AS weeks_out, w.user_id
+      FROM wk w JOIN first_wk f ON f.user_id = w.user_id
+      WHERE w.week - f.cohort_week <= {_RET_MAX_WEEKS}
+    ),
+    cohort_size AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first_wk GROUP BY cohort_week
+    )
+    SELECT t.cohort_week, CAST(t.weeks_out AS INTEGER) AS weeks_out,
+           CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_active,
+           s.n_cohort,
+           ROUND(CAST(COUNT(DISTINCT t.user_id) AS DOUBLE) / s.n_cohort, 6)
+             AS retention
+    FROM tri t JOIN cohort_size s ON s.cohort_week = t.cohort_week
+    GROUP BY t.cohort_week, t.weeks_out, s.n_cohort
+    ORDER BY t.cohort_week, weeks_out
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active week
+    (weeks anchored to the Monday epoch 2020-01-06 so bucket boundaries
+    are calendar-fixed, not data-dependent), tracked for
+    {_RET_MAX_WEEKS} weeks — the product-analytics retention curve,
+    complementing orders_retention_cohort's monthly order-based view with
+    the event-stream weekly one. Week 0 retention is 1.0 by construction
+    (the pytest invariant).
+
+    Integer week arithmetic end to end; the only division is the final
+    mirrored retention ratio of two exact counts.
+
+    Scale: the event log collapses to DISTINCT (user, week) first — the
+    same pre-collapse discipline as events_rolling_active_users — so the
+    cohort join and triangle rollup touch user-week pairs, never raw
+    events.
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2020-01-06").cast("date")) / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    tri = (
+        wk.join(first_wk, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_out"),
+            "user_id",
+        )
+        .filter(F.col("weeks_out") <= _RET_MAX_WEEKS)
+    )
+    size = first_wk.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    return (
+        tri.groupBy("cohort_week", F.col("weeks_out").cast("int").alias("weeks_out"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_out",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_out")
+    )

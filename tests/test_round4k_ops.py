@@ -173,3 +173,68 @@ def test_bot_regularity_flags_planted_metronome(spark, tmp_path):
     assert by["bot_like"].n_users == 1 and by["bot_like"].min_user_id == 1
     assert by["organic"].n_users == 1 and by["organic"].min_user_id == 2
     assert sum(r.n_users for r in by.values()) == 2  # user 3 excluded
+
+
+def test_retention_week_zero_is_total(spark):
+    """weeks_out=0 always retains the full cohort (retention exactly 1.0),
+    and retention never exceeds 1."""
+    from pumle_spark.workload.events import events_retention_weekly
+
+    rows = events_retention_weekly(spark, SF).collect()
+    assert rows
+    seen_zero = set()
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        assert r.n_active <= r.n_cohort
+        if r.weeks_out == 0:
+            assert r.n_active == r.n_cohort and r.retention == 1.0
+            seen_zero.add(r.cohort_week)
+    assert seen_zero  # every cohort has its week-0 row
+    cohorts = {r.cohort_week for r in rows}
+    assert cohorts == seen_zero
+
+
+def test_hhi_bounds_and_monopoly_fixture(spark, tmp_path):
+    """HHI lies in (10000/n, 10000]; a single-supplier brand scores
+    exactly 10000."""
+    import pandas as pd
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["MONO", "DUO"],
+            "p_type": ["t", "t"],
+            "p_size": [1, 1],
+            "p_retailprice": [10.0, 10.0],
+        }
+    )
+    lines = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_partkey": [1, 2, 2],
+            "l_suppkey": [7, 8, 9],
+            "l_linenumber": [1, 1, 2],
+            "l_quantity": [1.0, 1.0, 1.0],
+            "l_extendedprice": [100.0, 50.0, 50.0],
+            "l_discount": [0.0, 0.0, 0.0],
+            "l_tax": [0.0, 0.0, 0.0],
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O"] * 3,
+            "l_shipdate": pd.to_datetime(["1995-01-01"] * 3),
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    part.to_parquet(d / "part.parquet")
+    lines.to_parquet(d / "lineitem.parquet", coerce_timestamps="us")
+
+    from pumle_spark.workload.analytics import supplier_hhi_by_brand
+
+    by = {r.brand: r for r in supplier_hhi_by_brand(spark, str(d)).collect()}
+    assert by["MONO"].hhi == 10000.0
+    assert by["DUO"].hhi == 5000.0  # two equal suppliers
+
+    rows = supplier_hhi_by_brand(spark, SF).collect()
+    for r in rows:
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
