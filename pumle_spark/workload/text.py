@@ -988,3 +988,87 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(ln_types.cast("double") / ln_tokens, 6).alias("herdan_c"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix against the gold labels
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_confusion",
+    sql=f"""
+    WITH d AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ws FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["en"])}))) AS h_en,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["es"])}))) AS h_es,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["fr"])}))) AS h_fr,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["de"])}))) AS h_de
+      FROM d
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+                  WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                  WHEN h_de > 0 THEN 'de'
+                  ELSE 'unknown' END AS pred_lang
+      FROM hits
+    ),
+    cm AS (
+      SELECT lang AS gold_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT gold_lang, CAST(SUM(n_docs) AS BIGINT) AS n_gold
+            FROM cm GROUP BY gold_lang)
+    SELECT c.gold_lang, c.pred_lang, c.n_docs, t.n_gold,
+           ROUND(CAST(c.n_docs AS DOUBLE) / t.n_gold, 6) AS row_share
+    FROM cm c JOIN tot t ON t.gold_lang = c.gold_lang
+    ORDER BY c.gold_lang, c.pred_lang
+    """,
+    tags=("text", "langid", "evaluation", "confusion-matrix"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID heuristic
+    (text_lang_id) against the corpus's gold ``lang`` labels, with
+    per-gold-row recall shares — the measure-your-heuristic posture
+    (ann_recall_report, dedup_blocking_quality): a cleaning filter only
+    earns trust with its error matrix on record. The diagonal share IS
+    the per-language recall; off-diagonal mass names the confusion pairs
+    worth more stopwords.
+
+    Exact integer counts; one mirrored double division per row. Scale:
+    the per-doc prediction is the same embarrassingly-parallel map as
+    text_lang_id; the matrix is |langs|² rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", _tokens_col().alias("ws"))
+    h = {lang: _hits(lang) for lang in ("en", "es", "fr", "de")}
+    pred = (
+        F.when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] > 0),
+            "en",
+        )
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]) & (h["es"] > 0), "es")
+        .when((h["fr"] >= h["de"]) & (h["fr"] > 0), "fr")
+        .when(h["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    cm = d.select(F.col("lang").alias("gold_lang"), pred.alias("pred_lang")).groupBy(
+        "gold_lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = cm.groupBy("gold_lang").agg(F.sum("n_docs").cast("bigint").alias("n_gold"))
+    return (
+        cm.join(F.broadcast(tot), "gold_lang")
+        .select(
+            "gold_lang",
+            "pred_lang",
+            "n_docs",
+            "n_gold",
+            F.round(F.col("n_docs").cast("double") / F.col("n_gold"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("gold_lang", "pred_lang")
+    )

@@ -238,3 +238,37 @@ def test_hhi_bounds_and_monopoly_fixture(spark, tmp_path):
     rows = supplier_hhi_by_brand(spark, SF).collect()
     for r in rows:
         assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
+
+
+def test_langid_confusion_rows_partition_and_match_pred(spark):
+    """Row shares per gold language sum to 1; matrix totals equal the
+    corpus; diagonal counts agree with joining text_lang_id to the gold
+    labels directly."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import text_lang_id, text_langid_confusion
+
+    rows = text_langid_confusion(spark, SF).collect()
+    assert rows
+    n_docs = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    per_gold = {}
+    for r in rows:
+        per_gold.setdefault(r.gold_lang, 0.0)
+        per_gold[r.gold_lang] += r.row_share
+    for share in per_gold.values():
+        assert abs(share - 1.0) < 1e-3
+
+    pred = text_lang_id(spark, SF)
+    gold = table(spark, SF, "documents").select("doc_id", "lang")
+    diag = {
+        (r.lang, r.n)
+        for r in pred.join(gold, "doc_id")
+        .filter(F.col("pred_lang") == F.col("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_diag = {
+        (r.gold_lang, r.n_docs) for r in rows if r.gold_lang == r.pred_lang
+    }
+    assert got_diag == diag
