@@ -537,3 +537,106 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# degree assortativity of the trade graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    sql="""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT a.d AS x, b.d AS y
+      FROM edges e JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges, sx AS sum_src_deg, sy AS sum_dst_deg,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "metrics"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: the Pearson correlation of
+    endpoint degrees over directed edges (Newman's r) — do high-degree
+    customers trade with high-degree suppliers (r > 0, hub-to-hub) or
+    with the long tail (r < 0, hub-and-spoke)? The one-number structural
+    summary that decides whether degree-based partitioning/salting will
+    face hub-hub hot edges, which is why it sits beside the triangle
+    census in every graph profile.
+
+    Moment sums accumulate exactly in 128-bit integers (deg² · |edges|
+    exceeds 64 bits on hub-heavy graphs — DECIMAL(38,0) on Spark, HUGEINT
+    on DuckDB); the correlation itself is ONE mirrored double formula
+    over those six exact sums, so the statistic is partition-invariant.
+
+    Scale: degrees are one map-side-combinable count over the edge list;
+    the edge-degree join shuffles the edge list twice on node id (the
+    Pregel partitioning every query in this module shares); the moment
+    fold is a single-row aggregate.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.col("sx").alias("sum_src_deg"),
+        F.col("sy").alias("sum_dst_deg"),
+        F.round(
+            (nD * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.sqrt(
+                (nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * (nD * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -313,3 +313,106 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime", "shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# aspect-ratio bucketing (SDXL-style batch-homogeneity assignment)
+# --------------------------------------------------------------------------
+
+# centi-aspect bucket ladder (width/height · 100): portrait → square → wide
+_ASPECT_BUCKETS = (50, 75, 100, 133, 200)
+
+
+@register(
+    "multimodal_aspect_buckets",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(16 + doc_id % 32 AS BIGINT) AS w,
+             CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS h
+      FROM documents
+    ),
+    scored AS (
+      SELECT media_id, w, h, b.b AS bucket,
+             ABS(100 * w - b.b * h) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY media_id
+                                ORDER BY ABS(100 * w - b.b * h), b.b) AS rn
+      FROM m CROSS JOIN (VALUES {", ".join(f"({b})" for b in _ASPECT_BUCKETS)}) b(b)
+    ),
+    placed AS (
+      SELECT media_id, w, h, CAST(bucket AS INTEGER) AS bucket,
+             CASE WHEN 100 * w >= bucket * h
+                  THEN CAST(100 * w - bucket * h AS DOUBLE) / (100 * w)
+                  ELSE CAST(bucket * h - 100 * w AS DOUBLE) / (bucket * h)
+             END AS pad_waste
+      FROM scored WHERE rn = 1
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(pad_waste AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_pad_waste,
+           ROUND(MAX(pad_waste), 6) AS max_pad_waste
+    FROM placed GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("multimodal", "aspect-bucketing", "training-infra"),
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for batch homogeneity (the SDXL training
+    recipe): every image is assigned to the nearest bucket of the fixed
+    aspect ladder {_ASPECT_BUCKETS} (centi-aspect), and the report scores
+    each bucket's fill and padding waste — the fraction of pixels a
+    crop/pad to the bucket shape would discard, i.e. the price of batch
+    uniformity the ladder designer is trading against.
+
+    No floating-point geometry: nearest bucket minimizes |100·w − b·h| —
+    every candidate shares the denominator 100·h, so the comparison is
+    pure integers with the smaller bucket as tie-break — and the waste
+    ratio is one double division of exact integers, pooled under the
+    DECIMAL(28,9) exact-sum contract.
+
+    Scale: a per-row map against a {len(_ASPECT_BUCKETS)}-entry constant
+    ladder (codegen'd CASE, no join needed for the sizes the plan shows),
+    then a ladder-sized rollup. The Arrow decode stage never runs —
+    bucketing needs only metadata, which is the point of keeping width/
+    height as typed columns beside the opaque binary.
+    """
+    m = _media_table(spark, sf_dir).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("w"),
+        F.col("height").cast("bigint").alias("h"),
+    )
+    ladder = F.explode(F.array(*[F.lit(b) for b in _ASPECT_BUCKETS])).alias("bucket")
+    scored = m.select("media_id", "w", "h", ladder).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("media_id").orderBy(
+                F.abs(100 * F.col("w") - F.col("bucket") * F.col("h")), F.col("bucket")
+            )
+        ),
+    )
+    wide = 100 * F.col("w") >= F.col("bucket") * F.col("h")
+    pad = F.when(
+        wide,
+        (100 * F.col("w") - F.col("bucket") * F.col("h")).cast("double")
+        / (100 * F.col("w")),
+    ).otherwise(
+        (F.col("bucket") * F.col("h") - 100 * F.col("w")).cast("double")
+        / (F.col("bucket") * F.col("h"))
+    )
+    placed = scored.filter(F.col("rn") == 1).select(
+        F.col("bucket").cast("int").alias("bucket"), pad.alias("pad_waste")
+    )
+    return (
+        placed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("pad_waste").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_pad_waste"),
+            F.round(F.max("pad_waste"), 6).alias("max_pad_waste"),
+        )
+        .orderBy("bucket")
+    )

@@ -272,3 +272,59 @@ def test_langid_confusion_rows_partition_and_match_pred(spark):
         (r.gold_lang, r.n_docs) for r in rows if r.gold_lang == r.pred_lang
     }
     assert got_diag == diag
+
+
+def test_assortativity_matches_python_replica(spark):
+    from pumle_spark.tables import table
+    from pumle_spark.workload.graph import graph_degree_assortativity
+
+    r = graph_degree_assortativity(spark, SF).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (2 * p.o_custkey, 2 * p.l_suppkey + 1)
+        for p in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, _ in edges]
+    ys = [deg[b] for _, b in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    import math
+
+    want = round(
+        (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+    )
+    assert r.n_directed_edges == n
+    assert abs(r.assortativity - want) < 1e-9
+
+
+def test_aspect_buckets_partition_and_nearest(spark):
+    from pumle_spark.workload.multimodal import (
+        _ASPECT_BUCKETS,
+        _media_table,
+        multimodal_aspect_buckets,
+    )
+
+    rows = multimodal_aspect_buckets(spark, SF).collect()
+    media = _media_table(spark, SF).select("media_id", "width", "height").collect()
+    assert sum(r.n_items for r in rows) == len(media)
+    for r in rows:
+        assert r.bucket in _ASPECT_BUCKETS
+        assert 0.0 <= r.mean_pad_waste <= r.max_pad_waste < 1.0
+
+    # replicate the nearest-bucket choice and per-bucket counts exactly
+    want = {}
+    for m in media:
+        best = min(_ASPECT_BUCKETS, key=lambda b: (abs(100 * m.width - b * m.height), b))
+        want[best] = want.get(best, 0) + 1
+    got = {r.bucket: r.n_items for r in rows}
+    assert got == want
