@@ -166,18 +166,34 @@ _DRIVER_NEW_R04 = frozenset({
 # round; later additions take rotation key 2 and queue for round 5.
 
 
+# Registered AFTER the window cap above: these queue BEHIND the older
+# never-verified queries (they'd otherwise jump the line purely because
+# their modules import early) so row 50 stays stream_plume_monitor_final.
+_DRIVER_DEFER_R05 = frozenset({
+    "cluster_assignment_margin", "events_markov_stationary",
+    "orders_yoy_growth", "lineitem_ship_lag_percentiles",
+    "events_bot_regularity", "events_retention_weekly",
+    "supplier_hhi_by_brand", "text_langid_confusion",
+    "graph_degree_assortativity", "multimodal_aspect_buckets",
+})
+
+
 def _rotation_key(name: str) -> int:
     if name in _DRIVER_PRIORITY_R04:
         return 0
     if name in _DRIVER_NEW_R04:
         return 1
+    if name == "stream_plume_monitor_final":
+        return 2  # verdict item 6: must hold window row 50
     if name in _DRIVER_VERIFIED_R03:
-        return 5
+        return 7
     if name in _DRIVER_VERIFIED_R02:
-        return 4
+        return 6
     if name in _DRIVER_VERIFIED_R01_ONLY:
-        return 3
-    return 2  # never driver-verified from earlier rounds → next in line
+        return 5
+    if name in _DRIVER_DEFER_R05:
+        return 4  # this session's post-cap additions → round-5 queue
+    return 3  # never driver-verified from earlier rounds → next in line
 
 
 def _ordered() -> list[Query]:
