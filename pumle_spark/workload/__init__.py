@@ -175,6 +175,7 @@ _DRIVER_DEFER_R05 = frozenset({
     "events_bot_regularity", "events_retention_weekly",
     "supplier_hhi_by_brand", "text_langid_confusion",
     "graph_degree_assortativity", "multimodal_aspect_buckets",
+    "corpus_dataset_card",
 })
 
 

@@ -1072,3 +1072,100 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gold_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# dataset card: the one-row corpus datasheet
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dataset_card",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, text,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 3) AS mean_doc_tokens,
+           CAST(SUM(CASE WHEN bucket < 80 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS train_tokens,
+           CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN n_tok ELSE 0 END)
+                AS BIGINT) AS val_tokens,
+           CAST(SUM(CASE WHEN bucket >= 90 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS test_tokens,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS en_share
+    FROM d
+    """,
+    tags=("text", "dataset-card", "datasheet", "curation"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one job: corpus size, source/language breadth,
+    token budget (total + per deterministic_split slice, so the datasheet
+    and the split assignment can never disagree), exact-duplicate rate,
+    and English share — the datasheet block every released training
+    corpus publishes (Datasheets for Datasets; the Pile/ROOTS cards), as
+    ONE scan with map-side-combinable aggregates.
+
+    Token counts are the whitespace tokenizer shared by every text
+    operator here; dup rate uses the same content hash as dedup_exact.
+    Ratios are single mirrored double divisions of exact counts. Scale:
+    one pass, three distinct-aggregates (source/lang are bounded; the
+    content-hash distinct shuffles 16-byte hashes, dedup_exact's
+    economics).
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    d = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("ch"),
+        F.size(_tokens_col()).cast("bigint").alias("n_tok"),
+        bucket.alias("bucket"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(
+            1.0 - F.countDistinct("ch").cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.sum("n_tok").cast("double") / F.count(F.lit(1)), 3).alias(
+            "mean_doc_tokens"
+        ),
+        F.sum(F.when(F.col("bucket") < 80, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("train_tokens"),
+        F.sum(
+            F.when((F.col("bucket") >= 80) & (F.col("bucket") < 90), F.col("n_tok")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("val_tokens"),
+        F.sum(F.when(F.col("bucket") >= 90, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("test_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )

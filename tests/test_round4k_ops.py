@@ -328,3 +328,26 @@ def test_aspect_buckets_partition_and_nearest(spark):
         want[best] = want.get(best, 0) + 1
     got = {r.bucket: r.n_items for r in rows}
     assert got == want
+
+
+def test_dataset_card_reconciles_with_component_queries(spark):
+    """The card's numbers must agree with the component operators it
+    summarizes: token totals with text_token_counts, split tokens with the
+    card's own total, dup rate with dedup_exact."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.dedup import dedup_exact
+    from pumle_spark.workload.text import corpus_dataset_card, text_token_counts
+
+    r = corpus_dataset_card(spark, SF).collect()[0]
+    n_docs = table(spark, SF, "documents").count()
+    assert r.n_docs == n_docs
+    assert r.train_tokens + r.val_tokens + r.test_tokens == r.n_tokens
+
+    tok_total = text_token_counts(spark, SF).agg(
+        F.sum("n_ws_tokens").alias("t")
+    ).collect()[0].t
+    assert r.n_tokens == tok_total
+
+    n_distinct = dedup_exact(spark, SF).count()
+    assert r.exact_dup_rate == round(1.0 - n_distinct / n_docs, 6)
+    assert 0.0 <= r.en_share <= 1.0
