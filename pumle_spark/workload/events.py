@@ -1279,8 +1279,9 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(n_intervals AS BIGINT) AS n_intervals,
            CAST(span_us AS BIGINT) AS span_us,
-           ROUND(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 1000000.0, 6)
-             AS twap_value
+           -- all events in one microsecond → zero span → NULL, not a crash
+           ROUND(CAST(wsum AS DOUBLE) / NULLIF(CAST(span_us AS DOUBLE), 0.0)
+                 / 1000000.0, 6) AS twap_value
     FROM agg
     ORDER BY user_id
     """,
@@ -1326,7 +1327,10 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_intervals").cast("bigint").alias("n_intervals"),
         F.col("span_us").cast("bigint").alias("span_us"),
         F.round(
-            F.col("wsum").cast("double") / F.col("span_us").cast("double") / 1_000_000.0, 6
+            F.col("wsum").cast("double")
+            / F.nullif(F.col("span_us").cast("double"), F.lit(0.0))
+            / 1_000_000.0,
+            6,
         ).alias("twap_value"),
     ).orderBy("user_id")
 

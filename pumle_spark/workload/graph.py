@@ -570,12 +570,13 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ed
     )
     SELECT n AS n_directed_edges, sx AS sum_src_deg, sy AS sum_dst_deg,
+           -- a regular graph has zero degree variance → NULL, not a crash
            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 / NULLIF(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
              AS assortativity
     FROM s
     """,
@@ -633,9 +634,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("sum_dst_deg"),
         F.round(
             (nD * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
-            / F.sqrt(
-                (nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
-                * (nD * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            / F.nullif(
+                F.sqrt(
+                    (nD * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                    * (nD * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("assortativity"),

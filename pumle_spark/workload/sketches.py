@@ -872,8 +872,9 @@ _JS_W = 4096
     )
     SELECT d.row_i, d.est AS row_estimate, x.true_size,
            CAST(MIN(d.est) OVER () AS BIGINT) AS cms_estimate,
+           -- empty true join (no key overlap) → NULL pct, not a crash
            ROUND(100.0 * (CAST(MIN(d.est) OVER () AS BIGINT) - x.true_size)
-                 / x.true_size, 6) AS overest_pct
+                 / NULLIF(x.true_size, 0), 6) AS overest_pct
     FROM dots d CROSS JOIN exact x
     ORDER BY d.row_i
     """,
@@ -951,7 +952,7 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 100.0
                 * (F.min("est").over(wall).cast("bigint") - F.col("true_size"))
-                / F.col("true_size"),
+                / F.nullif(F.col("true_size"), F.lit(0)),
                 6,
             ).alias("overest_pct"),
         )

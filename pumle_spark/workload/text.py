@@ -845,8 +845,11 @@ _ZIPF_TOPK = 50
       FROM q GROUP BY source
     )
     SELECT source, n AS n_points, top_count,
+           -- degenerate source (one distinct token → zero x-variance):
+           -- NULL slope, not a crash/NaN (orders_linreg's guard)
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+                   / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6)
+             AS zipf_slope
     FROM s
     ORDER BY source
     """,
@@ -904,7 +907,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_count",
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            / F.nullif(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("zipf_slope"),
     ).orderBy("source")
@@ -935,10 +941,12 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n_tokens, n_types, n_hapax,
            ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
            ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
-           -- Herdan/Heaps-style log-log richness, micro-nat quantized
+           -- Herdan/Heaps-style log-log richness, micro-nat quantized;
+           -- NULL for a single-token source (ln(1) = 0 denominator)
            ROUND(CAST(CAST(ROUND(LN(CAST(n_types AS DOUBLE)) * 1000000) AS BIGINT)
                       AS DOUBLE)
-                 / CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT), 6)
+                 / NULLIF(CAST(ROUND(LN(CAST(n_tokens AS DOUBLE)) * 1000000)
+                               AS BIGINT), 0), 6)
              AS herdan_c
     FROM s
     ORDER BY source
@@ -986,7 +994,9 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
             "hapax_share"
         ),
-        F.round(ln_types.cast("double") / ln_tokens, 6).alias("herdan_c"),
+        F.round(
+            ln_types.cast("double") / F.nullif(ln_tokens, F.lit(0)), 6
+        ).alias("herdan_c"),
     ).orderBy("source")
 
 
@@ -1093,9 +1103,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
-             AS exact_dup_rate,
-           ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 3) AS mean_doc_tokens,
+           -- NULLIF: an empty corpus yields a NULL-ratio card, not a crash
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                       / NULLIF(COUNT(*), 0), 6) AS exact_dup_rate,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / NULLIF(COUNT(*), 0), 3)
+             AS mean_doc_tokens,
            CAST(SUM(CASE WHEN bucket < 80 THEN n_tok ELSE 0 END) AS BIGINT)
              AS train_tokens,
            CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN n_tok ELSE 0 END)
@@ -1103,7 +1115,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN bucket >= 90 THEN n_tok ELSE 0 END) AS BIGINT)
              AS test_tokens,
            ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS en_share
+                 / NULLIF(COUNT(*), 0), 6) AS en_share
     FROM d
     """,
     tags=("text", "dataset-card", "datasheet", "curation"),
@@ -1147,11 +1159,14 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.round(
-            1.0 - F.countDistinct("ch").cast("double") / F.count(F.lit(1)), 6
+            1.0
+            - F.countDistinct("ch").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
         ).alias("exact_dup_rate"),
-        F.round(F.sum("n_tok").cast("double") / F.count(F.lit(1)), 3).alias(
-            "mean_doc_tokens"
-        ),
+        F.round(
+            F.sum("n_tok").cast("double") / F.nullif(F.count(F.lit(1)), F.lit(0)), 3
+        ).alias("mean_doc_tokens"),
         F.sum(F.when(F.col("bucket") < 80, F.col("n_tok")).otherwise(0))
         .cast("bigint")
         .alias("train_tokens"),
@@ -1165,7 +1180,7 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("test_tokens"),
         F.round(
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
             6,
         ).alias("en_share"),
     )

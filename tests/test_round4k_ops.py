@@ -351,3 +351,42 @@ def test_dataset_card_reconciles_with_component_queries(spark):
     n_distinct = dedup_exact(spark, SF).count()
     assert r.exact_dup_rate == round(1.0 - n_distinct / n_docs, 6)
     assert 0.0 <= r.en_share <= 1.0
+
+
+def test_degenerate_division_guards(spark, tmp_path):
+    """ANSI mode makes divide-by-zero a crash, not an inf: every wave-3
+    ratio must NULL out on its degenerate input instead. Pinned here for
+    the three cheaply-constructible cases (single-token corpus → zipf
+    slope + Herdan's C; zero-span user → TWAP)."""
+    import pandas as pd
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0], "text": ["hello"], "lang": ["en"], "source": ["s"], "n_chars": [5]}
+    ).to_parquet(d / "documents.parquet")
+
+    from pumle_spark.workload.text import text_lexical_diversity, text_zipf_slope
+
+    z = text_zipf_slope(spark, str(d)).collect()[0]
+    assert z.n_points == 1 and z.zipf_slope is None
+    lx = text_lexical_diversity(spark, str(d)).collect()[0]
+    assert lx.herdan_c is None and lx.type_token_ratio == 1.0
+
+    d2 = tmp_path / "ev"
+    d2.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 2),
+            "user_id": [5, 5],
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+            "props": ["{}"] * 2,
+        }
+    ).to_parquet(d2 / "events.parquet")
+
+    from pumle_spark.workload.events import events_time_weighted_value
+
+    t = events_time_weighted_value(spark, str(d2)).collect()[0]
+    assert t.span_us == 0 and t.twap_value is None
