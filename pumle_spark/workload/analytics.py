@@ -988,3 +988,115 @@ def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# open-order backlog time series (interval stabbing via difference arrays)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog_timeseries",
+    sql="""
+    WITH closes AS (
+      SELECT l_orderkey, CAST(MAX(CAST(l_shipdate AS DATE)) AS DATE) AS ship_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closed AS (
+      -- clamp: an order cannot close before it opens (generated data has
+      -- ship dates preceding order dates; an inverted interval would push
+      -- the difference array negative between the two)
+      SELECT GREATEST(c.ship_day, CAST(o.o_orderdate AS DATE)) AS close_day
+      FROM closes c JOIN orders o ON o.o_orderkey = c.l_orderkey
+    ),
+    deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM orders
+      UNION ALL
+      SELECT close_day + INTERVAL '1 day', -1 FROM closed
+    ),
+    daily AS (
+      SELECT CAST(day AS DATE) AS day, CAST(SUM(d) AS BIGINT) AS delta,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+             CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY CAST(day AS DATE)
+    ),
+    level AS (
+      SELECT day, n_opened, n_closed,
+             CAST(SUM(delta) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS backlog
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(SUM(n_opened) AS BIGINT) AS n_opened,
+           CAST(SUM(n_closed) AS BIGINT) AS n_closed,
+           CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+           CAST(MAX_BY(backlog, day) AS BIGINT) AS eom_backlog
+    FROM level
+    GROUP BY strftime(day, '%Y-%m')
+    ORDER BY month
+    """,
+    tags=("analytics", "backlog", "interval-stabbing", "difference-array"),
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: how many orders are open (placed,
+    not yet fully shipped) on each day, rolled up per month to peak and
+    end-of-month levels — the WIP/inventory-level question behind every
+    operations dashboard, and a distinct TECHNIQUE: interval stabbing by
+    difference array. Counting |{i : open_i ≤ t ≤ close_i}| for every t
+    as an interval join is O(orders × days); emitting +1 at each open
+    day and −1 the day after each close and prefix-summing is one
+    calendar-sized window — the same rewrite that makes concurrent-
+    sessions / room-occupancy / connection-count queries linear.
+
+    An order's close day is its LAST line's ship date, clamped to no
+    earlier than its open day (the generated data ships some lines
+    before the order date; an inverted interval would dip the difference
+    array negative); orders with no lines never emit a −1 and stay in
+    the backlog forever (exactly what an ops team wants surfaced). The step function only changes on delta
+    days, so per-month MAX over delta days IS the true peak; eom_backlog
+    is MAX_BY(backlog, day) — the level at the month's last delta day
+    (months with no activity at all don't emit a row; the level carries
+    implicitly). Pure integers end to end.
+
+    Scale: the fact tables collapse to per-order one-row events, then to
+    per-day deltas (calendar-bounded) BEFORE the single global window —
+    the CUSUM/weighted-median collapse discipline again.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("ship_day")
+    )
+    closed = closes.join(o, closes.l_orderkey == o.o_orderkey).select(
+        F.greatest(F.col("ship_day"), F.col("o_orderdate").cast("date")).alias(
+            "close_day"
+        )
+    )
+    deltas = o.select(
+        F.col("o_orderdate").cast("date").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        closed.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("d").cast("bigint").alias("delta"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    level = daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("delta").over(w).cast("bigint").alias("backlog"),
+    )
+    return (
+        level.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("n_opened").cast("bigint").alias("n_opened"),
+            F.sum("n_closed").cast("bigint").alias("n_closed"),
+            F.max("backlog").cast("bigint").alias("peak_backlog"),
+            F.max_by("backlog", "day").cast("bigint").alias("eom_backlog"),
+        )
+        .orderBy("month")
+    )

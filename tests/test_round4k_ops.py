@@ -390,3 +390,40 @@ def test_degenerate_division_guards(spark, tmp_path):
 
     t = events_time_weighted_value(spark, str(d2)).collect()[0]
     assert t.span_us == 0 and t.twap_value is None
+
+
+def test_backlog_matches_interval_stabbing_bruteforce(spark):
+    """The difference-array level must equal the brute-force interval
+    count |{orders open on day t}| at every delta day."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import orders_backlog_timeseries
+
+    o = {r.o_orderkey: r.o_orderdate.date() for r in table(spark, SF, "orders").collect()}
+    closes = {}
+    for r in table(spark, SF, "lineitem").collect():
+        d = r.l_shipdate.date()
+        k = r.l_orderkey
+        closes[k] = max(closes.get(k, d), d)
+
+    # brute force the level at each delta day, then roll up per month
+    from datetime import timedelta
+
+    # the operator clamps close to no earlier than open
+    closes = {k: max(c, o[k]) for k, c in closes.items() if k in o}
+    delta_days = set(o.values()) | {c + timedelta(days=1) for c in closes.values()}
+    per_month = {}
+    for t in sorted(delta_days):
+        lvl = sum(
+            1
+            for k, od in o.items()
+            if od <= t and (k not in closes or t <= closes[k])
+        )
+        m = t.strftime("%Y-%m")
+        peak, _ = per_month.get(m, (0, 0))
+        per_month[m] = (max(peak, lvl), lvl)  # last write = eom level
+
+    got = {
+        r.month: (r.peak_backlog, r.eom_backlog)
+        for r in orders_backlog_timeseries(spark, SF).collect()
+    }
+    assert got == per_month
