@@ -1931,3 +1931,124 @@ def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_out")
     )
+
+
+# --------------------------------------------------------------------------
+# position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+@register(
+    "attribution_position_based",
+    sql="""
+    WITH pairs AS (
+      SELECT c.event_id AS click_event_id,
+             p.event_id AS pid,
+             CAST(ROUND(p.value * 1000000) AS BIGINT) AS vmic,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n
+      FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    wts AS (
+      SELECT *, CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN rk = 1 THEN 400000
+                     WHEN rk = n THEN 400000 + (200000 - (n - 2) * (200000 // (n - 2)))
+                     ELSE 200000 // (n - 2) END AS w
+      FROM pairs
+    ),
+    based AS (SELECT *, vmic * w // 1000000 AS credit FROM wts),
+    fixed AS (
+      SELECT click_event_id,
+             credit + CASE WHEN rk = n
+                           THEN vmic - CAST(SUM(credit) OVER (PARTITION BY pid)
+                                            AS BIGINT)
+                           ELSE 0 END AS credit
+      FROM based
+    )
+    SELECT click_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(SUM(credit) AS BIGINT) / 1000000.0, 6) AS credited_value
+    FROM fixed GROUP BY click_event_id
+    """,
+    tags=("events", "attribution", "marketing", "position-based"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    second standard model beside attribution_linear_credit's equal split:
+    the first and last click before a purchase earn 40% each, the middle
+    touches share 20%. Journey position comes from the same interval join
+    plus a rank window per purchase.
+
+    Exactness discipline extends linear credit's: integer micro-WEIGHTS
+    are constructed to sum to exactly 1e6 per purchase (the middle pool's
+    division remainder folds into the last touch's weight), base credits
+    are vmic·w DIV 1e6, and the residual micro-units from that division
+    are assigned to the LAST touch via a per-purchase window sum — so
+    every purchase's credits sum to EXACTLY its micro-value, conservation
+    a pytest asserts. All BIGINT; both engines truncate identically;
+    single-touch and two-touch journeys degenerate to 100% and 50/50.
+
+    Plan: interval join on user_id, rank + count + credit-sum windows all
+    partitioned by purchase id (one exchange), final groupBy on click id.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    pairs = c.join(
+        p,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("interval 1 hour")),
+    ).select(
+        F.col("c.event_id").alias("click_event_id"),
+        F.col("p.event_id").alias("pid"),
+        F.round(F.col("p.value") * 1_000_000).cast("bigint").alias("vmic"),
+        F.col("c.ts").alias("cts"),
+        F.col("c.event_id").alias("cid"),
+    )
+    wp = Window.partitionBy("pid")
+    ranked = pairs.select(
+        "click_event_id",
+        "pid",
+        "vmic",
+        F.row_number().over(wp.orderBy("cts", "cid")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid_w = F.expr("200000 div (n - 2)")
+    w_col = (
+        F.when(F.col("n") == 1, 1_000_000)
+        .when(F.col("n") == 2, 500_000)
+        .when(F.col("rk") == 1, 400_000)
+        .when(
+            F.col("rk") == F.col("n"),
+            400_000 + (200_000 - (F.col("n") - 2) * mid_w),
+        )
+        .otherwise(mid_w)
+    )
+    based = ranked.withColumn("w", w_col).withColumn(
+        "credit", F.expr("vmic * w div 1000000")
+    )
+    fixed = based.select(
+        "click_event_id",
+        (
+            F.col("credit")
+            + F.when(
+                F.col("rk") == F.col("n"),
+                F.col("vmic") - F.sum("credit").over(wp).cast("bigint"),
+            ).otherwise(0)
+        ).alias("credit"),
+    )
+    return fixed.groupBy("click_event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.sum("credit").cast("bigint") / 1_000_000.0, 6).alias(
+            "credited_value"
+        ),
+    )

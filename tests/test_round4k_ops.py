@@ -427,3 +427,64 @@ def test_backlog_matches_interval_stabbing_bruteforce(spark):
         for r in orders_backlog_timeseries(spark, SF).collect()
     }
     assert got == per_month
+
+
+def test_position_attribution_conserves_value_and_shapes(spark, tmp_path):
+    """Every purchase's credits must sum to EXACTLY its micro-value
+    (residual folds into the last touch), and a planted 4-touch journey
+    must split 40/20-ish/40 with the first and last touches equal-topped."""
+    import pandas as pd
+
+    rows = [
+        (1, "2024-01-01 09:10:00", 1, "click", 0.0),
+        (2, "2024-01-01 09:20:00", 1, "click", 0.0),
+        (3, "2024-01-01 09:30:00", 1, "click", 0.0),
+        (4, "2024-01-01 09:40:00", 1, "click", 0.0),
+        (5, "2024-01-01 10:00:00", 1, "purchase", 10.0),
+        (6, "2024-01-02 09:00:00", 2, "click", 0.0),
+        (7, "2024-01-02 09:30:00", 2, "purchase", 3.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+
+    from pumle_spark.workload.events import attribution_position_based
+
+    got = {r.click_event_id: r.credited_value for r in attribution_position_based(spark, str(d)).collect()}
+    # 4-touch journey on $10: first 4.0, last 4.0, middles 1.0 each
+    assert got[1] == 4.0
+    assert got[4] == 4.0
+    assert got[2] == 1.0 and got[3] == 1.0
+    # single-touch journey takes everything
+    assert got[6] == 3.0
+    assert abs(sum(got.values()) - 13.0) < 1e-9
+
+
+def test_position_attribution_total_matches_linear_total(spark):
+    """Both attribution models redistribute the SAME conversion mass —
+    the grand totals across clicks must agree to micro-unit precision
+    (position-based conserves exactly; linear under-credits ≤ n-1 micro
+    per purchase, so totals agree within that documented slack)."""
+    from pumle_spark.workload.events import (
+        attribution_linear_credit,
+        attribution_position_based,
+    )
+
+    pos = sum(
+        r.credited_value
+        for r in attribution_position_based(spark, SF).collect()
+    )
+    lin = sum(
+        r.credited_value for r in attribution_linear_credit(spark, SF).collect()
+    )
+    assert abs(pos - lin) < 0.01  # linear's trunc slack only
