@@ -69,138 +69,51 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's CORRECTNESS_r{N}.json records at most 50 queries, taken in
 # registration order. To rotate coverage across rounds, queries already
-# hash-verified by the driver in a previous round are pushed to the back so
-# the never-driver-verified (and newly added) ones land inside the window.
-_DRIVER_VERIFIED_R02 = frozenset({
-    "agg_distinct_customers_per_status", "agg_percentiles_by_status",
-    "agg_rollup_region_nation", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_exact_normalized", "dedup_minhash_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash32", "events_asof_purchase_view",
-    "events_hourly_rollup", "events_json_extract", "events_sessionize",
-    "events_user_activity", "forder_index_roundtrip", "having_big_spenders",
-    "join_anti_inactive_customers", "join_broadcast_brand_volume",
-    "join_full_outer_nation_counts", "join_left_outer_part_activity",
-    "join_semi_active_customers", "join_theta_balance_dominance",
-    "minpos_quantity_floor", "multimodal_feature_rollup",
-    "multimodal_media_stats", "param_hash_customers", "physics_bilinear_interp",
-    "physics_brine_properties", "pumle_golden_pipeline",
-    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue", "scalar_string_math_part",
-    "scatter_dense_grid", "schedule_rampup", "set_except_customers",
-    "set_intersect_union", "sweep_linspace_grid", "topk_global_lineitems",
-    "validate_customer_constraints", "wells_range_join",
-    "window_dense_rank_ntile", "window_order_gap_days",
-    "window_running_customer_spend", "window_topk_orders_per_customer",
-})
-_DRIVER_VERIFIED_R01_ONLY = frozenset({
-    "scalar_dates_orders", "case_when_price_bands", "pivot_status_by_year",
-    "q7_nation_pair_volume", "q10_returned_items",
-})
-
-
-# hash-green in the driver's CORRECTNESS_r03.json (48 of 50)
-_DRIVER_VERIFIED_R03 = frozenset({
-    "ann_recall_report", "attribution_linear_credit", "chunk_sliding_windows",
-    "cluster_kmeans_embeddings", "cluster_kmeans_profile",
-    "cluster_semdedup_pairs", "dedup_cluster_keep_best",
-    "dedup_clusters_recursive_sql", "drift_source_lang_profile",
-    "events_funnel_conversion", "events_gapfill_interpolate",
-    "events_session_window_builtin", "graph_triangle_census",
-    "interval_overlap_sessions", "layout_zorder_orders",
-    "link_fuzzy_part_names", "multimodal_feature_rollup",
-    "outlier_mad_brand_quantity", "pack_greedy_token_bins",
-    "profile_numeric_correlations", "pumle_golden_pipeline",
-    "q11_important_stock", "q12_shipmode_priority",
-    "q13_order_count_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "q2_min_cost_supplier", "q8_national_market_share",
-    "q9_product_type_profit", "sample_stratified_documents",
-    "scd2_user_state_intervals", "select_top_mass_per_source",
-    "snapshot_diff_customer_state", "stream_hourly_rollup_final",
-    "stream_join_click_attribution", "text_decontaminate_overlap",
-    "text_fingerprint_winnow", "text_inverted_postings", "text_lang_id",
-    "text_pii_redaction", "text_quality_score", "text_repetition_filter",
-    "text_tfidf_top_terms", "text_token_counts", "trap_spill_volumes",
-    "trap_watershed_assignment",
-})
-
-# The r03 verdict's top-priority fix set: the two driver-red HUGEINT-oracle
-# queries plus the latent third (same defect, outside the r03 window). Their
-# oracles now CAST to BIGINT; they must lead CORRECTNESS_r04 to prove it.
-_DRIVER_PRIORITY_R04 = frozenset({
-    "pack_concat_fixed_blocks", "graph_pagerank_trade",
-    "skew_salted_brand_revenue",
-})
-
-# Operators ADDED in round 4: ahead of older never-verified queries so the
-# round's new surface lands inside the driver's 50-row window (3 priority +
-# 16 new + 31 older never-verified fills it exactly minus one).
-_DRIVER_NEW_R04 = frozenset({
-    "dedup_prefix_filter_jaccard", "dedup_containment_pairs",
-    "stream_dedup_events_final", "text_unigram_logprob",
-    "text_cooccurrence_pmi", "graph_bfs_reach", "validate_fk_orphans",
-    "events_ewma_smoothing", "events_rate_anomaly",
-    "embedding_power_iteration", "window_distribution_ranks",
-    "orders_linreg_by_priority", "multimodal_frame_sample",
-    "pareto_abc_parts", "sketch_kmv_distinct", "agg_cube_flag_status",
-    "events_session_paths", "sample_sequential_poisson", "agg_argmax_orders",
-    # wave 3
-    "skyline_parts_2d", "join_null_aware_not_in", "subquery_correlated_scalar",
-    "join_bloom_semireduction", "events_time_weighted_value",
-    "drift_psi_totalprice", "text_zipf_slope", "graph_sssp_bounded",
-    "orders_rfm_segments", "audit_benford_totalprice",
-    "orders_cusum_changepoint", "sketch_kmv_corpus_jaccard",
-    "join_point_in_time_state", "events_rolling_active_users",
-    "orders_seasonal_naive_backtest", "audit_order_line_reconciliation",
-    "share_of_parent_revenue", "sketch_cms_join_size",
-    "dedup_blocking_quality", "dedup_incremental_delta",
-    "sample_balanced_labels", "events_asof_tolerance",
-    "orders_gini_concentration", "text_lexical_diversity",
-    "embedding_matryoshka_error", "multimodal_shard_manifest",
-    "weighted_median_quantity",
-})
-# CAP: _DRIVER_PRIORITY_R04 (3) + _DRIVER_NEW_R04 (46) fill window rows 1-49;
-# row 50 is stream_plume_monitor_final (verdict item 6 — must stay inside the
-# driver's 50-row record). Do NOT add further names to the sets above this
-# round; later additions take rotation key 2 and queue for round 5.
-
-
-# Registered AFTER the window cap above: these queue BEHIND the older
-# never-verified queries (they'd otherwise jump the line purely because
-# their modules import early) so row 50 stays stream_plume_monitor_final.
-_DRIVER_DEFER_R05 = frozenset({
+# hash-verified by the driver in a previous round (green union over
+# CORRECTNESS_r01–r04 = 151 names; provenance: the checked-in
+# CORRECTNESS_r0*.json files) are pushed behind the window.
+#
+# _DRIVER_WINDOW_R05 is round 5's 50-row window, EXPLICIT and ordered:
+# the 44 queries that were local-green (tools/oracle_check.py 195/195 at
+# sf0.01) but never appeared in any driver record, followed by this
+# round's additions. Everything else keeps registration order behind it.
+_DRIVER_WINDOW_R05 = (
+    # -- never driver-verified through r04 (44) --------------------------
+    "orders_backlog_timeseries", "attribution_position_based",
+    "q16_part_supplier_counts", "q18_large_volume_orders",
+    "profile_orders_columns", "join_right_outer_customer_orders",
+    "set_union_distinct", "q22_global_sales_opportunity",
+    "orders_retention_cohort", "window_range_frame_trailing_spend",
+    "agg_grouping_sets_revenue", "events_transition_bigrams",
+    "agg_price_histogram", "basket_brand_lift", "unpivot_lineitem_measures",
+    "incremental_rollup_merge", "join_lateral_topk_orders",
+    "mix_weighted_sources", "heavy_hitters_lineitem_parts",
+    "mix_temperature_rebalance", "knn_bruteforce_cosine", "ann_ivf_assign",
+    "dedup_embedding_lsh", "ann_lsh_codes", "ann_pq_codes",
+    "ann_pq_adc_topk", "ann_ivfpq_topk", "sketch_hll_distinct",
+    "sketch_cms_frequency", "sketch_bloom_membership", "sketch_hll_setops",
+    "corpus_clean_pipeline", "deterministic_split", "orders_yoy_growth",
+    "lineitem_ship_lag_percentiles", "supplier_hhi_by_brand",
     "cluster_assignment_margin", "events_markov_stationary",
-    "orders_yoy_growth", "lineitem_ship_lag_percentiles",
     "events_bot_regularity", "events_retention_weekly",
-    "supplier_hhi_by_brand", "text_langid_confusion",
     "graph_degree_assortativity", "multimodal_aspect_buckets",
-    "corpus_dataset_card",
-})
+    "text_langid_confusion", "corpus_dataset_card",
+    # -- round-5 additions (new surface, first driver look) --------------
+    "export_tensor_checksum", "export_zarr_roundtrip",
+    "layout_zorder_golden", "stream_running_totals_final",
+    "sketch_quantile_histogram", "events_sliding_distinct_hll",
+)
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R05)}
 
 
-def _rotation_key(name: str) -> int:
-    if name in _DRIVER_PRIORITY_R04:
-        return 0
-    if name in _DRIVER_NEW_R04:
-        return 1
-    if name == "stream_plume_monitor_final":
-        return 2  # verdict item 6: must hold window row 50
-    if name in _DRIVER_VERIFIED_R03:
-        return 7
-    if name in _DRIVER_VERIFIED_R02:
-        return 6
-    if name in _DRIVER_VERIFIED_R01_ONLY:
-        return 5
-    if name in _DRIVER_DEFER_R05:
-        return 4  # this session's post-cap additions → round-5 queue
-    return 3  # never driver-verified from earlier rounds → next in line
+def _rotation_key(name: str) -> tuple[int, int]:
+    return (0, _WINDOW_POS[name]) if name in _WINDOW_POS else (1, 0)
 
 
 def _ordered() -> list[Query]:
     _load_modules()
     names = list(REGISTRY)
-    return [REGISTRY[n] for n in sorted(names, key=lambda n: (_rotation_key(n), names.index(n)))]
+    return [REGISTRY[n] for n in sorted(names, key=lambda n: (*_rotation_key(n), names.index(n)))]
 
 
 def queries() -> dict[str, QueryFn]:

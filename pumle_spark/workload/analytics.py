@@ -1026,14 +1026,22 @@ def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS backlog
       FROM daily
+    ),
+    monthly AS (
+      SELECT strftime(day, '%Y-%m') AS month,
+             CAST(SUM(n_opened) AS BIGINT) AS n_opened,
+             CAST(SUM(n_closed) AS BIGINT) AS n_closed,
+             CAST(MAX(backlog) AS BIGINT) AS m_peak,
+             CAST(MAX_BY(backlog, day) AS BIGINT) AS eom_backlog
+      FROM level
+      GROUP BY strftime(day, '%Y-%m')
     )
-    SELECT strftime(day, '%Y-%m') AS month,
-           CAST(SUM(n_opened) AS BIGINT) AS n_opened,
-           CAST(SUM(n_closed) AS BIGINT) AS n_closed,
-           CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
-           CAST(MAX_BY(backlog, day) AS BIGINT) AS eom_backlog
-    FROM level
-    GROUP BY strftime(day, '%Y-%m')
+    SELECT month, n_opened, n_closed,
+           CAST(GREATEST(m_peak,
+                COALESCE(LAG(eom_backlog) OVER (ORDER BY month), 0))
+             AS BIGINT) AS peak_backlog,
+           eom_backlog
+    FROM monthly
     ORDER BY month
     """,
     tags=("analytics", "backlog", "interval-stabbing", "difference-array"),
@@ -1053,11 +1061,15 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier than its open day (the generated data ships some lines
     before the order date; an inverted interval would dip the difference
     array negative); orders with no lines never emit a −1 and stay in
-    the backlog forever (exactly what an ops team wants surfaced). The step function only changes on delta
-    days, so per-month MAX over delta days IS the true peak; eom_backlog
-    is MAX_BY(backlog, day) — the level at the month's last delta day
-    (months with no activity at all don't emit a row; the level carries
-    implicitly). Pure integers end to end.
+    the backlog forever (exactly what an ops team wants surfaced). The
+    step function only changes on delta days, but a month whose FIRST
+    delta is a decrease still holds the prior month's closing level up
+    to that day — so the true peak is max(carry-in, max over the
+    month's delta days), where carry-in is the previous emitted month's
+    eom_backlog (months with no activity emit no row, so LAG over
+    emitted months is exactly the last level before this month's first
+    delta). eom_backlog is MAX_BY(backlog, day) — the level at the
+    month's last delta day. Pure integers end to end.
 
     Scale: the fact tables collapse to per-order one-row events, then to
     per-day deltas (calendar-bounded) BEFORE the single global window —
@@ -1090,13 +1102,22 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("delta").over(w).cast("bigint").alias("backlog"),
     )
-    return (
-        level.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
-        .agg(
-            F.sum("n_opened").cast("bigint").alias("n_opened"),
-            F.sum("n_closed").cast("bigint").alias("n_closed"),
-            F.max("backlog").cast("bigint").alias("peak_backlog"),
-            F.max_by("backlog", "day").cast("bigint").alias("eom_backlog"),
-        )
-        .orderBy("month")
+    monthly = level.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.sum("n_opened").cast("bigint").alias("n_opened"),
+        F.sum("n_closed").cast("bigint").alias("n_closed"),
+        F.max("backlog").cast("bigint").alias("m_peak"),
+        F.max_by("backlog", "day").cast("bigint").alias("eom_backlog"),
     )
+    wm = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_opened",
+        "n_closed",
+        F.greatest(
+            F.col("m_peak"),
+            F.coalesce(F.lag("eom_backlog").over(wm), F.lit(0).cast("bigint")),
+        )
+        .cast("bigint")
+        .alias("peak_backlog"),
+        "eom_backlog",
+    ).orderBy("month")

@@ -1722,7 +1722,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = t.select(F.col("from_type").alias("state")).distinct()
     ns = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     mass = states.crossJoin(F.broadcast(ns)).select(
-        "state", (F.lit(_MKV_MASS) / F.col("k")).cast("bigint").alias("mass")
+        "state", F.expr(f"{_MKV_MASS} div k").cast("bigint").alias("mass")
     )
     for _ in range(_MKV_ITERS):
         mass = (

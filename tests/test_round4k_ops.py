@@ -412,6 +412,7 @@ def test_backlog_matches_interval_stabbing_bruteforce(spark):
     closes = {k: max(c, o[k]) for k, c in closes.items() if k in o}
     delta_days = set(o.values()) | {c + timedelta(days=1) for c in closes.values()}
     per_month = {}
+    prev_lvl = 0  # carried-in level: holds from month start to its first delta day
     for t in sorted(delta_days):
         lvl = sum(
             1
@@ -419,8 +420,11 @@ def test_backlog_matches_interval_stabbing_bruteforce(spark):
             if od <= t and (k not in closes or t <= closes[k])
         )
         m = t.strftime("%Y-%m")
-        peak, _ = per_month.get(m, (0, 0))
+        if m not in per_month:
+            per_month[m] = (prev_lvl, prev_lvl)
+        peak, _ = per_month[m]
         per_month[m] = (max(peak, lvl), lvl)  # last write = eom level
+        prev_lvl = lvl
 
     got = {
         r.month: (r.peak_backlog, r.eom_backlog)

@@ -579,9 +579,12 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         rows = sess.sql(
             f"SELECT user_id, total_micro, n_events FROM {sink}"
         ).collect()
+        # collect() row order is not a contract — counts only grow, so the
+        # max-n_events row per user IS that user's final running total
         latest = {}
-        for r in rows:  # memory sink appends update rows in batch order
-            latest[r.user_id] = (r.total_micro, r.n_events)
+        for r in rows:
+            if r.user_id not in latest or r.n_events > latest[r.user_id][1]:
+                latest[r.user_id] = (r.total_micro, r.n_events)
 
         want = {}
         for u, v in fed:
