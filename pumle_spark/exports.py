@@ -92,7 +92,7 @@ def write_metadata_csv(metadata: DataFrame, path: str) -> None:
 def _tensor_writer(out_dir: str, dims: tuple[int, int, int], attr: str, fmt: str):
     ni, nj, nk = dims
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (sim_hash,) = key
         n_t = int(pdf["t"].max()) + 1
         # scatter into (ncells, T) with NaN placeholder, then F-order reshape

@@ -84,3 +84,35 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_totals_apws(events: DataFrame) -> DataFrame:
+    """The applyInPandasWithState generation of the same operator — Spark
+    3-era GroupState, which speaks Arrow to the JVM (no protobuf worker),
+    so unlike transformWithState it runs in every container this engine
+    targets. Semantics are identical to running_totals(): one state tuple
+    (total, n) per user, updated each micro-batch, the running row emitted
+    in update mode. State restore across batches is the point — the
+    driver-gated query stages input as two files and forces two
+    micro-batches so batch-2 totals MUST fold batch-1 state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += int(pdf["vmic"].sum())
+            n += len(pdf)
+        state.update((int(total), int(n)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_micro": [total], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        handle,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

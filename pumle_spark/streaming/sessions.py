@@ -37,7 +37,9 @@ def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000) -> Da
     """events: streaming DF with (user_id bigint, tus bigint). Returns the
     stream of CLOSED sessions (user_id, start_us, end_us, n_events)."""
 
-    def handle(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []

@@ -135,6 +135,31 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_MIN = 0.05
 _INTER_MIN = 2
 
+# Budget guards for the labeled all-pairs baselines (round-5 verdict item:
+# a naive scale-up of the REGISTRY must fail fast, not hang). The caps are
+# input-row counts — cheap to check (parquet metadata count, no scan) and
+# the honest proxy for the quadratic blow-up these baselines pay. sf1
+# (≈50k docs / ≈20k vectors) sits at the boundary the sf-probes measured:
+# docs-side baselines still finish there; the vector crossJoin does not.
+import os as _os
+
+_ALLPAIRS_MAX_DOCS = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_DOCS", "100000"))
+_ALLPAIRS_MAX_VECS = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_VECS", "10000"))
+
+
+def _assert_allpairs_bounded(n: int, cap: int, what: str, twin: str) -> None:
+    """Refuse an all-pairs correctness baseline on oversized input: the
+    quadratic subtree IS the semantics of these queries, so past the cap
+    they don't degrade — they hang. The production twin is the scale path;
+    the env caps (SPARK_GRAFT_ALLPAIRS_MAX_DOCS / _VECS) stay overridable
+    for deliberate large truth runs."""
+    if n > cap:
+        raise RuntimeError(
+            f"{what} refused: {n} input rows exceed the all-pairs budget ({cap}). "
+            f"This is the labeled correctness baseline — at this scale run {twin}, "
+            "or raise the SPARK_GRAFT_ALLPAIRS_MAX_* budget explicitly."
+        )
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -160,8 +185,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → self-equi-join on shingle → |A∩B| via count, |A∪B| from per-doc
     sizes. Correct but quadratic in hot shingles — dedup_minhash_lsh is the
-    100 TB path; this one is the oracle for it.
+    100 TB path; this one is the oracle for it. Refuses inputs past the
+    all-pairs budget instead of hanging (_assert_allpairs_bounded).
     """
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "documents").count(),
+        _ALLPAIRS_MAX_DOCS,
+        "dedup_ngram_jaccard (Σc² shingle self-join)",
+        "dedup_prefix_filter_jaccard or dedup_minhash_lsh",
+    )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -392,9 +424,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain) instead of a zip_with+aggregate fold — higher-order-function
     lambdas evaluate interpreted per pair and cost 2× here (13.8s → 6.7s).
     The chain adds terms in the same left-to-right order as the fold, so
-    values stay bit-identical to DuckDB's list_cosine_similarity.
+    values stay bit-identical to DuckDB's list_cosine_similarity. Refuses
+    inputs past the all-pairs budget instead of hanging
+    (_assert_allpairs_bounded).
     """
     dim = 64
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "embeddings").count(),
+        _ALLPAIRS_MAX_VECS,
+        "dedup_embedding_cosine (n² crossJoin)",
+        "dedup_embedding_lsh",
+    )
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         *[F.element_at("embedding", i + 1).cast("double").alias(f"x{i}") for i in range(dim)],
@@ -872,6 +912,12 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pumle_spark.operators.dedup import lsh_band_keys, minhash_signatures
 
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "documents").count(),
+        _ALLPAIRS_MAX_DOCS,
+        "dedup_blocking_quality (all-pairs truth subtree)",
+        "the blocked candidate generator alone (its completeness is what this grades)",
+    )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 

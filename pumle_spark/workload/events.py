@@ -2052,3 +2052,237 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ST8: stateful running totals through applyInPandasWithState, driver-gated
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_running_totals_final",
+    sql="""
+    SELECT user_id,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS total_micro,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming under the driver's hash gate: per-user
+    running (total_micro, n_events) maintained by a REAL
+    applyInPandasWithState StreamingQuery (streaming/running_totals.
+    running_totals_apws — explicit GroupState, Arrow-batched, update
+    mode). The events table is staged as TWO parquet files read with
+    maxFilesPerTrigger=1, so the query runs at least two micro-batches
+    and every user present in both halves exercises cross-batch state
+    restore — the property that distinguishes stateful streaming from a
+    per-batch groupBy. The final totals must equal the plain batch
+    aggregate (the DuckDB oracle), the same closed-input equivalence
+    contract as stream_hourly_rollup_final/stream_dedup_events_final.
+
+    The transformWithState twin (Spark 4 StatefulProcessor) ships in the
+    same module behind its documented protobuf environment gate; this
+    query keeps the arbitrary-state surface driver-verified in containers
+    where that worker cannot start.
+
+    The memory sink accumulates one update row per (user, batch); counts
+    only grow, so max_by(total, n_events) per user selects each user's
+    final state without relying on sink row order.
+
+    Scale: state is one tuple per user partitioned across the state
+    store; _scoped_stream_partitions sizes the per-micro-batch state
+    instances for a staged run (production sizes it to throughput)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pumle_spark.streaming.running_totals import running_totals_apws
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("vmic"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_totals_final_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    try:
+        # split by event parity → most users span both files/batches
+        for par in (0, 1):
+            (
+                e.filter(F.col("event_id") % 2 == par)
+                .select("user_id", "vmic")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        sink = f"stream_totals_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema("user_id bigint, vmic bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _scoped_stream_partitions(spark):
+            q = (
+                running_totals_apws(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = (
+                spark.table(sink)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("total_micro", "n_events")
+                    .cast("bigint")
+                    .alias("total_micro"),
+                    F.max("n_events").cast("bigint").alias("n_events"),
+                )
+                .orderBy("user_id")
+                .localCheckpoint(eager=True)
+            )
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# PR6: sliding-window distinct users via HLL register re-merge
+# --------------------------------------------------------------------------
+
+_SLD_HOURS = 24  # trailing window length (hours)
+
+# the register→estimate CTE chain is shared verbatim with the sketch module
+from pumle_spark.workload.sketches import _HLL_EST_SQL
+
+
+@register(
+    "events_sliding_distinct_hll",
+    sql=f"""
+    WITH hashed AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour_idx,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))::BIGINT AS w32
+      FROM events
+    ),
+    hregs AS (
+      SELECT hour_idx, bucket,
+             MAX(CASE WHEN w32 = 0 THEN 33 ELSE 33 - length(bin(w32)) END) AS m_reg
+      FROM hashed GROUP BY hour_idx, bucket
+    ),
+    real_hours AS (SELECT DISTINCT hour_idx FROM hashed),
+    -- sliding merge as an EQUI join: each hourly register contributes to
+    -- the {_SLD_HOURS} target hours it is visible from
+    regs AS (
+      SELECT CAST(h.hour_idx + o.o AS VARCHAR) AS tag, h.bucket,
+             MAX(h.m_reg) AS m_reg
+      FROM hregs h
+      CROSS JOIN generate_series(0, {_SLD_HOURS - 1}) o(o)
+      JOIN real_hours r ON r.hour_idx = h.hour_idx + o.o
+      GROUP BY tag, h.bucket
+    ),
+    {_HLL_EST_SQL},
+    exact AS (
+      SELECT CAST(h.hour_idx + o.o AS VARCHAR) AS tag,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_users
+      FROM (SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+                     AS hour_idx, user_id AS u FROM events) h
+      CROSS JOIN generate_series(0, {_SLD_HOURS - 1}) o(o)
+      JOIN real_hours r ON r.hour_idx = h.hour_idx + o.o
+      GROUP BY tag
+    )
+    SELECT strftime(to_timestamp(CAST(x.tag AS BIGINT) * 3600),
+                    '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           x.exact_users,
+           ROUND(c.chosen_est, 3) AS hll_users,
+           ROUND(100.0 * (c.chosen_est - x.exact_users) / x.exact_users, 3)
+             AS rel_err_pct
+    FROM exact x JOIN corrected c ON c.tag = x.tag
+    ORDER BY hour_ts
+    """,
+    tags=("events", "sketch", "hll", "sliding-window"),
+)
+def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_SLD_HOURS}h distinct active users per hour, estimated by
+    RE-MERGING hourly HyperLogLog registers instead of re-counting raw
+    events — the sketch answer to the sliding-DAU question. Hourly
+    registers are built once (max rho per bucket per hour); each hour's
+    trailing window is then a register-max over {_SLD_HOURS} hourly
+    sketches, expressed as an EQUI join (each hourly register row fans
+    out to the target hours it serves) so there is no interval/nested-
+    loop join anywhere. The exact trailing distinct count rides along
+    with the measured relative error, sketch-family posture
+    (sketch_hll_distinct).
+
+    Scale: raw events are touched exactly ONCE (the hourly register
+    build, map-side combinable); the sliding merge operates on ≤ 256
+    register rows per hour — for a year of hours that is ~2.2M tiny rows
+    total, independent of event volume. The exact path re-expands every
+    event {_SLD_HOURS}× and re-shuffles distinct (hour, user) pairs —
+    the cost the sketch path avoids; it is the labeled truth baseline
+    here (grading posture, not production).
+    """
+    from pumle_spark.workload.sketches import _hll_estimates, _hll_registers
+
+    e = table(spark, sf_dir, "events").select(
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3600_000_000))
+        .cast("bigint")
+        .alias("hour_idx"),
+        "user_id",
+    )
+    hregs = _hll_registers(
+        e.select(F.col("hour_idx").alias("tag"), "user_id")
+    ).withColumnRenamed("tag", "hour_idx")
+    real_hours = e.select("hour_idx").distinct()
+    # constant 24-wide fan-out as a pure projection (explode of a sequence)
+    # — no join operator at all; the semi-restriction to real hours is a
+    # broadcast hash join on the equi key
+    targets = F.explode(
+        F.sequence(F.col("hour_idx"), F.col("hour_idx") + F.lit(_SLD_HOURS - 1))
+    ).alias("target")
+    fanned = hregs.select(targets, "bucket", "m_reg").join(
+        F.broadcast(real_hours.withColumnRenamed("hour_idx", "target")),
+        "target",
+    )
+    regs = (
+        fanned.groupBy(F.col("target").cast("string").alias("tag"), "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    ests = _hll_estimates(spark, regs)
+    exact = (
+        e.select(targets, "user_id")
+        .join(
+            F.broadcast(real_hours.withColumnRenamed("hour_idx", "target")),
+            "target",
+        )
+        .groupBy(F.col("target").cast("string").alias("tag"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return (
+        exact.join(ests, "tag")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("tag").cast("bigint") * 3600),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour_ts"),
+            "exact_users",
+            F.round("chosen_est", 3).alias("hll_users"),
+            F.round(
+                100.0
+                * (F.col("chosen_est") - F.col("exact_users"))
+                / F.col("exact_users"),
+                3,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("hour_ts")
+    )

@@ -444,7 +444,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, IVF (probe=1) only the query's centroid cell — the quality side
     of the Σ_bucket c² cost reduction, measured instead of asserted. Rank
     ties resolve on (rounded cosine, neighbor_id) in both engines, so
-    recall is deterministic cross-engine."""
+    recall is deterministic cross-engine.
+
+    Contains the exact ground-truth pass (queries x corpus cosine) — a
+    labeled grading subtree that refuses oversized corpora instead of
+    hanging (dedup._assert_allpairs_bounded; the GEMM-shaped truth pass
+    gets a 5x higher vector cap than the elementwise crossJoin baseline)."""
+    from pumle_spark.workload.dedup import _ALLPAIRS_MAX_VECS, _assert_allpairs_bounded
+
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "embeddings").count(),
+        5 * _ALLPAIRS_MAX_VECS,
+        "ann_recall_report (queries x corpus ground-truth pass)",
+        "ann_ivfpq_topk / ann_pq_adc_topk (the paths this report grades)",
+    )
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", _vecd().alias("v"))

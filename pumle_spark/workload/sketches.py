@@ -958,3 +958,112 @@ def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_i")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the mergeable single-pass quantile sketch.
+# ---------------------------------------------------------------------------
+
+_QH_STEP = 5000  # cents per bin ($50)
+_QH_BINS = 2048  # covers $0 .. $102,400; the tail clamps into the last bin
+_QH_QS = (50, 90, 99)
+
+
+@register(
+    "sketch_quantile_histogram",
+    sql=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    hist AS (
+      SELECT LEAST(c // {_QH_STEP}, {_QH_BINS - 1}) AS bin, COUNT(*) AS cnt
+      FROM cents GROUP BY bin
+    ),
+    hcum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) q(q_pct)),
+    targets AS (
+      SELECT q_pct, (tot.n * q_pct + 99) // 100 AS target, tot.n AS n
+      FROM qs CROSS JOIN tot
+    ),
+    hest AS (
+      SELECT t.q_pct, t.n, CAST(MIN(h.bin) AS BIGINT) AS qbin
+      FROM targets t JOIN hcum h ON h.cum >= t.target
+      GROUP BY t.q_pct, t.n
+    ),
+    vals AS (SELECT c, COUNT(*) AS cnt FROM cents GROUP BY c),
+    vcum AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM vals),
+    hex AS (
+      SELECT t.q_pct, CAST(MIN(v.c) AS BIGINT) AS exact_cents
+      FROM targets t JOIN vcum v ON v.cum >= t.target
+      GROUP BY t.q_pct
+    )
+    SELECT h.q_pct, h.n,
+           CAST((h.qbin + 1) * {_QH_STEP} AS BIGINT) AS hist_cents,
+           x.exact_cents,
+           CAST((h.qbin + 1) * {_QH_STEP} - x.exact_cents AS BIGINT) AS err_cents
+    FROM hest h JOIN hex x ON x.q_pct = h.q_pct
+    ORDER BY h.q_pct
+    """,
+    tags=("sketch", "quantile", "histogram"),
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable quantile estimation from a fixed {_QH_BINS}-bin
+    histogram over l_extendedprice (in cents, ${_QH_STEP // 100} bins): the
+    P50/P90/P99 estimate is the upper edge of the first bin whose
+    cumulative count reaches ceil(q·n) — deterministic, integer, upward-
+    biased by at most one bin width. The exact discrete quantile rides
+    along (first value whose cumulative count reaches the same target)
+    with the signed error in cents — sketch-family grading posture: the
+    accuracy IS part of the hash-checked result.
+
+    Scale: the histogram is the quantile counterpart of the CMS/HLL shape
+    — a groupBy onto ≤ {_QH_BINS} cells with map-side partial counts, so
+    quantiles over 100 TB cost one scan plus a {_QH_BINS}-row window;
+    histograms from different partitions/days MERGE by adding counts
+    (the property percentile_approx's GK sketch shares but engine-private
+    state does not hash-match across engines). The exact path's
+    cumulative window over DISTINCT values is the labeled truth baseline
+    — bounded by value cardinality, not row count, but still a global
+    sort the production path avoids."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hist = (
+        li.select(F.least(F.expr(f"c div {_QH_STEP}"), F.lit(_QH_BINS - 1)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wbin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hcum = hist.withColumn("cum", F.sum("cnt").over(wbin))
+    qs = spark.createDataFrame([(q,) for q in _QH_QS], "q_pct int")
+    targets = qs.crossJoin(F.broadcast(tot)).select(
+        "q_pct", "n", F.expr("(n * q_pct + 99) div 100").alias("target")
+    )
+    hest = (
+        hcum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("q_pct", "n")
+        .agg(F.min("bin").cast("bigint").alias("qbin"))
+    )
+    vals = li.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wval = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vcum = vals.withColumn("cum", F.sum("cnt").over(wval))
+    hex_ = (
+        vcum.join(F.broadcast(targets.select("q_pct", "target")), F.col("cum") >= F.col("target"))
+        .groupBy("q_pct")
+        .agg(F.min("c").cast("bigint").alias("exact_cents"))
+    )
+    return (
+        hest.join(hex_, "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            ((F.col("qbin") + 1) * _QH_STEP).cast("bigint").alias("hist_cents"),
+            "exact_cents",
+            ((F.col("qbin") + 1) * _QH_STEP - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+        )
+        .orderBy("q_pct")
+    )

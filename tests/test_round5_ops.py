@@ -1,0 +1,262 @@
+"""Round-5 operator tests: driver-gated export round-trips, the
+applyInPandasWithState running-totals stream, sliding-window HLL,
+histogram quantiles, and the golden-store Z-order layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# ST8: applyInPandasWithState running totals
+# --------------------------------------------------------------------------
+
+
+def test_running_totals_apws_restores_state_across_batches(spark, tmp_path):
+    """Two staged files + maxFilesPerTrigger=1 force two micro-batches;
+    users present in both halves must fold batch-1 state into batch-2
+    totals — the arbitrary-state contract, on the protobuf-free API."""
+    import uuid
+
+    from pumle_spark.streaming.running_totals import running_totals_apws
+
+    schema = "user_id bigint, vmic bigint"
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    batch1 = [(1, 100), (1, 250), (2, 40)]
+    batch2 = [(1, 7), (2, 60), (3, 5)]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    sink = f"apws_test_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        running_totals_apws(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 2  # maxFilesPerTrigger made it multi-batch
+        rows = spark.sql(f"SELECT user_id, total_micro, n_events FROM {sink}").collect()
+    finally:
+        q.stop()
+    # max-n_events row per user = final running total (counts only grow)
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id][1]:
+            latest[r.user_id] = (r.total_micro, r.n_events)
+    want = {}
+    for u, v in batch1 + batch2:
+        t, n = want.get(u, (0, 0))
+        want[u] = (t + v, n + 1)
+    assert latest == want
+    spark.catalog.dropTempView(sink)
+
+
+def test_stream_running_totals_final_matches_batch(spark):
+    """The driver-gated query's final totals equal the plain batch
+    aggregate over the same table (closed-input equivalence)."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import stream_running_totals_final
+
+    got = {
+        r.user_id: (r.total_micro, r.n_events)
+        for r in stream_running_totals_final(spark, SF).collect()
+    }
+    want = {
+        r.user_id: (r.total_micro, r.n_events)
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias("total_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# PR6: sliding-window HLL distinct
+# --------------------------------------------------------------------------
+
+
+def test_sliding_hll_exact_path_is_true_trailing_distinct(spark, tmp_path):
+    """Planted scenario: users {1,2} at hour H, user {3} at H+2, user {4}
+    at H+30 (outside the 24h window of H..H+2). The exact column must be
+    the true trailing-24h distinct count at every emitted hour."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    rows = [
+        (1, base, 1),
+        (2, base + pd.Timedelta(minutes=5), 2),
+        (3, base + pd.Timedelta(hours=2), 3),
+        (4, base + pd.Timedelta(hours=30), 4),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(d / "events.parquet")
+
+    from pumle_spark.workload.events import events_sliding_distinct_hll
+
+    got = {r.hour_ts: r.exact_users for r in events_sliding_distinct_hll(spark, str(d)).collect()}
+    # emitted hours = hours with events only
+    assert got == {
+        "2024-01-01 00:00:00": 2,  # users 1,2
+        "2024-01-01 02:00:00": 3,  # users 1,2,3 within trailing 24h
+        "2024-01-02 06:00:00": 1,  # user 4; H+30 sees none of H..H+2
+    }
+
+
+def test_sliding_hll_estimate_tracks_exact(spark):
+    """On real data the m=256 HLL estimate stays within the sketch's
+    coarse error envelope of the exact count at every hour (the oracle
+    hash-checks exact equality of the estimates; this pins sanity)."""
+    from pumle_spark.workload.events import events_sliding_distinct_hll
+
+    rows = events_sliding_distinct_hll(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_users > 0
+        assert abs(r.rel_err_pct) < 50.0  # m=256 ⇒ ~6.5% typical, 50% is a hard sanity wall
+
+
+# --------------------------------------------------------------------------
+# PR7: histogram quantiles
+# --------------------------------------------------------------------------
+
+
+def test_quantile_histogram_upper_edge_bounds(spark):
+    """The histogram estimate is the bin's UPPER edge: always >= the exact
+    discrete quantile and within one bin width of it (unless clamped into
+    the overflow bin); quantiles are monotone in q."""
+    from pumle_spark.workload.sketches import _QH_BINS, _QH_STEP, sketch_quantile_histogram
+
+    rows = {r.q_pct: r for r in sketch_quantile_histogram(spark, SF).collect()}
+    assert set(rows) == {50, 90, 99}
+    prev = None
+    for q in (50, 90, 99):
+        r = rows[q]
+        assert r.err_cents == r.hist_cents - r.exact_cents
+        clamped = r.hist_cents == _QH_BINS * _QH_STEP
+        if not clamped:
+            assert 0 <= r.err_cents <= _QH_STEP
+        if prev is not None:
+            assert r.hist_cents >= prev.hist_cents
+            assert r.exact_cents >= prev.exact_cents
+        prev = r
+
+
+# --------------------------------------------------------------------------
+# K2/K3 round-trips and the golden Z-order key
+# --------------------------------------------------------------------------
+
+
+def test_export_roundtrips_share_shape(spark):
+    """npy and zarr round-trips must see the same sims, timesteps, and
+    dense-cell accounting (n_values + n_nan = ncells * n_t)."""
+    from pumle_spark.workload.pipeline import (
+        _NCELLS,
+        export_tensor_checksum,
+        export_zarr_roundtrip,
+    )
+
+    npy = {r.sim_hash: r for r in export_tensor_checksum(spark, SF).collect()}
+    zarr = {r.sim_hash: r for r in export_zarr_roundtrip(spark, SF).collect()}
+    assert set(npy) == set(zarr) and len(npy) == 4
+    for h in npy:
+        for r in (npy[h], zarr[h]):
+            assert r.n_values + r.n_nan == _NCELLS * r.n_t
+        assert npy[h].n_t == zarr[h].n_t
+        assert npy[h].n_values == zarr[h].n_values
+
+
+def test_zorder_golden_prunes_cell_ranges(spark, tmp_path):
+    """Verdict item 7: the Morton (t, cell_id) layout on a scaled golden
+    store must prune row groups for a cell-region predicate where a pure
+    t-sort cannot — measured with parquet file statistics, no clocks."""
+    from tests.test_layout import _overlapping_files
+
+    from pumle_spark.layout import write_zordered
+
+    n_t, n_cells = 32, 4096
+    golden = (
+        spark.range(n_t * n_cells)
+        .select(
+            (F.col("id") % n_t).cast("long").alias("t"),
+            (F.col("id") / n_t).cast("long").alias("cell_id"),
+        )
+        .withColumn("sg", F.col("t") * 0.01 + F.col("cell_id") * 1e-6)
+    )
+    zpath, tpath = str(tmp_path / "golden_z"), str(tmp_path / "golden_tsorted")
+    write_zordered(golden, zpath, x="t", y="cell_id", n_files=16)
+    (
+        golden.repartitionByRange(16, "t")
+        .sortWithinPartitions("t")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    # cell-region box (~1/8 of the cell domain): t-sorted layout is blind
+    box = (1024, 1535)
+    z_hit, z_n = _overlapping_files(zpath, "cell_id", *box)
+    t_hit, t_n = _overlapping_files(tpath, "cell_id", *box)
+    assert t_hit == t_n  # pure t-sort reads every file
+    assert z_hit <= z_n // 2  # Morton layout skips at least half
+
+    # t-range box: both layouts prune
+    tbox = (8, 11)
+    z_hit_t, _ = _overlapping_files(zpath, "t", *tbox)
+    t_hit_t, _ = _overlapping_files(tpath, "t", *tbox)
+    assert t_hit_t <= max(2, t_n // 4)
+    assert z_hit_t <= z_n // 2
+
+
+# --------------------------------------------------------------------------
+# all-pairs budget guards (labeled baselines must fail fast, not hang)
+# --------------------------------------------------------------------------
+
+
+def test_allpairs_baselines_refuse_oversized_inputs(spark, monkeypatch):
+    """With the budget dropped below the fixture row counts, every labeled
+    all-pairs baseline raises the documented refusal instead of planning
+    the quadratic subtree."""
+    import pytest
+
+    from pumle_spark.workload import dedup, similarity
+
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_DOCS", 10)
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_VECS", 10)
+    for fn in (
+        dedup.dedup_ngram_jaccard,
+        dedup.dedup_embedding_cosine,
+        dedup.dedup_blocking_quality,
+        similarity.ann_recall_report,
+    ):
+        with pytest.raises(RuntimeError, match="refused"):
+            fn(spark, SF)
+
+
+def test_allpairs_baselines_run_under_budget(spark):
+    """At fixture scale the same baselines still plan and return rows —
+    the guard is a cap, not a disable."""
+    from pumle_spark.workload.dedup import dedup_ngram_jaccard
+
+    assert dedup_ngram_jaccard(spark, SF).count() > 0

@@ -79,6 +79,10 @@ ALLOW = {
     # single-row edge-quantile threshold + three single-row census scalars
     "graph_triangle_census": {"BroadcastNestedLoopJoin": "single-row threshold/census scalars"},
     "mix_temperature_rebalance": {"BroadcastNestedLoopJoin": "single-row weight-total scalar"},
+    "layout_zorder_golden": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
+    # the cum>=target rank probe is a theta comparison over a sketch-sized
+    # (<=2048-row) cumulative table x 3 quantile targets — bounded product
+    "sketch_quantile_histogram": {"BroadcastNestedLoopJoin": "sketch-sized cum table x 3 quantile targets"},
 }
 
 
