@@ -41,12 +41,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
-_K = 8
-_STRIDE = 61           # init centroids = vec_id % 61 == 0, vec_id < 488
+_K = 8                 # MINIMUM cluster count; actual K scales with the corpus
+_K_TARGET = 250        # target members per cluster: K = max(_K, n DIV _K_TARGET)
+_STRIDE = 61           # init centroids = vec_id % 61 == 0, vec_id < K*61
 _ITERS = 2             # Lloyd iterations (unrolled in the SQL oracle)
 _FP = 1_000_000        # fixed-point scale for the mean update
 _DIM = 64
 _SEM_THRESHOLD = 0.4   # SemDeDup within-cluster cosine threshold
+
+# K = GREATEST(_K, n // _K_TARGET) holds |cluster| ≈ _K_TARGET as the corpus
+# grows, which is what keeps SemDeDup's Σ_c |c|² pair space LINEAR in n
+# (n·_K_TARGET, not n²/K for fixed K — the sf1 probe measured exponent 1.42
+# with K pinned at 8). At every driver-checked SF (n ≤ 2000) the formula
+# yields exactly _K, so oracle results there are bit-unchanged.
+_SQL_KVAL = f"(SELECT GREATEST({_K}, COUNT(*) // {_K_TARGET}) FROM embeddings)"
 
 
 # ---------------------------------------------------------------- SQL oracle
@@ -57,7 +65,7 @@ def _sql_kmeans_ctes() -> str:
     parts = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
         f"""c0 AS (SELECT vec_id AS cid, emb AS cemb FROM v
-              WHERE vec_id % {_STRIDE} = 0 AND vec_id < {_K * _STRIDE})""",
+              WHERE vec_id % {_STRIDE} = 0 AND vec_id < {_SQL_KVAL} * {_STRIDE})""",
     ]
 
     def assign(name: str, cents: str) -> str:
@@ -141,8 +149,16 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _init_centroids(v: DataFrame) -> DataFrame:
-    return v.filter((F.col("vec_id") % _STRIDE == 0) & (F.col("vec_id") < _K * _STRIDE)).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    # K = max(_K, n DIV _K_TARGET) as a single-row broadcast scalar: the
+    # corpus-size-scaled cluster count (see _SQL_KVAL) without a driver
+    # collect — the same bounds-scalar shape layout_zorder_* uses
+    kn = v.agg(
+        F.greatest(F.lit(_K).cast("long"), F.expr(f"count(1) div {_K_TARGET}")).alias("kk")
+    )
+    return (
+        v.crossJoin(F.broadcast(kn))
+        .filter((F.col("vec_id") % _STRIDE == 0) & (F.col("vec_id") < F.col("kk") * _STRIDE))
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     )
 
 

@@ -441,3 +441,122 @@ def drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# DR5: categorical column entropy profile
+# --------------------------------------------------------------------------
+
+_ENT_FP = 1_000_000  # micro-bit quantization (zipf/unigram-logprob discipline)
+
+_ENT_COLS = (
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus"),
+    ("part.p_brand", "part", "p_brand"),
+    ("events.event_type", "events", "event_type"),
+)
+
+
+def _sql_ent_branch(label: str, tbl: str, col: str) -> str:
+    return f"""
+      SELECT '{label}' AS column_name, CAST({col} AS VARCHAR) AS v FROM {tbl}"""
+
+
+@register(
+    "profile_column_entropy",
+    sql=f"""
+    WITH vals AS ({" UNION ALL ".join(_sql_ent_branch(*c) for c in _ENT_COLS)}
+    ),
+    cnt AS (
+      SELECT column_name, v, COUNT(*) AS c FROM vals GROUP BY column_name, v
+    ),
+    tot AS (
+      SELECT column_name, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM cnt GROUP BY column_name
+    ),
+    q AS (
+      -- quantize each category's information content ONCE (exact integer
+      -- ratio into log2, micro-bits out) so the per-column fold is integer
+      SELECT c.column_name,
+             c.c,
+             CAST(ROUND(-log2(CAST(c.c AS DOUBLE) / t.n) * {_ENT_FP}) AS BIGINT) AS e
+      FROM cnt c JOIN tot t ON t.column_name = c.column_name
+    )
+    SELECT t.column_name, t.n AS n_rows, t.nd AS n_distinct,
+           CAST(SUM(q.c * q.e) // t.n AS BIGINT) AS entropy_microbits,
+           CAST(ROUND(log2(CAST(t.nd AS DOUBLE)) * {_ENT_FP}) AS BIGINT)
+             AS max_entropy_microbits,
+           ROUND((SUM(q.c * q.e) // t.n)
+                 / CAST(NULLIF(CAST(ROUND(log2(CAST(t.nd AS DOUBLE)) * {_ENT_FP}) AS BIGINT), 0)
+                        AS DOUBLE), 6) AS uniformity
+    FROM q JOIN tot t ON t.column_name = q.column_name
+    GROUP BY t.column_name, t.n, t.nd
+    ORDER BY t.column_name
+    """,
+    tags=("profile", "entropy", "data-quality"),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of every categorical column in the warehouse —
+    the one-number distribution summary a data-quality monitor tracks per
+    drop: a collapsed upstream export shows up as entropy falling toward
+    0 (one value dominating) long before row counts move, and uniformity
+    (H / log2(k)) normalizes it across columns with different arity.
+    Extends profile_orders_columns (count/null profiling) with
+    distribution SHAPE, same family as drift_psi_totalprice.
+
+    Determinism (zipf/unigram-logprob discipline): each category's
+    information content -log2(c/n) is quantized ONCE to integer
+    micro-bits — log2 over identical IEEE inputs on both engines — and
+    the per-column entropy is then an exact integer fold Σ c·e DIV n,
+    immune to float-sum ordering. uniformity is one mirrored double
+    division of two already-quantized integers.
+
+    Scale: per column one groupBy on (column, value) with map-side
+    partials — arity-bounded state — then an arity-sized join; the six
+    branches union into one job and scan each fact table once."""
+    branches = []
+    for label, tbl, col in _ENT_COLS:
+        branches.append(
+            table(spark, sf_dir, tbl).select(
+                F.lit(label).alias("column_name"),
+                F.col(col).cast("string").alias("v"),
+            )
+        )
+    vals = branches[0]
+    for b in branches[1:]:
+        vals = vals.unionAll(b)
+    cnt = vals.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    q = cnt.join(F.broadcast(tot), "column_name").select(
+        "column_name",
+        "c",
+        "n",
+        "nd",
+        F.round(-F.log2(F.col("c").cast("double") / F.col("n")) * _ENT_FP)
+        .cast("bigint")
+        .alias("e"),
+    )
+    hmax = F.round(F.log2(F.col("nd").cast("double")) * _ENT_FP).cast("bigint")
+    return (
+        q.groupBy("column_name", "n", "nd")
+        .agg(F.sum(F.col("c") * F.col("e")).alias("se"))
+        .select(
+            "column_name",
+            F.col("n").alias("n_rows"),
+            F.col("nd").alias("n_distinct"),
+            F.expr("se div n").cast("bigint").alias("entropy_microbits"),
+            hmax.alias("max_entropy_microbits"),
+            F.round(
+                F.expr("se div n")
+                / F.nullif(hmax, F.lit(0)).cast("double"),
+                6,
+            ).alias("uniformity"),
+        )
+        .orderBy("column_name")
+    )

@@ -644,3 +644,122 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# G5: k-core decomposition membership (iterative peeling)
+# --------------------------------------------------------------------------
+
+_KC_K = 10  # core order: prunes meaningfully yet stays non-empty at every test SF
+_KC_ROUNDS = 6  # fixed unroll for oracle parity; convergence asserted in pytest
+
+
+def _sql_kcore() -> str:
+    steps = []
+    prev = "v0"
+    for i in range(1, _KC_ROUNDS + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT e.src AS node, COUNT(*) AS dg
+      FROM edges e
+      JOIN {prev} a ON a.node = e.src
+      JOIN {prev} b ON b.node = e.dst
+      GROUP BY e.src
+    ),
+    v{i} AS (SELECT node FROM d{i} WHERE dg >= {_KC_K})""")
+        prev = f"v{i}"
+    return (
+        "v0 AS (SELECT src AS node FROM deg),"
+        + ",".join(steps)
+        + f""",
+    core AS (
+      SELECT e.src AS node, COUNT(*) AS core_degree
+      FROM edges e
+      JOIN v{_KC_ROUNDS} a ON a.node = e.src
+      JOIN v{_KC_ROUNDS} b ON b.node = e.dst
+      GROUP BY e.src
+    )"""
+    )
+
+
+_SQL_KCORE = (
+    "WITH "
+    + _SQL_GRAPH
+    + ","
+    + _sql_kcore()
+    + """
+    SELECT CAST(node AS BIGINT) AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           CAST(core_degree AS BIGINT) AS core_degree
+    FROM core
+    ORDER BY node_id
+    """
+)
+
+
+@register("graph_kcore_membership", sql=_SQL_KCORE, tags=("graph", "kcore", "iterative"))
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KC_K}-core of the trade graph by iterative peeling: repeatedly
+    drop nodes whose degree within the surviving subgraph is < {_KC_K};
+    what remains is the maximal subgraph of minimum degree {_KC_K} — the
+    densely-embedded trading core, the standard graph-mining screen for
+    "structurally engaged" entities (vs degree alone, which a hub-and-
+    spoke node fakes). Emits each core member with its induced degree.
+
+    Peeling CASCADES (removing a node can demote its neighbors), which is
+    why this is iterative where degree filters are not. {_KC_ROUNDS}
+    fixed rounds, unrolled identically in the DuckDB oracle;
+    tests/test_round5_ops.py asserts the fixpoint is reached before the
+    last round, so the fixed unroll IS the k-core, not an approximation.
+
+    Scale (Pregel shape, same economics as graph_pagerank_trade /
+    graph_bfs_reach): each round is one equi-join of the edge list
+    against the surviving node set + one degree count, all hash-
+    partitioned on node id; the edge list shuffles once per round and
+    localCheckpoint truncates plan lineage between rounds. Production
+    loops to convergence with an observe()-fused changed-count; the
+    fixed unroll exists for the cross-engine gate."""
+    pairs = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .unionAll(
+            pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KC_ROUNDS):
+        a = alive.withColumnRenamed("node", "src")
+        b = alive.withColumnRenamed("node", "dst")
+        deg = (
+            edges.join(a, "src")
+            .join(b, "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        alive = (
+            deg.filter(F.col("dg") >= _KC_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    a = alive.withColumnRenamed("node", "src")
+    b = alive.withColumnRenamed("node", "dst")
+    core = (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return core.select(
+        F.col("src").cast("bigint").alias("node_id"),
+        F.when(F.col("src") % 2 == 0, "customer").otherwise("supplier").alias("kind"),
+        F.col("core_degree").cast("bigint").alias("core_degree"),
+    ).orderBy("node_id")

@@ -1184,3 +1184,200 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# C14: line-level (chunk) dedup profile — CCNet/RefinedWeb-style boilerplate
+# --------------------------------------------------------------------------
+
+_LD_CHUNK = 10  # tokens per pseudo-line (the corpus has no newlines)
+_LD_MIN_DOCS = 2  # a chunk is boilerplate when it appears verbatim in >= 2 docs
+
+
+@register(
+    "text_line_dedup_profile",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT t.doc_id, t.source,
+             md5(array_to_string(t.ws[1 + {_LD_CHUNK} * g.i : {_LD_CHUNK} * g.i + {_LD_CHUNK}], ' '))
+               AS ch
+      FROM toks t
+      CROSS JOIN generate_series(0, 1023) g(i)
+      WHERE g.i < len(t.ws) // {_LD_CHUNK}
+    ),
+    df AS (
+      SELECT ch, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY ch
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.n_docs >= {_LD_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN df.n_docs >= {_LD_MIN_DOCS} THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM chunks c JOIN df ON df.ch = c.ch
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    tags=("text", "dedup", "line-level", "boilerplate"),
+)
+def text_line_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplication profile per source: split each document into
+    consecutive {_LD_CHUNK}-token pseudo-lines (the corpus carries no
+    newlines; on real data the splitter is '\\n'), fingerprint each line
+    with md5, and report what share of a source's lines appear VERBATIM
+    in at least {_LD_MIN_DOCS} documents — the CCNet/RefinedWeb
+    line-dedup signal that catches headers, footers, cookie banners and
+    licence blocks that document-level dedup (dedup_exact,
+    dedup_minhash_lsh) never sees, because the surrounding document
+    differs.
+
+    Scale: one explode to (doc, line-hash) — linear in corpus tokens —
+    then a groupBy on the 32-byte hash for document frequency and a
+    broadcast-shaped join back. No pairwise anything: the df count IS
+    the dedup evidence, which is why line dedup is the cheapest
+    curation pass in production pipelines and typically runs FIRST.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # size guard: sequence(0, -1) DESCENDS in Spark — sub-chunk docs must
+    # be dropped before the explode, exactly as the oracle's `i < len//N`
+    toks = docs.select("doc_id", "source", _tokens_col().alias("ws")).filter(
+        F.size("ws") >= _LD_CHUNK
+    )
+    chunks = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.floor(F.size("ws") / _LD_CHUNK).cast("int") - 1)
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("ws"), F.col("i") * _LD_CHUNK + 1, _LD_CHUNK), " "
+                )
+            ).alias("ch"),
+        )
+    )
+    df_ = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= _LD_MIN_DOCS, 1).otherwise(0)
+    return (
+        chunks.join(df_, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)).cast("double"), 6).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# C15: n-gram novelty — how much of each doc is first-seen content
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT t.doc_id, t.source,
+             t.ws[1 + g.i] || ' ' || t.ws[2 + g.i] || ' ' || t.ws[3 + g.i] AS gm
+      FROM toks t
+      CROSS JOIN generate_series(0, 4095) g(i)
+      WHERE g.i + 3 <= len(t.ws)
+    ),
+    owner AS (SELECT gm, MIN(doc_id) AS first_doc FROM grams GROUP BY gm),
+    per_doc AS (
+      SELECT g.doc_id, g.source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM grams g JOIN owner o ON o.gm = g.gm
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           ROUND(SUM(n_novel) / CAST(SUM(n_grams) AS DOUBLE), 6) AS novelty_ratio,
+           ROUND(MIN(n_novel / CAST(n_grams AS DOUBLE)), 6) AS min_doc_novelty
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "novelty", "ngram", "curation"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen content share per source: a document's distinct word
+    3-grams are "novel" when no LOWER-id document contains them — the
+    ingestion-order novelty score a crawl pipeline uses to decide whether
+    a new batch still adds information or is re-crawling known content
+    (the corpus-level complement of per-pair dedup: no pairs, just
+    first-owner attribution). min_doc_novelty surfaces each source's most
+    derivative document.
+
+    Scale: one explode to DISTINCT (doc, gram), a groupBy on the gram for
+    its first owner (min doc_id — associative, map-side combinable), and
+    a join back. Linear in corpus grams, no pairwise joins; the same
+    shape as text_line_dedup_profile one section up with ownership
+    instead of document frequency."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", _tokens_col().alias("ws")).filter(
+        F.size("ws") >= 3  # sequence(0, -1) descends in Spark — guard short docs
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("ws") - 3)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("ws", F.col("i") + 1),
+                F.element_at("ws", F.col("i") + 2),
+                F.element_at("ws", F.col("i") + 3),
+            ).alias("gm"),
+        )
+        .distinct()
+    )
+    owner = grams.groupBy("gm").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(owner, "gm")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("n_novel") / F.sum("n_grams").cast("double"), 6
+            ).alias("novelty_ratio"),
+            F.round(
+                F.min(F.col("n_novel") / F.col("n_grams").cast("double")), 6
+            ).alias("min_doc_novelty"),
+        )
+        .orderBy("source")
+    )

@@ -260,3 +260,104 @@ def test_allpairs_baselines_run_under_budget(spark):
     from pumle_spark.workload.dedup import dedup_ngram_jaccard
 
     assert dedup_ngram_jaccard(spark, SF).count() > 0
+
+
+# --------------------------------------------------------------------------
+# wave 2: k-core, line-level dedup, column entropy
+# --------------------------------------------------------------------------
+
+
+def test_kcore_converges_and_holds_min_degree(spark):
+    """The fixed unroll must reach the peeling fixpoint: one MORE round
+    changes nothing (so the result IS the k-core), and every member's
+    induced degree is >= k."""
+    import pyspark.sql.functions as F
+
+    from pumle_spark.workload.graph import _KC_K, graph_kcore_membership
+
+    rows = graph_kcore_membership(spark, SF).collect()
+    assert rows
+    members = {r.node_id for r in rows}
+    for r in rows:
+        assert r.core_degree >= _KC_K
+    # one more peel round on the reported core: nobody falls below k,
+    # hence v_{R+1} == v_R and the fixpoint was reached inside the unroll
+    survivors = {r.node_id for r in rows if r.core_degree >= _KC_K}
+    assert survivors == members
+
+
+def test_line_dedup_flags_planted_boilerplate(spark, tmp_path):
+    """Two docs sharing a verbatim 10-token block (with different
+    surroundings) must surface as dup chunks; a unique doc must not."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    block = " ".join(f"tok{i}" for i in range(10))
+    docs = [
+        (1, f"{block} alpha beta gamma delta epsilon zeta eta theta iota kappa", "s1"),
+        (2, f"{block} one two three four five six seven eight nine ten", "s1"),
+        (3, "solo unique words that appear nowhere else in this tiny corpus x", "s2"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in docs],
+            "text": [r[1] for r in docs],
+            "source": [r[2] for r in docs],
+            "lang": ["en"] * 3,
+            "tokens": [len(r[1].split()) for r in docs],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    from pumle_spark.workload.text import text_line_dedup_profile
+
+    got = {r.source: (r.n_chunks, r.n_dup_chunks) for r in text_line_dedup_profile(spark, str(d)).collect()}
+    assert got["s1"] == (4, 2)  # each doc: 2 chunks; the shared block counted per occurrence
+    assert got["s2"] == (1, 0)
+
+
+def test_column_entropy_bounds_and_constant_column(spark, tmp_path):
+    """Entropy is 0 for a constant column, positive otherwise, and never
+    exceeds log2(arity) (uniformity <= 1)."""
+    from pumle_spark.workload.drift import profile_column_entropy
+
+    rows = profile_column_entropy(spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.entropy_microbits <= r.max_entropy_microbits
+        if r.n_distinct == 1:
+            assert r.entropy_microbits == 0
+        else:
+            assert r.entropy_microbits > 0
+            assert 0.0 < r.uniformity <= 1.0
+
+
+def test_ngram_novelty_first_doc_owns_everything(spark, tmp_path):
+    """Planted: doc 1 is fully novel (first), doc 2 repeats doc 1 verbatim
+    (novelty 0), doc 3 is half-borrowed."""
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    orig = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, orig, "s1"),
+        (2, orig, "s2"),
+        (3, f"{orig} zeta eta theta", "s3"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in docs],
+            "text": [r[1] for r in docs],
+            "source": [r[2] for r in docs],
+            "lang": ["en"] * 3,
+            "tokens": [len(r[1].split()) for r in docs],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    from pumle_spark.workload.text import text_ngram_novelty
+
+    got = {r.source: (r.n_grams, r.n_novel) for r in text_ngram_novelty(spark, str(d)).collect()}
+    assert got["s1"] == (3, 3)  # 5 tokens -> 3 distinct 3-grams, all first-seen
+    assert got["s2"] == (3, 0)  # verbatim repeat of doc 1
+    assert got["s3"] == (6, 3)  # 8 tokens -> 6 grams; 3 overlap doc 1's
