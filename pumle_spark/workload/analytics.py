@@ -1121,3 +1121,124 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_backlog"),
         "eom_backlog",
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# fulfillment survival curve (Kaplan-Meier with administrative censoring)
+# --------------------------------------------------------------------------
+
+_KM_CUTOFF = 60  # administrative censoring horizon (days after order)
+_KM_FLOOR = "1e-12"  # survival floor: keeps ln() defined when d = n_risk
+
+
+@register(
+    "orders_shiplag_survival",
+    sql=f"""
+    WITH lg AS (
+      SELECT GREATEST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)), 0) AS lag_d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    obs AS (
+      SELECT CASE WHEN lag_d <= {_KM_CUTOFF} THEN lag_d ELSE {_KM_CUTOFF} END AS t,
+             CASE WHEN lag_d <= {_KM_CUTOFF} THEN 1 ELSE 0 END AS ev
+      FROM lg
+    ),
+    byday AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM obs GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    steps AS (
+      SELECT b.t, b.d,
+             tot.n - COALESCE(SUM(b.d + b.c) OVER (ORDER BY b.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM byday b CROSS JOIN tot
+    ),
+    km AS (
+      SELECT t, n_risk, d,
+             CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+             CAST(ROUND(ln(GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk, {_KM_FLOOR}))
+                        * 1000000) AS BIGINT) AS step_log
+      FROM steps WHERE d > 0
+    )
+    SELECT CAST(t AS INTEGER) AS lag_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           hazard_ppm,
+           CAST(SUM(step_log) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_log_surv_micro
+    FROM km
+    ORDER BY lag_day
+    """,
+    tags=("analytics", "survival", "kaplan-meier"),
+)
+def orders_shiplag_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier fulfillment curve: P(order line still unshipped after
+    d days), with administrative censoring at {_KM_CUTOFF} days — the
+    survival-analysis formulation of the ship-lag question that
+    lineitem_ship_lag_percentiles answers pointwise. KM handles the
+    censored tail correctly (lines slower than the horizon leave the risk
+    set without counting as events), which is what an operations team
+    needs when the reporting window closes before every order ships.
+
+    Determinism discipline: the risk set and event counts are exact
+    integers via one cumulative window over per-day totals; each day's
+    log survival factor ln(1 − d/n_risk) is quantized ONCE to micro-units
+    (identical IEEE inputs both engines — the zipf/entropy rule) and the
+    survival curve is then an exact integer running sum of quantized
+    steps, never a cross-engine float product. A {_KM_FLOOR} floor keeps
+    the log defined on a day that empties the risk set. hazard_ppm is
+    pure integer DIV.
+
+    Scale: the fact join collapses to ≤ {_KM_CUTOFF}+1 per-day rows
+    BEFORE any window (the backlog/CUSUM collapse discipline); everything
+    after is calendar-bounded."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.greatest(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")),
+        F.lit(0),
+    )
+    obs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.when(lag <= _KM_CUTOFF, lag).otherwise(F.lit(_KM_CUTOFF)).alias("t"),
+        F.when(lag <= _KM_CUTOFF, 1).otherwise(0).alias("ev"),
+    )
+    byday = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    steps = byday.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    km = steps.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        F.expr("d * 1000000 div n_risk").cast("bigint").alias("hazard_ppm"),
+        F.round(
+            F.log(F.greatest(F.lit(1.0) - frac, F.expr(_KM_FLOOR))) * 1000000
+        )
+        .cast("bigint")
+        .alias("step_log"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        km.select(
+            F.col("t").cast("int").alias("lag_day"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            "hazard_ppm",
+            F.sum("step_log").over(wcum).cast("bigint").alias("cum_log_surv_micro"),
+        )
+        .orderBy("lag_day")
+    )

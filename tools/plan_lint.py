@@ -83,6 +83,7 @@ ALLOW = {
     # the cum>=target rank probe is a theta comparison over a sketch-sized
     # (<=2048-row) cumulative table x 3 quantile targets — bounded product
     "sketch_quantile_histogram": {"BroadcastNestedLoopJoin": "sketch-sized cum table x 3 quantile targets"},
+    "orders_shiplag_survival": {"BroadcastNestedLoopJoin": "single-row line-count scalar x calendar-bounded day rows"},
 }
 
 
