@@ -1242,3 +1242,131 @@ def orders_shiplag_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_day")
     )
+
+
+# --------------------------------------------------------------------------
+# classical additive seasonal decomposition of the monthly revenue series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decomp_monthly_revenue",
+    sql="""
+    WITH oc AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    series AS (
+      SELECT m, CAST(SUM(cents) AS BIGINT) AS rev FROM oc GROUP BY m
+    ),
+    tr AS (
+      SELECT m, rev,
+             CASE WHEN COUNT(*) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING
+                                      AND 6 FOLLOWING) = 13
+                  THEN (LAG(rev, 6) OVER (ORDER BY m)
+                        + LEAD(rev, 6) OVER (ORDER BY m)
+                        + 2 * CAST(SUM(rev) OVER (ORDER BY m ROWS BETWEEN
+                              5 PRECEDING AND 5 FOLLOWING) AS BIGINT)) // 24
+                  END AS trend
+      FROM series
+    ),
+    sraw AS (
+      SELECT CAST(MONTH(m) AS INTEGER) AS moy,
+             CAST(ROUND(CAST(SUM(rev - trend) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s_raw
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    ),
+    sadj AS (
+      SELECT CAST(ROUND(CAST(SUM(s_raw) AS DOUBLE) / COUNT(*)) AS BIGINT) AS s_mean
+      FROM sraw
+    ),
+    seas AS (
+      SELECT moy, s_raw - s_mean AS seasonal FROM sraw CROSS JOIN sadj
+    )
+    SELECT CAST(tr.m AS DATE) AS month, tr.rev AS rev_cents,
+           tr.trend AS trend_cents,
+           seas.seasonal AS seasonal_cents,
+           tr.rev - tr.trend - seas.seasonal AS remainder_cents
+    FROM tr JOIN seas ON seas.moy = MONTH(tr.m)
+    ORDER BY month
+    """,
+    tags=("analytics", "timeseries", "decomposition"),
+)
+def decomp_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly revenue into
+    trend + seasonal + remainder: trend is the standard 2x12 centered
+    moving average, the seasonal index is the per-calendar-month mean of
+    the detrended series normalized to sum ~0, remainder is what's left —
+    the decomposition a forecasting pipeline runs before anomaly gating
+    (and the structured upgrade of orders_seasonal_naive_backtest).
+
+    Integer discipline: revenue is quantized to cents PER ROW before any
+    sum (never a cross-engine double sum); the 2x12 MA is the exact
+    integer (x[-6] + x[+6] + 2*sum(x[-5..+5])) DIV 24 over positive
+    BIGINTs; the two mean reductions (seasonal index, index centering)
+    are each ONE double division of exact integer sums, rounded once back
+    to integer cents. Edge months (< full 13-month window) carry NULL
+    trend/remainder by construction.
+
+    Scale (the backlog/CUSUM collapse discipline): the fact scan
+    collapses to one row per month BEFORE any window; every window and
+    join after that runs on a calendar-bounded series."""
+    oc = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    series = oc.groupBy("m").agg(F.sum("cents").cast("bigint").alias("rev"))
+    wo = Window.orderBy("m")
+    wmid = wo.rowsBetween(-5, 5)
+    wfull = wo.rowsBetween(-6, 6)
+    tr = (
+        series.select(
+            "m",
+            "rev",
+            F.lag("rev", 6).over(wo).alias("lag6"),
+            F.lead("rev", 6).over(wo).alias("lead6"),
+            F.sum("rev").over(wmid).cast("bigint").alias("midsum"),
+            F.count(F.lit(1)).over(wfull).alias("nw"),
+        ).select(
+            "m",
+            "rev",
+            F.when(
+                F.col("nw") == 13, F.expr("(lag6 + lead6 + 2 * midsum) div 24")
+            )
+            .cast("bigint")
+            .alias("trend"),
+        )
+    )
+    sraw = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.month("m").cast("int").alias("moy"))
+        .agg(
+            F.round(
+                F.sum(F.col("rev") - F.col("trend")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("s_raw")
+        )
+    )
+    sadj = sraw.agg(
+        F.round(F.sum("s_raw").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("s_mean")
+    )
+    seas = sraw.crossJoin(F.broadcast(sadj)).select(
+        "moy", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(seas), F.month(tr.m).cast("int") == seas.moy)
+        .select(
+            F.col("m").cast("date").alias("month"),
+            F.col("rev").alias("rev_cents"),
+            F.col("trend").alias("trend_cents"),
+            F.col("seasonal").alias("seasonal_cents"),
+            (F.col("rev") - F.col("trend") - F.col("seasonal")).alias(
+                "remainder_cents"
+            ),
+        )
+        .orderBy("month")
+    )

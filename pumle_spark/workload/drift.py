@@ -560,3 +560,157 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# --------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov statistic (finished vs open orders)
+# --------------------------------------------------------------------------
+
+_KS_BUCKET_W = 2048.0  # price-range bucket for the distributed prefix sum
+
+
+@register(
+    "drift_ks_two_sample",
+    sql="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS isf
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(isf) AS BIGINT) AS ca,
+             CAST(SUM(1 - isf) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfa,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfb
+      FROM pv
+    ),
+    diff AS (
+      SELECT v, ABS(cfa * nb - cfb * na) AS d, na, nb
+      FROM cum CROSS JOIN tot
+    ),
+    mx AS (SELECT MAX(d) AS dmax FROM diff)
+    SELECT na AS n_f, nb AS n_o,
+           dmax AS d_scaled,
+           CAST(dmax * 1000000 // (na * nb) AS BIGINT) AS d_ppm,
+           MIN(v) AS at_value,
+           CAST(ROUND(1.358 * sqrt((CAST(na AS DOUBLE) + nb)
+                                   / (CAST(na AS DOUBLE) * nb)) * 1000000)
+                AS BIGINT) AS crit_ppm_05,
+           CAST(dmax * 1000000 // (na * nb) AS BIGINT)
+             > CAST(ROUND(1.358 * sqrt((CAST(na AS DOUBLE) + nb)
+                                       / (CAST(na AS DOUBLE) * nb)) * 1000000)
+                    AS BIGINT) AS drifted
+    FROM diff CROSS JOIN mx
+    WHERE d = dmax
+    GROUP BY na, nb, dmax
+    """,
+    tags=("drift", "ks", "quality"),
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the price
+    distributions of finished ('F') and open ('O') orders — the
+    distribution-shift test that, unlike PSI (drift_psi_totalprice), needs
+    no binning choice: D = sup_v |F_F(v) - F_O(v)| evaluated at every
+    observed price.
+
+    Exactness: the sup is taken over the INTEGER-scaled differences
+    |cumA*nb - cumB*na| (exact BIGINT; sound while na*nb*1e6 < 2^63, i.e.
+    ~3e6 rows per side — beyond that, sample or move the scale factor to
+    DECIMAL). d_ppm is integer floor-division; the 5% critical value
+    1.358*sqrt((na+nb)/(na*nb)) is quantized once to ppm and the drift
+    verdict is then an integer comparison. at_value is the smallest price
+    attaining the sup (deterministic tiebreak).
+
+    Scale: a single-partition global cumsum would bottleneck, so the
+    prefix sum is TWO-LEVEL — per-value counts land in fixed price-range
+    buckets (width {_KS_BUCKET_W:.0f}); bucket subtotals (a few hundred
+    rows, domain-bounded) produce carry-in offsets via a tiny window, and
+    the heavy cumulative runs partitioned BY bucket. The DuckDB oracle
+    uses the equivalent single window — engine equivalence, not plan
+    equivalence."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("isf"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("isf").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("isf")).cast("bigint").alias("cb"),
+    )
+    pv = pv.withColumn("bkt", F.floor(F.col("v") / _KS_BUCKET_W).cast("bigint"))
+    tot = pv.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    # level 1: bucket subtotals -> exclusive carry-in offsets (tiny window)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        pv.groupBy("bkt")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ba").over(wb), F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce(F.sum("bb").over(wb), F.lit(0)).cast("bigint").alias("ob"),
+        )
+    )
+    # level 2: the heavy cumulative, partitioned by bucket
+    wl = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.join(F.broadcast(boff), "bkt").select(
+        "v",
+        (F.col("oa") + F.sum("ca").over(wl)).cast("bigint").alias("cfa"),
+        (F.col("ob") + F.sum("cb").over(wl)).cast("bigint").alias("cfb"),
+    )
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("cfa") * F.col("nb") - F.col("cfb") * F.col("na")).alias("d"),
+        "na",
+        "nb",
+    )
+    mx = diff.agg(F.max("d").alias("dmax"))
+    crit = (
+        F.round(
+            F.lit(1.358)
+            * F.sqrt(
+                (F.col("na").cast("double") + F.col("nb"))
+                / (F.col("na").cast("double") * F.col("nb"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("crit_ppm_05")
+    )
+    return (
+        diff.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("dmax"))
+        .groupBy("na", "nb", "dmax")
+        .agg(F.min("v").alias("at_value"))
+        .select(
+            F.col("na").alias("n_f"),
+            F.col("nb").alias("n_o"),
+            F.col("dmax").alias("d_scaled"),
+            F.expr("dmax * 1000000 div (na * nb)").cast("bigint").alias("d_ppm"),
+            "at_value",
+            crit,
+            (
+                F.expr("dmax * 1000000 div (na * nb)").cast("bigint")
+                > F.round(
+                    F.lit(1.358)
+                    * F.sqrt(
+                        (F.col("na").cast("double") + F.col("nb"))
+                        / (F.col("na").cast("double") * F.col("nb"))
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("drifted"),
+        )
+    )

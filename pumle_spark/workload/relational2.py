@@ -1521,3 +1521,127 @@ def agg_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ord").alias("max_ord"),
         F.min("ord").alias("min_ord"),
     )
+
+
+# --------------------------------------------------------------------------
+# Apriori-style directional association rules at part level
+# --------------------------------------------------------------------------
+
+_AR_MINPAIR = 3  # minimum pair support (absolute orders)
+_AR_TOPN = 40
+
+
+@register(
+    "basket_association_rules",
+    sql=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    pf AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM op GROUP BY 1
+      HAVING COUNT(*) * 1000 >= (SELECT n_orders FROM n)
+    ),
+    fop AS (SELECT op.* FROM op JOIN pf USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM fop a JOIN fop b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AR_MINPAIR}
+    ),
+    rules AS (
+      SELECT pa AS ante_part, pb AS cons_part, n_both FROM pairs
+      UNION ALL
+      SELECT pb, pa, n_both FROM pairs
+    )
+    SELECT r.ante_part, r.cons_part,
+           fa.cnt AS n_ante, fb.cnt AS n_cons, r.n_both,
+           CAST(r.n_both * 1000000 // n.n_orders AS BIGINT) AS supp_ppm,
+           CAST(r.n_both * 1000000 // fa.cnt AS BIGINT) AS conf_ppm,
+           CAST(r.n_both * n.n_orders * 1000000 // (fa.cnt * fb.cnt) AS BIGINT)
+             AS lift_ppm
+    FROM rules r
+    JOIN pf fa ON fa.l_partkey = r.ante_part
+    JOIN pf fb ON fb.l_partkey = r.cons_part
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, conf_ppm DESC, ante_part, cons_part
+    LIMIT {_AR_TOPN}
+    """,
+    tags=("basket", "association", "apriori"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B over part baskets with the
+    Apriori support discipline: parts below 0.1% order support are pruned
+    BEFORE pair generation (the monotonicity bound — no pair can beat the
+    support of its rarest member), pairs below {_AR_MINPAIR} co-orders are
+    dropped, and each surviving pair yields both rule directions with
+    support/confidence/lift. Complements basket_brand_lift (symmetric,
+    brand-level): rules are per-PART and directional, the actual
+    recommender/planogram primitive.
+
+    Integer discipline: supp/conf/lift are ppm floor divisions over exact
+    BIGINT counts (lift sound while n_both·n_orders·1e6 < 2^63); the
+    top-{_AR_TOPN} carries a total order (lift, conf, part ids) so both
+    engines cut the same rows.
+
+    Scale: the pair space is Σ_order (frequent-parts-per-order choose 2)
+    — basket-bounded, never catalog²; the frequent-part table is a
+    broadcastable dim; the global top-{_AR_TOPN} compiles to
+    TakeOrderedAndProject (per-partition cut, no global sort)."""
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    pf = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * 1000 >= F.col("n_orders"))
+        .select("l_partkey", "cnt")
+    )
+    fop = op.join(F.broadcast(pf.select("l_partkey")), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = fop.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = fop.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _AR_MINPAIR)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ante_part"), F.col("pb").alias("cons_part"), "n_both"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("ante_part"), F.col("pa").alias("cons_part"), "n_both"
+        )
+    )
+    fa = pf.select(F.col("l_partkey").alias("ante_part"), F.col("cnt").alias("n_ante"))
+    fb = pf.select(F.col("l_partkey").alias("cons_part"), F.col("cnt").alias("n_cons"))
+    return (
+        rules.join(F.broadcast(fa), "ante_part")
+        .join(F.broadcast(fb), "cons_part")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante_part",
+            "cons_part",
+            "n_ante",
+            "n_cons",
+            "n_both",
+            F.expr("n_both * 1000000 div n_orders").cast("bigint").alias("supp_ppm"),
+            F.expr("n_both * 1000000 div n_ante").cast("bigint").alias("conf_ppm"),
+            F.expr("n_both * n_orders * 1000000 div (n_ante * n_cons)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("lift_ppm").desc(),
+            F.col("conf_ppm").desc(),
+            "ante_part",
+            "cons_part",
+        )
+        .limit(_AR_TOPN)
+    )

@@ -1381,3 +1381,153 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus (fixed multi-term query set)
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+_BM25_QUERIES = (
+    (1, ("hash", "join", "spark")),
+    (2, ("window", "agg", "stream")),
+    (3, ("scan", "filter", "sort", "vector")),
+)
+
+
+def _bm25_query_values() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"(VALUES {rows}) q(query_id, term)"
+
+
+@register(
+    "text_bm25_topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(dl) AS BIGINT) AS sdl FROM dlen),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks_ok GROUP BY 1, 2),
+    qt AS (SELECT * FROM {_bm25_query_values()}),
+    df AS (
+      SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM tf WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+               * (CAST(cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(cnt AS DOUBLE) + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE)
+                     / (CAST(sdl AS DOUBLE) / nd)))
+               * 1000000) AS BIGINT) AS c_micro
+      FROM tf
+      JOIN qt ON qt.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_micro,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_BM25_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("text", "bm25", "ranking", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1={_BM25_K1}, b={_BM25_B}) top-{_BM25_TOPK} retrieval
+    for a fixed multi-term query set — the ranking function behind every
+    classic search/retrieval stage of a data pipeline (and the usual
+    lexical half of hybrid retrieval next to the ANN family).
+
+    Determinism (the once-quantized-step discipline): each (query-term,
+    doc) contribution idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is ONE
+    double expression over exact integer inputs, quantized ONCE to
+    micro-units; the per-(query,doc) score is then an exact BIGINT sum,
+    so cross-engine float-sum ordering cannot reorder the top-k (doc_id
+    tiebreak on equal quantized scores).
+
+    Scale: the query set is a constant broadcast; joining it to the
+    (doc,term) term-frequency table FIRST prunes the postings to query
+    terms only — the classic inverted-index probe — so the scored
+    relation is |matching postings|, not the corpus. df and corpus stats
+    are term-/scalar-sized broadcasts; the final top-k is a per-query
+    window over the pruned score table."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    pruned = tf.join(F.broadcast(qt), "term")
+    df = pruned.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("dfreq")
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("nd")
+    contrib = (
+        pruned.join(F.broadcast(df), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("nd") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+                )
+                * (F.col("cnt").cast("double") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("cnt").cast("double")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            "score_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

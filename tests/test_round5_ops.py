@@ -421,3 +421,149 @@ def test_shiplag_survival_km_invariants(spark):
     # day-0 risk set is EVERY observed line (first event day may be > 0
     # only if no line ships day-0; then n_risk still equals the total)
     assert rows[0].n_risk + sum(0 for _ in ()) <= n_lines
+
+
+# --------------------------------------------------------------------------
+# round-5 wave 4: KS drift, BM25, association rules, seasonal decomposition
+# --------------------------------------------------------------------------
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    """The bucketed two-level prefix sum must equal the naive driver-side
+    KS computation over the same two samples."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.drift import drift_ks_two_sample
+
+    row = drift_ks_two_sample(spark, SF).collect()[0]
+    o = (
+        table(spark, SF, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_totalprice", "o_orderstatus")
+        .collect()
+    )
+    a = sorted(r.o_totalprice for r in o if r.o_orderstatus == "F")
+    b = sorted(r.o_totalprice for r in o if r.o_orderstatus == "O")
+    na, nb = len(a), len(b)
+    best, at = -1, None
+    for v in sorted(set(a) | set(b)):
+        cfa = sum(1 for x in a if x <= v)
+        cfb = sum(1 for x in b if x <= v)
+        d = abs(cfa * nb - cfb * na)
+        if d > best:
+            best, at = d, v
+    assert (row.n_f, row.n_o) == (na, nb)
+    assert row.d_scaled == best
+    assert row.at_value == at
+    assert row.d_ppm == best * 1_000_000 // (na * nb)
+
+
+def test_bm25_ranks_match_bruteforce(spark):
+    """Quantized BM25 scores and the top-k cut must match a pure-Python
+    scorer over the tokenized corpus."""
+    import math
+    from collections import Counter
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        text_bm25_topk,
+    )
+    from pumle_spark.operators.dedup import normalize_text
+
+    got = [
+        (r.query_id, r.doc_id, r.score_micro, r.rnk)
+        for r in text_bm25_topk(spark, SF).collect()
+    ]
+    docs = (
+        table(spark, SF, "documents")
+        .select("doc_id", normalize_text("text").alias("ws"))
+        .collect()
+    )
+    toks = {r.doc_id: [t for t in r.ws if t] for r in docs}
+    nd = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / nd
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    want = []
+    for qid, terms in _BM25_QUERIES:
+        df = {t: sum(1 for d in tf if tf[d][t] > 0) for t in terms}
+        scores = {}
+        for d, cnts in tf.items():
+            s = 0
+            for t in terms:
+                c = cnts[t]
+                if c == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1.0 + (nd - df[t] + 0.5) / (df[t] + 0.5))
+                contrib = (
+                    idf
+                    * (c * (_BM25_K1 + 1.0))
+                    / (c + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(toks[d]) / avgdl))
+                )
+                # Python round() is banker's; match the engines' HALF_UP
+                s += int(math.floor(contrib * 1_000_000 + 0.5))
+            if s:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+        want += [(qid, d, s, i + 1) for i, (d, s) in enumerate(top)]
+    assert got == want
+
+
+def test_association_rules_confidence_and_lift(spark):
+    """Every emitted rule must satisfy the support floor, directional
+    confidence = n_both/n_ante, and exact integer lift."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.relational2 import _AR_MINPAIR, basket_association_rules
+
+    rows = basket_association_rules(spark, SF).collect()
+    op = {
+        (r.l_orderkey, r.l_partkey)
+        for r in table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    }
+    n_orders = len({o for o, _ in op})
+    from collections import Counter
+
+    pcnt = Counter(p for _, p in op)
+    by_order = {}
+    for o, p in op:
+        by_order.setdefault(o, set()).add(p)
+    pair = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair[(ps[i], ps[j])] += 1
+    for r in rows:
+        key = (min(r.ante_part, r.cons_part), max(r.ante_part, r.cons_part))
+        assert pair[key] == r.n_both >= _AR_MINPAIR
+        assert pcnt[r.ante_part] == r.n_ante
+        assert r.n_ante * 1000 >= n_orders and r.n_cons * 1000 >= n_orders
+        assert r.conf_ppm == r.n_both * 1_000_000 // r.n_ante
+        assert r.lift_ppm == r.n_both * n_orders * 1_000_000 // (r.n_ante * r.n_cons)
+    # both directions of a surviving pair carry the same n_both
+    lifts = [r.lift_ppm for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_decomposition_reconstructs_and_centers(spark):
+    """rev = trend + seasonal + remainder wherever trend is defined; the
+    2x12 MA matches a brute-force recomputation; seasonal indices are
+    centered to ~0 (|mean| <= 1 cent after integer rounding)."""
+    from pumle_spark.workload.analytics import decomp_monthly_revenue
+
+    rows = decomp_monthly_revenue(spark, SF).collect()
+    assert len(rows) >= 24
+    rev = [r.rev_cents for r in rows]
+    for i, r in enumerate(rows):
+        if r.trend_cents is None:
+            assert i < 6 or i >= len(rows) - 6
+            assert r.remainder_cents is None
+            continue
+        want_trend = (rev[i - 6] + rev[i + 6] + 2 * sum(rev[i - 5 : i + 6])) // 24
+        assert r.trend_cents == want_trend
+        assert r.rev_cents - r.trend_cents - r.seasonal_cents == r.remainder_cents
+    seas = {r.month.month: r.seasonal_cents for r in rows}
+    assert len(seas) == 12
+    assert abs(sum(seas.values())) <= 12  # centered to within 1 cent/index

@@ -84,6 +84,10 @@ ALLOW = {
     # (<=2048-row) cumulative table x 3 quantile targets — bounded product
     "sketch_quantile_histogram": {"BroadcastNestedLoopJoin": "sketch-sized cum table x 3 quantile targets"},
     "orders_shiplag_survival": {"BroadcastNestedLoopJoin": "single-row line-count scalar x calendar-bounded day rows"},
+    "drift_ks_two_sample": {"BroadcastNestedLoopJoin": "single-row (na,nb)/max scalars x per-value diff rows"},
+    "text_bm25_topk": {"BroadcastNestedLoopJoin": "single-row corpus (N, avgdl) scalar x pruned postings"},
+    "basket_association_rules": {"BroadcastNestedLoopJoin": "single-row order-count scalar x rule rows"},
+    "decomp_monthly_revenue": {"BroadcastNestedLoopJoin": "single-row seasonal-mean scalar x 12 month indices"},
 }
 
 
