@@ -383,3 +383,160 @@ def select_top_mass_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("cum_tokens") * 100 <= F.col("tot_tokens") * _MASS_PCT
     ).select("source", "doc_id", "n_tokens", "quality_milli", "cum_tokens")
+
+
+# --------------------------------------------------------------------------
+# cluster-aware train/val/test split (decontamination-safe assignment)
+# --------------------------------------------------------------------------
+
+
+def _split_bucket(col: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), col.cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+def _split_label(bucket: F.Column) -> F.Column:
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
+@register(
+    "split_cluster_aware",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN},
+    reps AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS rep,
+             c.doc_id IS NOT NULL AS clustered
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, rep, clustered,
+             CASE WHEN rb < 80 THEN 'train' WHEN rb < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM (SELECT doc_id, rep, clustered,
+                   ('0x' || substr(md5('split|' || CAST(rep AS VARCHAR)), 1, 4))::UBIGINT % 100 AS rb,
+                   ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 AS nb
+            FROM reps)
+    ),
+    leaks AS (
+      SELECT COALESCE(CAST(SUM(CASE WHEN la.split <> lb.split
+                                    THEN 1 ELSE 0 END) AS BIGINT), 0) AS leak_pairs_cluster,
+             COALESCE(CAST(SUM(CASE WHEN la.naive_split <> lb.naive_split
+                                    THEN 1 ELSE 0 END) AS BIGINT), 0) AS leak_pairs_naive
+      FROM vpairs v
+      JOIN lab la ON la.doc_id = v.doc_a
+      JOIN lab lb ON lb.doc_id = v.doc_b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs,
+           leak_pairs_cluster, leak_pairs_naive
+    FROM lab CROSS JOIN leaks
+    GROUP BY split, leak_pairs_cluster, leak_pairs_naive
+    ORDER BY split
+    """,
+    tags=("curation", "split", "dedup", "decontamination"),
+)
+def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: every document is
+    keyed by its MinHash-cluster REPRESENTATIVE (singletons by their own
+    id) before the deterministic_split hash rule, so an entire near-dup
+    cluster lands in one split — the decontamination guarantee a naive
+    per-doc split cannot give. The report quantifies exactly that: the
+    verified near-dup pairs a doc_id-keyed split would scatter across
+    split boundaries (leak_pairs_naive) versus this assignment's
+    leak_pairs_cluster, which is 0 BY CONSTRUCTION (both members share
+    the rep, hence the bucket).
+
+    Reuses dedup_minhash_clusters' exact cluster assignment and
+    dedup_minhash_lsh's verified pairs (shared oracle CTE chain) — the
+    split must agree with the dedup family on what a cluster IS.
+
+    Scale: cluster assignment is the LSH band-join path (never
+    all-pairs); the rep mapping is one left join; the split hash is a
+    per-row map; leakage is an aggregate over the verified-pair set."""
+    from pumle_spark.operators.dedup import connected_components
+    from pumle_spark.workload.dedup import dedup_minhash_lsh
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # one LSH chain feeds BOTH consumers (components + leak counting):
+    # lazy localCheckpoint materializes the verified pairs on first action
+    # and every later branch reuses the checkpointed partitions
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("key").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    reps = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("rep"),
+        F.col("cluster_id").isNotNull().alias("clustered"),
+    )
+    lab = reps.select(
+        "doc_id",
+        "rep",
+        "clustered",
+        _split_label(_split_bucket(F.col("rep"))).alias("split"),
+        _split_label(_split_bucket(F.col("doc_id"))).alias("naive_split"),
+    )
+    la = lab.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("sa"),
+        F.col("naive_split").alias("nsa"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("sb"),
+        F.col("naive_split").alias("nsb"),
+    )
+    leaks = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("leak_pairs_cluster"),
+            F.coalesce(
+                F.sum(F.when(F.col("nsa") != F.col("nsb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("leak_pairs_naive"),
+        )
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("rep").cast("bigint").alias("n_groups"),
+            F.sum(F.col("clustered").cast("int")).cast("bigint").alias("n_clustered_docs"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            "n_clustered_docs",
+            "leak_pairs_cluster",
+            "leak_pairs_naive",
+        )
+        .orderBy("split")
+    )

@@ -975,3 +975,104 @@ def embedding_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trunc_dim")
     )
+
+
+# --------------------------------------------------------------------------
+# per-label integer centroids + pairwise centroid cosine (corpus geometry)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    sql="""
+    WITH comp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS micro
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, dim, CAST(SUM(micro) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM comp GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, dim, CAST(s // n AS BIGINT) AS c, n FROM sums),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS na2,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS nb2
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS INTEGER) AS label_a,
+           CAST(label_b AS INTEGER) AS label_b,
+           n_a AS n_vecs_a, n_b AS n_vecs_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+             AS centroid_cos
+    FROM pair
+    ORDER BY label_a, label_b
+    """,
+    tags=("similarity", "embedding", "centroid", "drift"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class geometry report: the per-label mean embedding and the
+    cosine between every label-centroid pair — the embedding-space
+    collapse/overlap check a curation pipeline runs before trusting
+    label-balanced sampling or per-class dedup thresholds (two labels
+    whose centroids sit at cos > 0.9 are one class to the model).
+
+    Determinism: components are quantized ONCE per row to micro-units, so
+    the per-(label,dim) centroid sums are exact BIGINTs under any
+    partitioning; centroids are integer DIV (truncation toward zero —
+    verified identical in Spark `div` and DuckDB `//`); dot and norms are
+    exact integer sums of centroid products (|c| ≤ 1e6, 64 dims → far
+    under 2^63); the cosine is ONE mirrored double expression at the end.
+
+    Scale: the explode is (rows × dims) map-side work feeding ONE
+    partial-aggregated groupBy on (label, dim) — state = labels × dims,
+    not corpus size; the pair join runs on the label-sized centroid
+    table."""
+    comp = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("micro"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum("micro").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cent = sums.select("label", "dim", F.expr("s div n").cast("bigint").alias("c"), "n")
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    pair = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).cast("bigint").alias("nb2"),
+        )
+    )
+    return pair.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        F.col("n_a").alias("n_vecs_a"),
+        F.col("n_b").alias("n_vecs_b"),
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+            6,
+        ).alias("centroid_cos"),
+    ).orderBy("label_a", "label_b")

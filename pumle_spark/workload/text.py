@@ -1531,3 +1531,228 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of the BM25 and TF-IDF-cosine rankers
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 5
+_TFIDF_Q = 10000  # weight quantum: keeps doc-norm sums of squares < 2^63
+
+
+@register(
+    "retrieval_rrf_fusion",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(dl) AS BIGINT) AS sdl FROM dlen),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks_ok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1),
+    wq AS (  -- quantized tf-idf weight per (doc, term), over ALL terms
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(CAST(cnt AS DOUBLE)
+                        * ln((nd + 1.0) / (dfreq + 1.0)) * {_TFIDF_Q}) AS BIGINT) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+    ),
+    dnorm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq FROM wq GROUP BY 1),
+    qt AS (SELECT * FROM {_bm25_query_values()}),
+    bm AS (  -- BM25 score (same contract as text_bm25_topk)
+      SELECT qt.query_id, tf.doc_id,
+             CAST(SUM(CAST(ROUND(
+               ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+               * (CAST(cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(cnt AS DOUBLE) + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE)
+                     / (CAST(sdl AS DOUBLE) / nd)))
+               * 1000000) AS BIGINT)) AS BIGINT) AS s_bm25
+      FROM tf
+      JOIN qt ON qt.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1, 2
+    ),
+    cs AS (  -- unit-query tf-idf cosine: sum w/sqrt(nsq), once-quantized
+      -- nsq = 0 (all-zero weight vector, e.g. a 1-doc corpus where every
+      -- idf is ln(1)=0) contributes 0, not 0/0
+      SELECT qt.query_id, wq.doc_id,
+             CAST(SUM(CASE WHEN nsq > 0
+                           THEN CAST(ROUND(CAST(w AS DOUBLE)
+                                           / sqrt(CAST(nsq AS DOUBLE))
+                                           * 1000000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s_cos
+      FROM wq
+      JOIN qt ON qt.term = wq.term
+      JOIN dnorm ON dnorm.doc_id = wq.doc_id
+      GROUP BY 1, 2
+    ),
+    rb AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s_bm25 DESC, doc_id) AS r1
+           FROM bm),
+    rc AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s_cos DESC, doc_id) AS r2
+           FROM cs),
+    fused AS (
+      SELECT rb.query_id, rb.doc_id,
+             CAST(rb.r1 AS BIGINT) AS rank_bm25,
+             CAST(rc.r2 AS BIGINT) AS rank_cos,
+             CAST(1000000 // ({_RRF_K} + rb.r1)
+                  + 1000000 // ({_RRF_K} + rc.r2) AS BIGINT) AS rrf_micro
+      FROM rb JOIN rc ON rc.query_id = rb.query_id AND rc.doc_id = rb.doc_id
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+           rank_bm25, rank_cos, rrf_micro, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_micro DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= {_RRF_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("text", "retrieval", "rrf", "fusion"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k={_RRF_K}) of two lexical rankers — BM25
+    (text_bm25_topk's exact scoring contract) and unit-query TF-IDF
+    cosine — the standard hybrid-retrieval combiner: rank-space fusion
+    needs no score calibration between rankers, which is why it survives
+    heterogeneous ranker pairs (lexical + ANN) unchanged.
+
+    Determinism: each ranker's per-term contributions are once-quantized
+    micro integers (BM25 identical to text_bm25_topk; cosine w/√(Σw²)
+    with weights pre-quantized at 1/{_TFIDF_Q} so norm sums stay exact
+    BIGINTs); ranks come from total orders (score desc, doc_id); the RRF
+    score 1e6 DIV (k+rank) is pure integer arithmetic — no doubles at
+    all in the fusion step.
+
+    Scale: both rankers score only query-matching postings (broadcast
+    query-term probe); doc norms are a per-doc aggregate computed
+    map-side-combinable over the tf table; the per-query rank windows run
+    on |matching docs|, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
+    wq = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.log((F.col("nd") + 1.0) / (F.col("dfreq") + 1.0))
+                * _TFIDF_Q
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    dnorm = wq.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nsq")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("nd")
+    bm = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("nd") - F.col("dfreq") + 0.5)
+                        / (F.col("dfreq") + 0.5)
+                    )
+                    * (F.col("cnt").cast("double") * (_BM25_K1 + 1.0))
+                    / (
+                        F.col("cnt").cast("double")
+                        + _BM25_K1
+                        * (
+                            1.0
+                            - _BM25_B
+                            + _BM25_B * F.col("dl").cast("double") / avgdl
+                        )
+                    )
+                    * 1000000
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s_bm25")
+        )
+    )
+    cs = (
+        wq.join(F.broadcast(qt), "term")
+        .join(dnorm, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nsq") > 0,
+                    F.round(
+                        F.col("w").cast("double")
+                        / F.sqrt(F.col("nsq").cast("double"))
+                        * 1000000
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("s_cos")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("s_bm25").desc(), F.col("doc_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("s_cos").desc(), F.col("doc_id"))
+    rb = bm.select(
+        "query_id", "doc_id", F.row_number().over(w1).cast("bigint").alias("rank_bm25")
+    )
+    rc = cs.select(
+        "query_id", "doc_id", F.row_number().over(w2).cast("bigint").alias("rank_cos")
+    )
+    fused = rb.join(rc, ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        F.expr(
+            f"1000000 div ({_RRF_K} + rank_bm25) + 1000000 div ({_RRF_K} + rank_cos)"
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= _RRF_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            "rank_bm25",
+            "rank_cos",
+            "rrf_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

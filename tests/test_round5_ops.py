@@ -567,3 +567,77 @@ def test_decomposition_reconstructs_and_centers(spark):
     seas = {r.month.month: r.seasonal_cents for r in rows}
     assert len(seas) == 12
     assert abs(sum(seas.values())) <= 12  # centered to within 1 cent/index
+
+
+def test_label_centroids_match_numpy(spark):
+    """Integer-quantized centroid cosines must match a NumPy recomputation
+    under the same quantization."""
+    import numpy as np
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.similarity import embedding_label_centroids
+
+    rows = embedding_label_centroids(spark, SF).collect()
+    raw = table(spark, SF, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in raw:
+        micro = [int(np.floor(float(x) * 1_000_000 + 0.5)) if x >= 0
+                 else -int(np.floor(-float(x) * 1_000_000 + 0.5))
+                 for x in r.embedding]
+        by_label.setdefault(r.label, []).append(micro)
+    cents = {}
+    for lbl, vecs in by_label.items():
+        sums = [sum(col) for col in zip(*vecs)]
+        n = len(vecs)
+        # truncation toward zero, matching Spark `div` / DuckDB `//`
+        cents[lbl] = ([s // n if s >= 0 else -((-s) // n) for s in sums], n)
+    labels = sorted(cents)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        ca, na = cents[r.label_a]
+        cb, nb = cents[r.label_b]
+        assert (r.n_vecs_a, r.n_vecs_b) == (na, nb)
+        dot = sum(x * y for x, y in zip(ca, cb))
+        va = sum(x * x for x in ca)
+        vb = sum(y * y for y in cb)
+        want = round(dot / ((va ** 0.5) * (vb ** 0.5)), 6)
+        assert abs(r.centroid_cos - want) <= 1e-6
+
+
+def test_cluster_aware_split_has_zero_leakage(spark):
+    """Every verified near-dup pair must land in one split under the
+    rep-keyed assignment; the naive counterfactual is reported; split
+    sizes cover the corpus."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.curation import split_cluster_aware
+
+    rows = {r.split: r for r in split_cluster_aware(spark, SF).collect()}
+    assert set(rows) <= {"train", "val", "test"}
+    n_docs = table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert r.leak_pairs_cluster == 0
+        assert r.n_groups <= r.n_docs
+    # leak columns are global constants, identical on every row
+    assert len({r.leak_pairs_naive for r in rows.values()}) == 1
+
+
+def test_rrf_fusion_is_rank_consistent(spark):
+    """RRF scores must equal 1e6/(k+r1) + 1e6/(k+r2) for the emitted
+    ranks, ranks must be unique per query within each ranker, and the
+    top-k ordering must follow rrf_micro desc, doc_id asc."""
+    from pumle_spark.workload.text import _RRF_K, retrieval_rrf_fusion
+
+    rows = retrieval_rrf_fusion(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.rrf_micro == 1_000_000 // (_RRF_K + r.rank_bm25) + 1_000_000 // (
+            _RRF_K + r.rank_cos
+        )
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        keys = [(-r.rrf_micro, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))

@@ -88,6 +88,8 @@ ALLOW = {
     "text_bm25_topk": {"BroadcastNestedLoopJoin": "single-row corpus (N, avgdl) scalar x pruned postings"},
     "basket_association_rules": {"BroadcastNestedLoopJoin": "single-row order-count scalar x rule rows"},
     "decomp_monthly_revenue": {"BroadcastNestedLoopJoin": "single-row seasonal-mean scalar x 12 month indices"},
+    "split_cluster_aware": {"BroadcastNestedLoopJoin": "single-row leak-count scalar x 3 split rows"},
+    "retrieval_rrf_fusion": {"BroadcastNestedLoopJoin": "single-row corpus (N, avgdl) scalar x pruned postings"},
 }
 
 
