@@ -1537,11 +1537,13 @@ _AR_TOPN = 40
     WITH op AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
-    pf AS (
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts FROM op),
+    pf AS (  -- mean-relative frequent prune: cnt >= corpus mean support
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM op GROUP BY 1
-      HAVING COUNT(*) * 1000 >= (SELECT n_orders FROM n)
+      HAVING COUNT(*) * (SELECT n_parts FROM n) >= (SELECT n_rows FROM n)
     ),
     fop AS (SELECT op.* FROM op JOIN pf USING (l_partkey)),
     pairs AS (
@@ -1574,10 +1576,12 @@ _AR_TOPN = 40
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional association rules A→B over part baskets with the
-    Apriori support discipline: parts below 0.1% order support are pruned
-    BEFORE pair generation (the monotonicity bound — no pair can beat the
-    support of its rarest member), pairs below {_AR_MINPAIR} co-orders are
-    dropped, and each surviving pair yields both rule directions with
+    Apriori support discipline: parts below the corpus MEAN support are
+    pruned BEFORE pair generation (the monotonicity bound — no pair can
+    beat the support of its rarest member; mean-relative, so the prune
+    keeps a stable candidate fraction as catalog and order count grow
+    together, where a fixed order-share floor empties it), pairs below
+    {_AR_MINPAIR} co-orders are dropped, and each surviving pair yields both rule directions with
     support/confidence/lift. Complements basket_brand_lift (symmetric,
     brand-level): rules are per-PART and directional, the actual
     recommender/planogram primitive.
@@ -1592,12 +1596,16 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable dim; the global top-{_AR_TOPN} compiles to
     TakeOrderedAndProject (per-partition cut, no global sort)."""
     op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n = op.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    n = op.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
     pf = (
         op.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .crossJoin(F.broadcast(n))
-        .filter(F.col("cnt") * 1000 >= F.col("n_orders"))
+        .filter(F.col("cnt") * F.col("n_parts") >= F.col("n_rows"))
         .select("l_partkey", "cnt")
     )
     fop = op.join(F.broadcast(pf.select("l_partkey")), "l_partkey").select(

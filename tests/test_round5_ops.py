@@ -539,7 +539,8 @@ def test_association_rules_confidence_and_lift(spark):
         key = (min(r.ante_part, r.cons_part), max(r.ante_part, r.cons_part))
         assert pair[key] == r.n_both >= _AR_MINPAIR
         assert pcnt[r.ante_part] == r.n_ante
-        assert r.n_ante * 1000 >= n_orders and r.n_cons * 1000 >= n_orders
+        n_rows, n_parts = len(op), len(pcnt)
+        assert r.n_ante * n_parts >= n_rows and r.n_cons * n_parts >= n_rows
         assert r.conf_ppm == r.n_both * 1_000_000 // r.n_ante
         assert r.lift_ppm == r.n_both * n_orders * 1_000_000 // (r.n_ante * r.n_cons)
     # both directions of a surviving pair carry the same n_both
