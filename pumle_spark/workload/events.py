@@ -2412,3 +2412,350 @@ def stream_sessionize_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain channel credit)
+# --------------------------------------------------------------------------
+
+_ATTR_SCALE = 1_000_000_000  # conversion probability in ppb
+_ATTR_ITERS = 8  # value-iteration depth: paths up to 8 hops carry credit
+
+
+def _sql_attr_iter(i: int) -> str:
+    prev = f"it{i - 1}f"
+    return f"""
+    it{i} AS (
+      SELECT removed, state,
+             CASE WHEN state = removed THEN CAST(0 AS BIGINT) ELSE v END AS v
+      FROM (SELECT p.removed, t.from_type AS state,
+                   CAST(SUM(t.n * p.v) // MIN(t.row_n) AS BIGINT) AS v
+            FROM t JOIN {prev} p ON p.state = t.to_type
+            GROUP BY 1, 2)
+    ),
+    it{i}f AS (
+      SELECT removed, state, v FROM it{i}
+      UNION ALL
+      SELECT removed, 'CONV', CAST({_ATTR_SCALE} AS BIGINT) FROM rem
+    )"""
+
+
+_SQL_ATTR_MARKOV = (
+    f"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS state,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    firstconv AS (
+      SELECT user_id, MIN(rn) AS conv_rn FROM ev
+      WHERE state = 'CONV' GROUP BY 1
+    ),
+    journey AS (
+      SELECT e.user_id, e.state, e.rn,
+             f.conv_rn IS NOT NULL AS converts
+      FROM ev e LEFT JOIN firstconv f USING (user_id)
+      WHERE f.conv_rn IS NULL OR e.rn <= f.conv_rn
+    ),
+    steps AS (
+      SELECT user_id,
+             COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY rn),
+                      'START') AS from_type,
+             state AS to_type
+      FROM journey
+    ),
+    drops AS (
+      SELECT user_id, state AS from_type, 'DROP' AS to_type
+      FROM (SELECT user_id, state, converts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY rn DESC) AS rrn
+            FROM journey)
+      WHERE rrn = 1 AND NOT converts
+    ),
+    alltr AS (
+      SELECT from_type, to_type FROM steps
+      UNION ALL
+      SELECT from_type, to_type FROM drops
+    ),
+    tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM alltr GROUP BY 1, 2),
+    t AS (SELECT from_type, to_type, n,
+                 CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_n
+          FROM tc),
+    chans AS (SELECT DISTINCT from_type AS ch FROM t
+              WHERE from_type <> 'START'),
+    rem AS (SELECT ch AS removed FROM chans
+            UNION ALL SELECT '<none>'),
+    it0f AS (SELECT removed, 'CONV' AS state,
+                    CAST({_ATTR_SCALE} AS BIGINT) AS v FROM rem),"""
+    + ",".join(_sql_attr_iter(i) for i in range(1, _ATTR_ITERS + 1))
+    + f""",
+    pabs AS (
+      SELECT r.removed, COALESCE(i.v, 0) AS v
+      FROM rem r LEFT JOIN (SELECT removed, v FROM it{_ATTR_ITERS}
+                            WHERE state = 'START') i USING (removed)
+    ),
+    base AS (SELECT v AS vb FROM pabs WHERE removed = '<none>'),
+    re AS (
+      SELECT removed AS channel, v AS p_removed, vb,
+             GREATEST(vb - v, 0) AS re
+      FROM pabs CROSS JOIN base WHERE removed <> '<none>'
+    ),
+    tot AS (SELECT CAST(SUM(re) AS BIGINT) AS tre FROM re)
+    SELECT channel,
+           CAST(p_removed AS BIGINT) AS p_conv_removed_ppb,
+           CAST(vb AS BIGINT) AS base_conv_ppb,
+           CAST(re AS BIGINT) AS removal_effect_ppb,
+           CAST(re * 1000000 // NULLIF(tre, 0) AS BIGINT) AS attribution_ppm
+    FROM re CROSS JOIN tot
+    ORDER BY channel
+    """
+)
+
+
+@register(
+    "attribution_markov_removal",
+    sql=_SQL_ATTR_MARKOV,
+    tags=("events", "attribution", "markov", "iterative"),
+)
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    upgrade of the position/linear heuristics this family already
+    carries: build the absorbing journey chain START → channels → CONV
+    (first purchase) / DROP (journey abandoned), estimate each channel's
+    removal effect RE(c) = P(conv) − P(conv | channel c removed), and
+    credit channels proportionally. Removing a channel is implemented as
+    CLAMPING its value to zero inside the value iteration — any path
+    through c then converts with probability 0, exactly the
+    node-removal semantics, with no second transition matrix.
+
+    The trick that keeps it ONE dataframe program: the value table is
+    keyed by (removed, state) — the base chain ('<none>') and every
+    removal counterfactual iterate TOGETHER through {_ATTR_ITERS}
+    rounds of v(s) ← Σ_j n_sj·v(j) DIV row_n(s) (integer ppb mass,
+    events_markov_stationary's semiring; sum-then-divide keeps full
+    precision; exact while max transition count · 1e9 < 2^63, i.e.
+    ~9e9 journeys per edge — beyond that, divide first). Depth
+    {_ATTR_ITERS} credits paths up to {_ATTR_ITERS} hops; longer tails
+    carry negligible mass and are cut identically on both engines.
+
+    Scale: the event scan collapses to the |states|² transition matrix
+    plus one per-user terminal row; every iteration is a broadcast join
+    over (|channels|+1)·|states| rows — constant-size state for any real
+    channel taxonomy."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev = e.select("user_id", "state", F.row_number().over(wu).alias("rn"))
+    firstconv = (
+        ev.filter(F.col("state") == "CONV")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    journey = (
+        ev.join(firstconv, "user_id", "left")
+        .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
+        .select(
+            "user_id", "state", "rn", F.col("conv_rn").isNotNull().alias("converts")
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = journey.select(
+        F.coalesce(F.lag("state").over(wj), F.lit("START")).alias("from_type"),
+        F.col("state").alias("to_type"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    drops = (
+        journey.withColumn("rrn", F.row_number().over(wlast))
+        .filter((F.col("rrn") == 1) & ~F.col("converts"))
+        .select(F.col("state").alias("from_type"), F.lit("DROP").alias("to_type"))
+    )
+    tc = (
+        steps.unionAll(drops)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = tc.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
+    ).localCheckpoint(eager=True)
+    rem = (
+        t.select(F.col("from_type").alias("removed"))
+        .filter(F.col("removed") != "START")
+        .distinct()
+        .unionAll(spark.createDataFrame([("<none>",)], "removed string"))
+        .localCheckpoint(eager=True)
+    )
+    conv_rows = rem.select(
+        "removed", F.lit("CONV").alias("state"), F.lit(_ATTR_SCALE).cast("bigint").alias("v")
+    )
+    vf = conv_rows
+    for _ in range(_ATTR_ITERS):
+        nxt = (
+            t.join(F.broadcast(vf.withColumnRenamed("state", "to_type")), "to_type")
+            .groupBy("removed", F.col("from_type").alias("state"))
+            .agg(
+                F.expr("CAST(sum(n * v) div min(row_n) AS BIGINT)").alias("v")
+            )
+            .select(
+                "removed",
+                "state",
+                F.when(F.col("state") == F.col("removed"), F.lit(0).cast("bigint"))
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+        )
+        vf = nxt.unionAll(conv_rows)
+    pabs = (
+        rem.join(
+            F.broadcast(vf.filter(F.col("state") == "START").select("removed", "v")),
+            "removed",
+            "left",
+        )
+        .select("removed", F.coalesce("v", F.lit(0)).cast("bigint").alias("v"))
+    )
+    base = pabs.filter(F.col("removed") == "<none>").select(F.col("v").alias("vb"))
+    re = (
+        pabs.filter(F.col("removed") != "<none>")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            F.col("v").alias("p_removed"),
+            "vb",
+            F.greatest(F.col("vb") - F.col("v"), F.lit(0).cast("bigint")).alias("re"),
+        )
+    )
+    tot = re.agg(F.sum("re").cast("bigint").alias("tre"))
+    return (
+        re.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("p_removed").cast("bigint").alias("p_conv_removed_ppb"),
+            F.col("vb").cast("bigint").alias("base_conv_ppb"),
+            F.col("re").cast("bigint").alias("removal_effect_ppb"),
+            F.expr("re * 1000000 div nullif(tre, 0)")
+            .cast("bigint")
+            .alias("attribution_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# score-calibration report (reliability bins + expected calibration error)
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+@register(
+    "events_calibration_report",
+    sql=f"""
+    WITH vm AS (SELECT MAX(value) AS vmax FROM events),
+    scored AS (
+      SELECT LEAST(CAST(FLOOR(value / vmax * {_CAL_BINS}) AS BIGINT),
+                   {_CAL_BINS - 1}) AS bin,
+             CAST(ROUND(value / vmax * 1000000) AS BIGINT) AS s_micro,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events CROSS JOIN vm
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s_micro) AS BIGINT) AS ssum,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY bin
+    ),
+    enriched AS (
+      SELECT bin, n, pos,
+             CAST(ssum // n AS BIGINT) AS mean_score_micro,
+             CAST(pos * 1000000 // n AS BIGINT) AS obs_rate_micro
+      FROM bins
+    ),
+    tot AS (
+      SELECT CAST(SUM(n * ABS(mean_score_micro - obs_rate_micro)) AS BIGINT) AS wgap,
+             CAST(SUM(n) AS BIGINT) AS nn
+      FROM enriched
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n, pos,
+           mean_score_micro, obs_rate_micro,
+           CAST(ABS(mean_score_micro - obs_rate_micro) AS BIGINT) AS gap_micro,
+           CAST(wgap // nn AS BIGINT) AS ece_micro
+    FROM enriched CROSS JOIN tot
+    ORDER BY bin
+    """,
+    tags=("events", "calibration", "ml-eval"),
+)
+def events_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error, treating the
+    event value (max-normalized to [0,1]) as a model score and
+    event_type = 'purchase' as the label — the model-eval primitive a
+    training pipeline runs on every scored batch: per-decile predicted
+    score vs observed positive rate, plus the n-weighted mean gap (ECE).
+
+    Determinism: the score is quantized ONCE per row to micro-units
+    (value/vmax is one mirrored double division); per-bin means are
+    integer DIV over exact sums; ECE is an exact integer weighted fold —
+    no cross-engine float summation anywhere.
+
+    Scale: one scalar max broadcast + one {_CAL_BINS}-bin
+    map-side-combinable aggregate over the scan; the report is
+    {_CAL_BINS} rows regardless of event volume."""
+    vm = table(spark, sf_dir, "events").agg(F.max("value").alias("vmax"))
+    scored = (
+        table(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(vm))
+        .select(
+            F.least(
+                F.floor(F.col("value") / F.col("vmax") * _CAL_BINS).cast("bigint"),
+                F.lit(_CAL_BINS - 1).cast("bigint"),
+            ).alias("bin"),
+            F.round(F.col("value") / F.col("vmax") * 1000000)
+            .cast("bigint")
+            .alias("s_micro"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        )
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s_micro").cast("bigint").alias("ssum"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    enriched = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("ssum div n").cast("bigint").alias("mean_score_micro"),
+        F.expr("pos * 1000000 div n").cast("bigint").alias("obs_rate_micro"),
+    )
+    tot = enriched.agg(
+        F.sum(
+            F.col("n") * F.abs(F.col("mean_score_micro") - F.col("obs_rate_micro"))
+        )
+        .cast("bigint")
+        .alias("wgap"),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    return (
+        enriched.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            "pos",
+            "mean_score_micro",
+            "obs_rate_micro",
+            F.abs(F.col("mean_score_micro") - F.col("obs_rate_micro"))
+            .cast("bigint")
+            .alias("gap_micro"),
+            F.expr("wgap div nn").cast("bigint").alias("ece_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -763,3 +763,119 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("src") % 2 == 0, "customer").otherwise("supplier").alias("kind"),
         F.col("core_degree").cast("bigint").alias("core_degree"),
     ).orderBy("node_id")
+
+
+# --------------------------------------------------------------------------
+# label-propagation communities (synchronous LPA, deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+_LPA_TOP = 20
+
+
+def _sql_lpa_iter(i: int, prev: str) -> str:
+    return f"""
+    lp{i} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )"""
+
+
+_SQL_LPA = (
+    "WITH "
+    + _SQL_GRAPH
+    + """,
+    lp0 AS (SELECT src AS node, src AS label FROM deg),
+    """
+    + ",".join(_sql_lpa_iter(i, f"lp{i - 1}") for i in range(1, _LPA_ITERS + 1))
+    + f""",
+    comm AS (
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM lp{_LPA_ITERS} GROUP BY label
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                   CAST(SUM(n_members) AS BIGINT) AS n_nodes FROM comm)
+    SELECT community, n_members, n_communities, n_nodes,
+           CAST(rn AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_members DESC, community) AS rn
+          FROM comm CROSS JOIN tot)
+    WHERE rn <= {_LPA_TOP}
+    ORDER BY rnk
+    """
+)
+
+
+@register("graph_lpa_communities", sql=_SQL_LPA, tags=("graph", "communities", "iterative"))
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation on the
+    customer↔supplier trade graph — the O(edges)-per-round community
+    algorithm (Raghavan et al. 2007) that needs no modularity
+    optimization, completing the graph family (components = reachability,
+    k-core = density, LPA = mesoscale structure).
+
+    Determinism (synchronous LPA is normally run-order-dependent): every
+    node updates simultaneously from the PREVIOUS round's labels, the new
+    label is the max-frequency neighbor label with ties broken by MIN
+    label, and the round count is fixed at {_LPA_ITERS} — no RNG, no
+    sequential sweep, identical on both engines under any partitioning.
+    Bipartite oscillation is damped by the same rule (label ids are node
+    ids, so min-tiebreak pulls both sides toward the smallest member).
+
+    Scale: each round is ONE shuffle of the edge list joined to a
+    node-sized label table (Pregel economics, like pagerank/BFS here);
+    the per-round argmax is a (node, label)-grain aggregate + window.
+    localCheckpoint per round caps lineage growth."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        # argmax-by-(cnt, -label) as a plain aggregate: struct max picks the
+        # highest count, then the LOWEST label (labels are non-negative) —
+        # same total order as the oracle's row_number, one sort cheaper
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    tot = comm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("n_members").cast("bigint").alias("n_nodes"),
+    )
+    wr = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    return (
+        comm.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _LPA_TOP)
+        .select(
+            "community",
+            "n_members",
+            "n_communities",
+            "n_nodes",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

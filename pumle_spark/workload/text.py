@@ -1756,3 +1756,161 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (ingestion-order checkpoints + fitted beta)
+# --------------------------------------------------------------------------
+
+_HEAPS_CKPTS = 20
+_HEAPS_BKT = 256  # doc-id bucket width for the two-level prefix sum
+
+
+@register(
+    "text_heaps_law",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1),
+    firsts AS (SELECT term, MIN(doc_id) AS fd FROM toks_ok GROUP BY 1),
+    newt AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv FROM firsts GROUP BY 1),
+    docs AS (
+      SELECT d.doc_id, d.dl, COALESCE(n.nv, 0) AS nv
+      FROM dlen d LEFT JOIN newt n USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+             CAST(SUM(dl) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(SUM(nv) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM docs
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs),
+    ck AS (
+      SELECT doc_id, rn, cum_tokens, cum_vocab
+      FROM cum CROSS JOIN nn
+      WHERE rn * {_HEAPS_CKPTS} // n_docs > (rn - 1) * {_HEAPS_CKPTS} // n_docs
+    ),
+    q AS (
+      SELECT doc_id, rn, cum_tokens, cum_vocab,
+             CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(cum_vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ck WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT q.doc_id AS ckpt_doc_id, q.rn AS n_docs_seen,
+           q.cum_tokens, q.cum_vocab,
+           ROUND(CAST(fit.m * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+                 / NULLIF(CAST(fit.m * fit.sxx - fit.sx * fit.sx AS DOUBLE), 0),
+                 6) AS heaps_beta
+    FROM q CROSS JOIN fit
+    ORDER BY ckpt_doc_id
+    """,
+    tags=("text", "heaps", "vocabulary", "profiling"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct vocabulary vs
+    cumulative token count at {_HEAPS_CKPTS} evenly-spaced
+    ingestion-order checkpoints, plus the fitted growth exponent β
+    (V ≈ k·Nᵝ) — the curve a corpus pipeline tracks to detect both
+    stagnation (duplicate-heavy crawls flatten it) and contamination
+    (β jumping toward 1 means unbounded junk vocabulary).
+
+    Determinism: a term's first owner is MIN(doc_id) (exact); both
+    cumulatives are integer sums; the log-log regression runs on
+    once-quantized micro-logs with all moment sums exact BIGINTs
+    (|x| ≤ 28e6 ⇒ Σx² over {_HEAPS_CKPTS} points ≪ 2^63), and β is ONE
+    mirrored double division at the end — the zipf_slope discipline.
+
+    Scale: the oracle's single global cumsum is replaced on the Spark
+    side by the drift_ks_two_sample TWO-LEVEL prefix sum (doc-id range
+    buckets of {_HEAPS_BKT}, tiny carry-in window, per-bucket cumulative)
+    so no corpus-sized single-partition window exists; the checkpoint
+    filter then keeps {_HEAPS_CKPTS} rows."""
+    docs_t = table(spark, sf_dir, "documents")
+    toks = docs_t.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    newt = firsts.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    docs = dlen.join(newt, "doc_id", "left").select(
+        "doc_id", "dl", F.coalesce("nv", F.lit(0)).cast("bigint").alias("nv")
+    )
+    # two-level prefix: bucket carry-ins (tiny window) + per-bucket cumsum
+    docs = docs.withColumn("bkt", F.expr(f"doc_id div {_HEAPS_BKT}"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        docs.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("bc"),
+            F.sum("dl").cast("bigint").alias("bt"),
+            F.sum("nv").cast("bigint").alias("bv"),
+        )
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bc").over(wb), F.lit(0)).cast("bigint").alias("oc"),
+            F.coalesce(F.sum("bt").over(wb), F.lit(0)).cast("bigint").alias("ot"),
+            F.coalesce(F.sum("bv").over(wb), F.lit(0)).cast("bigint").alias("ov"),
+        )
+    )
+    wl = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        (F.col("oc") + F.count(F.lit(1)).over(wl)).cast("bigint").alias("rn"),
+        (F.col("ot") + F.sum("dl").over(wl)).cast("bigint").alias("cum_tokens"),
+        (F.col("ov") + F.sum("nv").over(wl)).cast("bigint").alias("cum_vocab"),
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ck = cum.crossJoin(F.broadcast(nn)).filter(
+        F.expr(f"rn * {_HEAPS_CKPTS} div n_docs > (rn - 1) * {_HEAPS_CKPTS} div n_docs")
+    )
+    q = ck.filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
+        "doc_id",
+        "rn",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    fit = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return (
+        q.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("doc_id").alias("ckpt_doc_id"),
+            F.col("rn").alias("n_docs_seen"),
+            "cum_tokens",
+            "cum_vocab",
+            F.round(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.nullif(
+                    (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("ckpt_doc_id")
+    )

@@ -84,3 +84,58 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(zpath).orderBy("o_orderkey").collect()
     b = spark.read.parquet(spath).orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key removes the Exchange from the
+    join plan entirely — the co-located-join story a 100 TB warehouse is
+    built on. Asserted on the PLAN (no shuffle on either join input), and
+    on result parity with the plain shuffled join."""
+    import uuid
+
+    wh = f"bkt_{uuid.uuid4().hex[:8]}"
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lines = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    try:
+        for df, name, key in (
+            (orders, f"{wh}_orders", "o_orderkey"),
+            (lines, f"{wh}_lineitem", "l_orderkey"),
+        ):
+            (
+                df.write.format("parquet")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        bo = spark.table(f"{wh}_orders")
+        bl = spark.table(f"{wh}_lineitem")
+        # disable broadcast so the join strategy is actually exercised
+        joined = (
+            bo.hint("merge")
+            .join(bl, bo.o_orderkey == bl.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the ONLY exchange allowed is the post-join groupBy shuffle;
+        # neither join INPUT may re-shuffle (bucketing already co-locates)
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        got = {(r.o_custkey, round(r.rev, 2)) for r in joined.collect()}
+        want = {
+            (r.o_custkey, round(r.rev, 2))
+            for r in orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {wh}_orders")
+        spark.sql(f"DROP TABLE IF EXISTS {wh}_lineitem")

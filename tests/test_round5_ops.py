@@ -642,3 +642,119 @@ def test_rrf_fusion_is_rank_consistent(spark):
         keys = [(-r.rrf_micro, r.doc_id) for r in rs]
         assert keys == sorted(keys)
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_markov_removal_attribution_invariants(spark):
+    """Removing any channel can only lower conversion probability; the
+    attribution shares are a partition of ~1e6 ppm; clamping semantics:
+    a channel's own removal row never credits paths through it."""
+    from pumle_spark.workload.events import attribution_markov_removal
+
+    rows = attribution_markov_removal(spark, SF).collect()
+    assert rows
+    base = rows[0].base_conv_ppb
+    assert all(r.base_conv_ppb == base for r in rows)
+    assert 0 < base <= 1_000_000_000
+    tot_re = sum(r.removal_effect_ppb for r in rows)
+    for r in rows:
+        assert 0 <= r.p_conv_removed_ppb <= base  # removal never helps
+        assert r.removal_effect_ppb == base - r.p_conv_removed_ppb
+        if tot_re:
+            assert r.attribution_ppm == r.removal_effect_ppb * 1_000_000 // tot_re
+    if tot_re:
+        s = sum(r.attribution_ppm for r in rows)
+        assert 1_000_000 - len(rows) <= s <= 1_000_000  # floor-div remainder only
+
+
+def test_heaps_law_checkpoints_match_bruteforce(spark):
+    """Cumulative vocab/token counts at every checkpoint must equal the
+    naive ingestion-order scan; checkpoints are evenly spaced."""
+    from pumle_spark.tables import table
+    from pumle_spark.operators.dedup import normalize_text
+    from pumle_spark.workload.text import _HEAPS_CKPTS, text_heaps_law
+
+    rows = text_heaps_law(spark, SF).collect()
+    docs = sorted(
+        (
+            (r.doc_id, [t for t in r.ws if t])
+            for r in table(spark, SF, "documents")
+            .select("doc_id", normalize_text("text").alias("ws"))
+            .collect()
+        )
+    )
+    assert len(rows) == min(_HEAPS_CKPTS, len(docs))
+    seen, cum_t = set(), 0
+    cums = {}
+    for i, (doc_id, toks) in enumerate(docs, 1):
+        cum_t += len(toks)
+        seen |= set(toks)
+        cums[doc_id] = (i, cum_t, len(seen))
+    for r in rows:
+        assert (r.n_docs_seen, r.cum_tokens, r.cum_vocab) == cums[r.ckpt_doc_id]
+    assert rows[-1].n_docs_seen == len(docs)  # last checkpoint = full corpus
+
+
+def test_calibration_report_exact(spark):
+    """Bin means, observed rates, and ECE must match a driver-side
+    recomputation under the same quantization."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import _CAL_BINS, events_calibration_report
+
+    rows = events_calibration_report(spark, SF).collect()
+    ev = table(spark, SF, "events").select("value", "event_type").collect()
+    vmax = max(r.value for r in ev)
+    import math
+
+    bins = {}
+    for r in ev:
+        b = min(int(math.floor(r.value / vmax * _CAL_BINS)), _CAL_BINS - 1)
+        s = int(math.floor(r.value / vmax * 1_000_000 + 0.5))
+        y = 1 if r.event_type == "purchase" else 0
+        n, ss, pos = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, ss + s, pos + y)
+    wgap = nn = 0
+    expect = {}
+    for b, (n, ss, pos) in bins.items():
+        ms, orate = ss // n, pos * 1_000_000 // n
+        expect[b] = (n, pos, ms, orate, abs(ms - orate))
+        wgap += n * abs(ms - orate)
+        nn += n
+    assert len(rows) == len(bins)
+    for r in rows:
+        assert (r.n, r.pos, r.mean_score_micro, r.obs_rate_micro, r.gap_micro) == expect[r.bin]
+        assert r.ece_micro == wgap // nn
+
+
+def test_lpa_communities_match_bruteforce(spark):
+    """Four synchronous LPA rounds recomputed in pure Python (max-count,
+    min-label tiebreak) must yield the same community histogram."""
+    from collections import Counter, defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.graph import _LPA_ITERS, graph_lpa_communities
+
+    rows = graph_lpa_communities(spark, SF).collect()
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in table(spark, SF, "orders").select("o_orderkey", "o_custkey").collect()
+    }
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    pairs = {(o[r.l_orderkey], r.l_suppkey) for r in li if r.l_orderkey in o}
+    adj = defaultdict(list)
+    for c, s in pairs:
+        adj[2 * s + 1].append(2 * c)
+        adj[2 * c].append(2 * s + 1)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for node, nbrs in adj.items():
+            cnt = Counter(labels[nb] for nb in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[node] = best[0]
+        labels = nxt
+    want = Counter(labels.values())
+    got = {r.community: r.n_members for r in rows}
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(top)
+    assert rows[0].n_communities == len(want)
+    assert rows[0].n_nodes == len(adj)

@@ -90,6 +90,9 @@ ALLOW = {
     "decomp_monthly_revenue": {"BroadcastNestedLoopJoin": "single-row seasonal-mean scalar x 12 month indices"},
     "split_cluster_aware": {"BroadcastNestedLoopJoin": "single-row leak-count scalar x 3 split rows"},
     "retrieval_rrf_fusion": {"BroadcastNestedLoopJoin": "single-row corpus (N, avgdl) scalar x pruned postings"},
+    "attribution_markov_removal": {"BroadcastNestedLoopJoin": "single-row base/total scalars x channel rows"},
+    "text_heaps_law": {"BroadcastNestedLoopJoin": "single-row doc-count + regression-moment scalars x checkpoints"},
+    "events_calibration_report": {"BroadcastNestedLoopJoin": "single-row max/ECE scalars x 10 bins"},
 }
 
 
