@@ -139,6 +139,7 @@ def _load_modules() -> None:
         dedup,
         drift,
         events,
+        experiments,
         graph,
         layout,
         linkage,

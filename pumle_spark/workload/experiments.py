@@ -1,0 +1,517 @@
+"""Experimentation & privacy analytics: sample-ratio-mismatch audit, CUPED
+variance reduction, Poisson-bootstrap confidence intervals, k-anonymity risk.
+
+The shapes an experimentation platform (and the privacy review that gates a
+training-data release) runs daily, expressed with the repo's determinism
+discipline so the DuckDB oracle hash-matches bit for bit:
+
+- ``abtest_srm_check`` — deterministic 50/30/20 hash assignment of customers
+  to three arms and a chi-square sample-ratio-mismatch test. The chi-square
+  is computed in EXACT integer arithmetic: (100·obs − n·w)² / (100·n·w)
+  keeps every term rational until a single mirrored double division, so no
+  engine-order float summation exists anywhere.
+- ``abtest_cuped_adjusted`` — CUPED (Deng et al. 2013, WSDM): regress the
+  post-period metric on the pre-period covariate, pooled
+  θ = cov(X,Y)/var(X), and report per-arm adjusted means
+  ȳ − θ·(x̄ − x̄_global). Moments are exact DECIMAL(38,0) sums of integer
+  cents (bigint would overflow Σxy at sf≳1), divided once at the end.
+- ``stats_bootstrap_ci`` — the Poisson bootstrap (Chamandy et al. 2012,
+  Google): resample weights w ~ Poisson(1) drawn per (row, replicate) from
+  a 48-bit md5 uniform against PRECOMPUTED integer thresholds
+  ⌊CDF·2⁴⁸⌋, so weight assignment is pure integer comparison. This is THE
+  cluster-scale bootstrap: one pass, no sampling with replacement over a
+  shuffled corpus, map-side partial aggregation into B groups.
+- ``privacy_k_anonymity`` — equivalence-class audit over quasi-identifiers
+  (nation, market segment, $1000 balance band): for each k in {2,5,10,25},
+  how many classes and rows fall below k-anonymity. Pure integer counts.
+
+Scale notes per query in the docstrings; none of the four shuffles anything
+wider than an aggregate's partial rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pumle_spark.tables import table
+from pumle_spark.workload import register
+
+# Poisson(1) inverse-CDF thresholds scaled by 2^48: weight k iff
+# u48 < _POIS_T[k] (first match wins), else 6. floor(cum_cdf * 2^48) with
+# cum_cdf = e^-1 * (1 + 1 + 1/2! + ...) — the literals below are exact and
+# shared verbatim by the Spark expression and the DuckDB oracle, so the
+# drawn weight is identical on both engines for every (row, replicate).
+_POIS_T = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+)
+
+_BOOT_B = 200  # bootstrap replicates
+_BOOT_LO = 6  # rank of the 2.5% order statistic among 200 (ceil(0.025*200)+1)
+_BOOT_HI = 195  # rank of the 97.5% order statistic (floor(0.975*200))
+
+_CHI2_CRIT_DF2 = 5.991464547107979  # chi-square 0.95 quantile, df = 2
+
+# pre-period strictly before, post-period on/after. The driver's orders span
+# 1995-01-01..2001-08-01 (TESTDATA.md), so the midpoint split gives every
+# customer a populated covariate window.
+_CUPED_SPLIT = "1998-07-01"
+
+
+def _weight_case_sql(u48: str) -> str:
+    """CASE expression mapping a 48-bit uniform to a Poisson(1) weight —
+    identical text works in both Spark SQL and DuckDB."""
+    arms = " ".join(f"WHEN {u48} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    return f"CASE {arms} ELSE 6 END"
+
+
+# --------------------------------------------------------------------------
+# sample-ratio-mismatch chi-square audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "abtest_srm_check",
+    sql=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN bucket < 50 THEN 'control'
+                  WHEN bucket < 80 THEN 'variant_a'
+                  ELSE 'variant_b' END AS arm,
+             CASE WHEN bucket < 50 THEN 50 WHEN bucket < 80 THEN 30
+                  ELSE 20 END AS weight_pct
+      FROM (SELECT ('0x' || substr(md5('srm|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 100
+                     AS bucket
+            FROM customer)
+    ),
+    per_arm AS (
+      SELECT arm, weight_pct, CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM assigned GROUP BY arm, weight_pct
+    ),
+    tot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS n FROM per_arm),
+    terms AS (
+      SELECT arm, weight_pct, n_units, tot.n,
+             CAST(100 * n_units - tot.n * weight_pct AS DECIMAL(19,0))
+               * CAST(100 * n_units - tot.n * weight_pct AS DECIMAL(19,0)) AS numer
+      FROM per_arm CROSS JOIN tot
+    ),
+    total AS (
+      SELECT CAST(SUM(numer * (300 // weight_pct)) AS DECIMAL(38,0)) AS numer_all,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM terms
+    )
+    SELECT t.arm,
+           CAST(t.weight_pct AS INTEGER) AS weight_pct,
+           t.n_units,
+           ROUND(CAST(t.n * t.weight_pct AS DOUBLE) / 100.0, 4) AS expected_units,
+           ROUND(CAST(t.numer AS DOUBLE) / CAST(100 * t.n * t.weight_pct AS DOUBLE), 6)
+             AS chi2_contrib,
+           ROUND(CAST(total.numer_all AS DOUBLE) / CAST(100 * total.n * 300 AS DOUBLE), 6)
+             AS chi2_total,
+           CAST(CAST(total.numer_all AS DOUBLE) / CAST(100 * total.n * 300 AS DOUBLE)
+                  > {_CHI2_CRIT_DF2} AS BOOLEAN) AS srm_flag
+    FROM terms t CROSS JOIN total
+    ORDER BY t.arm
+    """,
+    tags=("experiments", "abtest", "chi-square"),
+)
+def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit for a 50/30/20 experiment: customers are
+    hash-assigned (md5('srm|'||key) mod 100 — content-free, stable under
+    corpus growth), observed arm sizes are tested against the design ratios
+    with a chi-square. SRM is the first gate every experimentation platform
+    runs: a biased assignment invalidates the experiment before any metric
+    is read.
+
+    Exactness: chi-square terms are kept rational — the numerator
+    (100·obs − n·w)² is an exact DECIMAL(19,0)², the total re-scales each
+    term by 300/w (integer for w ∈ {50,30,20}) onto the common denominator
+    100·n·300, and each statistic is ONE double division of exact integers.
+    No float sum exists, so engine aggregation order cannot perturb the
+    rounded output.
+
+    Scale: assignment is per-row map work; the only shuffle carries 3
+    partial-aggregated rows. The chi-square is computed on a 3-row table.
+    """
+    c = table(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("srm|"), F.col("c_custkey").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = c.select(
+        F.when(bucket < 50, "control").when(bucket < 80, "variant_a").otherwise("variant_b").alias("arm"),
+        F.when(bucket < 50, 50).when(bucket < 80, 30).otherwise(20).alias("weight_pct"),
+    )
+    per_arm = assigned.groupBy("arm", "weight_pct").agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
+    tot = per_arm.agg(F.sum("n_units").cast("bigint").alias("n"))
+    terms = per_arm.crossJoin(F.broadcast(tot)).withColumn(
+        "numer",
+        F.expr("CAST(100 * n_units - n * weight_pct AS DECIMAL(19,0))")
+        * F.expr("CAST(100 * n_units - n * weight_pct AS DECIMAL(19,0))"),
+    )
+    total = terms.agg(
+        F.sum(F.col("numer") * F.expr("300 div weight_pct")).cast("decimal(38,0)").alias("numer_all"),
+        F.max("n").cast("bigint").alias("n_all"),
+    )
+    chi2_total = F.col("numer_all").cast("double") / (F.lit(100) * F.col("n_all") * F.lit(300)).cast("double")
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "arm",
+            F.col("weight_pct").cast("int").alias("weight_pct"),
+            "n_units",
+            F.round((F.col("n") * F.col("weight_pct")).cast("double") / 100.0, 4).alias("expected_units"),
+            F.round(
+                F.col("numer").cast("double") / (F.lit(100) * F.col("n") * F.col("weight_pct")).cast("double"),
+                6,
+            ).alias("chi2_contrib"),
+            F.round(chi2_total, 6).alias("chi2_total"),
+            (chi2_total > _CHI2_CRIT_DF2).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED adjusted means
+# --------------------------------------------------------------------------
+
+
+@register(
+    "abtest_cuped_adjusted",
+    sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(COALESCE(SUM(CASE WHEN o_orderdate <  DATE '{_CUPED_SPLIT}'
+                   THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS x_cents,
+             CAST(COALESCE(SUM(CASE WHEN o_orderdate >= DATE '{_CUPED_SPLIT}'
+                   THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS y_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    assigned AS (
+      SELECT x_cents, y_cents,
+             CASE WHEN ('0x' || substr(md5('cuped|' || CAST(o_custkey AS VARCHAR)), 1, 4))::BIGINT % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM per_cust
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x_cents AS DECIMAL(19,0)) * CAST(x_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x_cents AS DECIMAL(19,0)) * CAST(y_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+      FROM assigned
+    ),
+    th AS (
+      SELECT n, sx,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS theta
+      FROM mom
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(CAST(x_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS asx,
+             CAST(SUM(CAST(y_cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS asy
+      FROM assigned GROUP BY arm
+    )
+    SELECT arm, n_units,
+           ROUND(CAST(asy AS DOUBLE) / n_units, 2) AS mean_y_cents,
+           ROUND(CAST(asx AS DOUBLE) / n_units, 2) AS mean_x_cents,
+           ROUND(CAST(asy AS DOUBLE) / n_units
+                 - th.theta * (CAST(asx AS DOUBLE) / n_units
+                               - CAST(th.sx AS DOUBLE) / th.n), 2) AS mean_y_cuped_cents,
+           ROUND(th.theta, 6) AS theta
+    FROM arms CROSS JOIN th
+    ORDER BY arm
+    """,
+    tags=("experiments", "abtest", "cuped", "variance-reduction"),
+)
+def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced treatment means (Deng et al. 2013): per
+    customer, X = pre-{_CUPED_SPLIT} order cents and Y = post-period cents;
+    pooled θ = cov(X,Y)/var(X) from exact DECIMAL(38,0) moment sums; per
+    arm (50/50 md5 split) report raw and adjusted means
+    ȳ − θ·(x̄ − x̄_global). The adjusted means preserve the treatment
+    effect while shrinking variance by the pre-period correlation — the
+    standard trick that cuts experiment runtimes 30-50%.
+
+    Exactness: cents are integers; all five moments are DECIMAL(38,0) sums
+    (Σxy overflows BIGINT once customer lifetime cents exceed ~3e9·3e9);
+    θ and the means are single mirrored double expressions of those exact
+    sums, so no engine float-sum ordering exists.
+
+    Scale: one partial-aggregated groupBy of orders (per-customer), one
+    5-column moment aggregate, one 2-row arm aggregate. Nothing wider than
+    the customer rollup ever shuffles, and θ is a broadcast scalar.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.coalesce(F.sum(F.when(F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast("date"), cents)), F.lit(0))
+        .cast("bigint")
+        .alias("x_cents"),
+        F.coalesce(F.sum(F.when(F.col("o_orderdate") >= F.lit(_CUPED_SPLIT).cast("date"), cents)), F.lit(0))
+        .cast("bigint")
+        .alias("y_cents"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cuped|"), F.col("o_custkey").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = per_cust.select(
+        "x_cents", "y_cents", F.when(bucket < 50, "control").otherwise("treatment").alias("arm")
+    )
+    xd = F.col("x_cents").cast("decimal(19,0)")
+    yd = F.col("y_cents").cast("decimal(19,0)")
+    mom = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+    )
+    th = mom.select(
+        "n",
+        "sx",
+        (
+            (F.col("n").cast("double") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n").cast("double") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("theta"),
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(xd).cast("decimal(38,0)").alias("asx"),
+        F.sum(yd).cast("decimal(38,0)").alias("asy"),
+    )
+    mean_y = F.col("asy").cast("double") / F.col("n_units")
+    mean_x = F.col("asx").cast("double") / F.col("n_units")
+    gmean_x = F.col("sx").cast("double") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "n_units",
+            F.round(mean_y, 2).alias("mean_y_cents"),
+            F.round(mean_x, 2).alias("mean_x_cents"),
+            F.round(mean_y - F.col("theta") * (mean_x - gmean_x), 2).alias("mean_y_cuped_cents"),
+            F.round("theta", 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_bootstrap_ci",
+    sql=f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    obs AS (
+      SELECT CAST(SUM(cents) AS DECIMAL(38,0)) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM base
+    ),
+    reps AS (
+      SELECT b, u48,
+             {_weight_case_sql("u48")} AS w, cents
+      FROM (
+        SELECT bs.b, cents,
+               ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|' || CAST(bs.b AS VARCHAR)), 1, 12))::BIGINT
+                 AS u48
+        FROM base CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) bs
+      )
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+               / NULLIF(CAST(SUM(w) AS DOUBLE), 0) AS mean_cents
+      FROM reps GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk FROM means
+    )
+    SELECT CAST({_BOOT_B} AS INTEGER) AS n_resamples,
+           obs.n AS n_rows,
+           ROUND(CAST(obs.s AS DOUBLE) / obs.n, 2) AS mean_obs_cents,
+           ROUND(MAX(CASE WHEN rk = {_BOOT_LO} THEN mean_cents END), 2) AS ci_lo_cents,
+           ROUND(MAX(CASE WHEN rk = {_BOOT_HI} THEN mean_cents END), 2) AS ci_hi_cents
+    FROM ranked CROSS JOIN obs
+    GROUP BY obs.n, obs.s
+    """,
+    tags=("experiments", "bootstrap", "statistics"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean order value
+    (Chamandy et al. 2012 — "Estimating uncertainty for massive data
+    streams", the bootstrap Google runs at cluster scale): every (row,
+    replicate) pair draws w ~ Poisson(1) from a 48-bit md5 uniform against
+    precomputed integer thresholds ⌊CDF·2⁴⁸⌋ = {_POIS_T}, replicate means
+    are Σw·x/Σw, and the CI is the ({_BOOT_LO},{_BOOT_HI}) order-statistic
+    pair of the {_BOOT_B} means (2.5%/97.5% with explicit ranks — no
+    engine-specific percentile interpolation).
+
+    Exactness: weights are integer comparisons; per-replicate sums are
+    DECIMAL(38,0); each mean is one double division; order statistics are
+    rank-selected with a (mean, b) total order. Nothing float-accumulates.
+
+    Scale: the ×{_BOOT_B} expansion is generated per-row (no shuffle) and
+    collapses through map-side partial aggregation into exactly {_BOOT_B}
+    groups — the canonical one-pass bootstrap that replaces resample-with-
+    replacement (which would shuffle the corpus B times). 100 TB × 200
+    replicates never materializes: each partition emits 200 partial rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    obs = base.agg(
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    reps = (
+        base.select("o_orderkey", "cents")
+        .select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            F.col("o_orderkey"),
+        )
+        .withColumn(
+            "u48",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot|"),
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("|"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .withColumn("w", F.expr(_weight_case_sql("u48")))
+    )
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            / F.nullif(F.sum("w").cast("double"), F.lit(0))
+        ).alias("mean_cents")
+    )
+    ranked = means.select(
+        "mean_cents", F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("n", "s")
+        .agg(
+            F.max(F.when(F.col("rk") == _BOOT_LO, F.col("mean_cents"))).alias("lo"),
+            F.max(F.when(F.col("rk") == _BOOT_HI, F.col("mean_cents"))).alias("hi"),
+        )
+        .select(
+            F.lit(_BOOT_B).cast("int").alias("n_resamples"),
+            F.col("n").alias("n_rows"),
+            F.round(F.col("s").cast("double") / F.col("n"), 2).alias("mean_obs_cents"),
+            F.round("lo", 2).alias("ci_lo_cents"),
+            F.round("hi", 2).alias("ci_hi_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "privacy_k_anonymity",
+    sql="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes FROM qi),
+    ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           tot.n_classes,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE qi.class_size < ks.k), 0) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(qi.class_size) FILTER (WHERE qi.class_size < ks.k), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(COALESCE(SUM(qi.class_size) FILTER (WHERE qi.class_size < ks.k), 0)
+                  * 1000000 // tot.n_rows AS BIGINT) AS risk_ppm
+    FROM qi CROSS JOIN tot CROSS JOIN ks
+    GROUP BY ks.k, tot.n_classes, tot.n_rows
+    ORDER BY k
+    """,
+    tags=("privacy", "k-anonymity", "audit"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit (Sweeney 2002) over the quasi-identifier
+    tuple (nation, market segment, $1000 account-balance band): an
+    equivalence class smaller than k means those customers are
+    re-identifiable by joining the quasi-identifiers against an external
+    dataset. For each k in {2, 5, 10, 25} the report counts classes and
+    rows below the threshold plus the at-risk fraction in exact integer
+    ppm — the release gate a privacy review runs before a dataset ships.
+
+    Scale: one partial-aggregated groupBy builds the class table (bounded
+    by the QI-space cardinality, ~25·5·bands, NOT the row count); the k
+    fan-out and rollup run over that small table. Band division is
+    truncating integer div, identical across engines for negatives too.
+    """
+    c = table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    tot = qi.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    ks = [2, 5, 10, 25]
+    at_risk = F.sum(F.when(F.col("class_size") < F.col("k"), F.col("class_size")))
+    return (
+        qi.crossJoin(F.broadcast(tot))
+        .select("class_size", "n_rows", "n_classes", F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"))
+        .groupBy("k", "n_classes", "n_rows")
+        .agg(
+            F.coalesce(F.count(F.when(F.col("class_size") < F.col("k"), F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(at_risk, F.lit(0)).cast("bigint").alias("rows_at_risk"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN class_size < k THEN class_size END), 0) * 1000000"
+                " div MAX(n_rows) AS BIGINT)"
+            ).alias("risk_ppm"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_classes",
+            "n_classes_below",
+            "rows_at_risk",
+            "risk_ppm",
+        )
+        .orderBy("k")
+    )

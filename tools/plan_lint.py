@@ -93,6 +93,11 @@ ALLOW = {
     "attribution_markov_removal": {"BroadcastNestedLoopJoin": "single-row base/total scalars x channel rows"},
     "text_heaps_law": {"BroadcastNestedLoopJoin": "single-row doc-count + regression-moment scalars x checkpoints"},
     "events_calibration_report": {"BroadcastNestedLoopJoin": "single-row max/ECE scalars x 10 bins"},
+    "graph_lpa_communities": {"BroadcastNestedLoopJoin": "single-row node-total scalar x community rows"},
+    "abtest_srm_check": {"BroadcastNestedLoopJoin": "single-row unit-total + chi2-total scalars x 3 arms"},
+    "abtest_cuped_adjusted": {"BroadcastNestedLoopJoin": "single-row pooled-theta scalar x 3 arms"},
+    "stats_bootstrap_ci": {"BroadcastNestedLoopJoin": "single-row observed-mean scalar x 200 replicate rows"},
+    "privacy_k_anonymity": {"BroadcastNestedLoopJoin": "single-row class/row-total scalars x 4 k-thresholds"},
 }
 
 
