@@ -2759,3 +2759,89 @@ def events_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# robust daily-volume anomaly detection (median / MAD)
+# --------------------------------------------------------------------------
+
+_MAD_TOP = 30
+_MAD_Z_MILLI = 3500  # |robust z| > 3.5 flags an anomaly (Iglewicz–Hoaglin)
+
+
+@register(
+    "events_anomaly_mad",
+    sql=f"""
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+    dc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY day),
+    m AS (SELECT CAST(2 * quantile_cont(n_events, 0.5) AS BIGINT) AS med2 FROM dc),
+    dev AS (
+      SELECT day, n_events, CAST(abs(2 * n_events - m.med2) AS BIGINT) AS dev2
+      FROM dc, m
+    ),
+    mm AS (SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 FROM dev),
+    scored AS (
+      SELECT d.day, d.n_events,
+             CASE WHEN mm.mad4 = 0 THEN 0
+                  ELSE CAST((20000000 * d.dev2) // (14826 * mm.mad4) AS BIGINT)
+             END AS z_milli
+      FROM dev d, mm
+    )
+    SELECT CAST(day AS BIGINT) AS day_idx, n_events, z_milli,
+           z_milli > {_MAD_Z_MILLI} AS is_anomaly,
+           CAST(ROW_NUMBER() OVER (ORDER BY z_milli DESC, day) AS INTEGER) AS rnk
+    FROM scored
+    ORDER BY rnk
+    LIMIT {_MAD_TOP}
+    """,
+    tags=("events", "anomaly", "timeseries"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly scan of daily event volume: the
+    {_MAD_TOP} most deviant days by modified z-score |x − med| /
+    (1.4826·MAD), flagged above {_MAD_Z_MILLI / 1000} (Iglewicz &
+    Hoaglin 1993) — the outlier gate a pipeline runs on ingest volume
+    before trusting a day's partition, immune to the mean-inflation that
+    breaks σ-based rules on the very spikes being hunted.
+
+    Determinism: medians of integer counts land on integers or exact
+    .5s, so doubled medians (med2 = 2·median, mad4 = 4·MAD) are exact
+    BIGINTs; the z-score is one integer floor division per day
+    (20000000·dev2 // 14826·mad4 ≡ milli-units of 2·dev2/(1.4826·mad4)),
+    zero float summation anywhere.
+
+    Scale shape: the raw stream collapses to per-day counts map-side
+    (calendar-bounded output — years of data is thousands of rows), so
+    the two global medians aggregate a tiny series; both scalars return
+    as single-row broadcasts. The heavy table is touched once."""
+    e = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    dc = e.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    m = dc.agg(
+        (2 * F.expr("percentile(n_events, 0.5)")).cast("bigint").alias("med2")
+    )
+    dev = dc.crossJoin(F.broadcast(m)).select(
+        "day", "n_events", F.abs(2 * F.col("n_events") - F.col("med2")).cast("bigint").alias("dev2")
+    )
+    mm = dev.agg((2 * F.expr("percentile(dev2, 0.5)")).cast("bigint").alias("mad4"))
+    scored = dev.crossJoin(F.broadcast(mm)).select(
+        "day",
+        "n_events",
+        F.when(F.col("mad4") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(20000000 * dev2) div (14826 * mad4)").cast("bigint"))
+        .alias("z_milli"),
+    )
+    top = scored.orderBy(F.desc("z_milli"), "day").limit(_MAD_TOP)
+    wr = Window.orderBy(F.desc("z_milli"), "day")
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .select(
+            F.col("day").cast("bigint").alias("day_idx"),
+            "n_events",
+            "z_milli",
+            (F.col("z_milli") > _MAD_Z_MILLI).alias("is_anomaly"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

@@ -156,18 +156,76 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDGE_QUANTILE = 0.9  # keep pair edges above this co-occurrence quantile
 
-
-@register(
-    "graph_triangle_census",
-    sql=f"""
-    WITH pairs AS (
+# Shared CTE prefix: the sparsified supplier co-occurrence graph (see
+# graph_triangle_census's docstring for the relative-quantile rationale).
+# Used verbatim by the census and link-prediction oracles.
+_SQL_SPARSE_EDGES = f"""
+    pairs AS (
       SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS na, b.l_suppkey AS nb
       FROM lineitem a
       JOIN lineitem b ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
     ),
     pc AS (SELECT na, nb, COUNT(*) AS c FROM pairs GROUP BY na, nb),
     thr AS (SELECT quantile_cont(c, {_EDGE_QUANTILE}) AS t FROM pc),
-    e AS (SELECT na, nb FROM pc, thr WHERE c > thr.t),
+    e AS (SELECT na, nb FROM pc, thr WHERE c > thr.t)
+"""
+
+
+def _sparsified_edges(li: DataFrame) -> DataFrame:
+    """Supplier co-occurrence edges above the relative co-order-count
+    quantile, oriented na < nb — the Spark twin of ``_SQL_SPARSE_EDGES``.
+
+    The exact q-quantile is computed WITHOUT a global percentile aggregate
+    (which buffers every value in one reducer — fine at sf0.1, dead at
+    100 TB): pair counts are small integers, so reduce to a
+    count-histogram (bounded cardinality ≈ max co-order multiplicity),
+    cumsum it, and interpolate v[floor(h)] + frac·(v[floor(h)+1] −
+    v[floor(h)]) at h = q·(N−1) — bit-identical to DuckDB's
+    quantile_cont on the raw values."""
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_suppkey").alias("na"),
+            F.col("b.l_suppkey").alias("nb"),
+        )
+        .distinct()
+    )
+    pc = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("c"))
+    hist = pc.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("nc").over(wcum))
+    ndf = hist.agg(F.sum("nc").alias("nn"))
+    h = F.lit(_EDGE_QUANTILE) * (F.col("nn") - 1).cast("double")
+    lo = F.floor(h)
+    thr = (
+        cum.crossJoin(F.broadcast(ndf))
+        .select("c", "cum", h.alias("h"), lo.alias("lo"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("c"))).alias("v_lo"),
+            F.min(F.when(F.col("cum") >= F.col("lo") + 2, F.col("c"))).alias("v_hi"),
+            F.max(F.col("h") - F.col("lo")).alias("frac"),  # constant per row
+        )
+        .select(
+            (
+                F.col("v_lo")
+                + F.col("frac") * (F.coalesce("v_hi", "v_lo") - F.col("v_lo"))
+            ).alias("t")
+        )
+    )
+    return pc.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("t")).select("na", "nb")
+
+
+@register(
+    "graph_triangle_census",
+    sql=f"""
+    WITH {_SQL_SPARSE_EDGES},
     deg AS (
       SELECT node, COUNT(*) AS d
       FROM (SELECT na AS node FROM e UNION ALL SELECT nb FROM e)
@@ -213,50 +271,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates are single-row broadcasts combined at the end. No global
     collect, no driver loop."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_suppkey").alias("na"),
-            F.col("b.l_suppkey").alias("nb"),
-        )
-        .distinct()
-    )
-    pc = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("c"))
-    # Exact q-quantile WITHOUT a global percentile aggregate (which buffers
-    # every value in one reducer — fine at sf0.1, dead at 100 TB): pair
-    # counts are small integers, so reduce to a count-histogram (bounded
-    # cardinality ≈ max co-order multiplicity), cumsum it, and interpolate
-    # v[floor(h)] + frac·(v[floor(h)+1] − v[floor(h)]) at h = q·(N−1) —
-    # bit-identical to DuckDB's quantile_cont on the raw values.
-    hist = pc.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
-    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cum", F.sum("nc").over(wcum))
-    ndf = hist.agg(F.sum("nc").alias("nn"))
-    h = F.lit(_EDGE_QUANTILE) * (F.col("nn") - 1).cast("double")
-    lo = F.floor(h)
-    thr = (
-        cum.crossJoin(F.broadcast(ndf))
-        .select("c", "cum", h.alias("h"), lo.alias("lo"))
-        .agg(
-            F.min(F.when(F.col("cum") >= F.col("lo") + 1, F.col("c"))).alias("v_lo"),
-            F.min(F.when(F.col("cum") >= F.col("lo") + 2, F.col("c"))).alias("v_hi"),
-            F.max(F.col("h") - F.col("lo")).alias("frac"),  # constant per row
-        )
-        .select(
-            (
-                F.col("v_lo")
-                + F.col("frac") * (F.coalesce("v_hi", "v_lo") - F.col("v_lo"))
-            ).alias("t")
-        )
-    )
-    e = pc.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("t")).select("na", "nb")
+    e = _sparsified_edges(li)
     deg = (
         e.select(F.col("na").alias("node"))
         .unionAll(e.select(F.col("nb").alias("node")))
@@ -878,4 +893,113 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
         .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# link prediction on the supplier co-occurrence graph
+# --------------------------------------------------------------------------
+
+_LP_RA_SCALE = 1_099_511_627_776  # 2^40: resource-allocation weight quantum
+_LP_TOP = 25
+
+
+@register(
+    "graph_link_prediction",
+    sql=f"""
+    WITH {_SQL_SPARSE_EDGES},
+    sym AS (
+      SELECT na AS u, nb AS v FROM e
+      UNION ALL
+      SELECT nb AS u, na AS v FROM e
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    wed AS (
+      SELECT a.u AS u, b.v AS v, a.v AS z
+      FROM sym a JOIN sym b ON b.u = a.v AND a.u < b.v
+    ),
+    cand AS (
+      SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM({_LP_RA_SCALE} // dz.d) AS BIGINT) AS ra_q40
+      FROM wed w JOIN deg dz ON dz.node = w.z
+      GROUP BY w.u, w.v
+    ),
+    fresh AS (
+      SELECT c.* FROM cand c ANTI JOIN e ON e.na = c.u AND e.nb = c.v
+    )
+    SELECT CAST(f.u AS BIGINT) AS u, CAST(f.v AS BIGINT) AS v,
+           f.common_neighbors, f.ra_q40,
+           CAST(1000000 * f.common_neighbors
+                // (du.d + dv.d - f.common_neighbors) AS BIGINT) AS jaccard_micro
+    FROM fresh f
+    JOIN deg du ON du.node = f.u
+    JOIN deg dv ON dv.node = f.v
+    ORDER BY f.common_neighbors DESC, f.ra_q40 DESC, f.u, f.v
+    LIMIT {_LP_TOP}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LP_TOP} predicted new edges of the sparsified supplier
+    co-occurrence graph, scored by common-neighbor count, the
+    resource-allocation index (Zhou/Lü/Zhang 2009: Σ_z 1/deg(z)), and
+    neighborhood Jaccard — the classic unsupervised link-prediction trio,
+    here proposing supplier pairs that share co-order partners but never
+    co-appear themselves.
+
+    Determinism: the RA index is the one float-summation hazard (a
+    per-pair Σ of reciprocals whose fold order differs per engine), so
+    each term is pre-quantized to the integer floor ``2^40 div deg(z)``
+    and summed as BIGINT — exact on both engines under any partitioning
+    (the module's PageRank mass discipline). Jaccard is a single integer
+    floor-division in micro-units.
+
+    Scale shape: wedge enumeration is one self-equi-join of the
+    symmetrized edge list on the shared endpoint (Σ deg(z)² pairs — the
+    same economics as the triangle census, bounded because the edge set
+    is the top co-occurrence decile); candidate scoring is a keyed
+    groupBy; known edges leave via left_anti on the oriented pair; the
+    final degree lookups are node-sized joins. No all-pairs product
+    anywhere: pairs at distance ≥ 3 are never materialized, which is
+    exactly the wedge-closure frontier a 100 TB co-occurrence graph can
+    afford."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = _sparsified_edges(li)
+    sym = e.select(F.col("na").alias("u"), F.col("nb").alias("v")).unionAll(
+        e.select(F.col("nb").alias("u"), F.col("na").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    a, b = sym.alias("wa"), sym.alias("wb")
+    wed = a.join(
+        b, (F.col("wb.u") == F.col("wa.v")) & (F.col("wa.u") < F.col("wb.v"))
+    ).select(
+        F.col("wa.u").alias("u"), F.col("wb.v").alias("v"), F.col("wa.v").alias("z")
+    )
+    cand = (
+        wed.join(deg.withColumnRenamed("node", "z"), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(F.expr(f"{_LP_RA_SCALE} div d")).cast("bigint").alias("ra_q40"),
+        )
+    )
+    fresh = cand.join(
+        e, (F.col("u") == F.col("na")) & (F.col("v") == F.col("nb")), "left_anti"
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        fresh.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+            "common_neighbors",
+            "ra_q40",
+            F.expr("(1000000 * common_neighbors) div (du + dv - common_neighbors)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.desc("ra_q40"), "u", "v")
+        .limit(_LP_TOP)
     )

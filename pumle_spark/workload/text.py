@@ -1914,3 +1914,193 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ckpt_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-round statistics: the pair-count pass a tokenizer trainer runs
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 30
+
+
+@register(
+    "text_bpe_pair_stats",
+    sql=f"""
+    WITH d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    w AS (SELECT unnest(ws) AS w FROM d),
+    wf AS (SELECT w, COUNT(*) AS f FROM w GROUP BY w),
+    big AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+      FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+            FROM wf WHERE length(w) >= 2)
+    ),
+    pt AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS pair_count FROM big GROUP BY a, b),
+    tot AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS total FROM pt)
+    SELECT a, b, pair_count,
+           CAST(1000000 * pair_count // tot.total AS BIGINT) AS share_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b) AS INTEGER) AS rnk
+    FROM pt, tot
+    ORDER BY rnk
+    LIMIT {_BPE_TOP}
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge round of BPE tokenizer training (Sennrich et al.
+    2016): count adjacent symbol pairs across the corpus weighted by word
+    frequency, and rank the top-{_BPE_TOP} merge candidates with their
+    corpus share in exact integer micro-units. (A full trainer iterates
+    merge→recount; the per-round pair-count pass here IS the dominant
+    distributed cost — the argmax merge itself is a driver-side scalar.)
+
+    Scale shape: the corpus collapses to the **word-frequency table
+    first** (vocabulary-sized, sublinear in corpus bytes by Heaps' law —
+    the same reduction `text_heaps_law` measures), so pair explosion is
+    |vocab|·avg_len, never corpus-sized; pair totals are one keyed
+    groupBy; the corpus-total share denominator is a single-row
+    broadcast. This is exactly how industrial BPE trainers scale: count
+    words distributed, train merges over the tiny weighted vocab."""
+    d = table(spark, sf_dir, "documents").select(_tokens_col().alias("ws"))
+    w = d.select(F.explode("ws").alias("w"))
+    wf = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    big = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+        "f",
+    ).select("p.a", "p.b", "f")
+    pt = big.groupBy("a", "b").agg(F.sum("f").cast("bigint").alias("pair_count"))
+    tot = pt.agg(F.sum("pair_count").cast("bigint").alias("total"))
+    top = (
+        pt.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(_BPE_TOP)
+    )
+    wr = Window.orderBy(F.desc("pair_count"), "a", "b")
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.expr("(1000000 * pair_count) div total").cast("bigint").alias("share_micro"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# bigram language-model perplexity audit (add-1 smoothing)
+# --------------------------------------------------------------------------
+
+_PPL_TOP = 25
+
+
+@register(
+    "text_bigram_perplexity",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS prev, ws[i + 1] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM d WHERE len(ws) >= 2)
+    ),
+    c2 AS (SELECT prev, tok, COUNT(*) AS c2 FROM bg GROUP BY prev, tok),
+    c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+    vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM d)),
+    term AS (
+      SELECT b.doc_id,
+             CAST(ROUND(-LN(CAST(c2.c2 + 1 AS DOUBLE)
+                            / CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS nll
+      FROM bg b
+      JOIN c2 ON c2.prev = b.prev AND c2.tok = b.tok
+      JOIN c1 ON c1.prev = b.prev, vv
+    ),
+    docagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll) AS BIGINT) AS nll_micro
+      FROM term GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, nll_micro,
+           CAST(nll_micro // n_bigrams AS BIGINT) AS avg_nll_micro
+    FROM docagg
+    ORDER BY avg_nll_micro DESC, doc_id
+    LIMIT {_PPL_TOP}
+    """,
+    tags=("text", "perplexity", "quality"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under an add-1-smoothed corpus
+    bigram LM — the {_PPL_TOP} highest-perplexity (most surprising) docs,
+    the classic model-based quality filter (CCNet's KenLM stage, one order
+    down). Extends `text_unigram_logprob` to conditional probabilities:
+    nll(doc) = Σ −ln((c(prev,tok)+1)/(c(prev)+V)).
+
+    Determinism follows the module's micro-quantization contract: each
+    bigram's −ln(p) is rounded to integer micro-nats BEFORE the per-doc
+    sum, so the reduction is exact BIGINT under any fold order; the
+    per-doc average is one floor division.
+
+    Scale shape: bigram extraction is map-side (in-array transform, no
+    positional self-join); the LM tables c2/c1 are corpus-bounded keyed
+    aggregates; scoring re-joins the doc bigram stream to c2/c1 on their
+    natural keys (hash-partitioned equi-joins); the vocab size V is a
+    single-row broadcast. Nothing driver-side, no quadratic pair space."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    bg = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS prev, element_at(ws, i + 1) AS tok))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.prev", "p.tok")
+    )
+    c2 = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vv = d.select(F.explode("ws").alias("w")).agg(F.countDistinct("w").alias("v"))
+    term = (
+        bg.join(c2, ["prev", "tok"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("nll"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll").cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            F.expr("nll_micro div n_bigrams").cast("bigint").alias("avg_nll_micro"),
+        )
+        .orderBy(F.desc("avg_nll_micro"), "doc_id")
+        .limit(_PPL_TOP)
+    )

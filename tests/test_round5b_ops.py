@@ -170,3 +170,180 @@ def test_k_anonymity_matches_bruteforce_classes(spark):
     risks = [r.rows_at_risk for r in rows]
     assert risks == sorted(risks)
     assert rows[0].n_classes > 25  # QI space actually fans out
+
+
+# --------------------------------------------------------------------------
+# graph_link_prediction
+# --------------------------------------------------------------------------
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    """CN / RA / Jaccard scores over the sparsified co-occurrence graph
+    must equal a naive Python enumeration (adjacency dicts, numpy
+    quantile threshold)."""
+    import numpy as np
+    from collections import Counter, defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.graph import (
+        _LP_RA_SCALE,
+        _LP_TOP,
+        graph_link_prediction,
+    )
+
+    got = [tuple(r) for r in graph_link_prediction(spark, SF).collect()]
+
+    orders = defaultdict(set)
+    for r in table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect():
+        orders[r.l_orderkey].add(r.l_suppkey)
+    pc = Counter()
+    for ss in orders.values():
+        ss = sorted(ss)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                pc[(a, b)] += 1
+    t = np.quantile(np.array(list(pc.values()), dtype=float), 0.9)
+    edges = {p for p, c in pc.items() if c > t}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cn, ra = Counter(), Counter()
+    for z, ns in adj.items():
+        ns = sorted(ns)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                cn[(u, v)] += 1
+                ra[(u, v)] += _LP_RA_SCALE // len(adj[z])
+    want = sorted(
+        (
+            (
+                u,
+                v,
+                cn[(u, v)],
+                ra[(u, v)],
+                1_000_000 * cn[(u, v)] // (len(adj[u]) + len(adj[v]) - cn[(u, v)]),
+            )
+            for (u, v) in cn
+            if (u, v) not in edges
+        ),
+        key=lambda r: (-r[2], -r[3], r[0], r[1]),
+    )[:_LP_TOP]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# text_bpe_pair_stats
+# --------------------------------------------------------------------------
+
+
+def test_bpe_pair_stats_matches_bruteforce(spark):
+    """Top merge candidates must equal a Python pair count over the
+    engine's own tokenization."""
+    from collections import Counter
+
+    from pumle_spark.operators.dedup import normalize_text
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _BPE_TOP, text_bpe_pair_stats
+
+    got = [tuple(r) for r in text_bpe_pair_stats(spark, SF).collect()]
+
+    wf = Counter()
+    for r in (
+        table(spark, SF, "documents").select(normalize_text("text").alias("ws")).collect()
+    ):
+        wf.update(r.ws)
+    pt = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pt[(w[i], w[i + 1])] += f
+    total = sum(pt.values())
+    ranked = sorted(pt.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP]
+    want = [
+        (a, b, c, 1_000_000 * c // total, i)
+        for i, ((a, b), c) in enumerate(ranked, 1)
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# text_bigram_perplexity
+# --------------------------------------------------------------------------
+
+
+def test_bigram_perplexity_matches_bruteforce(spark):
+    """Per-doc add-1 bigram NLL must equal the naive LM replay (same
+    micro-nat quantization before summation)."""
+    import math
+    from collections import Counter
+
+    from pumle_spark.operators.dedup import normalize_text
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _PPL_TOP, text_bigram_perplexity
+
+    got = [tuple(r) for r in text_bigram_perplexity(spark, SF).collect()]
+
+    docs = {
+        r.doc_id: r.ws
+        for r in table(spark, SF, "documents")
+        .select("doc_id", normalize_text("text").alias("ws"))
+        .collect()
+    }
+    c2, c1, vocab = Counter(), Counter(), set()
+    for ws in docs.values():
+        vocab.update(ws)
+        for i in range(len(ws) - 1):
+            c2[(ws[i], ws[i + 1])] += 1
+            c1[ws[i]] += 1
+    v = len(vocab)
+    per_doc = []
+    for doc_id, ws in docs.items():
+        if len(ws) < 2:
+            continue
+        nll = 0
+        for i in range(len(ws) - 1):
+            p = (c2[(ws[i], ws[i + 1])] + 1) / (c1[ws[i]] + v)
+            nll += int(math.floor(-math.log(p) * 1_000_000 + 0.5))
+        per_doc.append((doc_id, len(ws) - 1, nll, nll // (len(ws) - 1)))
+    want = sorted(per_doc, key=lambda r: (-r[3], r[0]))[:_PPL_TOP]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_mad
+# --------------------------------------------------------------------------
+
+
+def test_anomaly_mad_matches_bruteforce(spark):
+    """Robust z-scores must equal the Python median/MAD replay in exact
+    doubled-integer arithmetic."""
+    import statistics
+    from collections import Counter
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import _MAD_TOP, _MAD_Z_MILLI, events_anomaly_mad
+
+    got = [tuple(r) for r in events_anomaly_mad(spark, SF).collect()]
+
+    days = Counter(
+        r.day
+        for r in table(spark, SF, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .collect()
+    )
+    med2 = int(2 * statistics.median(days.values()))
+    dev2 = {d: abs(2 * n - med2) for d, n in days.items()}
+    mad4 = int(2 * statistics.median(dev2.values()))
+    scored = [
+        (
+            d,
+            n,
+            0 if mad4 == 0 else (20_000_000 * dev2[d]) // (14_826 * mad4),
+        )
+        for d, n in days.items()
+    ]
+    ranked = sorted(scored, key=lambda r: (-r[2], r[0]))[:_MAD_TOP]
+    want = [
+        (d, n, z, z > _MAD_Z_MILLI, i) for i, (d, n, z) in enumerate(ranked, 1)
+    ]
+    assert got == want

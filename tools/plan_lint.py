@@ -98,6 +98,10 @@ ALLOW = {
     "abtest_cuped_adjusted": {"BroadcastNestedLoopJoin": "single-row pooled-theta scalar x 3 arms"},
     "stats_bootstrap_ci": {"BroadcastNestedLoopJoin": "single-row observed-mean scalar x 200 replicate rows"},
     "privacy_k_anonymity": {"BroadcastNestedLoopJoin": "single-row class/row-total scalars x 4 k-thresholds"},
+    "graph_link_prediction": {"BroadcastNestedLoopJoin": "single-row edge-quantile threshold scalar (census's sparsifier)"},
+    "text_bpe_pair_stats": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x top pairs"},
+    "text_bigram_perplexity": {"BroadcastNestedLoopJoin": "single-row vocab-size scalar x bigram stream"},
+    "events_anomaly_mad": {"BroadcastNestedLoopJoin": "single-row median/MAD scalars x calendar-bounded days"},
 }
 
 
