@@ -1370,3 +1370,98 @@ def decomp_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# exact exponentially-weighted forecast level (EWMA, alpha = 1/2)
+# --------------------------------------------------------------------------
+
+_EWMA_K = 24  # smooth the trailing 2 years of monthly revenue
+
+
+@register(
+    "forecast_ewma_revenue",
+    sql=f"""
+    WITH oc AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    series AS (
+      SELECT m, CAST(SUM(cents) AS BIGINT) AS rev FROM oc GROUP BY m
+    ),
+    rk AS (
+      SELECT m, rev, CAST(ROW_NUMBER() OVER (ORDER BY m DESC) AS INTEGER) AS rdesc
+      FROM series
+    ),
+    lastk AS (
+      SELECT m, rev, CAST(ROW_NUMBER() OVER (ORDER BY m) AS INTEGER) AS t
+      FROM rk WHERE rdesc <= {_EWMA_K}
+    ),
+    wsum AS (
+      SELECT m, rev, t,
+             CAST(SUM(CAST(CASE WHEN t = 1 THEN CAST(1 AS BIGINT)
+                                ELSE CAST(1 AS BIGINT) << (t - 2) END
+                           AS DECIMAL(19,0))
+                      * CAST(rev AS DECIMAL(19,0)))
+                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,0)) AS num
+      FROM lastk
+    )
+    SELECT CAST(m AS DATE) AS month, rev AS rev_cents, t,
+           ROUND(CAST(num AS DOUBLE)
+                 / CAST(CAST(1 AS BIGINT) << (t - 1) AS DOUBLE), 2) AS ewma_cents,
+           ROUND(CAST(rev AS DOUBLE) - CAST(num AS DOUBLE)
+                 / CAST(CAST(1 AS BIGINT) << (t - 1) AS DOUBLE), 2) AS resid_cents
+    FROM wsum
+    ORDER BY t
+    """,
+    tags=("analytics", "forecast", "timeseries"),
+)
+def forecast_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing of the trailing {_EWMA_K} months of
+    revenue with α = 1/2 — the forecast level S_t = (S_(t-1) + r_t)/2 and
+    its residuals, the baseline every forecasting stack is graded against
+    (and the level decomp_monthly_revenue's anomaly gate would track).
+
+    Exactness: the usual EWMA recurrence is a float accumulation whose
+    error depends on evaluation order, but for α = 1/2 the scaled level
+    N_t := 2^(t-1)·S_t satisfies N_t = N_(t-1) + 2^(t-2)·r_t — i.e. the
+    EWMA **is a weighted prefix sum** with weights 1, 1, 2, 4, …, 2^(t-2)
+    independent of t. N_t is summed exactly in DECIMAL(38,0) (2^22 ·
+    monthly cents overflows BIGINT at warehouse scale), and S_t = N_t /
+    2^(t-1) is ONE mirrored double division per row — division by a power
+    of two, so even the float step is exact whenever N_t < 2^53.
+
+    Scale (the decomp/backlog collapse discipline): the fact scan
+    collapses to one row per month before anything else; ranking,
+    windowing, and the prefix sum all run on a ≤{_EWMA_K}-row
+    calendar-bounded series."""
+    oc = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    series = oc.groupBy("m").agg(F.sum("cents").cast("bigint").alias("rev"))
+    rk = series.withColumn(
+        "rdesc", F.row_number().over(Window.orderBy(F.desc("m"))).cast("int")
+    )
+    lastk = (
+        rk.filter(F.col("rdesc") <= _EWMA_K)
+        .withColumn("t", F.row_number().over(Window.orderBy("m")).cast("int"))
+        .drop("rdesc")
+    )
+    wpre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    term = F.expr(
+        "cast(CASE WHEN t = 1 THEN cast(1 AS bigint) "
+        "ELSE shiftleft(cast(1 AS bigint), t - 2) END AS decimal(19,0))"
+    ) * F.col("rev").cast("decimal(19,0)")
+    wsum = lastk.withColumn("num", F.sum(term).over(wpre).cast("decimal(38,0)"))
+    pow2 = F.expr("cast(shiftleft(cast(1 AS bigint), t - 1) AS double)")
+    ewma = F.col("num").cast("double") / pow2
+    return wsum.select(
+        F.col("m").cast("date").alias("month"),
+        F.col("rev").alias("rev_cents"),
+        "t",
+        F.round(ewma, 2).alias("ewma_cents"),
+        F.round(F.col("rev").cast("double") - ewma, 2).alias("resid_cents"),
+    ).orderBy("t")

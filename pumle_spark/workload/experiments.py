@@ -515,3 +515,124 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# difference-in-differences estimate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "abtest_diff_in_diff",
+    sql=f"""
+    WITH cells AS (
+      SELECT CASE WHEN ('0x' || substr(md5('did|' || CAST(o_custkey AS VARCHAR)), 1, 4))::BIGINT % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CASE WHEN o_orderdate < DATE '{_CUPED_SPLIT}' THEN 'pre' ELSE 'post' END AS period,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    agg AS (
+      SELECT arm, period, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM cells GROUP BY arm, period
+    ),
+    did AS (
+      SELECT ROUND(
+               (CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'post' THEN sum_cents END) AS DOUBLE)
+                / SUM(CASE WHEN arm = 'treatment' AND period = 'post' THEN n_orders END)
+                - CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'pre' THEN sum_cents END) AS DOUBLE)
+                  / SUM(CASE WHEN arm = 'treatment' AND period = 'pre' THEN n_orders END))
+               - (CAST(SUM(CASE WHEN arm = 'control' AND period = 'post' THEN sum_cents END) AS DOUBLE)
+                  / SUM(CASE WHEN arm = 'control' AND period = 'post' THEN n_orders END)
+                  - CAST(SUM(CASE WHEN arm = 'control' AND period = 'pre' THEN sum_cents END) AS DOUBLE)
+                    / SUM(CASE WHEN arm = 'control' AND period = 'pre' THEN n_orders END)),
+               2) AS did_cents
+      FROM agg
+    )
+    SELECT agg.arm, agg.period, agg.n_orders, agg.sum_cents,
+           ROUND(CAST(agg.sum_cents AS DOUBLE) / agg.n_orders, 2) AS mean_cents,
+           did.did_cents
+    FROM agg, did
+    ORDER BY arm, period
+    """,
+    tags=("experiments", "abtest", "causal"),
+)
+def abtest_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card & Krueger 1994 shape): a
+    deterministic 50/50 md5 arm assignment crossed with the
+    pre/post-{_CUPED_SPLIT} period split gives the four DiD cells over
+    order value; the estimate is (ΔT) − (ΔC) of cell means — the
+    workhorse causal read-out when treatment lands at a known date and a
+    concurrent control group absorbs the secular trend (here ≈ 0 by
+    construction, since the md5 arms are exchangeable — the A/A shape a
+    platform uses to validate the pipeline itself).
+
+    Exactness: cells aggregate integer cents and counts; the four means
+    and the DiD contrast are ONE mirrored double expression of those
+    exact sums, rounded once.
+
+    Scale shape: a single conditional aggregation pass over the fact
+    table into 4 cells (map-side partials — the groupBy state is 4
+    rows), then single-row scalar math broadcast back onto the cells."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did|"), F.col("o_custkey").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    cells = o.select(
+        F.when(bucket < 50, "control").otherwise("treatment").alias("arm"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_CUPED_SPLIT).cast("date"), "pre"
+        )
+        .otherwise("post")
+        .alias("period"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    agg = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+    def _cell(arm: str, period: str, col: str):
+        return F.sum(
+            F.when((F.col("arm") == arm) & (F.col("period") == period), F.col(col))
+        )
+
+    did = agg.agg(
+        F.round(
+            (
+                _cell("treatment", "post", "sum_cents").cast("double")
+                / _cell("treatment", "post", "n_orders")
+                - _cell("treatment", "pre", "sum_cents").cast("double")
+                / _cell("treatment", "pre", "n_orders")
+            )
+            - (
+                _cell("control", "post", "sum_cents").cast("double")
+                / _cell("control", "post", "n_orders")
+                - _cell("control", "pre", "sum_cents").cast("double")
+                / _cell("control", "pre", "n_orders")
+            ),
+            2,
+        ).alias("did_cents")
+    )
+    return (
+        agg.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "period",
+            "n_orders",
+            "sum_cents",
+            F.round(F.col("sum_cents").cast("double") / F.col("n_orders"), 2).alias(
+                "mean_cents"
+            ),
+            "did_cents",
+        )
+        .orderBy("arm", "period")
+    )

@@ -400,3 +400,126 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# purged walk-forward cross-validation split
+# --------------------------------------------------------------------------
+
+_PURGE_GAP_DAYS = 30
+_WF_FOLDS = 4  # fold i tests on slice i+1 of 5 equal time slices
+
+
+@register(
+    "split_temporal_purged",
+    sql=f"""
+    WITH d AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day
+      FROM orders
+    ),
+    dh AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day),
+    b AS (SELECT MIN(day) AS dmin, MAX(day) - MIN(day) + 1 AS span FROM dh),
+    folds AS (
+      SELECT i,
+             b.dmin + (i * b.span) // 5 AS test_start,
+             b.dmin + ((i + 1) * b.span) // 5 AS test_end
+      FROM (SELECT unnest(range(1, {_WF_FOLDS + 1})) AS i), b
+    )
+    SELECT CAST(f.i AS INTEGER) AS fold,
+           CAST(f.test_start AS BIGINT) AS test_start_day,
+           CAST(f.test_end AS BIGINT) AS test_end_day,
+           CAST(COALESCE(SUM(CASE WHEN dh.day < f.test_start - {_PURGE_GAP_DAYS}
+                                  THEN dh.n END), 0) AS BIGINT) AS n_train,
+           CAST(COALESCE(SUM(CASE WHEN dh.day >= f.test_start - {_PURGE_GAP_DAYS}
+                                   AND dh.day < f.test_start
+                                  THEN dh.n END), 0) AS BIGINT) AS n_purged,
+           CAST(COALESCE(SUM(CASE WHEN dh.day >= f.test_start
+                                   AND dh.day < f.test_end
+                                  THEN dh.n END), 0) AS BIGINT) AS n_test
+    FROM folds f, dh
+    GROUP BY 1, 2, 3
+    ORDER BY fold
+    """,
+    tags=("sampling", "split", "timeseries"),
+)
+def split_temporal_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV manifest (López de Prado 2018): the time
+    axis is cut into 5 equal slices; fold i trains on everything ending
+    {_PURGE_GAP_DAYS} days BEFORE test slice i+1 and embargoes the gap
+    rows entirely — the split that keeps leakage out of any model whose
+    labels look forward in time (backtests, churn, LTV). Complements the
+    hash split (`deterministic_split`, iid) and the cluster-aware split
+    (`split_cluster_aware`, near-dup leakage) with the temporal-leakage
+    axis.
+
+    Exactness: fold boundaries are integer floor divisions of the
+    epoch-day span; every cell is an integer count. No floats exist.
+
+    Scale shape: the fact table collapses to a per-day count histogram
+    map-side (calendar-bounded — decades are ~10⁴ rows), so the fold
+    fan-out and the boundary scalars all run on tiny relations; the big
+    scan happens exactly once."""
+    d = table(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day")
+    )
+    dh = d.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = dh.agg(
+        F.min("day").alias("dmin"),
+        (F.max("day") - F.min("day") + 1).alias("span"),
+    )
+    folds = b.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_WF_FOLDS))).alias("i"), "dmin", "span"
+    ).select(
+        "i",
+        (F.col("dmin") + F.expr("(i * span) div 5")).alias("test_start"),
+        (F.col("dmin") + F.expr("((i + 1) * span) div 5")).alias("test_end"),
+    )
+    gap = _PURGE_GAP_DAYS
+    return (
+        dh.crossJoin(F.broadcast(folds))
+        .groupBy("i", "test_start", "test_end")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") < F.col("test_start") - gap, F.col("n"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("day") >= F.col("test_start") - gap)
+                        & (F.col("day") < F.col("test_start")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_purged"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("day") >= F.col("test_start"))
+                        & (F.col("day") < F.col("test_end")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            F.col("i").cast("int").alias("fold"),
+            F.col("test_start").cast("bigint").alias("test_start_day"),
+            F.col("test_end").cast("bigint").alias("test_end_day"),
+            "n_train",
+            "n_purged",
+            "n_test",
+        )
+        .orderBy("fold")
+    )

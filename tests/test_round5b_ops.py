@@ -347,3 +347,116 @@ def test_anomaly_mad_matches_bruteforce(spark):
         (d, n, z, z > _MAD_Z_MILLI, i) for i, (d, n, z) in enumerate(ranked, 1)
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# forecast_ewma_revenue
+# --------------------------------------------------------------------------
+
+
+def test_ewma_matches_recurrence_replay(spark):
+    """The scaled-prefix-sum EWMA must equal the textbook float recurrence
+    S_t = (S_(t-1) + r_t)/2 replayed in Python over the same last-K monthly
+    series."""
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import _EWMA_K, forecast_ewma_revenue
+
+    rows = forecast_ewma_revenue(spark, SF).collect()
+
+    monthly = defaultdict(int)
+    for r in (
+        table(spark, SF, "orders").select("o_orderdate", "o_totalprice").collect()
+    ):
+        ym = (r.o_orderdate.year, r.o_orderdate.month)
+        monthly[ym] += round(r.o_totalprice * 100)
+    series = [monthly[k] for k in sorted(monthly)][-_EWMA_K:]
+
+    # engines round half AWAY from zero; Python round() is half-even, so
+    # mirror the engine mode (values like x.125 land exactly on the edge)
+    def _r2(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 100 + 0.5), x) / 100
+
+    assert [r.rev_cents for r in rows] == series
+    s = None
+    for r, rev in zip(rows, series):
+        s = rev if s is None else (s + rev) / 2
+        assert abs(r.ewma_cents - _r2(s)) < 1e-9
+        assert abs(r.resid_cents - _r2(rev - s)) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# split_temporal_purged
+# --------------------------------------------------------------------------
+
+
+def test_purged_split_counts_and_disjointness(spark):
+    """Fold counts must equal a Python replay; within a fold the
+    train/purge/test windows partition the pre-test-end span."""
+    from datetime import date
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import (
+        _PURGE_GAP_DAYS,
+        _WF_FOLDS,
+        split_temporal_purged,
+    )
+
+    rows = split_temporal_purged(spark, SF).collect()
+    assert [r.fold for r in rows] == list(range(1, _WF_FOLDS + 1))
+
+    days = [
+        (r.o_orderdate.date() - date(1970, 1, 1)).days
+        for r in table(spark, SF, "orders").select("o_orderdate").collect()
+    ]
+    dmin, span = min(days), max(days) - min(days) + 1
+    for r in rows:
+        ts = dmin + (r.fold * span) // 5
+        te = dmin + ((r.fold + 1) * span) // 5
+        assert (r.test_start_day, r.test_end_day) == (ts, te)
+        assert r.n_train == sum(1 for d in days if d < ts - _PURGE_GAP_DAYS)
+        assert r.n_purged == sum(1 for d in days if ts - _PURGE_GAP_DAYS <= d < ts)
+        assert r.n_test == sum(1 for d in days if ts <= d < te)
+
+
+# --------------------------------------------------------------------------
+# abtest_diff_in_diff
+# --------------------------------------------------------------------------
+
+
+def test_diff_in_diff_matches_bruteforce(spark):
+    """Cell sums and the DiD contrast must equal a Python replay of the
+    md5 assignment and the four-mean arithmetic."""
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import _CUPED_SPLIT, abtest_diff_in_diff
+
+    rows = {(r.arm, r.period): r for r in abtest_diff_in_diff(spark, SF).collect()}
+
+    split = tuple(int(x) for x in _CUPED_SPLIT.split("-"))
+    cells = defaultdict(lambda: [0, 0])
+    for r in (
+        table(spark, SF, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ):
+        arm = "control" if _bucket("did", r.o_custkey) < 50 else "treatment"
+        d = r.o_orderdate
+        period = "pre" if (d.year, d.month, d.day) < split else "post"
+        cell = cells[(arm, period)]
+        cell[0] += 1
+        cell[1] += round(r.o_totalprice * 100)
+
+    m = {k: v[1] / v[0] for k, v in cells.items()}
+    did = round(
+        (m[("treatment", "post")] - m[("treatment", "pre")])
+        - (m[("control", "post")] - m[("control", "pre")]),
+        2,
+    )
+    assert set(rows) == set(cells)
+    for k, (n, s) in cells.items():
+        assert (rows[k].n_orders, rows[k].sum_cents) == (n, s)
+        assert abs(rows[k].mean_cents - round(s / n, 2)) < 1e-9
+        assert abs(rows[k].did_cents - did) < 1e-9

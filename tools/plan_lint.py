@@ -102,6 +102,8 @@ ALLOW = {
     "text_bpe_pair_stats": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x top pairs"},
     "text_bigram_perplexity": {"BroadcastNestedLoopJoin": "single-row vocab-size scalar x bigram stream"},
     "events_anomaly_mad": {"BroadcastNestedLoopJoin": "single-row median/MAD scalars x calendar-bounded days"},
+    "split_temporal_purged": {"BroadcastNestedLoopJoin": "4-row fold grid x calendar-bounded day histogram"},
+    "abtest_diff_in_diff": {"BroadcastNestedLoopJoin": "single-row DiD scalar x 4 cells"},
 }
 
 
