@@ -2845,3 +2845,98 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# cohort LTV curves (cumulative value by cohort age)
+# --------------------------------------------------------------------------
+
+_LTV_MAX_AGE_WK = 8
+
+
+@register(
+    "events_cohort_value_curve",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // (86400000000 * 7) AS wk,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vmicro
+      FROM events
+    ),
+    cw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+    sz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users FROM cw GROUP BY cohort_wk),
+    act AS (
+      SELECT c.cohort_wk, CAST(e.wk - c.cohort_wk AS BIGINT) AS age_wk,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             CAST(SUM(e.vmicro) AS BIGINT) AS value_micro
+      FROM e JOIN cw c ON c.user_id = e.user_id
+      WHERE e.wk - c.cohort_wk BETWEEN 0 AND {_LTV_MAX_AGE_WK}
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_wk, age_wk, n_active, value_micro,
+             CAST(SUM(value_micro) OVER (PARTITION BY cohort_wk ORDER BY age_wk)
+                  AS BIGINT) AS cum_value_micro
+      FROM act
+    )
+    SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk, c.age_wk, s.n_users,
+           c.n_active, c.value_micro, c.cum_value_micro,
+           CAST(c.cum_value_micro // s.n_users AS BIGINT) AS ltv_micro_per_user
+    FROM cum c JOIN sz s ON s.cohort_wk = c.cohort_wk
+    ORDER BY cohort_wk, age_wk
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def events_cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen epoch
+    week, then each cohort's active users, per-age value, cumulative
+    value, and LTV-per-user at ages 0..{_LTV_MAX_AGE_WK} weeks — the
+    triangle a growth team reads to see whether newer cohorts monetize
+    faster (and the value-weighted upgrade of `events_retention_weekly`).
+
+    Exactness: event values quantize to integer micro-units PER ROW
+    before any sum; the cumulative is a BIGINT window; LTV-per-user is
+    one floor division.
+
+    Scale shape: first-seen is a keyed groupBy(user); the age join is
+    user-keyed (co-partitioned with the event scan's natural hash);
+    everything after collapses to cohort×age rows (calendar² — tiny), so
+    the cumulative window partitions by cohort over ≤{_LTV_MAX_AGE_WK}+1
+    rows each."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div (86400000000 * 7)").alias("wk"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("vmicro"),
+    )
+    cw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sz = cw.groupBy("cohort_wk").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    act = (
+        e.join(cw, "user_id")
+        .withColumn("age_wk", (F.col("wk") - F.col("cohort_wk")).cast("bigint"))
+        .filter(F.col("age_wk").between(0, _LTV_MAX_AGE_WK))
+        .groupBy("cohort_wk", "age_wk")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.sum("vmicro").cast("bigint").alias("value_micro"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = act.withColumn(
+        "cum_value_micro", F.sum("value_micro").over(wcum).cast("bigint")
+    )
+    return (
+        cum.join(sz, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("bigint").alias("cohort_wk"),
+            "age_wk",
+            "n_users",
+            "n_active",
+            "value_micro",
+            "cum_value_micro",
+            F.expr("cum_value_micro div n_users").cast("bigint").alias("ltv_micro_per_user"),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )

@@ -1076,3 +1076,108 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cos"),
     ).orderBy("label_a", "label_b")
+
+
+# --------------------------------------------------------------------------
+# int8 scalar-quantization audit (serving-compression prep)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantization",
+    sql="""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mx AS (SELECT dim, MAX(abs(x)) AS m FROM comp GROUP BY dim),
+    q AS (
+      SELECT c.dim, c.x, mx.m,
+             CASE WHEN mx.m = 0 THEN 0
+                  ELSE CAST(ROUND(c.x * 127 / mx.m) AS BIGINT) END AS qv
+      FROM comp c JOIN mx ON mx.dim = c.dim
+    ),
+    err AS (
+      SELECT dim, m, qv,
+             CASE WHEN m = 0 THEN 0
+                  ELSE CAST(ROUND(abs(x - qv * m / 127) * 1000000) AS BIGINT)
+             END AS err_micro
+      FROM q
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           ROUND(m, 6) AS maxabs_r6,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+           CAST(SUM(err_micro) AS BIGINT) AS sum_abs_err_micro,
+           CAST(MAX(err_micro) AS BIGINT) AS max_err_micro
+    FROM err
+    GROUP BY dim, m
+    ORDER BY dim
+    """,
+    tags=("embeddings", "quantization", "serving"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension audit of symmetric int8 scalar quantization (the
+    max-abs calibration every serving stack applies before shipping an
+    embedding index): for each of the 64 dimensions, the calibration
+    scale, saturation count, and the absolute reconstruction error of
+    q = round(x·127/max|x|) — the report that decides whether int8 (4×
+    smaller, SIMD dot products) is safe or a dimension needs clipping.
+
+    Determinism: max|x| is an order-independent float reduction; the
+    quantize and reconstruct expressions are identical per-element double
+    math on both engines; each element's |error| is quantized to integer
+    micro-units BEFORE the per-dimension sum (the module's micro-sum
+    contract), so no float accumulation order exists anywhere.
+
+    Scale shape: explode is map-side; both aggregations group on the
+    64-value dimension key with map-side partials (state = dims·const);
+    the rejoin of elements to their dimension scale is a broadcast-sized
+    dim table against the element stream. Linear in corpus, no
+    all-pairs."""
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    comp = emb.select(F.posexplode("embedding").alias("dim0", "xf")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    mx = comp.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("m"))
+    q = comp.join(F.broadcast(mx), "dim").select(
+        "dim",
+        "m",
+        "x",
+        F.when(F.col("m") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.round(F.col("x") * 127 / F.col("m")).cast("bigint"))
+        .alias("qv"),
+    )
+    err = q.select(
+        "dim",
+        "m",
+        "qv",
+        F.when(F.col("m") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.round(F.abs(F.col("x") - F.col("qv") * F.col("m") / 127) * 1_000_000).cast(
+                "bigint"
+            )
+        )
+        .alias("err_micro"),
+    )
+    return (
+        err.groupBy("dim", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_saturated"),
+            F.sum("err_micro").cast("bigint").alias("sum_abs_err_micro"),
+            F.max("err_micro").cast("bigint").alias("max_err_micro"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("m"), 6).alias("maxabs_r6"),
+            "n_values",
+            "n_saturated",
+            "sum_abs_err_micro",
+            "max_err_micro",
+        )
+        .orderBy("dim")
+    )

@@ -2104,3 +2104,105 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll_micro"), "doc_id")
         .limit(_PPL_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# tokenizer vocabulary coverage curve (OOV rate vs vocab budget)
+# --------------------------------------------------------------------------
+
+_VOCAB_KS = (100, 300, 1000, 3000)
+
+
+@register(
+    "text_vocab_coverage",
+    sql=f"""
+    WITH d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS w FROM d),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    gh AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_toks FROM tf GROUP BY c),
+    gcar AS (
+      SELECT c,
+             CAST(COALESCE(SUM(n_toks) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS rank_base
+      FROM gh
+    ),
+    rk AS (
+      SELECT tf.w, tf.c,
+             g.rank_base + ROW_NUMBER() OVER (PARTITION BY tf.c ORDER BY tf.w) AS rnk
+      FROM tf JOIN gcar g ON g.c = tf.c
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_vocab FROM tf),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k, tot.n_vocab, tot.n_total,
+           CAST(COALESCE(SUM(CASE WHEN rk.rnk <= ks.k THEN rk.c END), 0) AS BIGINT)
+             AS covered_occurrences,
+           CAST((tot.n_total
+                 - COALESCE(SUM(CASE WHEN rk.rnk <= ks.k THEN rk.c END), 0))
+                * 1000000 // tot.n_total AS BIGINT) AS oov_ppm
+    FROM rk, ks, tot
+    GROUP BY ks.k, tot.n_vocab, tot.n_total
+    ORDER BY k
+    """,
+    tags=("text", "tokenizer", "vocabulary"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for vocab budgets K ∈ {_VOCAB_KS},
+    what share of all token occurrences the top-K most frequent types
+    cover, and the OOV rate (ppm) a K-entry tokenizer would pay — the
+    curve (a direct consequence of `text_zipf_slope`'s power law) that
+    sizes a vocabulary before BPE training (`text_bpe_pair_stats`) ever
+    starts.
+
+    Exactness: pure integer counts; the global frequency rank by
+    (count DESC, token) is the module's two-level prefix idiom — a
+    carry-in window over the tiny count-histogram plus a per-count-group
+    ROW_NUMBER — so no vocabulary-sized single-partition sort exists
+    (the scale trap of a naive global rank at 10⁸-type corpora).
+
+    Scale shape: token counting is one keyed groupBy with map-side
+    partials; the rank join keys on the count value (bounded groups);
+    the K fan-out multiplies the vocab by {len(_VOCAB_KS)} constant
+    rows. Linear in corpus bytes."""
+    d = table(spark, sf_dir, "documents").select(_tokens_col().alias("ws"))
+    tf = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    gh = tf.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    wcar = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    gcar = gh.select(
+        "c", F.coalesce(F.sum("n_toks").over(wcar), F.lit(0)).cast("bigint").alias("rank_base")
+    )
+    wrk = Window.partitionBy("c").orderBy("w")
+    rk = tf.join(gcar, "c").select(
+        "w", "c", (F.col("rank_base") + F.row_number().over(wrk)).alias("rnk")
+    )
+    tot = tf.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
+    )
+    covered = F.coalesce(
+        F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c"))), F.lit(0)
+    ).cast("bigint")
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_vocab", "n_total")
+        .agg(covered.alias("covered_occurrences"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_vocab",
+            "n_total",
+            "covered_occurrences",
+            F.expr("((n_total - covered_occurrences) * 1000000) div n_total")
+            .cast("bigint")
+            .alias("oov_ppm"),
+        )
+        .orderBy("k")
+    )

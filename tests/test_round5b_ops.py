@@ -460,3 +460,120 @@ def test_diff_in_diff_matches_bruteforce(spark):
         assert (rows[k].n_orders, rows[k].sum_cents) == (n, s)
         assert abs(rows[k].mean_cents - round(s / n, 2)) < 1e-9
         assert abs(rows[k].did_cents - did) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# embedding_int8_quantization
+# --------------------------------------------------------------------------
+
+
+def test_int8_quantization_matches_numpy(spark):
+    """Per-dim scales, saturation counts, and micro-quantized error sums
+    must equal a numpy replay of the symmetric max-abs calibration."""
+    import numpy as np
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.similarity import embedding_int8_quantization
+
+    rows = {r.dim: r for r in embedding_int8_quantization(spark, SF).collect()}
+
+    X = np.array(
+        [r.embedding for r in table(spark, SF, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n, dims = X.shape
+    assert set(rows) == set(range(1, dims + 1))
+    for d in range(dims):
+        x = X[:, d]
+        m = np.abs(x).max()
+        q = np.floor(np.abs(x * 127 / m) + 0.5) * np.sign(x)  # round half away
+        err = np.floor(np.abs(x - q * m / 127) * 1e6 + 0.5).astype(int)
+        r = rows[d + 1]
+        assert abs(r.maxabs_r6 - round(m, 6)) < 1e-9
+        assert r.n_values == n
+        assert r.n_saturated == int((np.abs(q) == 127).sum())
+        assert r.sum_abs_err_micro == int(err.sum())
+        assert r.max_err_micro == int(err.max())
+        assert np.abs(q).max() <= 127  # symmetric calibration never clips
+
+
+# --------------------------------------------------------------------------
+# events_cohort_value_curve
+# --------------------------------------------------------------------------
+
+
+def test_cohort_value_curve_matches_bruteforce(spark):
+    """Cohort sizes, activity, and cumulative LTV must equal a Python
+    replay over (user, week, value-micro) rows."""
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import _LTV_MAX_AGE_WK, events_cohort_value_curve
+
+    rows = [tuple(r) for r in events_cohort_value_curve(spark, SF).collect()]
+
+    ev = (
+        table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div (86400000000 * 7)").alias("wk"),
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("vmicro"),
+        )
+        .collect()
+    )
+    first = {}
+    for r in ev:
+        first[r.user_id] = min(first.get(r.user_id, r.wk), r.wk)
+    sz = defaultdict(int)
+    for u, cw in first.items():
+        sz[cw] += 1
+    val = defaultdict(int)
+    actives = defaultdict(set)
+    for r in ev:
+        age = r.wk - first[r.user_id]
+        if 0 <= age <= _LTV_MAX_AGE_WK:
+            val[(first[r.user_id], age)] += r.vmicro
+            actives[(first[r.user_id], age)].add(r.user_id)
+    want = []
+    for cw in sorted(sz):
+        cum = 0
+        for age in sorted(a for (c, a) in val if c == cw):
+            cum += val[(cw, age)]
+            want.append(
+                (cw, age, sz[cw], len(actives[(cw, age)]), val[(cw, age)], cum, cum // sz[cw])
+            )
+    assert rows == want
+
+
+# --------------------------------------------------------------------------
+# text_vocab_coverage
+# --------------------------------------------------------------------------
+
+
+def test_vocab_coverage_matches_bruteforce(spark):
+    """Coverage at each K must equal a Python top-K-by-(count,token) scan
+    over the engine's own tokenization, and OOV must be non-increasing."""
+    from collections import Counter
+
+    from pumle_spark.operators.dedup import normalize_text
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _VOCAB_KS, text_vocab_coverage
+
+    rows = {r.k: r for r in text_vocab_coverage(spark, SF).collect()}
+
+    tf = Counter()
+    for r in (
+        table(spark, SF, "documents").select(normalize_text("text").alias("ws")).collect()
+    ):
+        tf.update(r.ws)
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_total = sum(tf.values())
+    assert set(rows) == set(_VOCAB_KS)
+    for k in _VOCAB_KS:
+        covered = sum(c for _, c in ranked[:k])
+        r = rows[k]
+        assert (r.n_vocab, r.n_total) == (len(tf), n_total)
+        assert r.covered_occurrences == covered
+        assert r.oov_ppm == (n_total - covered) * 1_000_000 // n_total
+    oovs = [rows[k].oov_ppm for k in sorted(rows)]
+    assert oovs == sorted(oovs, reverse=True)

@@ -104,6 +104,7 @@ ALLOW = {
     "events_anomaly_mad": {"BroadcastNestedLoopJoin": "single-row median/MAD scalars x calendar-bounded days"},
     "split_temporal_purged": {"BroadcastNestedLoopJoin": "4-row fold grid x calendar-bounded day histogram"},
     "abtest_diff_in_diff": {"BroadcastNestedLoopJoin": "single-row DiD scalar x 4 cells"},
+    "text_vocab_coverage": {"BroadcastNestedLoopJoin": "4-row K grid + single-row totals x vocab ranks"},
 }
 
 
