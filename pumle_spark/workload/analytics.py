@@ -1465,3 +1465,99 @@ def forecast_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 2).alias("ewma_cents"),
         F.round(F.col("rev").cast("double") - ewma, 2).alias("resid_cents"),
     ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# price/volume bridge (YoY revenue decomposition)
+# --------------------------------------------------------------------------
+
+_PVM_Y1, _PVM_Y2 = 1997, 1998
+
+
+@register(
+    "revenue_pvm_bridge",
+    sql=f"""
+    WITH li AS (
+      SELECT p.p_brand AS brand, year(l.l_shipdate) AS yr,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS rev_c,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN ({_PVM_Y1}, {_PVM_Y2})
+    ),
+    g AS (
+      SELECT brand,
+             CAST(SUM(CASE WHEN yr = {_PVM_Y1} THEN rev_c ELSE 0 END) AS BIGINT) AS rev1_c,
+             CAST(SUM(CASE WHEN yr = {_PVM_Y1} THEN qty   ELSE 0 END) AS BIGINT) AS qty1,
+             CAST(SUM(CASE WHEN yr = {_PVM_Y2} THEN rev_c ELSE 0 END) AS BIGINT) AS rev2_c,
+             CAST(SUM(CASE WHEN yr = {_PVM_Y2} THEN qty   ELSE 0 END) AS BIGINT) AS qty2
+      FROM li GROUP BY brand
+    ),
+    pe AS (
+      SELECT *, CAST(ROUND(CAST(rev2_c AS DOUBLE)
+                           - CAST(qty2 AS DOUBLE) * rev1_c / qty1) AS BIGINT) AS price_effect_c
+      FROM g WHERE qty1 > 0 AND qty2 > 0
+    )
+    SELECT brand, rev1_c, rev2_c, qty1, qty2,
+           CAST(rev2_c - rev1_c AS BIGINT) AS delta_c,
+           price_effect_c,
+           CAST(rev2_c - rev1_c - price_effect_c AS BIGINT) AS volume_effect_c
+    FROM pe ORDER BY brand
+    """,
+    tags=("analytics", "finance", "bridge"),
+)
+def revenue_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price/volume revenue bridge between {_PVM_Y1} and
+    {_PVM_Y2}: the YoY revenue delta decomposed exactly into a price
+    effect ((p2 − p1)·q2, at new volume) and a volume effect
+    ((q2 − q1)·p1, at old price) — the finance-team waterfall explaining
+    WHY revenue moved, not just that it did.
+
+    Exactness: revenue quantizes to integer cents per row; the identity
+    Δrev = (p2−p1)·q2 + (q2−q1)·p1 is exact in rationals, so the price
+    effect is the single mirrored double expression
+    rev2 − q2·rev1/q1 rounded once, and the volume effect is defined as
+    the integer remainder — price_effect_c + volume_effect_c == delta_c
+    holds bit-for-bit by construction.
+
+    Scale shape: one fact scan with the year filter pushed to parquet;
+    part is a broadcast dim; a single brand-keyed groupBy with map-side
+    partials does both years via conditional aggregation (no self-join
+    of year slices, no second shuffle). Output is |brands| rows."""
+    part = table(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).filter(F.col("yr").isin(_PVM_Y1, _PVM_Y2))
+
+    def _year_sum(col: str, yr: int):
+        return F.sum(F.when(F.col("yr") == yr, F.col(col)).otherwise(0)).cast("bigint")
+
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            _year_sum("rev_c", _PVM_Y1).alias("rev1_c"),
+            _year_sum("qty", _PVM_Y1).alias("qty1"),
+            _year_sum("rev_c", _PVM_Y2).alias("rev2_c"),
+            _year_sum("qty", _PVM_Y2).alias("qty2"),
+        )
+        .filter((F.col("qty1") > 0) & (F.col("qty2") > 0))
+    )
+    pe = F.round(
+        F.col("rev2_c").cast("double")
+        - F.col("qty2").cast("double") * F.col("rev1_c") / F.col("qty1")
+    ).cast("bigint")
+    return g.select(
+        "brand",
+        "rev1_c",
+        "rev2_c",
+        "qty1",
+        "qty2",
+        (F.col("rev2_c") - F.col("rev1_c")).cast("bigint").alias("delta_c"),
+        pe.alias("price_effect_c"),
+        (F.col("rev2_c") - F.col("rev1_c") - pe).cast("bigint").alias("volume_effect_c"),
+    ).orderBy("brand")

@@ -714,3 +714,117 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drifted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# per-source Jensen-Shannon divergence over the token distribution
+# --------------------------------------------------------------------------
+
+_JS_TOKENS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+_JS_LN2_MICRO = 693147  # round(ln(2) * 1e6)
+
+
+@register(
+    "drift_token_js",
+    sql=f"""
+    WITH tok AS (
+      SELECT source, unnest({_JS_TOKENS}) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY source, w),
+    cw AS (SELECT w, CAST(SUM(a) AS BIGINT) AS b FROM sw GROUP BY w),
+    ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    nt AS (SELECT CAST(SUM(a) AS BIGINT) AS n_t FROM sw),
+    cells AS (
+      SELECT s.source, s.a, c.b, ns.n_s, nt.n_t,
+             CAST(ROUND(s.a * ln(2.0 * s.a * nt.n_t
+                                 / (CAST(s.a AS DOUBLE) * nt.n_t + CAST(c.b AS DOUBLE) * ns.n_s))
+                        * 1000000) AS BIGINT) AS x1,
+             CAST(ROUND(c.b * ln(2.0 * c.b * ns.n_s
+                                 / (CAST(s.a AS DOUBLE) * nt.n_t + CAST(c.b AS DOUBLE) * ns.n_s))
+                        * 1000000) AS BIGINT) AS x2
+      FROM sw s JOIN cw c ON c.w = s.w JOIN ns ON ns.source = s.source CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(0.5 * SUM(x1) / (1000000.0 * MAX(n_s))
+                 + 0.5 * (SUM(x2) + CAST({_JS_LN2_MICRO} AS BIGINT) * (MAX(n_t) - SUM(b)))
+                       / (1000000.0 * MAX(n_t)), 6) AS js_r6
+    FROM cells GROUP BY source ORDER BY source
+    """,
+    tags=("drift", "text", "divergence"),
+)
+def drift_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token distribution
+    and the pooled corpus — the mixture-design statistic (symmetric,
+    bounded by ln 2) that ranks sources by how far their vocabulary usage
+    sits from the blend, where `drift_source_lang_profile` only sees the
+    coarse language label.
+
+    The scale trick: JS needs a term for every (source, vocabulary-word)
+    pair including ZERO cells — a |sources|x|vocab| grid that is pure
+    waste at a 10^8-type vocabulary. But a zero cell (p=0) has
+    m = q/2, so its contribution is exactly q·ln2; summing over all
+    absent words gives ln2·(1 − Q_obs) in closed form. Only OBSERVED
+    (source, word) cells are ever materialized — the grid term is one
+    subtraction of exact token counts.
+
+    Determinism: each cell's two log terms are single mirrored double
+    expressions over exact integer counts, quantized ONCE to micro-units
+    (count-weighted, so magnitudes stay well above the quantum); the
+    per-source reduction is all-BIGINT; the final division is one
+    mirrored double expression rounded once. ln(2) enters as the integer
+    micro-constant {_JS_LN2_MICRO}.
+
+    Scale shape: token counting is a (source, word)-keyed groupBy with
+    map-side partials; the corpus-frequency join keys on the word (no
+    broadcast of the vocabulary — it shuffles co-keyed); per-source
+    totals are a broadcast dim; the final rollup is |sources| rows."""
+    from pumle_spark.operators.dedup import normalize_text
+
+    tok = table(spark, sf_dir, "documents").select(
+        "source", F.explode(normalize_text("text")).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    cw = sw.groupBy("w").agg(F.sum("a").cast("bigint").alias("b"))
+    ns = sw.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_s"))
+    nt = sw.agg(F.sum("a").cast("bigint").alias("n_t"))
+    denom = F.col("a").cast("double") * F.col("n_t") + F.col("b").cast("double") * F.col("n_s")
+    cells = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "a",
+            "b",
+            "n_s",
+            "n_t",
+            F.round(F.col("a") * F.log(2.0 * F.col("a") * F.col("n_t") / denom) * 1_000_000)
+            .cast("bigint")
+            .alias("x1"),
+            F.round(F.col("b") * F.log(2.0 * F.col("b") * F.col("n_s") / denom) * 1_000_000)
+            .cast("bigint")
+            .alias("x2"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                0.5 * F.sum("x1") / (1_000_000.0 * F.max("n_s"))
+                + 0.5
+                * (
+                    F.sum("x2")
+                    + F.lit(_JS_LN2_MICRO).cast("bigint") * (F.max("n_t") - F.sum("b"))
+                )
+                / (1_000_000.0 * F.max("n_t")),
+                6,
+            ).alias("js_r6"),
+        )
+        .orderBy("source")
+    )

@@ -1181,3 +1181,117 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# effective dimensionality (participation ratio over per-dim variance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_effective_dim",
+    sql="""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mo AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+      FROM comp GROUP BY dim
+    ),
+    v AS (
+      SELECT dim, n,
+             CAST(ROUND((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * n) * 1000000000) AS BIGINT) AS var_nano
+      FROM mo
+    ),
+    tot AS (
+      SELECT CAST(SUM(var_nano) AS BIGINT) AS total_nano,
+             SUM(CAST(CAST(var_nano AS DOUBLE) * CAST(var_nano AS DOUBLE)
+                      AS DECIMAL(38,0))) AS sq
+      FROM v
+    )
+    SELECT CAST(v.dim AS INTEGER) AS dim, v.var_nano,
+           CAST(v.var_nano * 1000000 // t.total_nano AS BIGINT) AS share_ppm,
+           CAST(CAST(SUM(v.var_nano) OVER (ORDER BY v.var_nano DESC, v.dim) AS BIGINT)
+                * 1000000 // t.total_nano AS BIGINT) AS cum_share_ppm,
+           ROUND(CAST(t.total_nano AS DOUBLE) * t.total_nano / CAST(t.sq AS DOUBLE), 4)
+             AS effective_dim
+    FROM v CROSS JOIN tot t
+    ORDER BY var_nano DESC, dim
+    """,
+    tags=("embeddings", "spectrum", "diagnostics"),
+)
+def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance spectrum of the embedding space and its participation
+    ratio (Σλ)²/Σλ² — the "how many dimensions actually carry signal"
+    diagnostic (a collapsed spectrum means the index's distance geometry
+    is degenerate long before recall metrics show it). Per-dimension
+    variance, its share of total variance, the cumulative share in
+    decreasing-variance order, plus the scalar effective dimension.
+
+    Determinism: per-dimension moments are exact DECIMAL sums of
+    mirrored double terms; the variance (n·Σx² − (Σx)²)/n² is one
+    mirrored double expression quantized ONCE to nano-units; every
+    share, the cumulative window, and the participation ratio are then
+    built from those exact BIGINTs (squares pass through doubles —
+    identical IEEE products on both engines — and an exact DECIMAL sum).
+
+    Scale shape: the explode is map-side; one groupBy on the 64-value
+    dimension key with map-side partials (state = dims·const); the
+    spectrum rollup, window, and participation ratio all run on
+    |dims| rows. Linear in corpus, one shuffle."""
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    comp = emb.select(F.posexplode("embedding").alias("dim0", "xf")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    mo = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("sxx"),
+    )
+    v = mo.select(
+        "dim",
+        "n",
+        F.round(
+            (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("n"))
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("var_nano"),
+    )
+    tot = v.agg(
+        F.sum("var_nano").cast("bigint").alias("total_nano"),
+        F.sum(
+            (F.col("var_nano").cast("double") * F.col("var_nano").cast("double")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sq"),
+    )
+    wcum = Window.orderBy(F.desc("var_nano"), "dim").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .withColumn("cum_nano", F.sum("var_nano").over(wcum).cast("bigint"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "var_nano",
+            F.expr("var_nano * 1000000 div total_nano").cast("bigint").alias("share_ppm"),
+            F.expr("cum_nano * 1000000 div total_nano").cast("bigint").alias("cum_share_ppm"),
+            F.round(
+                F.col("total_nano").cast("double")
+                * F.col("total_nano")
+                / F.col("sq").cast("double"),
+                4,
+            ).alias("effective_dim"),
+        )
+        .orderBy(F.desc("var_nano"), "dim")
+    )

@@ -2206,3 +2206,106 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule report (per-source filter diagnostics)
+# --------------------------------------------------------------------------
+
+_GPH_MIN_TOK, _GPH_MAX_TOK = 20, 80
+_GPH_MIN_STOP = 3
+
+
+@register(
+    "text_gopher_rules",
+    sql=f"""
+    WITH d AS (
+      SELECT source, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             LEN(ws) AS n,
+             list_sum(list_transform(ws, t -> LENGTH(t))) AS sumlen,
+             LEN(list_filter(ws, t -> t IN ({{en_stop}}))) AS n_stop,
+             LEN(list_filter(ws, t -> regexp_matches(t, '[0-9]'))) AS n_digit
+      FROM d
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n < {_GPH_MIN_TOK} THEN 1 ELSE 0 END) AS BIGINT) AS f_short,
+             CAST(SUM(CASE WHEN n > {_GPH_MAX_TOK} THEN 1 ELSE 0 END) AS BIGINT) AS f_long,
+             CAST(SUM(CASE WHEN 2 * sumlen > 9 * n OR sumlen < 3 * n THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f_meanlen,
+             CAST(SUM(CASE WHEN n_stop < {_GPH_MIN_STOP} THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+             CAST(SUM(CASE WHEN 10 * n_digit > n THEN 1 ELSE 0 END) AS BIGINT) AS f_digit
+      FROM flags GROUP BY source
+    ),
+    un AS (
+      SELECT source, n_docs, 'too_short'    AS rule, f_short   AS n_failed FROM agg UNION ALL
+      SELECT source, n_docs, 'too_long'     AS rule, f_long    AS n_failed FROM agg UNION ALL
+      SELECT source, n_docs, 'mean_tok_len' AS rule, f_meanlen AS n_failed FROM agg UNION ALL
+      SELECT source, n_docs, 'low_stopword' AS rule, f_stop    AS n_failed FROM agg UNION ALL
+      SELECT source, n_docs, 'digit_heavy'  AS rule, f_digit   AS n_failed FROM agg
+    )
+    SELECT source, rule, n_docs, n_failed,
+           CAST(n_failed * 1000000 // n_docs AS BIGINT) AS fail_ppm
+    FROM un ORDER BY source, rule
+    """.replace("{en_stop}", _sql_in(_STOPWORDS["en"])),
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule report: for each source, how many
+    documents each of five classic pre-training filters would reject —
+    too few tokens (<{_GPH_MIN_TOK}), too many (>{_GPH_MAX_TOK}), mean
+    token length outside [3, 4.5], fewer than {_GPH_MIN_STOP} English
+    stopwords, digit-bearing tokens above 10%. Unlike the per-document
+    `text_quality_score`, this is the corpus-curation dashboard — which
+    RULE fires where, so thresholds can be tuned per source before a
+    single document is dropped.
+
+    Exactness: every rule is an integer comparison (the mean-length and
+    digit-ratio thresholds use cross-multiplication, so no float ever
+    exists); fail_ppm is one integer floor division.
+
+    Scale shape: the per-document flags are pure JVM array expressions
+    inside one projection (no Python); one source-keyed groupBy with
+    map-side partials; the rule unpivot multiplies the |sources| rollup
+    by five constant rows. Linear in corpus bytes, one shuffle."""
+    d = table(spark, sf_dir, "documents").select("source", _tokens_col().alias("ws"))
+    flags = d.select(
+        "source",
+        F.size("ws").alias("n"),
+        F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t)).alias("sumlen"),
+        _hits("en").alias("n_stop"),
+        F.expr("size(filter(ws, t -> t RLIKE '[0-9]'))").alias("n_digit"),
+    )
+
+    def _nfail(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        _nfail(F.col("n") < _GPH_MIN_TOK).alias("f_short"),
+        _nfail(F.col("n") > _GPH_MAX_TOK).alias("f_long"),
+        _nfail(
+            (2 * F.col("sumlen") > 9 * F.col("n")) | (F.col("sumlen") < 3 * F.col("n"))
+        ).alias("f_meanlen"),
+        _nfail(F.col("n_stop") < _GPH_MIN_STOP).alias("f_stop"),
+        _nfail(10 * F.col("n_digit") > F.col("n")).alias("f_digit"),
+    )
+    un = agg.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "stack(5, 'too_short', f_short, 'too_long', f_long, "
+            "'mean_tok_len', f_meanlen, 'low_stopword', f_stop, "
+            "'digit_heavy', f_digit) AS (rule, n_failed)"
+        ),
+    )
+    return un.select(
+        "source",
+        "rule",
+        "n_docs",
+        "n_failed",
+        F.expr("n_failed * 1000000 div n_docs").cast("bigint").alias("fail_ppm"),
+    ).orderBy("source", "rule")

@@ -105,6 +105,8 @@ ALLOW = {
     "split_temporal_purged": {"BroadcastNestedLoopJoin": "4-row fold grid x calendar-bounded day histogram"},
     "abtest_diff_in_diff": {"BroadcastNestedLoopJoin": "single-row DiD scalar x 4 cells"},
     "text_vocab_coverage": {"BroadcastNestedLoopJoin": "4-row K grid + single-row totals x vocab ranks"},
+    "drift_token_js": {"BroadcastNestedLoopJoin": "single-row corpus-total scalar x observed cells"},
+    "embedding_effective_dim": {"BroadcastNestedLoopJoin": "single-row spectrum totals x 64 dims"},
 }
 
 
