@@ -1561,3 +1561,90 @@ def revenue_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("price_effect_c"),
         (F.col("rev2_c") - F.col("rev1_c") - pe).cast("bigint").alias("volume_effect_c"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# price elasticity (log-log OLS per brand)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_elasticity",
+    sql="""
+    WITH per_part AS (
+      SELECT l.l_partkey, CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l GROUP BY l.l_partkey
+    ),
+    pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(ROUND(ln(p.p_retailprice) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(pp.qty AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+      WHERE pp.qty > 0
+    ),
+    m AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+      FROM pts GROUP BY brand
+    )
+    SELECT brand, n AS n_parts,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS elasticity_r6
+    FROM m ORDER BY brand
+    """,
+    tags=("analytics", "econometrics", "regression"),
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity proxy per brand: the OLS slope of
+    ln(quantity sold) on ln(retail price) across the brand's parts —
+    the log-log regression a pricing team runs before touching a price
+    list (slope < −1 = elastic, raise revenue by cutting price).
+
+    Exactness: the logs of exact inputs are quantized ONCE to micro-unit
+    BIGINTs (the `text_zipf_slope` idiom); all four OLS moments are
+    DECIMAL(38,0) sums of integer products (immune to the BIGINT
+    overflow a 10⁷-part brand would hit); the slope is one mirrored
+    double expression rounded once, NULL for a degenerate all-one-price
+    brand.
+
+    Scale shape: per-part demand is a partkey-keyed groupBy with
+    map-side partials; part is dimension-sized so the brand lookup is a
+    broadcast; the moment rollup groups on |brands| keys. One fact
+    shuffle total."""
+    pp = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        .filter(F.col("qty") > 0)
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand"), "p_retailprice"
+    )
+    pts = pp.join(F.broadcast(part), pp.l_partkey == part.p_partkey).select(
+        "brand",
+        F.round(F.log("p_retailprice") * 1_000_000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("qty").cast("double")) * 1_000_000).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return m.select(
+        "brand",
+        F.col("n").alias("n_parts"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("elasticity_r6"),
+    ).orderBy("brand")

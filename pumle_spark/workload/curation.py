@@ -540,3 +540,160 @@ def split_cluster_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# train/eval near-dup leakage audit (winnow fingerprints across the split)
+# --------------------------------------------------------------------------
+
+_LEAK_GRAM = 8  # char n-gram size (mirrors text_fingerprint_winnow)
+_LEAK_WINNOW = 4  # winnowing window (rows)
+_LEAK_MAXDF = 16  # stop-fingerprint cap: drop fps present in more docs
+_LEAK_MIN = 3  # shared distinct fps for a pair to count as leakage
+
+
+@register(
+    "split_leakage_neardup",
+    sql=f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                     % 100 AS b
+            FROM documents)
+    ),
+    d AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(regexp_replace(lower(text),
+                             '[^a-z0-9]+', ' ', 'g')), ' '), ' ') AS norm
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos, substr(md5(substr(norm, pos, {_LEAK_GRAM})), 1, 8) AS h
+      FROM (SELECT doc_id, norm,
+                   unnest(generate_series(1, LENGTH(norm) - {_LEAK_GRAM - 1})) AS pos
+            FROM d)
+    ),
+    winnowed AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_LEAK_WINNOW - 1} FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_LEAK_MAXDF}),
+    fpo AS (SELECT f.doc_id, f.fp FROM fps f JOIN keepfp k ON k.fp = f.fp),
+    tr AS (SELECT f.fp, f.doc_id FROM fpo f JOIN sp ON sp.doc_id = f.doc_id
+           WHERE sp.split = 'train'),
+    ev AS (SELECT sp.split, f.fp, f.doc_id FROM fpo f JOIN sp ON sp.doc_id = f.doc_id
+           WHERE sp.split IN ('val', 'test')),
+    pairs AS (
+      SELECT ev.split, ev.doc_id AS e_doc, tr.doc_id AS t_doc,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM ev JOIN tr ON tr.fp = ev.fp
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_LEAK_MIN}
+    ),
+    leaked AS (
+      SELECT split, e_doc, CAST(COUNT(*) AS BIGINT) AS n_partners
+      FROM pairs GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sp
+      WHERE split IN ('val', 'test') GROUP BY split
+    )
+    SELECT b.split, b.n_docs,
+           CAST(COUNT(l.e_doc) AS BIGINT) AS n_leaked,
+           CAST(COUNT(l.e_doc) * 1000000 // b.n_docs AS BIGINT) AS leak_ppm,
+           CAST(COALESCE(SUM(l.n_partners), 0) AS BIGINT) AS n_pairs
+    FROM base b LEFT JOIN leaked l ON l.split = b.split
+    GROUP BY b.split, b.n_docs ORDER BY b.split
+    """,
+    tags=("curation", "split", "leakage", "dedup"),
+)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: how many val/test documents have a
+    near-duplicate in the train split — the contamination check that
+    makes held-out metrics trustworthy (a random doc-level split of a
+    corpus WITH near-dups leaks by construction; this measures exactly
+    how much). Near-dup evidence is ≥{_LEAK_MIN} shared winnowing
+    fingerprints (the `text_fingerprint_winnow` char-{_LEAK_GRAM}-gram /
+    window-{_LEAK_WINNOW} scheme); split assignment is the engine's own
+    `deterministic_split` md5 bucketing, so the audit measures the real
+    shipping split.
+
+    Exactness: fingerprints and split buckets are md5-derived integers;
+    every count is exact; leak_ppm is one integer floor division.
+
+    Scale shape: fingerprinting is per-document (explode bounded by doc
+    length, one doc-keyed distinct); the candidate join keys on the
+    fingerprint value with a stop-fingerprint cap (document-frequency
+    > {_LEAK_MAXDF} dropped — the standard LSH hot-bucket guard, which
+    bounds per-key join fan-out to {_LEAK_MAXDF}²); pair scoring groups
+    on (eval_doc, train_doc). No all-pairs stage anywhere."""
+    from pumle_spark.operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    d = docs.select("doc_id", F.array_join(normalize_text("text"), " ").alias("norm"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(norm) >= {_LEAK_GRAM} THEN "
+                f"transform(sequence(1, length(norm) - {_LEAK_GRAM - 1}), "
+                f"p -> substr(md5(substr(norm, p, {_LEAK_GRAM})), 1, 8)) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _LEAK_WINNOW - 1)
+    fps = (
+        grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    )
+    keepfp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _LEAK_MAXDF
+    ).select("fp")
+    fpo = fps.join(keepfp, "fp")
+    tagged = fpo.join(sp, "doc_id")
+    tr = tagged.filter(F.col("split") == "train").select("fp", F.col("doc_id").alias("t_doc"))
+    ev = tagged.filter(F.col("split").isin("val", "test")).select(
+        "split", "fp", F.col("doc_id").alias("e_doc")
+    )
+    pairs = (
+        ev.join(tr, "fp")
+        .groupBy("split", "e_doc", "t_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _LEAK_MIN)
+    )
+    leaked = pairs.groupBy("split", "e_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partners")
+    )
+    base = (
+        sp.filter(F.col("split").isin("val", "test"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        base.join(leaked, "split", "left")
+        .groupBy("split", "n_docs")
+        .agg(
+            F.count("e_doc").cast("bigint").alias("n_leaked"),
+            F.expr("count(e_doc) * 1000000 div n_docs").cast("bigint").alias("leak_ppm"),
+            F.coalesce(F.sum("n_partners"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("split")
+    )

@@ -2940,3 +2940,142 @@ def events_cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+# --------------------------------------------------------------------------
+# funnel latency (time-to-convert percentiles per stage transition)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_latency",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS stage,
+             epoch_us(c.t_click) - epoch_us(v.t_view) AS us
+      FROM c JOIN v ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage,
+             epoch_us(p.t_buy) - epoch_us(c.t_click) AS us
+      FROM p JOIN c ON c.user_id = p.user_id
+      UNION ALL
+      SELECT 'view_to_purchase' AS stage,
+             epoch_us(p.t_buy) - epoch_us(v.t_view) AS us
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    rk AS (
+      SELECT stage, us,
+             ROW_NUMBER() OVER (PARTITION BY stage ORDER BY us) AS rn,
+             COUNT(*) OVER (PARTITION BY stage) AS n
+      FROM lat
+    )
+    SELECT stage, CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(us) // (MAX(n) * 1000000) AS BIGINT) AS mean_floor_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN us END) // 1000000
+                AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN us END) // 1000000
+                AS BIGINT) AS p90_s
+    FROM rk GROUP BY stage ORDER BY stage
+    """,
+    tags=("events", "funnel", "latency"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for each strictly-ordered funnel transition
+    (first view → first later click → first later purchase, the same
+    stage semantics as `events_funnel_conversion`): per transition, how
+    many users converted and the mean / median / p90 latency in whole
+    seconds — the report that turns "3% convert" into "and it takes
+    them 40 minutes".
+
+    Exactness: latencies are exact integer microsecond deltas; the
+    percentiles are DISCRETE order statistics (the value at row
+    ceil(p·n) of the latency sort — no interpolation, so no float ever
+    exists); mean is one integer floor division.
+
+    Scale shape: the three stage tables are user-keyed min-aggregations
+    whose inputs shrink monotonically down the funnel (classic funnel
+    pruning), all sharing one hash partitioning; the percentile ranks
+    partition by the 3-value stage key. The stage cardinality is tiny,
+    so the rank window is the only non-keyed state and it is bounded by
+    converted users per stage."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def _lat(a: DataFrame, ta: str, b: DataFrame, tb: str, stage: str) -> DataFrame:
+        return (
+            b.join(a, "user_id")
+            .select(
+                F.lit(stage).alias("stage"),
+                (F.unix_micros(F.col(tb)) - F.unix_micros(F.col(ta))).alias("us"),
+            )
+        )
+
+    lat = (
+        _lat(v, "t_view", c, "t_click", "view_to_click")
+        .unionAll(_lat(c, "t_click", p, "t_buy", "click_to_purchase"))
+        .unionAll(_lat(v, "t_view", p, "t_buy", "view_to_purchase"))
+    )
+    wrk = Window.partitionBy("stage").orderBy("us")
+    wall = Window.partitionBy("stage")
+    rk = lat.select(
+        "stage",
+        "us",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def _pick(p_: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(p_ * F.col("n")).cast("bigint"), F.col("us"))
+        )
+
+    return (
+        rk.groupBy("stage")
+        .agg(
+            F.max("n").cast("bigint").alias("n_users"),
+            F.expr("sum(us) div (max(n) * 1000000)").cast("bigint").alias("mean_floor_s"),
+            _pick(0.5).alias("_p50us"),
+            _pick(0.9).alias("_p90us"),
+        )
+        .select(
+            "stage",
+            "n_users",
+            "mean_floor_s",
+            F.expr("cast(_p50us div 1000000 as bigint)").alias("p50_s"),
+            F.expr("cast(_p90us div 1000000 as bigint)").alias("p90_s"),
+        )
+        .orderBy("stage")
+    )

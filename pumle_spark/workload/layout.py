@@ -10,7 +10,7 @@ counting overlapping row groups against a single-column sort.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pumle_spark.layout import DEFAULT_BITS, bucketize, zorder_key
 from pumle_spark.tables import table
@@ -85,4 +85,131 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yb",
             zorder_key(F.col("xb"), F.col("yb"), _BITS).alias("zkey"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# zonemap skip-rate simulation (time-clustered vs value-sorted layout)
+# --------------------------------------------------------------------------
+
+_ZM_CHUNKS = 80
+_ZM_THRESH_C = (10_000_000, 25_000_000, 40_000_000)  # o_totalprice > T, in cents
+
+
+@register(
+    "layout_zonemap_skipping",
+    sql=f"""
+    WITH rows_c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             date_trunc('month', o_orderdate) AS mon,
+             o_orderkey
+      FROM orders
+    ),
+    tagged AS (
+      SELECT 'time'   AS layout,
+             CAST(DENSE_RANK() OVER (ORDER BY mon) AS BIGINT) AS chunk, cents
+      FROM rows_c
+      UNION ALL
+      SELECT 'sorted' AS layout,
+             CAST(NTILE({_ZM_CHUNKS}) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS chunk,
+             cents
+      FROM rows_c
+    ),
+    zones AS (
+      SELECT layout, chunk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows, MAX(cents) AS max_c,
+             {", ".join(f"CAST(SUM(CASE WHEN cents > {t} THEN 1 ELSE 0 END) AS BIGINT) AS m{i}" for i, t in enumerate(_ZM_THRESH_C))}
+      FROM tagged GROUP BY layout, chunk
+    ),
+    un AS (
+      {" UNION ALL ".join(f"SELECT layout, chunk, n_rows, max_c, CAST({t} AS BIGINT) AS threshold_c, m{i} AS n_match FROM zones" for i, t in enumerate(_ZM_THRESH_C))}
+    )
+    SELECT layout, threshold_c,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN max_c <= threshold_c THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN max_c > threshold_c THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched
+    FROM un GROUP BY layout, threshold_c ORDER BY layout, threshold_c
+    """,
+    tags=("layout", "pruning", "zonemap"),
+)
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap (min/max row-group statistics) skip-rate simulation: for
+    the predicate o_totalprice > T at three thresholds, how many chunks
+    a scan could prune and how many rows it must still read, under two
+    physical layouts of the SAME table — 'time' (chunk = ingest month,
+    the layout you get for free) vs 'sorted' (chunk = {_ZM_CHUNKS}-way
+    NTILE of the value sort, what `pumle_spark.layout.write_zordered`
+    produces for 1-D keys). rows_matched is layout-invariant by
+    construction — the built-in sanity check — while rows_scanned is the
+    cost the layout decides. This quantifies the scan-pruning argument
+    the z-order operators make structurally.
+
+    Exactness: prices quantize to integer cents per row; chunk ids,
+    zonemap bounds, skip counts, and scan counts are all integers; the
+    fixed thresholds are compile-time constants evaluated as conditional
+    aggregates (no row x threshold explosion).
+
+    Scale shape: the 'time' chunking is a keyed expression; the 'sorted'
+    NTILE is the one global sort — exactly the cost a real re-layout job
+    pays once at write time (a production run would range-partition;
+    the simulation measures the RESULT, chunk stats, which are
+    |chunks|-sized either way). Everything after the per-chunk rollup
+    operates on |chunks| x |layouts| rows."""
+    rows_c = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        "o_orderkey",
+    )
+    time_tag = rows_c.select(
+        F.lit("time").alias("layout"),
+        F.dense_rank().over(Window.orderBy("mon")).cast("bigint").alias("chunk"),
+        "cents",
+    )
+    sort_tag = rows_c.select(
+        F.lit("sorted").alias("layout"),
+        F.ntile(_ZM_CHUNKS)
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("chunk"),
+        "cents",
+    )
+    match_aggs = [
+        F.sum(F.when(F.col("cents") > t, 1).otherwise(0)).cast("bigint").alias(f"m{i}")
+        for i, t in enumerate(_ZM_THRESH_C)
+    ]
+    zones = (
+        time_tag.unionAll(sort_tag)
+        .groupBy("layout", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("cents").alias("max_c"),
+            *match_aggs,
+        )
+    )
+    stack_args = ", ".join(
+        f"cast({t} as bigint), m{i}" for i, t in enumerate(_ZM_THRESH_C)
+    )
+    un = zones.select(
+        "layout",
+        "n_rows",
+        "max_c",
+        F.expr(
+            f"stack({len(_ZM_THRESH_C)}, {stack_args}) AS (threshold_c, n_match)"
+        ),
+    )
+    return (
+        un.groupBy("layout", "threshold_c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("max_c") <= F.col("threshold_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_skipped"),
+            F.sum(F.when(F.col("max_c") > F.col("threshold_c"), F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matched"),
+        )
+        .orderBy("layout", "threshold_c")
     )

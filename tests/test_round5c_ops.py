@@ -202,3 +202,207 @@ def test_effective_dim_matches_numpy(spark):
         assert abs(r.effective_dim - eff) < 1e-9
     assert out[-1].cum_share_ppm == 1_000_000
     assert 1.0 <= out[0].effective_dim <= dims
+
+
+# --------------------------------------------------------------------------
+# events_funnel_latency
+# --------------------------------------------------------------------------
+
+
+def test_funnel_latency_matches_bruteforce(spark):
+    """Stage latencies must equal a Python replay of the strict funnel,
+    with discrete order-statistic percentiles."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import events_funnel_latency
+
+    rows = {r.stage: r for r in events_funnel_latency(spark, SF).collect()}
+
+    ev = (
+        table(spark, SF, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.us, r.event_type))
+    lats = defaultdict(list)
+    for u, es in by_user.items():
+        views = [t for t, k in es if k == "view"]
+        if not views:
+            continue
+        tv = min(views)
+        clicks = [t for t, k in es if k == "click" and t > tv]
+        if not clicks:
+            continue
+        tc = min(clicks)
+        lats["view_to_click"].append(tc - tv)
+        buys = [t for t, k in es if k == "purchase" and t > tc]
+        if not buys:
+            continue
+        tb = min(buys)
+        lats["click_to_purchase"].append(tb - tc)
+        lats["view_to_purchase"].append(tb - tv)
+
+    assert set(rows) == set(lats)
+    for stage, xs in lats.items():
+        xs.sort()
+        n = len(xs)
+        r = rows[stage]
+        assert r.n_users == n
+        assert r.mean_floor_s == sum(xs) // (n * 1_000_000)
+        assert r.p50_s == xs[math.ceil(0.5 * n) - 1] // 1_000_000
+        assert r.p90_s == xs[math.ceil(0.9 * n) - 1] // 1_000_000
+        assert r.p50_s <= r.p90_s
+
+
+# --------------------------------------------------------------------------
+# orders_price_elasticity
+# --------------------------------------------------------------------------
+
+
+def test_price_elasticity_matches_bruteforce(spark):
+    """Per-brand OLS slope must equal a Python replay of the
+    micro-quantized log-log regression."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import orders_price_elasticity
+
+    rows = {r.brand: r for r in orders_price_elasticity(spark, SF).collect()}
+
+    qty = defaultdict(int)
+    for r in table(spark, SF, "lineitem").select("l_partkey", "l_quantity").collect():
+        qty[r.l_partkey] += int(r.l_quantity)
+    pts = defaultdict(list)
+    for r in table(spark, SF, "part").select("p_partkey", "p_brand", "p_retailprice").collect():
+        if qty.get(r.p_partkey, 0) > 0:
+            x = round(math.log(r.p_retailprice) * 1_000_000)
+            y = round(math.log(float(qty[r.p_partkey])) * 1_000_000)
+            pts[r.p_brand].append((x, y))
+
+    assert set(rows) == set(pts)
+    for b, xy in pts.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        den = n * float(sxx) - float(sx) * sx
+        r = rows[b]
+        assert r.n_parts == n
+        if den == 0:
+            assert r.elasticity_r6 is None
+        else:
+            want = round((n * float(sxy) - float(sx) * sy) / den, 6)
+            assert abs(r.elasticity_r6 - want) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# layout_zonemap_skipping
+# --------------------------------------------------------------------------
+
+
+def test_zonemap_skipping_matches_bruteforce(spark):
+    """Chunk stats and skip counts must equal a Python replay of both
+    layouts, and the value-sorted layout must never scan more rows."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.layout import _ZM_CHUNKS, _ZM_THRESH_C, layout_zonemap_skipping
+
+    got = {(r.layout, r.threshold_c): r for r in layout_zonemap_skipping(spark, SF).collect()}
+
+    rows = [
+        (round(r.o_totalprice * 100), r.mon, r.o_orderkey)
+        for r in table(spark, SF, "orders")
+        .select("o_totalprice", F.date_trunc("month", "o_orderdate").alias("mon"), "o_orderkey")
+        .collect()
+    ]
+    # time layout: chunk = dense month index
+    months = sorted({m for _, m, _ in rows})
+    midx = {m: i + 1 for i, m in enumerate(months)}
+    chunks = {"time": defaultdict(list), "sorted": defaultdict(list)}
+    for c, m, _ in rows:
+        chunks["time"][midx[m]].append(c)
+    # sorted layout: NTILE over (cents, orderkey)
+    srt = sorted(rows, key=lambda t: (t[0], t[2]))
+    n = len(srt)
+    base, extra = divmod(n, _ZM_CHUNKS)
+    pos = 0
+    for i in range(1, _ZM_CHUNKS + 1):
+        size = base + (1 if i <= extra else 0)
+        for c, _, _ in srt[pos : pos + size]:
+            chunks["sorted"][i].append(c)
+        pos += size
+
+    for layout, by_chunk in chunks.items():
+        for t in _ZM_THRESH_C:
+            n_skipped = sum(1 for cs in by_chunk.values() if max(cs) <= t)
+            scanned = sum(len(cs) for cs in by_chunk.values() if max(cs) > t)
+            matched = sum(1 for c, _, _ in rows if c > t)
+            r = got[(layout, t)]
+            assert r.n_chunks == len(by_chunk)
+            assert r.n_skipped == n_skipped
+            assert r.rows_scanned == scanned
+            assert r.rows_matched == matched
+    for t in _ZM_THRESH_C:
+        # the invariant the op exists to demonstrate
+        assert got[("sorted", t)].rows_scanned <= got[("time", t)].rows_scanned
+        assert got[("sorted", t)].rows_matched == got[("time", t)].rows_matched
+
+
+# --------------------------------------------------------------------------
+# split_leakage_neardup
+# --------------------------------------------------------------------------
+
+
+def test_split_leakage_matches_bruteforce(spark):
+    """Leakage counts must equal a Python replay of winnow fingerprints,
+    the stop-fp cap, and the md5 split assignment."""
+    import hashlib
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.curation import (
+        _LEAK_GRAM,
+        _LEAK_MAXDF,
+        _LEAK_MIN,
+        _LEAK_WINNOW,
+        split_leakage_neardup,
+    )
+
+    got = {r.split: r for r in split_leakage_neardup(spark, SF).collect()}
+
+    docs = table(spark, SF, "documents").select("doc_id", "text").collect()
+    split = {}
+    for r in docs:
+        b = int(hashlib.md5(f"split|{r.doc_id}".encode()).hexdigest()[:4], 16) % 100
+        split[r.doc_id] = "train" if b < 80 else "val" if b < 90 else "test"
+
+    fps = {}
+    for r in docs:
+        norm = " ".join(_tokens(r.text))
+        hs = [
+            hashlib.md5(norm[p : p + _LEAK_GRAM].encode()).hexdigest()[:8]
+            for p in range(0, max(0, len(norm) - _LEAK_GRAM + 1))
+        ]
+        fps[r.doc_id] = {
+            min(hs[p : p + _LEAK_WINNOW]) for p in range(len(hs))
+        } if hs else set()
+
+    df = Counter(fp for s in fps.values() for fp in s)
+    keep = {fp for fp, c in df.items() if c <= _LEAK_MAXDF}
+    fps = {d: s & keep for d, s in fps.items()}
+
+    train = {d: s for d, s in fps.items() if split[d] == "train"}
+    want = {"val": [0, 0], "test": [0, 0]}  # n_leaked, n_pairs
+    ndocs = Counter(s for s in split.values() if s != "train")
+    for d, s in fps.items():
+        if split[d] == "train":
+            continue
+        partners = sum(1 for td, ts in train.items() if len(s & ts) >= _LEAK_MIN)
+        if partners:
+            want[split[d]][0] += 1
+            want[split[d]][1] += partners
+
+    assert set(got) == {"val", "test"}
+    for sp in ("val", "test"):
+        r = got[sp]
+        assert r.n_docs == ndocs[sp]
+        assert (r.n_leaked, r.n_pairs) == tuple(want[sp])
+        assert r.leak_ppm == want[sp][0] * 1_000_000 // ndocs[sp]
