@@ -1648,3 +1648,187 @@ def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_parts"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("elasticity_r6"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# duplicate-payment audit (near-identical invoices, same customer)
+# --------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 7
+_DUP_REL_PCT = 1  # |a - b| <= 1% of the smaller amount
+_DUP_TOP = 100
+
+
+@register(
+    "audit_duplicate_payments",
+    sql=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey AS custkey,
+             a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+             CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT) AS day_gap,
+             a.cents AS cents_a, b.cents AS cents_b,
+             abs(a.cents - b.cents) AS diff_c
+      FROM o a JOIN o b
+        ON b.o_custkey = a.o_custkey AND b.o_orderkey > a.o_orderkey
+      WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= {_DUP_WINDOW_DAYS}
+        AND abs(a.cents - b.cents) * 100 <= LEAST(a.cents, b.cents) * {_DUP_REL_PCT}
+    )
+    SELECT custkey, orderkey_a, orderkey_b, day_gap, cents_a, cents_b,
+           CAST(diff_c AS BIGINT) AS diff_c
+    FROM pairs
+    ORDER BY diff_c, custkey, orderkey_a, orderkey_b
+    LIMIT {_DUP_TOP}
+    """,
+    tags=("audit", "finance", "dedup"),
+)
+def audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector: pairs of orders by the SAME customer,
+    placed within {_DUP_WINDOW_DAYS} days of each other, whose amounts
+    agree to {_DUP_REL_PCT}% — the accounts-payable audit that catches
+    double-submitted invoices (and, in synthetic data, generator
+    artifacts). Top-{_DUP_TOP} closest pairs.
+
+    Exactness: amounts quantize to integer cents per row; the relative
+    tolerance is the cross-multiplied integer comparison
+    |a−b|·100 ≤ min(a,b)·{_DUP_REL_PCT} (no float ever exists); day gaps
+    are exact date arithmetic.
+
+    Scale shape: the self-join is an equi-join on o_custkey — both sides
+    hash to the same partitioning, so each customer's pair enumeration
+    is local and bounded by that customer's order count squared (tens,
+    not millions; a pathological mega-customer would be salted). The
+    orderkey inequality halves the pair space and the date/amount bands
+    prune the rest before anything leaves the join."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    gap = F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate")).cast("bigint")
+    diff = F.abs(F.col("a.cents") - F.col("b.cents"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.o_orderkey") > F.col("a.o_orderkey")),
+        )
+        .filter(
+            (F.abs(gap) <= _DUP_WINDOW_DAYS)
+            & (diff * 100 <= F.least(F.col("a.cents"), F.col("b.cents")) * _DUP_REL_PCT)
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_a"),
+            F.col("b.o_orderkey").alias("orderkey_b"),
+            gap.alias("day_gap"),
+            F.col("a.cents").alias("cents_a"),
+            F.col("b.cents").alias("cents_b"),
+            diff.cast("bigint").alias("diff_c"),
+        )
+    )
+    return pairs.orderBy("diff_c", "custkey", "orderkey_a", "orderkey_b").limit(_DUP_TOP)
+
+
+# --------------------------------------------------------------------------
+# two-way mean decomposition (ANOVA-style cell effects)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "anova_twoway_cells",
+    sql="""
+    WITH o AS (
+      SELECT o_orderpriority AS prio, year(o_orderdate) AS yr,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cell AS (
+      SELECT prio, yr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM o GROUP BY prio, yr
+    ),
+    ra AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS n_a, CAST(SUM(s) AS BIGINT) AS s_a
+           FROM cell GROUP BY prio),
+    rb AS (SELECT yr, CAST(SUM(n) AS BIGINT) AS n_b, CAST(SUM(s) AS BIGINT) AS s_b
+           FROM cell GROUP BY yr),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, CAST(SUM(s) AS BIGINT) AS s_g FROM cell)
+    SELECT c.prio AS prio, CAST(c.yr AS INTEGER) AS yr, c.n AS n_orders,
+           ROUND(CAST(c.s AS DOUBLE) / c.n, 2) AS cell_mean_c,
+           ROUND(CAST(ra.s_a AS DOUBLE) / ra.n_a - CAST(g.s_g AS DOUBLE) / g.n_g, 2)
+             AS effect_prio_c,
+           ROUND(CAST(rb.s_b AS DOUBLE) / rb.n_b - CAST(g.s_g AS DOUBLE) / g.n_g, 2)
+             AS effect_year_c,
+           ROUND(CAST(c.s AS DOUBLE) / c.n
+                 - CAST(ra.s_a AS DOUBLE) / ra.n_a
+                 - CAST(rb.s_b AS DOUBLE) / rb.n_b
+                 + CAST(g.s_g AS DOUBLE) / g.n_g, 2) AS interaction_c
+    FROM cell c
+    JOIN ra ON ra.prio = c.prio
+    JOIN rb ON rb.yr = c.yr
+    CROSS JOIN g
+    ORDER BY c.prio, yr
+    """,
+    tags=("analytics", "anova", "statistics"),
+)
+def anova_twoway_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way mean decomposition of order value by (priority × year):
+    each cell's mean split into the grand mean, a priority main effect,
+    a year main effect, and the interaction residual
+    (cell − row − col + grand) — the additive-model diagnostic that says
+    whether "urgent orders are bigger" holds uniformly or only in some
+    years. By construction cell_mean = grand + effect_prio + effect_year
+    + interaction (before rounding).
+
+    Exactness: all sums are exact integer cents; every reported value is
+    a single mirrored double expression over those exact integers,
+    rounded once.
+
+    Scale shape: one fact scan into a (5 × |years|)-cell rollup with
+    map-side partials; margins and the grand total derive from the cell
+    table (never rescanning the fact), and the margin joins are
+    broadcast-sized. Output is |cells| rows."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cell = o.groupBy("prio", "yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    ra = cell.groupBy("prio").agg(
+        F.sum("n").cast("bigint").alias("n_a"), F.sum("s").cast("bigint").alias("s_a")
+    )
+    rb = cell.groupBy("yr").agg(
+        F.sum("n").cast("bigint").alias("n_b"), F.sum("s").cast("bigint").alias("s_b")
+    )
+    g = cell.agg(
+        F.sum("n").cast("bigint").alias("n_g"), F.sum("s").cast("bigint").alias("s_g")
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return (
+        cell.join(F.broadcast(ra), "prio")
+        .join(F.broadcast(rb), "yr")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "prio",
+            F.col("yr").cast("int").alias("yr"),
+            F.col("n").alias("n_orders"),
+            F.round(mean("s", "n"), 2).alias("cell_mean_c"),
+            F.round(mean("s_a", "n_a") - mean("s_g", "n_g"), 2).alias("effect_prio_c"),
+            F.round(mean("s_b", "n_b") - mean("s_g", "n_g"), 2).alias("effect_year_c"),
+            F.round(
+                mean("s", "n") - mean("s_a", "n_a") - mean("s_b", "n_b") + mean("s_g", "n_g"),
+                2,
+            ).alias("interaction_c"),
+        )
+        .orderBy("prio", "yr")
+    )

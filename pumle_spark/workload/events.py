@@ -3079,3 +3079,148 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# peak session concurrency (sweep line over gap-based sessions)
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "sessions_peak_concurrency",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             tus
+      FROM flagged
+    ),
+    iv AS (
+      SELECT MIN(tus) AS s_us, MAX(tus) AS e_us FROM sess GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_us AS us, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT e_us AS us, CAST(-1 AS BIGINT) AS d FROM iv
+    ),
+    pts AS (
+      SELECT us // {_DAY_US} AS day, us, d,
+             SUM(d) OVER (PARTITION BY us // {_DAY_US}
+                          ORDER BY us, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM deltas
+    ),
+    days AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+             CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+             CAST(SUM(d) AS BIGINT) AS net,
+             CAST(MAX(pfx) AS BIGINT) AS max_pfx
+      FROM pts GROUP BY day
+    ),
+    carried AS (
+      SELECT day, n_starts, n_ends, max_pfx,
+             CAST(COALESCE(SUM(net) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS carry_in,
+             CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS eod_level
+      FROM days
+    )
+    SELECT CAST(day AS BIGINT) AS day_idx, n_starts, n_ends,
+           CAST(carry_in + GREATEST(CAST(0 AS BIGINT), max_pfx) AS BIGINT)
+             AS peak_concurrent,
+           eod_level
+    FROM carried ORDER BY day_idx
+    """,
+    tags=("events", "sessions", "concurrency"),
+)
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number —
+    via the classic sweep line over the engine's own gap-based sessions
+    (`events_sessionize` semantics: 30-min inactivity closes a session;
+    a session is concurrent on [first event, last event], ends
+    inclusive, so +1 sorts before −1 at an equal microsecond).
+
+    The running concurrency level is a GLOBAL prefix sum over all
+    start/end points — the inherently-sequential-looking part — computed
+    with the repo's two-level prefix idiom: an exact per-day prefix
+    (day-partitioned window) plus a carry-in window over the tiny
+    per-day rollup. A day's true peak includes the carried-in level
+    itself (a day whose first delta is an end never dips ABOVE carry-in:
+    peak = carry_in + max(0, max prefix)), the same carry-aware max the
+    backlog operator uses.
+
+    Exactness: microsecond integers end-to-end; no floats anywhere.
+
+    Scale shape: sessionization shuffles once on user_id; the sweep
+    partitions by day (bounded points per day), and the only global
+    window runs over |days| rows."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(wu).isNull()
+            | ((F.col("tus") - F.lag("tus").over(wu)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("tus").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wrun))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("tus").alias("s_us"), F.max("tus").alias("e_us")
+    )
+    deltas = iv.select(F.col("s_us").alias("us"), F.lit(1).cast("bigint").alias("d")).unionAll(
+        iv.select(F.col("e_us").alias("us"), F.lit(-1).cast("bigint").alias("d"))
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("us", F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = deltas.withColumn("day", F.expr(f"us div {_DAY_US}")).withColumn(
+        "pfx", F.sum("d").over(wday)
+    )
+    days = pts.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("bigint").alias("n_ends"),
+        F.sum("d").cast("bigint").alias("net"),
+        F.max("pfx").cast("bigint").alias("max_pfx"),
+    )
+    wcarry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wlvl = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = days.select(
+        "day",
+        "n_starts",
+        "n_ends",
+        "max_pfx",
+        F.coalesce(F.sum("net").over(wcarry), F.lit(0)).cast("bigint").alias("carry_in"),
+        F.sum("net").over(wlvl).cast("bigint").alias("eod_level"),
+    )
+    return carried.select(
+        F.col("day").cast("bigint").alias("day_idx"),
+        "n_starts",
+        "n_ends",
+        (F.col("carry_in") + F.greatest(F.lit(0).cast("bigint"), F.col("max_pfx")))
+        .cast("bigint")
+        .alias("peak_concurrent"),
+        "eod_level",
+    ).orderBy("day_idx")

@@ -636,3 +636,85 @@ def abtest_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "period")
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity (sensitive-attribute diversity within QI classes)
+# --------------------------------------------------------------------------
+
+_LDIV_LS = (2, 3, 5)
+
+
+@register(
+    "privacy_l_diversity",
+    sql=f"""
+    WITH qi AS (
+      SELECT c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes FROM qi),
+    ls AS (SELECT unnest([{", ".join(str(l) for l in _LDIV_LS)}]) AS l)
+    SELECT CAST(ls.l AS INTEGER) AS l,
+           tot.n_classes,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE qi.n_sensitive < ls.l), 0) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(qi.class_size) FILTER (WHERE qi.n_sensitive < ls.l), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(COALESCE(SUM(qi.class_size) FILTER (WHERE qi.n_sensitive < ls.l), 0)
+                  * 1000000 // tot.n_rows AS BIGINT) AS risk_ppm
+    FROM qi CROSS JOIN tot CROSS JOIN ls
+    GROUP BY ls.l, tot.n_classes, tot.n_rows
+    ORDER BY l
+    """,
+    tags=("privacy", "l-diversity", "audit"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala 2007) — the attack
+    k-anonymity misses: a class can be large yet UNIFORM in its
+    sensitive attribute, so membership alone discloses it. Over the
+    quasi-identifier (nation, $1000 balance band) with market segment
+    as the sensitive attribute, for each l in {_LDIV_LS}: classes with
+    fewer than l distinct sensitive values, rows in them, and the
+    at-risk fraction in exact ppm. Complements `privacy_k_anonymity`
+    (same release gate, orthogonal failure mode).
+
+    Scale: one groupBy bounded by QI-space cardinality (the distinct
+    count is over a 5-value attribute — tiny exact state per class);
+    the l fan-out runs over that small class table. All integers."""
+    c = table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        F.expr("cast(round(c_acctbal * 100) as bigint) div 100000").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("n_sensitive"),
+    )
+    tot = qi.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in _LDIV_LS])).alias("l")
+    )
+    below = F.when(F.col("n_sensitive") < F.col("l"), F.col("class_size"))
+    return (
+        qi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ls))
+        .groupBy("l", "n_classes", "n_rows")
+        .agg(
+            F.coalesce(F.count(below), F.lit(0)).cast("bigint").alias("n_classes_below"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("bigint").alias("rows_at_risk"),
+        )
+        .select(
+            F.col("l").cast("int").alias("l"),
+            "n_classes",
+            "n_classes_below",
+            "rows_at_risk",
+            F.expr("rows_at_risk * 1000000 div n_rows").cast("bigint").alias("risk_ppm"),
+        )
+        .orderBy("l")
+    )

@@ -107,6 +107,8 @@ ALLOW = {
     "text_vocab_coverage": {"BroadcastNestedLoopJoin": "4-row K grid + single-row totals x vocab ranks"},
     "drift_token_js": {"BroadcastNestedLoopJoin": "single-row corpus-total scalar x observed cells"},
     "embedding_effective_dim": {"BroadcastNestedLoopJoin": "single-row spectrum totals x 64 dims"},
+    "anova_twoway_cells": {"BroadcastNestedLoopJoin": "single-row grand-total scalar x 35 cells"},
+    "privacy_l_diversity": {"BroadcastNestedLoopJoin": "single-row totals + 3-row l grid x QI classes"},
 }
 
 
