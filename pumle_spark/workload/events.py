@@ -2907,15 +2907,19 @@ def events_cohort_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div (86400000000 * 7)").alias("wk"),
         F.round(F.col("value") * 1_000_000).cast("bigint").alias("vmicro"),
     )
-    cw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    # one fact shuffle: (user, week) partial rows; cohort week and the age
+    # join both derive from this table, and "distinct active users" becomes
+    # a plain COUNT(*) because uwk is unique per (user, week)
+    uwk = e.groupBy("user_id", "wk").agg(F.sum("vmicro").alias("vmicro"))
+    cw = uwk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     sz = cw.groupBy("cohort_wk").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     act = (
-        e.join(cw, "user_id")
+        uwk.join(cw, "user_id")
         .withColumn("age_wk", (F.col("wk") - F.col("cohort_wk")).cast("bigint"))
         .filter(F.col("age_wk").between(0, _LTV_MAX_AGE_WK))
         .groupBy("cohort_wk", "age_wk")
         .agg(
-            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
             F.sum("vmicro").cast("bigint").alias("value_micro"),
         )
     )
