@@ -3228,3 +3228,145 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_concurrent"),
         "eod_level",
     ).orderBy("day_idx")
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (exact, 3-channel coalition game)
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+_SHAP_FULL = 7  # union mask of all channels
+# |T|! * (c - |T| - 1)! for c = 3 channels, keyed by |T| (x c! = 6 overall)
+_SHAP_W = {0: 2, 1: 1, 2: 2}
+
+
+@register(
+    "events_attribution_shapley",
+    sql=f"""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS t_buy FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id,
+             CASE e.event_type {" ".join(f"WHEN '{n}' THEN {b}" for n, b in _SHAP_CHANNELS)}
+                  ELSE 0 END AS bit
+      FROM events e JOIN conv ON conv.user_id = e.user_id
+      WHERE e.ts < conv.t_buy
+    ),
+    journeys AS (
+      SELECT c.user_id, COALESCE(bit_or(t.bit), 0) AS mask
+      FROM conv c LEFT JOIN touches t ON t.user_id = c.user_id
+      GROUP BY c.user_id
+    ),
+    mconv AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM journeys GROUP BY mask),
+    grid AS (SELECT unnest(generate_series(0, {_SHAP_FULL})) AS s),
+    v AS (
+      SELECT g.s, CAST(COALESCE(SUM(m.n), 0) AS BIGINT) AS v
+      FROM grid g LEFT JOIN mconv m ON (m.mask & g.s) = m.mask
+      GROUP BY g.s
+    ),
+    ch AS (SELECT * FROM (VALUES {", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)})
+           AS t(channel, bit)),
+    terms AS (
+      SELECT ch.channel,
+             (CASE bit_count(CAST(t.s AS BIGINT))
+               {" ".join(f"WHEN {k} THEN {w}" for k, w in _SHAP_W.items())} END)
+               * (vi.v - vt.v) AS term
+      FROM ch
+      JOIN grid t ON (t.s & ch.bit) = 0
+      JOIN v vt ON vt.s = t.s
+      JOIN v vi ON vi.s = t.s + ch.bit
+    ),
+    phi AS (
+      SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_x6 FROM terms GROUP BY channel
+    ),
+    tot AS (
+      SELECT (SELECT v FROM v WHERE s = {_SHAP_FULL})
+             - (SELECT v FROM v WHERE s = 0) AS span
+    )
+    SELECT p.channel, p.phi_x6,
+           CAST(CASE WHEN t.span = 0 THEN 0
+                     ELSE p.phi_x6 * 1000000 // (6 * t.span) END AS BIGINT) AS share_ppm
+    FROM phi p CROSS JOIN tot t
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "shapley"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the pre-purchase channel set
+    {{view, click, signup}} — the fourth classic next to the linear,
+    position-based, and Markov-removal heuristics this family carries,
+    and the only one with an axiomatic fairness guarantee. Coalition
+    worth v(S) = converted journeys whose touched-channel set ⊆ S;
+    φ_i = Σ_T |T|!(c−|T|−1)!/c! · [v(T∪i) − v(T)]. Efficiency
+    Σφ = v(full) − v(∅) holds exactly (×6 integer arithmetic — c!=6
+    never divides until the final ppm share).
+
+    Exactness: journeys collapse to an 8-value bitmask histogram; v,
+    the marginal contributions, and φ·6 are pure integers; the only
+    division is the final integer ppm.
+
+    Scale shape: one user-keyed rollup (bit_or of touch bits against
+    the user's first purchase) — the same funnel pruning as
+    `events_funnel_latency`; everything after runs on ≤8-row tables
+    (subset grid × channels), independent of corpus size. The exact
+    subset enumeration is 2^c — at c ≳ 20 channels you sample
+    permutations instead; at the 3-channel taxonomy it is free."""
+    e = table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    bit = F.when(F.col("event_type") == _SHAP_CHANNELS[0][0], _SHAP_CHANNELS[0][1])
+    for n, b in _SHAP_CHANNELS[1:]:
+        bit = bit.when(F.col("event_type") == n, b)
+    bit = bit.otherwise(0)
+    touches = (
+        e.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("t_buy"))
+        .select("user_id", bit.alias("bit"))
+    )
+    journeys = (
+        conv.join(touches, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.expr("bit_or(bit)"), F.lit(0)).alias("mask"))
+    )
+    mconv = journeys.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spark.range(_SHAP_FULL + 1).select(F.col("id").cast("int").alias("s"))
+    v = (
+        grid.join(F.broadcast(mconv), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    ch = spark.createDataFrame(list(_SHAP_CHANNELS), "channel string, bit int")
+    w_case = "CASE bit_count(cast(s as bigint)) " + " ".join(
+        f"WHEN {k} THEN {w}" for k, w in _SHAP_W.items()
+    ) + " END"
+    vt = v.select(F.col("s"), F.col("v").alias("v_t"))
+    vi = v.select(F.col("s").alias("s_i"), F.col("v").alias("v_i"))
+    terms = (
+        ch.join(F.broadcast(vt), F.expr("(s & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("s_i = s + bit"))
+        .select("channel", (F.expr(w_case) * (F.col("v_i") - F.col("v_t"))).alias("term"))
+    )
+    phi = terms.groupBy("channel").agg(F.sum("term").cast("bigint").alias("phi_x6"))
+    span = (
+        v.agg(
+            F.sum(F.when(F.col("s") == _SHAP_FULL, F.col("v")).otherwise(0)).alias("v_full"),
+            F.sum(F.when(F.col("s") == 0, F.col("v")).otherwise(0)).alias("v_empty"),
+        )
+        .select((F.col("v_full") - F.col("v_empty")).alias("span"))
+    )
+    return (
+        phi.crossJoin(F.broadcast(span))
+        .select(
+            "channel",
+            "phi_x6",
+            F.when(F.col("span") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("phi_x6 * 1000000 div (6 * span)").cast("bigint"))
+            .alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )

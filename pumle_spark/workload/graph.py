@@ -1003,3 +1003,139 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), F.desc("ra_q40"), "u", "v")
         .limit(_LP_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# weighted modularity of the region partition over the nation trade graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_region_modularity",
+    sql="""
+    WITH w AS (
+      SELECT sn.n_nationkey AS i, cn.n_nationkey AS j,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT n_nationkey, n_regionkey FROM nation),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM w),
+    strength AS (
+      SELECT r.n_regionkey AS region, CAST(SUM(k) AS BIGINT) AS s_c
+      FROM (
+        SELECT i AS node, SUM(cents) AS k FROM w GROUP BY i
+        UNION ALL
+        SELECT j AS node, SUM(cents) AS k FROM w GROUP BY j
+      ) d JOIN reg r ON r.n_nationkey = d.node
+      GROUP BY 1
+    ),
+    intra AS (
+      SELECT ri.n_regionkey AS region, CAST(SUM(w.cents) AS BIGINT) AS i_c
+      FROM w JOIN reg ri ON ri.n_nationkey = w.i
+             JOIN reg rj ON rj.n_nationkey = w.j
+      WHERE ri.n_regionkey = rj.n_regionkey
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT s.region, s.s_c, COALESCE(i.i_c, 0) AS i_c, tot.t
+      FROM strength s LEFT JOIN intra i ON i.region = s.region CROSS JOIN tot
+    )
+    , num AS (
+      SELECT region, s_c, i_c, t,
+             4 * CAST(t AS HUGEINT) * i_c - CAST(s_c AS HUGEINT) * s_c AS contrib_num
+      FROM per
+    )
+    SELECT CAST(region AS INTEGER) AS region, s_c AS strength_cents,
+           CAST(i_c AS BIGINT) AS intra_cents,
+           ROUND(CAST(contrib_num AS DOUBLE)
+                 / (4.0 * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS contrib_r6,
+           ROUND(CAST(SUM(contrib_num) OVER () AS DOUBLE)
+                 / (4.0 * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS modularity_q
+    FROM num ORDER BY region
+    """,
+    tags=("graph", "modularity", "communities"),
+)
+def graph_region_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman weighted modularity of the REGION partition over the
+    nation-level trade graph (edge weight = total traded cents between a
+    supplier nation and a customer nation): does trade cluster within
+    regions more than a degree-preserving random graph would? Per region
+    the strength, intra-region weight, and modularity contribution
+    i_c/T − (S_c/2T)²; the global Q is their sum. The companion to
+    `graph_lpa_communities` — this scores a GIVEN partition instead of
+    finding one (swap in LPA labels and the same formula grades them).
+
+    Exactness: the symmetric adjacency A = W + Wᵀ never materializes —
+    2W_total = 2T, S_c and I_c all reduce to exact integer-cent sums
+    over the DIRECTED flow table; the two quotients are mirrored double
+    expressions rounded once.
+
+    Scale shape: one fact scan collapsing to the ≤|nations|² flow matrix
+    (broadcast dims all the way); strength, intra, and Q then run on
+    ≤625 rows. The region windowed sum is over |regions| rows."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cus = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    reg = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    w = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cus), ords.o_custkey == cus.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("i"), F.col("c_nationkey").alias("j")
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    tot = w.agg(F.sum("cents").cast("bigint").alias("t"))
+    deg = (
+        w.groupBy(F.col("i").alias("node")).agg(F.sum("cents").alias("k"))
+        .unionAll(w.groupBy(F.col("j").alias("node")).agg(F.sum("cents").alias("k")))
+    )
+    strength = (
+        deg.join(F.broadcast(reg), deg.node == reg.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("region"))
+        .agg(F.sum("k").cast("bigint").alias("s_c"))
+    )
+    ri = reg.select(F.col("n_nationkey").alias("i"), F.col("n_regionkey").alias("reg_i"))
+    rj = reg.select(F.col("n_nationkey").alias("j"), F.col("n_regionkey").alias("reg_j"))
+    intra = (
+        w.join(F.broadcast(ri), "i")
+        .join(F.broadcast(rj), "j")
+        .filter(F.col("reg_i") == F.col("reg_j"))
+        .groupBy(F.col("reg_i").alias("region"))
+        .agg(F.sum("cents").cast("bigint").alias("i_c"))
+    )
+    per = (
+        strength.join(intra, "region", "left")
+        .withColumn("i_c", F.coalesce(F.col("i_c"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    # contribution = i_c/T - (S_c/2T)^2 = (4T*i_c - S_c^2) / 4T^2: the
+    # numerator stays EXACT decimal integer, so the windowed Q-sum is
+    # order-invariant and only the final division touches doubles
+    num = per.withColumn(
+        "contrib_num",
+        4 * F.col("t").cast("decimal(38,0)") * F.col("i_c")
+        - F.col("s_c").cast("decimal(38,0)") * F.col("s_c"),
+    )
+    denom = 4.0 * F.col("t").cast("double") * F.col("t").cast("double")
+    return num.select(
+        F.col("region").cast("int").alias("region"),
+        F.col("s_c").alias("strength_cents"),
+        F.col("i_c").alias("intra_cents"),
+        F.round(F.col("contrib_num").cast("double") / denom, 6).alias("contrib_r6"),
+        F.round(
+            F.sum("contrib_num").over(Window.partitionBy()).cast("double") / denom, 6
+        ).alias("modularity_q"),
+    ).orderBy("region")

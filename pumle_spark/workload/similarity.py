@@ -1295,3 +1295,183 @@ def embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("var_nano"), "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k retrieval (maximal marginal relevance, exact)
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 12  # relevance candidate pool per query
+_MMR_K = 4  # diversified results per query
+# lambda = 0.7 as integer weights: score = 7*rel - 3*max_sim (micro units)
+_MMR_WREL, _MMR_WDIV = 7, 3
+
+
+def _sql_mmr() -> str:
+    """CTE chain: pool (top-POOL by relevance), sims (pool x pool), then
+    K unrolled greedy selection rounds."""
+    parts = [
+        f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id % {_QUERY_STRIDE} = 0),
+    pool AS (
+      SELECT qid, cand, rel_m, v_emb FROM (
+        SELECT q.qid, v.vec_id AS cand,
+               CAST(ROUND(list_cosine_similarity(q.qemb, v.emb) * 1000000) AS BIGINT)
+                 AS rel_m,
+               v.emb AS v_emb,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qemb, v.emb) * 1000000) DESC,
+                          v.vec_id) AS rn
+        FROM q JOIN v ON v.vec_id <> q.qid)
+      WHERE rn <= {_MMR_POOL}),
+    sims AS (
+      SELECT a.qid, a.cand AS ca, b.cand AS cb,
+             CAST(ROUND(list_cosine_similarity(a.v_emb, b.v_emb) * 1000000) AS BIGINT)
+               AS sim_m
+      FROM pool a JOIN pool b ON b.qid = a.qid AND b.cand <> a.cand),
+    sel1 AS (
+      SELECT qid, cand, rel_m, 1 AS rnd FROM (
+        SELECT qid, cand, rel_m,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel_m DESC, cand) AS rn
+        FROM pool) WHERE rn = 1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT qid, cand FROM sel{i}" for i in range(1, r))
+        parts.append(f"selu{r - 1} AS ({prev})")
+        parts.append(f"""sel{r} AS (
+      SELECT qid, cand, rel_m, {r} AS rnd FROM (
+        SELECT qid, cand, rel_m,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cand) AS rn
+        FROM (
+          SELECT p.qid, p.cand, p.rel_m,
+                 {_MMR_WREL} * p.rel_m - {_MMR_WDIV} * MAX(s.sim_m) AS score
+          FROM pool p
+          JOIN selu{r - 1} z ON z.qid = p.qid
+          JOIN sims s ON s.qid = p.qid AND s.ca = p.cand AND s.cb = z.cand
+          LEFT JOIN selu{r - 1} x ON x.qid = p.qid AND x.cand = p.cand
+          WHERE x.cand IS NULL
+          GROUP BY p.qid, p.cand, p.rel_m))
+      WHERE rn = 1)""")
+    final = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1))
+    parts.append(f"out AS ({final})")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "retrieval_mmr_diversified",
+    sql=f"""
+    WITH {_sql_mmr()}
+    SELECT qid AS query_id, CAST(rnd AS INTEGER) AS rnd, cand AS vec_id, rel_m AS rel_micro
+    FROM out ORDER BY query_id, rnd
+    """,
+    tags=("retrieval", "mmr", "diversity"),
+)
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell & Goldstein 1998):
+    for each strided query vector, greedily pick {_MMR_K} results from the
+    top-{_MMR_POOL} relevance pool maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7) — the
+    diversified re-rank that stops a RAG context window filling with four
+    copies of the same passage (the selection-time complement of
+    `cluster_semdedup_pairs`, which prunes at index time).
+
+    The greedy argmax is inherently sequential in k — but k is a
+    CONSTANT, so the loop unrolls into {_MMR_K} dataframe stages (the
+    `cluster_kmeans_embeddings` playbook), each a per-query window
+    argmax over ≤{_MMR_POOL} candidates. Nothing iterates over data-
+    dependent state.
+
+    Exactness: relevance and pairwise similarities quantize ONCE to
+    micro-units; the MMR objective is the all-integer
+    {_MMR_WREL}·rel − {_MMR_WDIV}·maxsim with vec_id tiebreaks.
+
+    Scale shape: the relevance scan is the brute-force knn shape
+    (broadcast query set × corpus — at 100 TB swap in the IVF route the
+    `ann_*` family provides); everything after operates on
+    |queries| × {_MMR_POOL} rows with broadcast-sized selection state."""
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    vn = v.withColumn("nv", _dot(F.col("emb"), F.col("emb")))
+    q = vn.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    rel = (
+        vn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand"),
+            F.round(
+                _dot(F.col("qemb"), F.col("emb")) / F.sqrt(F.col("nq") * F.col("nv"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("rel_m"),
+            F.col("emb").alias("v_emb"),
+            F.col("nv"),
+        )
+    )
+    wrel = Window.partitionBy("qid").orderBy(F.desc("rel_m"), "cand")
+    pool = rel.withColumn("rn", F.row_number().over(wrel)).filter(
+        F.col("rn") <= _MMR_POOL
+    ).drop("rn")
+    a = pool.select("qid", F.col("cand").alias("ca"), F.col("v_emb").alias("ea"), F.col("nv").alias("na"))
+    b = pool.select(F.col("qid").alias("qid_b"), F.col("cand").alias("cb"), F.col("v_emb").alias("eb"), F.col("nv").alias("nb"))
+    sims = (
+        a.join(b, (F.col("qid") == F.col("qid_b")) & (F.col("ca") != F.col("cb")))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / F.sqrt(F.col("na") * F.col("nb"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("sim_m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    slim = pool.select("qid", "cand", "rel_m").localCheckpoint(eager=False)
+    sel = (
+        slim.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("rel_m"), "cand"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "cand", "rel_m", F.lit(1).alias("rnd"))
+    )
+    out = sel
+    for r in range(2, _MMR_K + 1):
+        selected = out.select("qid", "cand")
+        zc = selected.select(F.col("qid").alias("qz"), F.col("cand").alias("cz"))
+        scored = (
+            slim.join(selected, ["qid", "cand"], "left_anti")
+            .join(
+                sims.withColumnRenamed("ca", "cand"),
+                ["qid", "cand"],
+            )
+            .join(
+                zc,
+                (F.col("qid") == F.col("qz")) & (F.col("cb") == F.col("cz")),
+            )
+            .groupBy("qid", "cand", "rel_m")
+            .agg(
+                (_MMR_WREL * F.col("rel_m") - _MMR_WDIV * F.max("sim_m")).alias("score")
+            )
+        )
+        pick = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("score"), "cand")),
+            )
+            .filter(F.col("rn") == 1)
+            .select("qid", "cand", "rel_m", F.lit(r).alias("rnd"))
+        )
+        out = out.unionAll(pick)
+    return out.select(
+        F.col("qid").alias("query_id"),
+        F.col("rnd").cast("int").alias("rnd"),
+        F.col("cand").alias("vec_id"),
+        F.col("rel_m").alias("rel_micro"),
+    ).orderBy("query_id", "rnd")

@@ -108,6 +108,8 @@ ALLOW = {
     "drift_token_js": {"BroadcastNestedLoopJoin": "single-row corpus-total scalar x observed cells"},
     "embedding_effective_dim": {"BroadcastNestedLoopJoin": "single-row spectrum totals x 64 dims"},
     "anova_twoway_cells": {"BroadcastNestedLoopJoin": "single-row grand-total scalar x 35 cells"},
+    "events_attribution_shapley": {"BroadcastNestedLoopJoin": "8-row subset grid x 8-row mask histogram (bit-subset theta join)"},
+    "graph_region_modularity": {"BroadcastNestedLoopJoin": "single-row total-weight scalar x 5 regions"},
     "privacy_l_diversity": {"BroadcastNestedLoopJoin": "single-row totals + 3-row l grid x QI classes"},
 }
 
