@@ -1832,3 +1832,216 @@ def anova_twoway_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "yr")
     )
+
+
+# --------------------------------------------------------------------------
+# Wilson confidence interval for per-brand return rates
+# --------------------------------------------------------------------------
+
+_WILSON_Z2 = 3.8416  # z^2 for the 95% interval (z = 1.96), exact double
+
+
+@register(
+    "returns_wilson_ci",
+    sql=f"""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT brand, n, r,
+           ROUND(CAST(r AS DOUBLE) / n, 6) AS p_hat,
+           ROUND((CAST(r AS DOUBLE) / n + {_WILSON_Z2} / (2.0 * n)
+                  - sqrt({_WILSON_Z2}) * sqrt(CAST(r AS DOUBLE) / n
+                        * (1.0 - CAST(r AS DOUBLE) / n) / n
+                        + {_WILSON_Z2} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z2} / n), 6) AS ci_lo,
+           ROUND((CAST(r AS DOUBLE) / n + {_WILSON_Z2} / (2.0 * n)
+                  + sqrt({_WILSON_Z2}) * sqrt(CAST(r AS DOUBLE) / n
+                        * (1.0 - CAST(r AS DOUBLE) / n) / n
+                        + {_WILSON_Z2} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z2} / n), 6) AS ci_hi
+    FROM b ORDER BY brand
+    """,
+    tags=("analytics", "statistics", "interval"),
+)
+def returns_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval for each brand's return rate
+    — the closed-form uncertainty band (well-behaved at extreme rates
+    and small n, unlike the naive normal interval) that turns "brand X
+    returns 25.1%, brand Y 24.8%" into "indistinguishable". The cheap
+    analytic counterpart of `stats_bootstrap_ci` — one aggregate versus
+    a resampling fan-out — so dashboards use this and audits use that.
+
+    Exactness: r and n are exact integers; p̂, and both interval bounds
+    are single mirrored double expressions over (r, n) with z² entering
+    as the exact double literal {_WILSON_Z2}, each rounded once.
+
+    Scale shape: one fact scan, broadcast part dim, one brand-keyed
+    groupBy with map-side partials. |brands| rows out."""
+    part = table(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    p = F.col("r").cast("double") / F.col("n")
+    z2 = F.lit(_WILSON_Z2)
+    center = p + z2 / (2.0 * F.col("n"))
+    half = F.sqrt(z2) * F.sqrt(p * (1.0 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1.0 + z2 / F.col("n")
+    return b.select(
+        "brand",
+        "n",
+        "r",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# supplier scorecard (min-max normalized composite KPI ranking)
+# --------------------------------------------------------------------------
+
+_SCORE_TOP = 50
+# composite weights (x100): revenue 50, volume 30, speed 20
+_SCORE_W_REV, _SCORE_W_CNT, _SCORE_W_LAG = 50, 30, 20
+
+
+@register(
+    "supplier_scorecard",
+    sql=f"""
+    WITH m AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_li,
+             CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS lag_sum
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ),
+    lims AS (
+      SELECT MIN(rev_c) AS rev_lo, MAX(rev_c) AS rev_hi,
+             MIN(n_li) AS cnt_lo, MAX(n_li) AS cnt_hi,
+             MIN(lag_sum * 1000 // n_li) AS lag_lo, MAX(lag_sum * 1000 // n_li) AS lag_hi
+      FROM m
+    ),
+    norm AS (
+      SELECT m.suppkey, m.rev_c, m.n_li,
+             CAST(m.lag_sum * 1000 // m.n_li AS BIGINT) AS lag_milli,
+             CASE WHEN l.rev_hi = l.rev_lo THEN 1000000
+                  ELSE (m.rev_c - l.rev_lo) * 1000000 // (l.rev_hi - l.rev_lo) END AS rev_n,
+             CASE WHEN l.cnt_hi = l.cnt_lo THEN 1000000
+                  ELSE (m.n_li - l.cnt_lo) * 1000000 // (l.cnt_hi - l.cnt_lo) END AS cnt_n,
+             CASE WHEN l.lag_hi = l.lag_lo THEN 1000000
+                  ELSE (m.lag_sum * 1000 // m.n_li - l.lag_lo) * 1000000
+                       // (l.lag_hi - l.lag_lo) END AS lag_n
+      FROM m CROSS JOIN lims l
+    ),
+    scored AS (
+      SELECT suppkey, rev_c, n_li, lag_milli,
+             CAST(({_SCORE_W_REV} * rev_n + {_SCORE_W_CNT} * cnt_n
+                   + {_SCORE_W_LAG} * (1000000 - lag_n)) // 100 AS BIGINT) AS composite
+      FROM norm
+    )
+    SELECT suppkey, rev_c, n_li, lag_milli, composite,
+           CAST(ROW_NUMBER() OVER (ORDER BY composite DESC, suppkey) AS INTEGER) AS rnk
+    FROM scored
+    ORDER BY rnk
+    LIMIT {_SCORE_TOP}
+    """,
+    tags=("analytics", "scorecard", "ranking"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor scorecard: each supplier's revenue, line volume, and mean
+    order-to-ship lag min-max normalized to ppm across the supplier
+    population, blended {_SCORE_W_REV}/{_SCORE_W_CNT}/{_SCORE_W_LAG}
+    (speed inverted — lower lag is better) into one composite, ranked.
+    The procurement dashboard every ERP migration asks for first.
+
+    Exactness: all three KPIs are integers (mean lag held as exact
+    milli-days via floor division BEFORE normalization — the same value
+    feeds the limits and the normalization, so no re-derivation skew);
+    min-max scaling is integer floor division with a constant-column
+    degenerate guard; the composite never leaves integers.
+
+    Scale shape: one fact shuffle on suppkey with map-side partials
+    (the orders join is key-aligned on orderkey first); the limits are
+    one single-row broadcast; the rank is a top-{_SCORE_TOP} window over
+    the |suppliers| rollup."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_c"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum("rev_c").cast("bigint").alias("rev_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_li"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate")).cast("bigint").alias("lag_sum"),
+        )
+        .withColumn("lag_milli", F.expr("lag_sum * 1000 div n_li").cast("bigint"))
+    )
+    lims = m.agg(
+        F.min("rev_c").alias("rev_lo"),
+        F.max("rev_c").alias("rev_hi"),
+        F.min("n_li").alias("cnt_lo"),
+        F.max("n_li").alias("cnt_hi"),
+        F.min("lag_milli").alias("lag_lo"),
+        F.max("lag_milli").alias("lag_hi"),
+    )
+
+    def _norm(x: str, lo: str, hi: str):
+        return (
+            F.when(F.col(hi) == F.col(lo), F.lit(1_000_000).cast("bigint"))
+            .otherwise(
+                F.expr(f"({x} - {lo}) * 1000000 div ({hi} - {lo})").cast("bigint")
+            )
+        )
+
+    norm = m.crossJoin(F.broadcast(lims)).select(
+        "suppkey",
+        "rev_c",
+        "n_li",
+        "lag_milli",
+        _norm("rev_c", "rev_lo", "rev_hi").alias("rev_n"),
+        _norm("n_li", "cnt_lo", "cnt_hi").alias("cnt_n"),
+        _norm("lag_milli", "lag_lo", "lag_hi").alias("lag_n"),
+    )
+    scored = norm.select(
+        "suppkey",
+        "rev_c",
+        "n_li",
+        "lag_milli",
+        F.expr(
+            f"({_SCORE_W_REV} * rev_n + {_SCORE_W_CNT} * cnt_n"
+            f" + {_SCORE_W_LAG} * (1000000 - lag_n)) div 100"
+        )
+        .cast("bigint")
+        .alias("composite"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("composite"), "suppkey"))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= _SCORE_TOP)
+        .orderBy("rnk")
+    )

@@ -284,3 +284,79 @@ def join_bloom_semireduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# conformed activity timeline (cross-domain union of orders + events)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "activity_timeline_union",
+    sql="""
+    WITH acts AS (
+      SELECT date_trunc('month', o_orderdate) AS mon, 'order' AS kind,
+             o_custkey AS actor_id,
+             CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS value_micro
+      FROM orders
+      UNION ALL
+      SELECT date_trunc('month', ts) AS mon, event_type AS kind,
+             user_id AS actor_id,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS value_micro
+      FROM events
+    )
+    SELECT CAST(mon AS DATE) AS mon, kind,
+           CAST(COUNT(*) AS BIGINT) AS n_acts,
+           CAST(COUNT(DISTINCT actor_id) AS BIGINT) AS n_actors,
+           CAST(SUM(value_micro) AS BIGINT) AS value_micro
+    FROM acts
+    GROUP BY 1, 2
+    ORDER BY mon, kind
+    """,
+    tags=("relational", "union", "conformed"),
+)
+def activity_timeline_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformed cross-domain activity timeline: the transactional table
+    (orders) and the behavioral stream (events) harmonized into one
+    (month, kind, actor, value) schema — value normalized to micro-units
+    on both branches — then rolled up per month and activity kind. The
+    schema-conforming UNION every warehouse's unified-activity model
+    ("one table of everything the user did") is built from.
+
+    Exactness: both branches quantize value to integer micro-units per
+    row before the union; counts and sums are exact integers.
+
+    Scale shape: each branch is a pushed-down projection (three columns
+    survive the scan); the union is free (no shuffle); one
+    (month, kind)-keyed aggregation with map-side partials carries the
+    exact distinct-actor state per small group. Nanosecond event
+    timestamps truncate to months inside the scan projection."""
+    o = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.lit("order").alias("kind"),
+        F.col("o_custkey").alias("actor_id"),
+        F.round(F.col("o_totalprice") * 1_000_000).cast("bigint").alias("value_micro"),
+    )
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).alias("mon"),
+        F.col("event_type").alias("kind"),
+        F.col("user_id").alias("actor_id"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_micro"),
+    )
+    return (
+        o.unionAll(e)
+        .groupBy("mon", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_acts"),
+            F.countDistinct("actor_id").cast("bigint").alias("n_actors"),
+            F.sum("value_micro").cast("bigint").alias("value_micro"),
+        )
+        .select(
+            F.col("mon").cast("date").alias("mon"),
+            "kind",
+            "n_acts",
+            "n_actors",
+            "value_micro",
+        )
+        .orderBy("mon", "kind")
+    )

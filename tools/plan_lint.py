@@ -110,6 +110,7 @@ ALLOW = {
     "anova_twoway_cells": {"BroadcastNestedLoopJoin": "single-row grand-total scalar x 35 cells"},
     "events_attribution_shapley": {"BroadcastNestedLoopJoin": "8-row subset grid x 8-row mask histogram (bit-subset theta join)"},
     "graph_region_modularity": {"BroadcastNestedLoopJoin": "single-row total-weight scalar x 5 regions"},
+    "supplier_scorecard": {"BroadcastNestedLoopJoin": "single-row min/max limits x supplier rollup"},
     "privacy_l_diversity": {"BroadcastNestedLoopJoin": "single-row totals + 3-row l grid x QI classes"},
 }
 
