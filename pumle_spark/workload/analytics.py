@@ -2045,3 +2045,238 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SCORE_TOP)
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# matched-basket price indices (Laspeyres / Paasche / Fisher)
+# --------------------------------------------------------------------------
+
+_IDX_BASE_YR = 1995
+
+
+@register(
+    "price_index_fisher",
+    sql=f"""
+    WITH py AS (
+      SELECT l_partkey AS part, year(l_shipdate) AS yr,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  * 1000 // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS up_m,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    base AS (SELECT part, up_m AS up0, qty AS q0 FROM py WHERE yr = {_IDX_BASE_YR}),
+    m AS (
+      SELECT p.yr,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(CAST(p.up_m AS HUGEINT) * b.q0) AS l_num,
+             SUM(CAST(b.up0 AS HUGEINT) * b.q0) AS l_den,
+             SUM(CAST(p.up_m AS HUGEINT) * p.qty) AS p_num,
+             SUM(CAST(b.up0 AS HUGEINT) * p.qty) AS p_den
+      FROM py p JOIN base b ON b.part = p.part
+      GROUP BY p.yr
+    )
+    SELECT CAST(yr AS INTEGER) AS yr, n_parts,
+           -- (a - a%b)/b: exact floor for positive HUGEINTs, mirrored in
+           -- Spark's decimal arithmetic (whose plain division rounds at
+           -- scale and would double-round near integer quotients)
+           CAST((l_num * 1000000 - (l_num * 1000000) % l_den) / l_den AS BIGINT)
+             AS laspeyres_ppm,
+           CAST((p_num * 1000000 - (p_num * 1000000) % p_den) / p_den AS BIGINT)
+             AS paasche_ppm,
+           ROUND(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                      * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher_r6
+    FROM m ORDER BY yr
+    """,
+    tags=("analytics", "econometrics", "index"),
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-basket price indices per ship year against the
+    {_IDX_BASE_YR} base: Laspeyres (base-weighted), Paasche
+    (current-weighted), and their geometric mean, the Fisher ideal index
+    — inflation measurement over the part basket, the macro companion
+    to `revenue_pvm_bridge`'s micro bridge. Only parts traded in BOTH
+    the base year and the measured year enter that year's basket
+    (classic matched-sample index).
+
+    Exactness: unit prices quantize ONCE to milli-cents (integer floor
+    of exact cent/quantity sums); all four index sums are HUGEINT/
+    DECIMAL(38) integer dot products; the ppm indices are integer floor
+    divisions and Fisher is one mirrored double expression rounded
+    once.
+
+    Scale shape: one fact scan into a (part, year)-keyed rollup with
+    map-side partials; the base-year slice joins back on partkey (the
+    rollup's own key — co-partitioned); the index reduction groups on
+    |years|. No fact re-scan, no window."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").alias("yr"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_c"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    py = (
+        li.groupBy("part", "yr")
+        .agg(
+            F.expr("sum(rev_c) * 1000 div sum(q)").cast("bigint").alias("up_m"),
+            F.sum("q").cast("bigint").alias("qty"),
+        )
+    )
+    base = py.filter(F.col("yr") == _IDX_BASE_YR).select(
+        "part", F.col("up_m").alias("up0"), F.col("qty").alias("q0")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        py.join(base, "part")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(dec("up_m") * F.col("q0")).alias("l_num"),
+            F.sum(dec("up0") * F.col("q0")).alias("l_den"),
+            F.sum(dec("up_m") * F.col("qty")).alias("p_num"),
+            F.sum(dec("up0") * F.col("qty")).alias("p_den"),
+        )
+    )
+    return m.select(
+        F.col("yr").cast("int").alias("yr"),
+        "n_parts",
+        F.expr(
+            "cast((l_num * 1000000 - (l_num * 1000000) % l_den) / l_den as bigint)"
+        ).alias("laspeyres_ppm"),
+        F.expr(
+            "cast((p_num * 1000000 - (p_num * 1000000) % p_den) / p_den as bigint)"
+        ).alias("paasche_ppm"),
+        F.round(
+            F.sqrt(
+                (F.col("l_num").cast("double") / F.col("l_den").cast("double"))
+                * (F.col("p_num").cast("double") / F.col("p_den").cast("double"))
+            ),
+            6,
+        ).alias("fisher_r6"),
+    ).orderBy("yr")
+
+
+# --------------------------------------------------------------------------
+# decline-streak pattern detection (gaps-and-islands sequence matching)
+# --------------------------------------------------------------------------
+
+_STREAK_MIN = 3
+_STREAK_TOP = 50
+
+
+@register(
+    "pattern_decline_streaks",
+    sql=f"""
+    WITH ms AS (
+      SELECT o_custkey AS cust, date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT cust, mon, cents,
+             CASE WHEN cents < LAG(cents) OVER w THEN 0 ELSE 1 END AS brk
+      FROM ms WINDOW w AS (PARTITION BY cust ORDER BY mon)
+    ),
+    isl AS (
+      SELECT cust, mon, cents,
+             SUM(brk) OVER (PARTITION BY cust ORDER BY mon
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    streaks AS (
+      SELECT cust, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(mon) AS from_mon, MAX(mon) AS to_mon,
+             CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS start_c,
+             CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS end_c
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cust, grp ORDER BY mon) AS rn,
+                     ROW_NUMBER() OVER (PARTITION BY cust, grp ORDER BY mon DESC) AS rn_d
+            FROM isl)
+      GROUP BY cust, grp
+      HAVING COUNT(*) >= {_STREAK_MIN}
+    )
+    SELECT cust, len AS streak_len,
+           CAST(from_mon AS DATE) AS from_mon, CAST(to_mon AS DATE) AS to_mon,
+           start_c, end_c,
+           CAST(start_c - end_c AS BIGINT) AS drop_c
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY len DESC, cust, from_mon) AS rnk
+          FROM streaks)
+    WHERE rnk <= {_STREAK_TOP}
+    ORDER BY streak_len DESC, cust, from_mon
+    """,
+    tags=("analytics", "pattern", "sequence"),
+)
+def pattern_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection without MATCH_RECOGNIZE: maximal runs
+    of ≥{_STREAK_MIN} strictly-declining consecutive activity months per
+    customer (the churn-risk W-shape every CRM flags), via the classic
+    gaps-and-islands rewrite — a decline flag, a running sum of breaks
+    as the island id, one rollup per island. Top {_STREAK_TOP} longest
+    streaks with their span and total drop.
+
+    A streak is over the customer's OBSERVED activity months (month
+    with any order), so an inactive gap does not fabricate a decline.
+
+    Exactness: spend is exact integer cents; islands, lengths, and
+    endpoint extraction (ROW_NUMBER from both ends, no FIRST_VALUE
+    frame pitfalls) are all integer; no floats anywhere.
+
+    Scale shape: one orders scan into a (customer, month) rollup; the
+    lag, island sum, and endpoint windows all share the customer hash
+    partitioning; only the ≥{_STREAK_MIN} streak survivors (a tiny
+    fraction) reach the global top-k, which is a TakeOrdered heap, not
+    a full sort."""
+    ms = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wm = Window.partitionBy("cust").orderBy("mon")
+    flagged = ms.withColumn(
+        "brk",
+        F.when(F.col("cents") < F.lag("cents").over(wm), 0).otherwise(1),
+    )
+    isl = flagged.withColumn(
+        "grp",
+        F.sum("brk").over(wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    wg = Window.partitionBy("cust", "grp").orderBy("mon")
+    wgd = Window.partitionBy("cust", "grp").orderBy(F.desc("mon"))
+    ranked = isl.withColumn("rn", F.row_number().over(wg)).withColumn(
+        "rn_d", F.row_number().over(wgd)
+    )
+    streaks = (
+        ranked.groupBy("cust", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("mon").alias("from_mon"),
+            F.max("mon").alias("to_mon"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).cast("bigint").alias("start_c"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("bigint").alias("end_c"),
+        )
+        .filter(F.col("len") >= _STREAK_MIN)
+    )
+    return (
+        streaks.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("len"), "cust", "from_mon"))
+        )
+        .filter(F.col("rnk") <= _STREAK_TOP)
+        .select(
+            "cust",
+            F.col("len").alias("streak_len"),
+            F.col("from_mon").cast("date").alias("from_mon"),
+            F.col("to_mon").cast("date").alias("to_mon"),
+            "start_c",
+            "end_c",
+            (F.col("start_c") - F.col("end_c")).cast("bigint").alias("drop_c"),
+        )
+        .orderBy(F.desc("streak_len"), "cust", "from_mon")
+    )

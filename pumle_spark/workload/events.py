@@ -3370,3 +3370,98 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# SLO burn-rate alerts (multiwindow error-budget policy)
+# --------------------------------------------------------------------------
+
+_SLO_BUDGET_PPM = 140_000  # SLO: at most 14% of events may be errors
+_SLO_SHORT_H, _SLO_LONG_H = 1, 6
+_SLO_BURN_X = 2  # alert when BOTH windows burn >= 2x budget
+
+
+@register(
+    "slo_burn_rate_alerts",
+    sql=f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hr, n, e,
+             CAST(SUM(n) OVER (ORDER BY hr RANGE BETWEEN {_SLO_LONG_H - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_long,
+             CAST(SUM(e) OVER (ORDER BY hr RANGE BETWEEN {_SLO_LONG_H - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS e_long
+      FROM h
+    )
+    SELECT CAST(hr AS BIGINT) AS hr, n AS n_short, e AS e_short,
+           n_long, e_long,
+           CAST(e * 1000000 // n AS BIGINT) AS short_ppm,
+           CAST(e_long * 1000000 // n_long AS BIGINT) AS long_ppm
+    FROM w
+    WHERE e * 1000000 >= {_SLO_BURN_X} * {_SLO_BUDGET_PPM} * n
+      AND e_long * 1000000 >= {_SLO_BURN_X} * {_SLO_BUDGET_PPM} * n_long
+    ORDER BY hr
+    """,
+    tags=("events", "slo", "monitoring"),
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook policy): fire
+    only when BOTH the {_SLO_SHORT_H}h short window and the
+    {_SLO_LONG_H}h long window burn the {_SLO_BUDGET_PPM}-ppm error
+    budget at ≥{_SLO_BURN_X}×. The short window gives fast detection,
+    the long window suppresses one-spike false pages — the AND is the
+    whole design. Emits the alerting hours with both windows' evidence.
+
+    Exactness: hour buckets are integer microsecond division; the burn
+    conditions are cross-multiplied integer comparisons (no rate is
+    ever materialized as a float); reported ppm are integer floor
+    divisions.
+
+    Scale shape: one event scan collapsing to calendar-bounded hourly
+    counts; the long window is a RANGE frame over those hours (handles
+    gaps in traffic correctly — 6 CLOCK hours, not 6 rows). Everything
+    after the first groupBy is |hours|-sized. In production this exact
+    plan runs incrementally as `stream_hourly_rollup_final` + a
+    foreachBatch evaluation of the same predicate."""
+    h = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("is_err").cast("bigint").alias("e"),
+        )
+    )
+    wlong = Window.orderBy("hr").rangeBetween(-(_SLO_LONG_H - 1), 0)
+    w = h.select(
+        "hr",
+        "n",
+        "e",
+        F.sum("n").over(wlong).cast("bigint").alias("n_long"),
+        F.sum("e").over(wlong).cast("bigint").alias("e_long"),
+    )
+    burn = F.lit(_SLO_BURN_X * _SLO_BUDGET_PPM)
+    return (
+        w.filter(
+            (F.col("e") * 1_000_000 >= burn * F.col("n"))
+            & (F.col("e_long") * 1_000_000 >= burn * F.col("n_long"))
+        )
+        .select(
+            F.col("hr").cast("bigint").alias("hr"),
+            F.col("n").alias("n_short"),
+            F.col("e").alias("e_short"),
+            "n_long",
+            "e_long",
+            F.expr("e * 1000000 div n").cast("bigint").alias("short_ppm"),
+            F.expr("e_long * 1000000 div n_long").cast("bigint").alias("long_ppm"),
+        )
+        .orderBy("hr")
+    )
