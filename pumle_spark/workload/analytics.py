@@ -2280,3 +2280,92 @@ def pattern_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("streak_len"), "cust", "from_mon")
     )
+
+
+@register(
+    "regress_theilsen_trend",
+    sql="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_orderpriority, mi
+    ),
+    pairs AS (
+      SELECT a.priority,
+             ROUND(CAST(b.rev_cents - a.rev_cents AS DOUBLE)
+                   / (b.mi - a.mi), 6) AS slope,
+             a.mi AS mi1, b.mi AS mi2
+      FROM m a JOIN m b ON b.priority = a.priority AND b.mi > a.mi
+    ),
+    ranked AS (
+      SELECT priority, slope,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY slope, mi1, mi2) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS cnt
+      FROM pairs
+    )
+    SELECT priority, CAST(cnt AS BIGINT) AS n_pairs,
+           slope AS theilsen_slope_cents
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    ORDER BY priority
+    """,
+    tags=("analytics", "regression", "robust"),
+)
+def regress_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue per order priority: the
+    MEDIAN of all pairwise month-to-month slopes. Unlike OLS
+    (orders_linreg_by_priority), a single promotional-spike month cannot
+    drag the estimate — the breakdown point is ~29%.
+
+    Exactness: monthly revenue is exact integer cents (orders_yoy_growth's
+    rule); each pairwise slope is ONE double division of two exact BIGINTs,
+    rounded to 6 decimals before ranking; the median is the deterministic
+    LOWER median — row (cnt+1)/2 under (slope, mi1, mi2) total order — so
+    both engines pick the identical pair even when slopes tie. No
+    double-summation anywhere: the only float op per pair is that single
+    mirrored division.
+
+    Scale: the fact table collapses to |priorities|·|months| rows BEFORE the
+    pair join, so the pair space is calendar-bounded (≤ months² per group,
+    ~3.5k pairs for 7 years) no matter how many orders feed it — the
+    classic sketch-then-quadratic shape that stays flat at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("mi"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    a = m.select("priority", F.col("mi").alias("mi1"), F.col("rev_cents").alias("r1"))
+    b = m.select(
+        F.col("priority").alias("p2"), F.col("mi").alias("mi2"), F.col("rev_cents").alias("r2")
+    )
+    pairs = a.join(
+        b, (F.col("p2") == F.col("priority")) & (F.col("mi2") > F.col("mi1"))
+    ).select(
+        "priority",
+        F.round((F.col("r2") - F.col("r1")).cast("double") / (F.col("mi2") - F.col("mi1")), 6)
+        .alias("slope"),
+        "mi1",
+        "mi2",
+    )
+    w = Window.partitionBy("priority")
+    ranked = pairs.select(
+        "priority",
+        "slope",
+        F.row_number().over(w.orderBy("slope", "mi1", "mi2")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "priority",
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("theilsen_slope_cents"),
+        )
+        .orderBy("priority")
+    )

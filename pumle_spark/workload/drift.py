@@ -828,3 +828,81 @@ def drift_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FD_CANDIDATES = (
+    # (table, lhs, rhs) — a mix of FDs that HOLD (n_name determines region;
+    # every part name maps to one brand in this corpus) and ones that are
+    # genuinely violated, so the report exercises both branches.
+    ("nation", "n_name", "n_regionkey"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+)
+
+
+def _fd_sql_block(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           CAST(SUM(CASE WHEN nd > 1 THEN c ELSE 0 END) * 1000000
+                // SUM(c) AS BIGINT) AS violation_ppm
+    FROM (SELECT COUNT(DISTINCT {rhs}) AS nd, COUNT(*) AS c
+          FROM {tbl} GROUP BY {lhs})
+    """
+
+
+@register(
+    "profile_fd_candidates",
+    sql="WITH u AS ("
+    + "\nUNION ALL\n".join(_fd_sql_block(*c) for c in _FD_CANDIDATES)
+    + ") SELECT * FROM u ORDER BY fd",
+    tags=("profile", "quality", "fd"),
+)
+def profile_fd_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery report (TANE-style candidate check):
+    for each candidate A→B, how many A-groups map to more than one B value,
+    and what fraction of rows live in those violating groups (exact integer
+    ppm). An FD with violation_ppm = 0 HOLDS and is a usable integrity
+    constraint / normalization hint; a near-zero one is an approximate FD
+    whose violating rows are prime data-quality suspects.
+
+    Plan shape per candidate: one groupBy(A) with a countDistinct(B) —
+    Spark compiles it to the standard two-phase distinct-expand; the
+    per-group frame then collapses to a single stats row, so the union
+    output is |candidates| rows total. Each candidate is an independent
+    subtree — at 100 TB they run as parallel stages over the shared scan,
+    and a candidate on a pre-bucketed key (l_orderkey) shuffles nothing.
+
+    Integer discipline: violation_ppm = violating_rows·10⁶ div n_rows,
+    exact on both engines; no doubles anywhere in the result."""
+    out = None
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        df = table(spark, sf_dir, tbl)
+        g = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("nd"), F.count(F.lit(1)).alias("c")
+        )
+        stats = g.agg(
+            F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("violating_rows"),
+        ).withColumn(
+            "violation_ppm", F.expr("violating_rows * 1000000 div n_rows").cast("bigint")
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("fd")

@@ -1475,3 +1475,79 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cand").alias("vec_id"),
         F.col("rel_m").alias("rel_micro"),
     ).orderBy("query_id", "rnd")
+
+
+@register(
+    "mine_hard_negatives",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+               FROM e WHERE vec_id % {_QUERY_STRIDE} = 0),
+         scored AS (
+           SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
+                  e.label AS negative_label,
+                  ROUND(list_cosine_similarity(a.av, e.v), 6) AS cos_sim
+           FROM a JOIN e ON e.label <> a.anchor_label
+         )
+    SELECT anchor_id, CAST(anchor_label AS INTEGER) AS anchor_label,
+           negative_id, CAST(negative_label AS INTEGER) AS negative_label,
+           cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos_sim DESC, negative_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_K}
+    ORDER BY anchor_id, rnk
+    """,
+    tags=("similarity", "training", "contrastive"),
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-{_TOP_K} most-similar vectors whose LABEL DIFFERS —
+    exactly the near-miss negatives that make triplet/InfoNCE batches
+    informative (random negatives are trivially easy; training signal comes
+    from the hardest ones).
+
+    Same exact-cosine contract as knn_bruteforce_cosine (per-side norm
+    precompute, rank on the 6-decimal-rounded similarity with negative_id
+    tiebreak). The label inequality is applied BEFORE ranking, so a
+    same-label near-duplicate can never leak in as a "negative".
+
+    Scale: anchors are a strided sample (broadcast); the corpus side streams
+    map-only. At 100 TB with a large anchor set the same mining runs through
+    the IVF route — ann_ivf_assign buckets both sides by centroid and each
+    anchor probes its top buckets only, with this exact ranking as the
+    per-bucket rerank kernel."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"), _vecd().alias("v")
+    ).withColumn("nv", _dot(F.col("v"), F.col("v")))
+    a = e.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("na"),
+    )
+    cos = _dot(F.col("av"), F.col("v")) / F.sqrt(F.col("na") * F.col("nv"))
+    scored = (
+        e.join(F.broadcast(a), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("anchor_id", "rnk")
+    )
