@@ -2369,3 +2369,148 @@ def regress_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast as a broadcast convolution
+# --------------------------------------------------------------------------
+
+_HOLT_K = 24        # fit window: 1996-01 .. 1997-12 (month index 48..71)
+_HOLT_BASE = 48
+_HOLT_SCALE = 1_000_000          # micro-quantized weight fixed point
+_HOLT_OFF = 10**15               # positivity offset (multiple of scale)
+_HOLT_OFFD = _HOLT_OFF // _HOLT_SCALE
+
+
+def _holt_weights(k: int) -> tuple[list[int], list[int]]:
+    """Exact dyadic-rational Holt coefficients (alpha = beta = 1/2,
+    l0 = y0, b0 = y1 - y0), micro-quantized to integers.
+
+    Holt's recursion is LINEAR in the observations, so the final level and
+    trend are fixed convolutions l_K = sum c_j y_j, b_K = sum d_j y_j. The
+    c_j/d_j are derived here with exact Fractions (denominators are powers
+    of two) and rounded once to 1e-6 fixed point; those integer literals
+    are then embedded in BOTH the Spark plan and the DuckDB oracle, so the
+    statistic is *defined* by the quantized weights — identical on every
+    engine, no recursion at query time."""
+    from fractions import Fraction
+
+    zero = Fraction(0)
+    lvl = {0: Fraction(1)}
+    trd = {0: Fraction(-1), 1: Fraction(1)}
+    for t in range(1, k):
+        prev_l, prev_b = lvl, trd
+        lvl = {j: (prev_l.get(j, zero) + prev_b.get(j, zero)) / 2 for j in set(prev_l) | set(prev_b)}
+        lvl[t] = lvl.get(t, zero) + Fraction(1, 2)
+        trd = {
+            j: (lvl.get(j, zero) - prev_l.get(j, zero)) / 2 + prev_b.get(j, zero) / 2
+            for j in set(lvl) | set(prev_l) | set(prev_b)
+        }
+    wl = [int(round(lvl.get(j, zero) * _HOLT_SCALE)) for j in range(k)]
+    wb = [int(round(trd.get(j, zero) * _HOLT_SCALE)) for j in range(k)]
+    return wl, wb
+
+
+_HOLT_WL, _HOLT_WB = _holt_weights(_HOLT_K)
+
+
+@register(
+    "forecast_holt_linear",
+    sql=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+               - {_HOLT_BASE} AS pos,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+            BETWEEN {_HOLT_BASE} AND {_HOLT_BASE + _HOLT_K - 1}
+      GROUP BY priority, pos
+    ),
+    p AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    cal AS (SELECT p.priority, g.pos
+            FROM p CROSS JOIN (SELECT unnest(range({_HOLT_K})) AS pos) g),
+    y AS (SELECT c.priority, c.pos, COALESCE(m.rev, 0) AS rev
+          FROM cal c LEFT JOIN m ON m.priority = c.priority AND m.pos = c.pos),
+    s AS (SELECT priority,
+                 CAST(SUM(rev * ({_HOLT_WL})[pos + 1]) AS BIGINT) AS ls,
+                 CAST(SUM(rev * ({_HOLT_WB})[pos + 1]) AS BIGINT) AS bs
+          FROM y GROUP BY priority)
+    SELECT priority,
+           CAST((ls + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD} AS BIGINT)
+             AS level_cents,
+           CAST((bs + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD} AS BIGINT)
+             AS trend_cents,
+           CAST((ls + 1 * bs + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD}
+                AS BIGINT) AS f1_cents,
+           CAST((ls + 2 * bs + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD}
+                AS BIGINT) AS f2_cents,
+           CAST((ls + 3 * bs + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD}
+                AS BIGINT) AS f3_cents
+    FROM s ORDER BY priority
+    """,
+    tags=("analytics", "forecast", "holt"),
+)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast (level + linear trend,
+    alpha = beta = 1/2) of monthly revenue per priority, h = 1..3 months
+    ahead — the trend-aware upgrade of forecast_ewma_revenue.
+
+    The trick that makes it distributed-exact: Holt's recursion is linear,
+    so instead of iterating state month-by-month (a serial scan), the final
+    (level, trend) is a FIXED 24-tap convolution over the window — the
+    exact dyadic coefficients are derived once at import (_holt_weights),
+    micro-quantized, and embedded as literals in both engines. The query is
+    then one groupBy + one weighted dot product: no recursion, no window
+    scan, no state. Missing months enter as exact zero revenue via a
+    calendar left join (gap = no sales, the backlog-timeseries rule).
+
+    Integer discipline: monthly revenue is exact cents; ls/bs are exact
+    BIGINT dot products (|w| <= 1e6, 24 taps — overflow headroom to ~4e11
+    cents/month, documented); the final div is positivity-shifted by
+    {_HOLT_OFF} so DuckDB's floor `//` and Spark's truncating `div` agree
+    even when the trend is negative.
+
+    Scale: the fact table collapses to |priorities|*24 rows before any
+    arithmetic; the weight vectors ride inside the plan as literals. At
+    100 TB this is a map-side partial agg plus a 120-row reduce."""
+    o = table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.filter((mi >= _HOLT_BASE) & (mi <= _HOLT_BASE + _HOLT_K - 1))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (mi - _HOLT_BASE).alias("pos"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    p = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    cal = p.crossJoin(
+        spark.range(_HOLT_K).select(F.col("id").cast("int").alias("pos"))
+    )
+    y = (
+        cal.join(m, ["priority", "pos"], "left")
+        .select("priority", "pos", F.coalesce("rev", F.lit(0)).alias("rev"))
+    )
+    wl_arr = "array(" + ",".join(str(w) for w in _HOLT_WL) + ")"
+    wb_arr = "array(" + ",".join(str(w) for w in _HOLT_WB) + ")"
+    s = y.groupBy("priority").agg(
+        F.sum(F.expr(f"rev * {wl_arr}[pos]")).cast("bigint").alias("ls"),
+        F.sum(F.expr(f"rev * {wb_arr}[pos]")).cast("bigint").alias("bs"),
+    )
+    def _q(expr: str) -> F.Column:
+        return F.expr(f"({expr} + {_HOLT_OFF}) div {_HOLT_SCALE} - {_HOLT_OFFD}").cast("bigint")
+
+    return s.select(
+        "priority",
+        _q("ls").alias("level_cents"),
+        _q("bs").alias("trend_cents"),
+        _q("ls + 1 * bs").alias("f1_cents"),
+        _q("ls + 2 * bs").alias("f2_cents"),
+        _q("ls + 3 * bs").alias("f3_cents"),
+    ).orderBy("priority")

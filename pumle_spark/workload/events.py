@@ -3465,3 +3465,82 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@register(
+    "events_fano_burstiness",
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY event_type, hr
+    ),
+    span AS (
+      SELECT CAST(datediff('hour', MIN(hr), MAX(hr)) + 1 AS BIGINT) AS n_hours
+      FROM (SELECT DISTINCT hr FROM h)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS nonzero_hours
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, n_events, nonzero_hours, span.n_hours AS span_hours,
+           CAST(1000000 * (span.n_hours * sum_sq - n_events * n_events)
+                // (span.n_hours * n_events) AS BIGINT) AS fano_micro
+    FROM s, span
+    ORDER BY event_type
+    """,
+    tags=("events", "burstiness", "overdispersion"),
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean of hourly arrival
+    counts) per event type over the full observed hour span — THE test for
+    whether traffic is Poisson (fano_micro ≈ 1e6), regular/bot-like (< 1e6,
+    underdispersed; complements events_bot_regularity's per-user view), or
+    bursty (> 1e6, the heavy-tailed reality most capacity plans miss).
+
+    Hours with no events count as exact zeros via the span term — the
+    population identity n·Var = n·Σc² − T² over n = span hours needs no
+    gap materialization at all, so the calendar is never generated. All
+    moments are exact BIGINTs from counts; the single division is an
+    integer micro-div (numerator ≥ 0 by Cauchy–Schwarz, so floor and
+    truncate agree).
+
+    Scale: one (type, hour) keyed partial-agg shuffle — the rollup cube
+    every metrics store already maintains — then a per-type fold to one
+    row; the global span is a broadcast scalar."""
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    span = h.select("hr").distinct().agg(
+        (
+            (F.unix_timestamp(F.max("hr")) - F.unix_timestamp(F.min("hr")))
+            / F.lit(3600)
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_hours")
+    )
+    s = h.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("nonzero_hours"),
+    )
+    return (
+        s.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n_events",
+            "nonzero_hours",
+            F.col("n_hours").alias("span_hours"),
+            F.expr(
+                "(1000000 * (n_hours * sum_sq - n_events * n_events))"
+                " div (n_hours * n_events)"
+            )
+            .cast("bigint")
+            .alias("fano_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -2309,3 +2309,168 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_failed",
         F.expr("n_failed * 1000000 div n_docs").cast("bigint").alias("fail_ppm"),
     ).orderBy("source", "rule")
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (co-occurrence graph + integer PageRank)
+# --------------------------------------------------------------------------
+
+_TR_VOCAB = 60          # graph nodes: top-frequency tokens
+_TR_MINLEN = 4          # drop short/function words before graph build
+_TR_ITERS = 3           # fixed PageRank unroll (graph_pagerank_trade contract)
+_TR_MASS = 10**12
+_TR_TOP = 25
+_TR_STOP = tuple(sorted({w for ws in _STOPWORDS.values() for w in ws}))
+
+
+@register(
+    "text_keyword_textrank",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    adj AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM d WHERE len(ws) >= 2)
+      WHERE length(ws[i]) >= {_TR_MINLEN} AND length(ws[i + 1]) >= {_TR_MINLEN}
+        AND ws[i] <> ws[i + 1]
+        AND ws[i] NOT IN ({_sql_in(_TR_STOP)})
+        AND ws[i + 1] NOT IN ({_sql_in(_TR_STOP)})
+    ),
+    tf AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(ws) AS w FROM d)
+      WHERE length(w) >= {_TR_MINLEN} AND w NOT IN ({_sql_in(_TR_STOP)})
+      GROUP BY w
+    ),
+    vocab AS (SELECT w FROM tf ORDER BY f DESC, w LIMIT {_TR_VOCAB}),
+    ewc AS (
+      SELECT least(a, b) AS u, greatest(a, b) AS v, COUNT(*) AS wt
+      FROM adj
+      JOIN vocab va ON va.w = adj.a
+      JOIN vocab vb ON vb.w = adj.b
+      GROUP BY u, v
+    ),
+    edges AS (
+      SELECT u AS src, v AS dst, wt FROM ewc
+      UNION ALL
+      SELECT v AS src, u AS dst, wt FROM ewc
+    ),
+    deg AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS wdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST({_TR_MASS} // n AS BIGINT) AS r FROM deg, nn),
+    c1 AS (SELECT e.dst, CAST(SUM((r.r * e.wt) // d.wdeg) AS BIGINT) AS s
+           FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT c.dst AS node,
+                  CAST((15 * {_TR_MASS}) // (100 * nn.n) + (85 * c.s) // 100
+                       AS BIGINT) AS r
+           FROM c1 c, nn),
+    c2 AS (SELECT e.dst, CAST(SUM((r.r * e.wt) // d.wdeg) AS BIGINT) AS s
+           FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT c.dst AS node,
+                  CAST((15 * {_TR_MASS}) // (100 * nn.n) + (85 * c.s) // 100
+                       AS BIGINT) AS r
+           FROM c2 c, nn),
+    c3 AS (SELECT e.dst, CAST(SUM((r.r * e.wt) // d.wdeg) AS BIGINT) AS s
+           FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r3 AS (SELECT c.dst AS node,
+                  CAST((15 * {_TR_MASS}) // (100 * nn.n) + (85 * c.s) // 100
+                       AS BIGINT) AS r
+           FROM c3 c, nn)
+    SELECT term, rank_micro, wdeg, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT r3.node AS term, r3.r AS rank_micro, d.wdeg,
+                 ROW_NUMBER() OVER (ORDER BY r3.r DESC, r3.node) AS rnk
+          FROM r3 JOIN deg d ON d.src = r3.node)
+    WHERE rnk <= {_TR_TOP}
+    ORDER BY rnk
+    """,
+    tags=("text", "keywords", "graph", "iterative"),
+)
+def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    adjacent-token co-occurrence graph over the top-{_TR_VOCAB} content
+    vocabulary (length >= {_TR_MINLEN}, stopwords out), run {_TR_ITERS}
+    weighted PageRank iterations, return the top-{_TR_TOP} keywords. The
+    corpus-level analogue of per-doc TF-IDF ranking: PageRank centrality
+    promotes terms that co-occur with many other central terms, not merely
+    frequent ones.
+
+    Determinism is graph_pagerank_trade's integer-mass contract verbatim
+    (mass {_TR_MASS}, damping as exact 85//100 integer ops, weighted
+    contribution (r·w) div wdeg); vocabulary and final top-k are total-
+    ordered with term tiebreaks. The graph is undirected via canonical
+    least/greatest edge keys mirrored into both directions.
+
+    Scale: adjacency extraction is map-side (per-doc transform, no joins);
+    the graph is capped at {_TR_VOCAB} nodes so every PageRank round is
+    arithmetic over a broadcast-sized edge list — the corpus-sized work is
+    exactly one token-frequency groupBy, shared shape with
+    text_bpe_pair_stats. Catalyst's ReuseExchange dedups the repeated
+    edge/degree subtrees across the fixed unroll (single-action plan, no
+    pinned caches)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    stop_in = _sql_in(_TR_STOP)
+    adj = (
+        d.filter(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(
+            (F.length("a") >= _TR_MINLEN)
+            & (F.length("b") >= _TR_MINLEN)
+            & (F.col("a") != F.col("b"))
+            & ~F.expr(f"a IN ({stop_in})")
+            & ~F.expr(f"b IN ({stop_in})")
+        )
+    )
+    tf = (
+        d.select(F.explode("ws").alias("w"))
+        .filter((F.length("w") >= _TR_MINLEN) & ~F.expr(f"w IN ({stop_in})"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = tf.orderBy(F.desc("f"), "w").limit(_TR_VOCAB).select("w")
+    ewc = (
+        adj.join(F.broadcast(vocab.withColumnRenamed("w", "a")), "a")
+        .join(F.broadcast(vocab.withColumnRenamed("w", "b")), "b")
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    edges = ewc.select(F.col("u").alias("src"), F.col("v").alias("dst"), "wt").unionAll(
+        ewc.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt")
+    )
+    deg = edges.groupBy("src").agg(F.sum("wt").cast("bigint").alias("wdeg"))
+    nn = deg.select(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), F.expr(f"{_TR_MASS} div n").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("(r * wt) div wdeg").alias("contrib"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        ranks = sums.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            (
+                F.expr(f"(15 * {_TR_MASS}) div (100 * n)")
+                + F.expr("(85 * s) div 100")
+            ).alias("r"),
+        )
+    top = (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(F.col("node").alias("term"), F.col("r").alias("rank_micro"), "wdeg")
+        .orderBy(F.desc("rank_micro"), "term")
+        .limit(_TR_TOP)
+    )
+    w = Window.orderBy(F.desc("rank_micro"), "term")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy("rnk")
