@@ -41,6 +41,38 @@ def shingle_array(tokens_sql: str, n: int = 3) -> F.Column:
     )
 
 
+def winnow_fp_array(gram: int, window: int, norm: str = "norm") -> F.Column:
+    """Winnowing fingerprints (Schleimer et al. 2003) as ONE per-row array
+    expression: all char-``gram``-gram hashes, then the min hash of every
+    ``window``-position sliding window (tail windows truncate), distinct.
+
+    The let-binding trick is the whole point: ``transform(array(<grams>),
+    g -> ...)`` binds the gram-hash array to lambda variable ``g``, which
+    Catalyst evaluates ONCE per row — referencing an *aliased column* inside
+    a lambda instead re-inlines its construction at every slice (measured
+    O(n²) md5 blowup, 28.6s vs 5.2s at sf0.1; see the historical note in
+    text_fingerprint_winnow). With the binding, the whole fingerprint set is
+    map-side: no gram explode, no per-doc window shuffle+sort, no distinct
+    shuffle — measured 5.1s vs 7.4s for the explode+window form at sf0.1,
+    and the per-doc partitioning requirement disappears entirely at scale.
+
+    Docs shorter than ``gram`` yield an EMPTY array (callers exploding it
+    therefore emit no rows — identical to the explode+window form, which
+    such docs never enter)."""
+    grams = (
+        f"CASE WHEN length({norm}) >= {gram} THEN "
+        f"transform(sequence(1, length({norm}) - {gram - 1}), "
+        f"p -> substr(md5(substr({norm}, p, {gram})), 1, 8)) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return F.expr(
+        f"transform(array({grams}), g -> CASE WHEN size(g) = 0 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE array_distinct(transform(sequence(1, size(g)), "
+        f"i -> array_min(slice(g, i, {window})))) END)[0]"
+    )
+
+
 def minhash_array(shingles_sql: str, seed: int) -> F.Column:
     """Per-row minhash for one seed: min over md5(seed|shingle) — a pure
     projection. Same caveat as shingle_array: pass a column reference, not

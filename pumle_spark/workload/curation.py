@@ -648,21 +648,18 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
-    d = docs.select("doc_id", F.array_join(normalize_text("text"), " ").alias("norm"))
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN length(norm) >= {_LEAK_GRAM} THEN "
-                f"transform(sequence(1, length(norm) - {_LEAK_GRAM - 1}), "
-                f"p -> substr(md5(substr(norm, p, {_LEAK_GRAM})), 1, 8)) "
-                f"ELSE cast(array() as array<string>) END"
-            )
-        ).alias("pos", "h"),
+    # repartition before the hash-heavy winnow map (CPU-bound per char;
+    # see text_fingerprint_winnow's note on byte-sized splits)
+    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.array_join(normalize_text("text"), " ").alias("norm")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _LEAK_WINNOW - 1)
-    fps = (
-        grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    # map-side winnowing (let-binding array form): no gram explode, no
+    # per-doc window shuffle, no distinct shuffle — see winnow_fp_array
+    from pumle_spark.operators.dedup import winnow_fp_array
+
+    fps = d.select(
+        "doc_id",
+        F.explode(winnow_fp_array(_LEAK_GRAM, _LEAK_WINNOW)).alias("fp"),
     )
     keepfp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _LEAK_MAXDF

@@ -1104,26 +1104,25 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 100
     )
-    d = docs.select(
+    # repartition before the hash-heavy winnow map: fingerprinting is
+    # CPU-bound per character, so byte-sized input splits under-parallelize
+    # it (see text_fingerprint_winnow's note) — the raw-text shuffle is
+    # cheaper than the gram-row shuffle the old window form forced.
+    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.array_join(_tokens_col(), " ").alias("norm"), bucket.alias("bucket")
     )
     existing = d.filter(F.col("bucket") < 90).select("doc_id", "norm")
     delta = d.filter(F.col("bucket") >= 90).select("doc_id", "norm")
 
     def winnow_fps(df: DataFrame) -> DataFrame:
-        grams = df.select(
+        # map-side winnowing (let-binding array form): no gram explode, no
+        # per-doc window shuffle, no distinct shuffle — see winnow_fp_array
+        from pumle_spark.operators.dedup import winnow_fp_array
+
+        return df.select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"CASE WHEN length(norm) >= {_INC_GRAM} THEN "
-                    f"transform(sequence(1, length(norm) - {_INC_GRAM - 1}), "
-                    f"p -> substr(md5(substr(norm, p, {_INC_GRAM})), 1, 8)) "
-                    f"ELSE cast(array() as array<string>) END"
-                )
-            ).alias("pos", "h"),
+            F.explode(winnow_fp_array(_INC_GRAM, _INC_WINNOW)).alias("fp"),
         )
-        w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _INC_WINNOW - 1)
-        return grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
 
     fp_e0 = winnow_fps(existing)
     hot = fp_e0.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(

@@ -275,33 +275,44 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-{_GRAM}-grams, keep the min hash of every {_WINNOW}-gram window,
     dedupe. Output is the per-doc fingerprint-set summary.
 
-    The gram explosion is per-document and bounded by doc length; the only
-    shuffle is the final per-doc distinct-count.
+    ZERO shuffles: the whole fingerprint set is one per-row array
+    expression (operators.dedup.winnow_fp_array — the let-binding form that
+    evaluates the gram-hash array once per row; an earlier aliased-column
+    transform+slice attempt re-inlined the array per slice, measured O(n²)
+    md5 at 28.6s vs 5.2s, which the binding fixes at 5.1s vs 7.4s for the
+    explode+window form it replaces). The summary row is computed in the
+    same projection — fingerprinting needs no per-doc partitioning at all
+    at 100 TB.
     """
-    # NOTE on a rejected "optimization" (measured at sf0.1): computing the
-    # sliding-window minima per-row with transform+slice+array_min re-inlines
-    # the md5 gram-hash array at every lambda reference (Catalyst does not
-    # CSE aliased array columns into lambdas), turning O(n·w) into O(n²) md5
-    # calls — 28.6s vs 5.2s for this explode+window form. Keep the window.
+    from pumle_spark.operators.dedup import winnow_fp_array
+
     docs = table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.array_join(_tokens_col(), " ").alias("norm"))
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            # sequence() flips to descending when start > stop, so guard short docs
-            F.expr(
-                f"CASE WHEN length(norm) >= {_GRAM} THEN "
-                f"transform(sequence(1, length(norm) - {_GRAM - 1}), "
-                f"p -> substr(md5(substr(norm, p, {_GRAM})), 1, 8)) "
-                f"ELSE cast(array() as array<string>) END"
-            )
-        ).alias("pos", "h"),
+    # Fingerprinting is CPU-bound (one md5 PER CHARACTER), so byte-sized
+    # input splits under-parallelize it badly — a small corpus file arrives
+    # as one task doing minutes of hashing. Round-robin to cluster
+    # parallelism first: the shuffle payload is the raw text (~1× bytes),
+    # strictly cheaper than the gram-row shuffle (~8× bytes) the old
+    # explode+window form forced, and it exists purely to right-size
+    # compute partitions for the hash-heavy map.
+    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.array_join(_tokens_col(), " ").alias("norm")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW - 1)
-    winnowed = grams.select("doc_id", F.min("h").over(w).alias("fp"))
-    return winnowed.groupBy("doc_id").agg(
-        F.count_distinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
+    # The one-element explode is a deliberate materialization barrier:
+    # downstream size/min/filter reference `fps` THREE times, and
+    # ProjectCollapse would otherwise inline the whole winnow expression
+    # into every reference (measured 3× recompute, 24s vs 8s at sf0.1).
+    # Generate's output is a real attribute, so the array is computed once
+    # per row and then just read.
+    fps = d.select(
+        "doc_id", F.explode(F.array(winnow_fp_array(_GRAM, _WINNOW))).alias("fps")
+    )
+    return (
+        fps.filter(F.size("fps") > 0)  # short docs never entered the window form
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+        )
     )
 
 
