@@ -3544,3 +3544,136 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# watermark-policy audit (simulated arrival disorder, exact drop counts)
+# --------------------------------------------------------------------------
+
+_WM_MAX_DELAY_US = 300_000_000  # simulated network delay in [0, 300s)
+_WM_POLICIES_S = (10, 60, 120)
+_WM_BUCKET_US = 3_600_000_000  # 1h arrival buckets for the two-level prefix
+
+
+@register(
+    "stream_watermark_policy_audit",
+    sql=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS tus,
+             epoch_us(ts) + ('0x' || substr(md5('lat|' || CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+               % {_WM_MAX_DELAY_US} AS arr
+      FROM events
+    ),
+    eb AS (SELECT event_id, tus, arr, arr // {_WM_BUCKET_US} AS b FROM e),
+    bm AS (SELECT b, MAX(tus) AS btus FROM eb GROUP BY b),
+    pm AS (SELECT b, MAX(btus) OVER (ORDER BY b
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptus
+           FROM bm),
+    rmx AS (
+      SELECT eb.event_id, eb.tus,
+             GREATEST(
+               COALESCE(pm.ptus, 0),
+               COALESCE(MAX(eb.tus) OVER (PARTITION BY eb.b ORDER BY eb.arr, eb.event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             ) AS rm
+      FROM eb JOIN pm ON pm.b = eb.b
+    ),
+    lat AS (SELECT event_id, tus, rm, GREATEST(0, rm - tus) AS late_us FROM rmx),
+    pol AS (SELECT unnest([{", ".join(str(p) for p in _WM_POLICIES_S)}]) AS wm_s)
+    SELECT pol.wm_s AS wm_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN lat.late_us > pol.wm_s * 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN lat.late_us > pol.wm_s * 1000000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dropped_ppm,
+           CAST(MAX(lat.late_us) // 1000000 AS BIGINT) AS max_lateness_s
+    FROM lat CROSS JOIN pol
+    GROUP BY pol.wm_s
+    ORDER BY wm_seconds
+    """,
+    tags=("events", "streaming", "watermark", "two-level-prefix"),
+)
+def stream_watermark_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy what-if: under a deterministic simulated arrival
+    delay (md5-hash jitter in [0, {_WM_MAX_DELAY_US} µs) — the corpus's
+    event_ids arrive in exact event-time order, so disorder must be
+    modeled to audit anything), compute for each candidate watermark
+    delta how many events a streaming job would DROP as too late. An
+    event is late by (running max event-time over strictly earlier
+    arrivals − its own event-time); it is dropped when that exceeds the
+    watermark delta — precisely Structured Streaming's append-mode
+    discard rule.
+
+    The running max over arrival order is computed WITHOUT a global sort:
+    1h arrival buckets → per-bucket max → prefix max over the tiny bucket
+    table → within-bucket window (partition-bounded) — the repo's
+    two-level-prefix pattern, here for a running MAX. Drop counts are
+    exact integers; ppm is an integer div.
+
+    Scale: the only per-event state is the within-bucket window (bounded
+    by events/hour per partition); the bucket prefix is calendar-sized.
+    This is the report that sizes `withWatermark` before deploying
+    stream_hourly_rollup_final — policy too tight drops data, too loose
+    holds state."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        (
+            F.unix_micros("ts")
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit("lat|"), F.col("event_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _WM_MAX_DELAY_US
+        ).alias("arr"),
+    )
+    eb = e.withColumn("b", F.expr(f"arr div {_WM_BUCKET_US}"))
+    bm = eb.groupBy("b").agg(F.max("tus").alias("btus"))
+    wpre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select("b", F.max("btus").over(wpre).alias("ptus"))
+    win = (
+        Window.partitionBy("b")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        eb.join(pm, "b")
+        .select(
+            "event_id",
+            "tus",
+            F.greatest(
+                F.coalesce("ptus", F.lit(0)),
+                F.coalesce(F.max("tus").over(win), F.lit(0)),
+            ).alias("rm"),
+        )
+        .select("event_id", "tus", F.greatest(F.lit(0), F.col("rm") - F.col("tus")).alias("late_us"))
+    )
+    pol = lat.select(
+        "late_us",
+        F.explode(F.array(*[F.lit(p) for p in _WM_POLICIES_S])).alias("wm_s"),
+    )
+    return (
+        pol.groupBy("wm_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > F.col("wm_s") * 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr(
+                "(sum(CASE WHEN late_us > wm_s * 1000000 THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1)"
+            )
+            .cast("bigint")
+            .alias("dropped_ppm"),
+            F.expr("max(late_us) div 1000000").cast("bigint").alias("max_lateness_s"),
+        )
+        .select(
+            F.col("wm_s").cast("int").alias("wm_seconds"),
+            "n_events",
+            "n_dropped",
+            "dropped_ppm",
+            "max_lateness_s",
+        )
+        .orderBy("wm_seconds")
+    )

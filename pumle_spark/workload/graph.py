@@ -1139,3 +1139,147 @@ def graph_region_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("contrib_num").over(Window.partitionBy()).cast("double") / denom, 6
         ).alias("modularity_q"),
     ).orderBy("region")
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank from a seed set (region-restricted teleport)
+# --------------------------------------------------------------------------
+
+_PPR_REGION = "ASIA"
+_PPR_TOP = 25
+
+
+def _sql_ppr_iter(i: int, prev: str) -> str:
+    return f"""
+    ps{i} AS (
+      SELECT e.dst AS node, (85 * SUM(r.r // d.outdeg)) // 100 AS t
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    pit{i} AS (
+      SELECT node, CAST(SUM(t) AS BIGINT) AS r FROM (
+        SELECT node, t FROM ps{i}
+        UNION ALL
+        SELECT node, (15 * {_MASS}) // (100 * sk.k) AS t FROM seeds CROSS JOIN sk
+      ) GROUP BY node
+    )"""
+
+
+_SQL_PPR = (
+    "WITH "
+    + _SQL_GRAPH
+    + f""",
+    seeds AS (
+      SELECT s.s_suppkey * 2 + 1 AS node
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{_PPR_REGION}'
+        AND s.s_suppkey * 2 + 1 IN (SELECT src FROM deg)
+    ),
+    sk AS (SELECT COUNT(*) AS k FROM seeds),
+    pr0 AS (SELECT node, CAST({_MASS} // sk.k AS BIGINT) AS r FROM seeds CROSS JOIN sk),
+    """
+    + ",".join(_sql_ppr_iter(i, f"pit{i - 1}" if i > 1 else "pr0") for i in range(1, _ITERS + 1))
+    + f"""
+    SELECT node AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           CASE WHEN node IN (SELECT node FROM seeds) THEN 1 ELSE 0 END AS is_seed,
+           CAST(r AS BIGINT) AS rank_micro,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rnk FROM pit{_ITERS})
+    WHERE rnk <= {_PPR_TOP}
+    ORDER BY rnk
+    """
+)
+
+
+@register("graph_ppr_seeded", sql=_SQL_PPR, tags=("graph", "pagerank", "personalized", "iterative"))
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to a SEED set (the
+    {_PPR_REGION}-region suppliers active in the trade graph) instead of
+    uniform — so rank measures proximity/influence RELATIVE to the seeds,
+    the primitive behind related-item retrieval, trust propagation, and
+    seed-expanded audience building (vs graph_pagerank_trade's global
+    centrality).
+
+    Same integer contract as the global variant (mass {_MASS}, damping as
+    exact 85//100, contribution r div outdeg), with one structural twist:
+    each iterate is a UNION of the damped inflow and the seed-only teleport
+    followed by a node groupBy — nodes can hold rank without inflow (seeds)
+    or without seeding (reachable nodes), and exactly the touched node set
+    materializes, never the full graph. Initial mass sits entirely on
+    seeds.
+
+    Scale (Pregel shape): one edge-list equi-join per round, hash-
+    partitioned on node id; the seed table rides along broadcast-sized.
+    After round t only nodes within t hops of a seed exist — early rounds
+    are the cheapest, opposite of the global variant."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    seeds = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg.filter(F.col("r_name") == _PPR_REGION)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
+    )
+    sk = seeds.agg(F.count(F.lit(1)).alias("k"))
+    ranks = seeds.crossJoin(F.broadcast(sk)).select(
+        "node", F.expr(f"{_MASS} div k").cast("bigint").alias("r")
+    )
+    for _ in range(_ITERS):
+        inflow = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.expr("(85 * sum(r div outdeg)) div 100").alias("t"))
+            .select(F.col("dst").alias("node"), "t")
+        )
+        teleport = seeds.crossJoin(F.broadcast(sk)).select(
+            "node", F.expr(f"(15 * {_MASS}) div (100 * k)").alias("t")
+        )
+        ranks = (
+            inflow.unionAll(teleport)
+            .groupBy("node")
+            .agg(F.sum("t").cast("bigint").alias("r"))
+        )
+    seed_flag = seeds.withColumn("is_seed_", F.lit(1))
+    top = (
+        ranks.join(seed_flag, "node", "left")
+        .select(
+            "node",
+            "r",
+            F.coalesce("is_seed_", F.lit(0)).cast("bigint").alias("is_seed"),
+        )
+        .orderBy(F.desc("r"), "node")
+        .limit(_PPR_TOP)
+    )
+    w = Window.orderBy(F.desc("r"), "node")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("node").alias("node_id"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "is_seed",
+            F.col("r").alias("rank_micro"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

@@ -416,3 +416,97 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PH_MAXH = 3  # Hamming radius for near-dup media pairs (4-block pigeonhole)
+
+
+@register(
+    "multimodal_phash_neardup",
+    sql=f"""
+    WITH d AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+    grams AS (
+      SELECT DISTINCT media_id, substr(hx, p, 8) AS g
+      FROM (SELECT media_id, hx, unnest(range(1, length(hx) - 6, 4)) AS p
+            FROM d WHERE length(hx) >= 8)
+    ),
+    bits AS (
+      SELECT media_id, b.bit,
+             SUM(CASE WHEN b.bit < 32
+                  THEN CASE WHEN ((('0x' || substr(md5(g), 1, 8))::UBIGINT >> b.bit) & 1) = 1
+                            THEN 1 ELSE -1 END
+                  ELSE CASE WHEN ((('0x' || substr(md5(g), 9, 8))::UBIGINT >> (b.bit - 32)) & 1) = 1
+                            THEN 1 ELSE -1 END END) AS w
+      FROM grams CROSS JOIN generate_series(0, 63) b(bit)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN w > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                         ELSE (1::BIGINT << bit) END
+                  ELSE 0 END) AS BIGINT) AS sig
+      FROM bits GROUP BY 1
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PH_MAXH}
+    ORDER BY media_id_a, media_id_b
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the media corpus: a
+    64-bit content signature per media blob, then all pairs within Hamming
+    distance {_PH_MAXH} via pigeonhole block joins — the image-dedup
+    counterpart of dedup_simhash32 for a multimodal training set.
+
+    Honest-stub contract (module docstring): a REAL pHash is a DCT over
+    decoded pixels and needs codecs this container doesn't ship; the
+    deterministic stand-in is a SimHash over the blob's 4-byte grams
+    (stride 2 bytes over the hex encoding), which preserves exactly the
+    property the Spark-side plumbing must handle — near-identical bytes →
+    near-identical signatures. The signature fold, the 4-block pigeonhole
+    retrieval (operators.dedup.hamming_pairs: any pair within distance
+    {_PH_MAXH} agrees on >= 1 of 4 blocks), and the exact popcount verify
+    are the production components; swapping the kernel for a codec-backed
+    DCT changes one projection.
+
+    The DuckDB oracle is the ALL-PAIRS join — so the hash comparison
+    genuinely verifies the pigeonhole blocking loses no pair. Scale: the
+    signature is one map pass (per-row gram fold, zero exchanges, the
+    dedup_simhash32 idiom); retrieval joins on (block, 16-bit value)
+    buckets, cost Σ_bucket c² instead of n²."""
+    from pumle_spark.operators.dedup import hamming_pairs
+
+    media = _media_table(spark, sf_dir).select(
+        "media_id", F.hex("content").alias("hx")
+    )
+    hs = media.filter(F.length("hx") >= 8).select(
+        F.col("media_id").alias("key"),
+        F.expr(
+            "transform(array_distinct(transform(sequence(1, length(hx) - 7, 4), "
+            "p -> substr(hx, p, 8))), "
+            "g -> struct(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) AS lo, "
+            "cast(conv(substring(md5(g), 9, 8), 16, 10) as bigint) AS hi))"
+        ).alias("hs"),
+    )
+    bit_terms = " + ".join(
+        (
+            f"(CASE WHEN aggregate(hs, 0L, (acc, x) -> acc + "
+            f"(shiftright(x.{'lo' if j < 32 else 'hi'}, {j if j < 32 else j - 32}) & 1) * 2 - 1) > 0 "
+            f"THEN shiftleft(1L, {j}) ELSE 0L END)"
+        )
+        for j in range(64)
+    )
+    sig = hs.select("key", F.expr(bit_terms).cast("bigint").alias("simhash"))
+    return (
+        hamming_pairs(sig, max_distance=_PH_MAXH)
+        .select(
+            F.col("key_a").alias("media_id_a"),
+            F.col("key_b").alias("media_id_b"),
+            "hamming",
+        )
+        .orderBy("media_id_a", "media_id_b")
+    )
