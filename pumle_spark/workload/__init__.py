@@ -105,6 +105,19 @@ _DRIVER_WINDOW_R05 = (
 )
 _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R05)}
 
+# Registered AFTER the round-5 window was frozen (the driver records only
+# queries()[:50]): these are local-green (tools/oracle_check.py) but not yet
+# driver-verified — they are the head of ROUND 6's window, together with
+# whatever r05 leaves unverified. Keep this list in sync when adding queries
+# this round.
+_DRIVER_QUEUE_R06 = (
+    "mine_hard_negatives", "regress_theilsen_trend", "profile_fd_candidates",
+    "forecast_holt_linear", "events_fano_burstiness", "text_keyword_textrank",
+    "multimodal_phash_neardup", "graph_ppr_seeded",
+    "stream_watermark_policy_audit", "drift_embedding_mmd",
+    "audit_orderdate_gaps",
+)
+
 
 def _rotation_key(name: str) -> tuple[int, int]:
     return (0, _WINDOW_POS[name]) if name in _WINDOW_POS else (1, 0)

@@ -2514,3 +2514,94 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q("ls + 2 * bs").alias("f2_cents"),
         _q("ls + 3 * bs").alias("f3_cents"),
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# calendar gap audit (gaps-and-islands without a global sort)
+# --------------------------------------------------------------------------
+
+_GAP_BUCKET = 256  # day-number bucket width for the two-level island scan
+_GAP_TOP = 20
+
+
+@register(
+    "audit_orderdate_gaps",
+    sql=f"""
+    WITH k AS (
+      SELECT DISTINCT datediff('day', DATE '1970-01-01', o_orderdate) AS k,
+             datediff('day', DATE '1970-01-01', o_orderdate) // {_GAP_BUCKET} AS b
+      FROM orders
+    ),
+    intra AS (
+      SELECT k + 1 AS gap_start, nxt - k - 1 AS gap_len
+      FROM (SELECT k, LEAD(k) OVER (PARTITION BY b ORDER BY k) AS nxt FROM k)
+      WHERE nxt - k > 1
+    ),
+    bkt AS (SELECT b, MIN(k) AS bmin, MAX(k) AS bmax FROM k GROUP BY b),
+    inter AS (
+      SELECT bmax + 1 AS gap_start, nmin - bmax - 1 AS gap_len
+      FROM (SELECT bmax, LEAD(bmin) OVER (ORDER BY b) AS nmin FROM bkt)
+      WHERE nmin - bmax > 1
+    ),
+    gaps AS (SELECT * FROM intra UNION ALL SELECT * FROM inter)
+    SELECT DATE '1970-01-01' + CAST(gap_start AS INTEGER) AS gap_start_date,
+           CAST(gap_len AS BIGINT) AS gap_days,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap_len DESC, gap_start) AS rnk
+          FROM gaps)
+    WHERE rnk <= {_GAP_TOP}
+    ORDER BY rnk
+    """,
+    tags=("audit", "gaps-islands", "two-level-prefix"),
+)
+def audit_orderdate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_GAP_TOP} runs of calendar days with ZERO orders — the outage
+    audit that separates ordinary weekday noise from "ingestion was down
+    for a week": a loader outage shows up as one anomalously long run.
+
+    Gaps-and-islands WITHOUT a global sort: distinct active day-numbers
+    bucket by {_GAP_BUCKET}-day ranges, LEAD() finds runs inside each
+    bounded bucket partition, and cross-bucket runs come from a LEAD over
+    the tiny present-bucket table (max of one bucket -> min of the next) —
+    buckets with no active days fold into the inter-bucket run
+    automatically. Runs before the first / after the last active day are
+    undefined domain, not outage, and are excluded by construction.
+
+    Scale: the fact table collapses to distinct active days first
+    (calendar-bounded), so the island scan is over at most span-days rows
+    regardless of order volume; the only unpartitioned state is the bucket
+    summary (span/{_GAP_BUCKET} rows) and the final top-k (TakeOrdered)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("k"))
+        .distinct()
+        .withColumn("b", F.expr(f"k div {_GAP_BUCKET}"))
+    )
+    wb = Window.partitionBy("b").orderBy("k")
+    intra = (
+        o.select("k", F.lead("k").over(wb).alias("nxt"))
+        .filter(F.col("nxt") - F.col("k") > 1)
+        .select((F.col("k") + 1).alias("gap_start"), (F.col("nxt") - F.col("k") - 1).alias("gap_len"))
+    )
+    bkt = o.groupBy("b").agg(F.min("k").alias("bmin"), F.max("k").alias("bmax"))
+    inter = (
+        bkt.select("bmax", F.lead("bmin").over(Window.orderBy("b")).alias("nmin"))
+        .filter(F.col("nmin") - F.col("bmax") > 1)
+        .select(
+            (F.col("bmax") + 1).alias("gap_start"),
+            (F.col("nmin") - F.col("bmax") - 1).alias("gap_len"),
+        )
+    )
+    gaps = intra.unionAll(inter)
+    top = gaps.orderBy(F.desc("gap_len"), "gap_start").limit(_GAP_TOP)
+    w = Window.orderBy(F.desc("gap_len"), "gap_start")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("gap_start").cast("int"))
+            .alias("gap_start_date"),
+            F.col("gap_len").cast("bigint").alias("gap_days"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

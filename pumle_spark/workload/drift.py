@@ -906,3 +906,112 @@ def profile_fd_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionAll(stats)
     return out.orderBy("fd")
+
+
+_MMD_DIM = 64
+
+
+@register(
+    "drift_embedding_mmd",
+    sql=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cnt AS (SELECT label, COUNT(*) AS n FROM v GROUP BY label),
+    t AS (
+      SELECT label, i.i, j.j,
+             CAST(v.v[i.i + 1] * v.v[j.j + 1] AS DECIMAL(28,9)) AS p
+      FROM v
+      CROSS JOIN generate_series(0, {_MMD_DIM - 1}) i(i)
+      CROSS JOIN generate_series(0, {_MMD_DIM - 1}) j(j)
+    ),
+    s AS (SELECT label, i, j, SUM(p) AS sp FROM t GROUP BY label, i, j),
+    d AS (
+      SELECT a.label AS la, b.label AS lb,
+             ROUND(CAST(a.sp AS DOUBLE) / ca.n - CAST(b.sp AS DOUBLE) / cb.n, 9) AS md
+      FROM s a
+      JOIN s b ON b.i = a.i AND b.j = a.j AND a.label < b.label
+      JOIN cnt ca ON ca.label = a.label
+      JOIN cnt cb ON cb.label = b.label
+    ),
+    m AS (
+      SELECT la, lb,
+             ROUND(CAST(SUM(CAST(md * md AS DECIMAL(38,18))) AS DOUBLE), 9) AS mmd2
+      FROM d GROUP BY la, lb
+    )
+    SELECT CAST(m.la AS INTEGER) AS label_a, CAST(m.lb AS INTEGER) AS label_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b, m.mmd2
+    FROM m JOIN cnt ca ON ca.label = m.la JOIN cnt cb ON cb.label = m.lb
+    ORDER BY label_a, label_b
+    """,
+    tags=("drift", "embedding", "mmd"),
+)
+def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel MMD² between every pair of label populations in embedding
+    space, degree-2 polynomial kernel k(x,y) = (x·y)² — the two-sample
+    test ML monitoring uses to answer "did this slice's embedding
+    distribution move?" without assuming any parametric form.
+
+    The scale trick: for k(x,y) = (x·y)², E[k(x,x')] = ‖E[xxᵀ]‖²_F, so
+    MMD² = ‖M_A − M_B‖²_F over the groups' SECOND-MOMENT matrices — each
+    group folds to a fixed {_MMD_DIM}×{_MMD_DIM} = {_MMD_DIM * _MMD_DIM}-cell
+    mergeable state in ONE pass, and no cross-group pair is ever formed
+    (the textbook U-statistic is O(n²) pairs; this is O(n·d²) map work).
+
+    Exactness: each xᵢxⱼ term is one deterministic double product
+    quantized to DECIMAL(28,9) (the module's term-precision contract),
+    summed exactly in decimal; each mean-difference is a mirrored pair of
+    double divisions rounded to 1e-9; the Frobenius accumulation is again
+    exact decimal. Identical on every engine and partitioning."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = e.select(
+        "label",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {_MMD_DIM - 1}), "
+                f"i -> transform(sequence(0, {_MMD_DIM - 1}), "
+                f"j -> struct(i, j, cast(v[i] * v[j] as decimal(28,9)) AS p))))"
+            )
+        ).alias("x"),
+    ).select("label", "x.i", "x.j", "x.p")
+    s = t.groupBy("label", "i", "j").agg(F.sum("p").alias("sp"))
+    a = s.select(
+        F.col("label").alias("la"), "i", "j", F.col("sp").alias("spa")
+    ).join(cnt.select(F.col("label").alias("la"), F.col("n").alias("na")), "la")
+    b = s.select(
+        F.col("label").alias("lb"), "i", "j", F.col("sp").alias("spb")
+    ).join(cnt.select(F.col("label").alias("lb"), F.col("n").alias("nb")), "lb")
+    d = (
+        a.join(b, ["i", "j"])
+        .filter(F.col("la") < F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            "na",
+            "nb",
+            F.round(
+                F.col("spa").cast("double") / F.col("na")
+                - F.col("spb").cast("double") / F.col("nb"),
+                9,
+            ).alias("md"),
+        )
+    )
+    return (
+        d.groupBy("la", "lb", "na", "nb")
+        .agg(
+            F.round(
+                F.sum(F.expr("cast(md * md as decimal(38,18))")).cast("double"), 9
+            ).alias("mmd2")
+        )
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "mmd2",
+        )
+        .orderBy("label_a", "label_b")
+    )
