@@ -115,7 +115,8 @@ _DRIVER_QUEUE_R06 = (
     "forecast_holt_linear", "events_fano_burstiness", "text_keyword_textrank",
     "multimodal_phash_neardup", "graph_ppr_seeded",
     "stream_watermark_policy_audit", "drift_embedding_mmd",
-    "audit_orderdate_gaps",
+    "audit_orderdate_gaps", "privacy_t_closeness", "sample_coreset_kcenter",
+    "orders_rfm_migration",
 )
 
 

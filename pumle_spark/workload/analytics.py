@@ -2605,3 +2605,102 @@ def audit_orderdate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segment-migration matrix (period-over-period customer movement)
+# --------------------------------------------------------------------------
+
+_MIG_Y1, _MIG_Y2 = 1997, 1998
+_MIG_FREQ = 3                  # orders/period for the "frequent" tier
+_MIG_SPEND = 300_000_00        # period spend (cents) for the "big ticket" tier
+
+
+def _mig_seg_sql(n: str, s: str) -> str:
+    return f"""CASE WHEN {n} IS NULL THEN 'inactive'
+         WHEN {n} >= {_MIG_FREQ} AND {s} >= {_MIG_SPEND} THEN 'vip'
+         WHEN {n} >= {_MIG_FREQ} THEN 'frequent'
+         WHEN {s} >= {_MIG_SPEND} THEN 'big_ticket'
+         ELSE 'casual' END"""
+
+
+@register(
+    "orders_rfm_migration",
+    sql=f"""
+    WITH p AS (
+      SELECT o_custkey, year(o_orderdate) AS y, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM orders
+      WHERE year(o_orderdate) IN ({_MIG_Y1}, {_MIG_Y2})
+      GROUP BY 1, 2
+    ),
+    a AS (SELECT o_custkey, n, s FROM p WHERE y = {_MIG_Y1}),
+    b AS (SELECT o_custkey, n, s FROM p WHERE y = {_MIG_Y2}),
+    m AS (
+      SELECT {_mig_seg_sql("a.n", "a.s")} AS seg_from,
+             {_mig_seg_sql("b.n", "b.s")} AS seg_to
+      FROM a FULL JOIN b ON b.o_custkey = a.o_custkey
+    ),
+    cell AS (SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers
+             FROM m GROUP BY 1, 2),
+    rowt AS (SELECT seg_from, CAST(SUM(n_customers) AS BIGINT) AS row_total
+             FROM cell GROUP BY 1)
+    SELECT c.seg_from, c.seg_to, c.n_customers,
+           CAST(c.n_customers * 1000000 // r.row_total AS BIGINT) AS share_of_from_ppm
+    FROM cell c JOIN rowt r ON r.seg_from = c.seg_from
+    ORDER BY c.seg_from, c.seg_to
+    """,
+    tags=("analytics", "rfm", "migration"),
+)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix between {_MIG_Y1} and {_MIG_Y2}:
+    each customer lands in a fixed-threshold RFM tier per period (vip /
+    frequent / big_ticket / casual, 'inactive' when absent), and the matrix
+    counts movement — the lifecycle report behind churn alarms ("vip →
+    inactive") and upsell targeting ("casual → frequent"). Fixed integer
+    thresholds keep it deterministic where quantile tiers
+    (orders_rfm_segments) would couple the tier boundary to the corpus.
+
+    Only customers active in at least one period appear (a FULL JOIN of
+    the two period aggregates); the all-inactive diagonal cell is
+    structurally impossible, so every row is signal. Shares are exact
+    integer ppm of the origin row.
+
+    Scale: one year-filtered keyed agg (partition-prunable on date), one
+    custkey full join, then the matrix is |tiers|² rows. Nothing beyond
+    the per-period agg ever sees order volume."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.filter(F.year("o_orderdate").isin(_MIG_Y1, _MIG_Y2))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    a = p.filter(F.col("y") == _MIG_Y1).select(
+        F.col("o_custkey").alias("ka"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = p.filter(F.col("y") == _MIG_Y2).select(
+        F.col("o_custkey").alias("kb"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    m = a.join(b, a["ka"] == b["kb"], "full").select(
+        F.expr(_mig_seg_sql("na", "sa")).alias("seg_from"),
+        F.expr(_mig_seg_sql("nb", "sb")).alias("seg_to"),
+    )
+    cell = m.groupBy("seg_from", "seg_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    roww = Window.partitionBy("seg_from")
+    return (
+        cell.withColumn("row_total", F.sum("n_customers").over(roww))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            F.expr("n_customers * 1000000 div row_total").cast("bigint").alias("share_of_from_ppm"),
+        )
+        .orderBy("seg_from", "seg_to")
+    )

@@ -718,3 +718,195 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (ordered-attribute EMD, exact cross-multiplied prefix)
+# --------------------------------------------------------------------------
+
+_TC_BANDS = 10           # sensitive spend bands ($1000-wide, top-capped)
+_TC_BAND_CENTS = 100_000_00
+_TC_THRESH_MICRO = (50_000, 100_000, 200_000)  # t in micro-EMD units
+
+
+@register(
+    "privacy_t_closeness",
+    sql=f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             LEAST({_TC_BANDS - 1},
+                   COALESCE(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT), 0)
+                     // {_TC_BAND_CENTS}) AS sband
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3, 4
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, sband, COUNT(*) AS cnt
+      FROM spend GROUP BY 1, 2, 3, 4
+    ),
+    csz AS (SELECT c_nationkey, c_mktsegment, bal_band, CAST(SUM(cnt) AS BIGINT) AS n_c
+            FROM cls GROUP BY 1, 2, 3),
+    g AS (SELECT sband, CAST(SUM(cnt) AS BIGINT) AS g_cnt FROM cls GROUP BY 1),
+    nt AS (SELECT CAST(SUM(g_cnt) AS BIGINT) AS n FROM g),
+    grid AS (
+      SELECT z.c_nationkey, z.c_mktsegment, z.bal_band, z.n_c, b.sband,
+             COALESCE(cl.cnt, 0) AS cnt, COALESCE(gg.g_cnt, 0) AS g_cnt, nt.n
+      FROM csz z
+      CROSS JOIN (SELECT unnest(range({_TC_BANDS})) AS sband) b
+      LEFT JOIN cls cl ON cl.c_nationkey = z.c_nationkey
+                      AND cl.c_mktsegment = z.c_mktsegment
+                      AND cl.bal_band = z.bal_band AND cl.sband = b.sband
+      LEFT JOIN g gg ON gg.sband = b.sband
+      CROSS JOIN nt
+    ),
+    pre AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, n_c, n, sband,
+             SUM(n * cnt - n_c * g_cnt)
+               OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                     ORDER BY sband ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM grid
+    ),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, MAX(n_c) AS n_c,
+             CAST(SUM(ABS(p)) * 1000000
+                  // (({_TC_BANDS} - 1) * MAX(n_c) * MAX(n)) AS BIGINT) AS emd_micro
+      FROM pre GROUP BY 1, 2, 3
+    ),
+    ts AS (SELECT unnest([{", ".join(str(t) for t in _TC_THRESH_MICRO)}]) AS t_micro),
+    tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_classes
+            FROM emd)
+    SELECT CAST(ts.t_micro AS BIGINT) AS t_micro,
+           tot.n_classes,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE emd.emd_micro > ts.t_micro), 0) AS BIGINT)
+             AS n_violating,
+           CAST(COALESCE(SUM(emd.n_c) FILTER (WHERE emd.emd_micro > ts.t_micro), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(COALESCE(SUM(emd.n_c) FILTER (WHERE emd.emd_micro > ts.t_micro), 0)
+                * 1000000 // tot.n_rows AS BIGINT) AS risk_ppm,
+           CAST(MAX(emd.emd_micro) AS BIGINT) AS max_emd_micro
+    FROM emd CROSS JOIN ts CROSS JOIN tot
+    GROUP BY ts.t_micro, tot.n_classes, tot.n_rows
+    ORDER BY t_micro
+    """,
+    tags=("privacy", "t-closeness", "emd"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third rung of the release
+    ladder after privacy_k_anonymity and privacy_l_diversity: within each
+    QI equivalence class (nation, segment, $1000 balance band), the
+    distribution of the ORDERED sensitive attribute (lifetime spend band,
+    {_TC_BANDS} bands) must sit within EMD t of the global distribution —
+    k-anonymous, l-diverse classes can still leak when their sensitive
+    values skew (everyone in the class is a top spender).
+
+    Ordered-category EMD = mean |prefix difference|, computed EXACTLY by
+    cross-multiplication: p_i = Σ_{{j<=i}}(N·cnt_j − n_c·G_j) is an integer,
+    EMD_micro = 10⁶·Σ|p_i| div ((m−1)·n_c·N). The final prefix is zero by
+    construction, so the window needs no exclusion. No doubles anywhere.
+
+    Scale: the fact side collapses to per-customer spend (one keyed agg),
+    classes to the QI-space cardinality; the prefix window partitions per
+    class over exactly {_TC_BANDS} rows. Thresholds ride as a 3-element
+    broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 100000").alias("bal_band"),
+        )
+        .agg(
+            F.expr(
+                f"least({_TC_BANDS - 1}, "
+                f"coalesce(sum(cast(round(o_totalprice * 100) as bigint)), 0)"
+                f" div {_TC_BAND_CENTS})"
+            )
+            .cast("bigint")
+            .alias("sband")
+        )
+    )
+    cls = spend.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sband").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    csz = cls.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.sum("cnt").cast("bigint").alias("n_c")
+    )
+    g = cls.groupBy("sband").agg(F.sum("cnt").cast("bigint").alias("g_cnt"))
+    nt = g.agg(F.sum("g_cnt").cast("bigint").alias("n"))
+    bands = spark.range(_TC_BANDS).select(F.col("id").cast("bigint").alias("sband"))
+    grid = (
+        csz.crossJoin(F.broadcast(bands))
+        .join(cls, ["c_nationkey", "c_mktsegment", "bal_band", "sband"], "left")
+        .join(F.broadcast(g), "sband", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "n_c",
+            "n",
+            "sband",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("g_cnt", F.lit(0)).alias("g_cnt"),
+        )
+    )
+    wpre = (
+        Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        .orderBy("sband")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n_c",
+        "n",
+        F.sum(F.col("n") * F.col("cnt") - F.col("n_c") * F.col("g_cnt")).over(wpre).alias("p"),
+    )
+    emd = pre.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.max("n_c").alias("n_c"),
+        F.expr(
+            f"CAST(sum(abs(p)) * 1000000 div (({_TC_BANDS} - 1) * max(n_c) * max(n)) AS BIGINT)"
+        ).alias("emd_micro"),
+    )
+    tot = emd.agg(
+        F.sum("n_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    return (
+        emd.crossJoin(F.broadcast(tot))
+        .select(
+            "n_c",
+            "emd_micro",
+            "n_rows",
+            "n_classes",
+            F.explode(F.array(*[F.lit(t) for t in _TC_THRESH_MICRO])).alias("t_micro"),
+        )
+        .groupBy("t_micro", "n_classes", "n_rows")
+        .agg(
+            F.coalesce(F.count(F.when(F.col("emd_micro") > F.col("t_micro"), F.lit(1))), F.lit(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.coalesce(F.sum(F.when(F.col("emd_micro") > F.col("t_micro"), F.col("n_c"))), F.lit(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN emd_micro > t_micro THEN n_c END), 0) * 1000000"
+                " div MAX(n_rows) AS BIGINT)"
+            ).alias("risk_ppm"),
+            F.max("emd_micro").cast("bigint").alias("max_emd_micro"),
+        )
+        .select(
+            F.col("t_micro").cast("bigint").alias("t_micro"),
+            "n_classes",
+            "n_violating",
+            "rows_at_risk",
+            "risk_ppm",
+            "max_emd_micro",
+        )
+        .orderBy("t_micro")
+    )

@@ -1551,3 +1551,125 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# k-center coreset selection (farthest-point traversal)
+# --------------------------------------------------------------------------
+
+_KC_K = 6  # centers to select (fixed unroll)
+
+
+def _kc_sql() -> str:
+    """CTE chain: cur{r} holds every unselected vector's min dist² (micro)
+    to the selected set; p{r} is the farthest point (the next center)."""
+    d2 = "CAST(ROUND((x.nv + {c}.nv - 2 * list_inner_product(x.emb, {c}.emb)) * 1000000) AS BIGINT)"
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "n AS (SELECT vec_id, emb, list_inner_product(emb, emb) AS nv FROM v)",
+        "c1 AS (SELECT vec_id, emb, nv FROM n WHERE vec_id = (SELECT MIN(vec_id) FROM n))",
+        f"""cur1 AS (SELECT x.vec_id, x.emb, x.nv, {d2.format(c="c")} AS dmin
+             FROM n x CROSS JOIN c1 c WHERE x.vec_id <> c.vec_id)""",
+    ]
+    sel = ["SELECT 1 AS rnd, vec_id AS center_id, 0 AS radius_micro FROM c1"]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f"""p{r} AS (SELECT vec_id, emb, nv, dmin FROM cur{r - 1}
+             ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+        sel.append(
+            f"SELECT {r} AS rnd, vec_id AS center_id, dmin AS radius_micro FROM p{r}"
+        )
+        if r < _KC_K:
+            parts.append(
+                f"""cur{r} AS (SELECT x.vec_id, x.emb, x.nv,
+                 LEAST(x.dmin, {d2.format(c="p")}) AS dmin
+                 FROM cur{r - 1} x CROSS JOIN p{r} p WHERE x.vec_id <> p.vec_id)"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(rnd AS INTEGER) AS rnd, CAST(center_id AS BIGINT) AS center_id,"
+        "\n           CAST(radius_micro AS BIGINT) AS radius_micro FROM ("
+        + " UNION ALL ".join(sel)
+        + ") ORDER BY rnd"
+    )
+
+
+@register("sample_coreset_kcenter", sql=_kc_sql(), tags=("sampling", "coreset", "kcenter"))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+    from a deterministic seed (min vec_id), repeatedly select the vector
+    farthest from the already-selected set — the classic 2-approximation
+    to the k-center cover, and the diversity-sampling primitive behind
+    coreset curation / active-learning batch selection (the opposite
+    selection pressure of retrieval_mmr_diversified's per-query re-rank:
+    this one covers the CORPUS).
+
+    Each selected center reports its distance-to-set at pick time
+    (radius_micro) — the monotonically decreasing k-center radius curve
+    that tells you when additional centers stop buying coverage.
+
+    Exactness: dist² = |x|² + |c|² − 2⟨x,c⟩ over per-side precomputed
+    norms (the knn fold contract), quantized ONCE to micro-units; argmax
+    ranks on (dmin, vec_id) total order. The greedy loop is sequential in
+    k by definition, but k is a constant: {_KC_K} unrolled stages, each a
+    corpus-wide map (one distance per unselected row) + a 1-row
+    TakeOrdered — no per-row state, no data-dependent iteration.
+
+    Scale: per round, one broadcast of a SINGLE center row against the
+    corpus — O(k·n·d) total work, the textbook distributed k-center."""
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    n = v.withColumn("nv", _dot(F.col("emb"), F.col("emb")))
+    seed = n.orderBy("vec_id").limit(1)
+
+    def d2m(nv_x, emb_x, nv_c, emb_c):
+        return F.round((nv_x + nv_c - 2 * _dot(emb_x, emb_c)) * 1_000_000).cast("bigint")
+
+    c = seed.select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"), F.col("nv").alias("cnv")
+    )
+    cur = (
+        n.crossJoin(F.broadcast(c))
+        .filter(F.col("vec_id") != F.col("cid"))
+        .select(
+            "vec_id",
+            "emb",
+            "nv",
+            d2m(F.col("nv"), F.col("emb"), F.col("cnv"), F.col("cemb")).alias("dmin"),
+        )
+    )
+    out = seed.select(
+        F.lit(1).cast("int").alias("rnd"),
+        F.col("vec_id").cast("bigint").alias("center_id"),
+        F.lit(0).cast("bigint").alias("radius_micro"),
+    )
+    for r in range(2, _KC_K + 1):
+        pick = cur.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        out = out.unionAll(
+            pick.select(
+                F.lit(r).cast("int").alias("rnd"),
+                F.col("vec_id").cast("bigint").alias("center_id"),
+                F.col("dmin").cast("bigint").alias("radius_micro"),
+            )
+        )
+        if r < _KC_K:
+            p = pick.select(
+                F.col("vec_id").alias("cid"),
+                F.col("emb").alias("cemb"),
+                F.col("nv").alias("cnv"),
+            )
+            cur = (
+                cur.crossJoin(F.broadcast(p))
+                .filter(F.col("vec_id") != F.col("cid"))
+                .select(
+                    "vec_id",
+                    "emb",
+                    "nv",
+                    F.least(
+                        F.col("dmin"),
+                        d2m(F.col("nv"), F.col("emb"), F.col("cnv"), F.col("cemb")),
+                    ).alias("dmin"),
+                )
+            )
+    return out.orderBy("rnd")
