@@ -480,8 +480,13 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, cost Σ_bucket c² instead of n²."""
     from pumle_spark.operators.dedup import hamming_pairs
 
-    media = _media_table(spark, sf_dir).select(
-        "media_id", F.hex("content").alias("hx")
+    # repartition before the hash-heavy signature map: 64 bit-folds over
+    # ~len/2 gram hashes per row is CPU-bound per byte, so byte-sized input
+    # splits under-parallelize it (the winnow_fp_array lesson)
+    media = (
+        _media_table(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("media_id", F.hex("content").alias("hx"))
     )
     hs = media.filter(F.length("hx") >= 8).select(
         F.col("media_id").alias("key"),
