@@ -116,7 +116,7 @@ _DRIVER_QUEUE_R06 = (
     "multimodal_phash_neardup", "graph_ppr_seeded",
     "stream_watermark_policy_audit", "drift_embedding_mmd",
     "audit_orderdate_gaps", "privacy_t_closeness", "sample_coreset_kcenter",
-    "orders_rfm_migration",
+    "orders_rfm_migration", "stream_trending_topk_final",
 )
 
 

@@ -3677,3 +3677,102 @@ def stream_watermark_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("wm_seconds")
     )
+
+
+_TREND_TOP = 3
+
+
+@register(
+    "stream_trending_topk_final",
+    sql=f"""
+    WITH w AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    expand AS (
+      SELECT h AS ws, event_type FROM w
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM w
+    ),
+    cnt AS (SELECT ws, event_type, COUNT(*) AS n FROM expand GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                        ORDER BY n DESC, event_type) AS rnk
+           FROM cnt)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(n AS BIGINT) AS n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM rk WHERE rnk <= {_TREND_TOP}
+    ORDER BY window_start, rnk
+    """,
+    tags=("events", "streaming", "sliding-window", "topk"),
+)
+def stream_trending_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-{_TREND_TOP} event types per SLIDING 2h/1h window,
+    driven through a REAL StreamingQuery (the stream_hourly_rollup_final
+    harness: file source + far-future sentinel closing every window,
+    append-mode memory sink) — the canonical "what's hot right now"
+    streaming workload, and the sliding-window complement of the tumbling
+    rollup already under the gate.
+
+    The stream computes the windowed counts (each event feeds exactly two
+    overlapping windows; Spark's window(ts, '2 hours', '1 hour') and the
+    oracle's two-row expansion are the same algebra); the per-window
+    top-k RANKING runs batch-side on the emitted finals — ranking inside
+    an append stream would hold every window open, and a production job
+    does exactly this split (stream maintains counts, the serving layer
+    ranks). The DuckDB oracle is the batch equivalent, so the hash gate
+    pins stream≡batch convergence ONCE every window is closed.
+
+    Scale: streaming state is (window × event_type) counters bounded by
+    the watermark horizon; the post-hoc rank partitions by window."""
+    import tempfile
+    import uuid
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    events = table(spark, sf_dir, "events").select(*cols)
+
+    tmp = tempfile.mkdtemp(prefix="stream_trend_final_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    events.coalesce(1).write.mode("append").parquet(src)
+    sentinel = events.agg(
+        (F.lit(10**9) + F.max("event_id")).alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    sink = f"stream_trend_final_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    with _scoped_stream_partitions(spark):
+        counts = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(sink)
+            .filter(F.col("event_type") != "sentinel")
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                F.col("n").cast("bigint").alias("n_events"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark.catalog.dropTempView(sink)
+    wrk = Window.partitionBy("window_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(wrk).cast("int"))
+        .filter(F.col("rnk") <= _TREND_TOP)
+        .orderBy("window_start", "rnk")
+    )

@@ -146,3 +146,45 @@ def test_rfm_migration_matches_pure_python(spark):
     }
     assert ("inactive", "inactive") not in got
     assert sum(v for v, _ in got.values()) == len(universe)
+
+
+def test_stream_trending_topk_invariants(spark):
+    """The gated streaming query's emitted finals: per-window rank is
+    1..k, counts non-increasing within a window, and window totals match
+    the batch double-expansion of hourly counts."""
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.events import _TREND_TOP, stream_trending_topk_final
+
+    rows = stream_trending_topk_final(spark, SF).collect()
+    assert rows
+    per_w = defaultdict(list)
+    for r in rows:
+        per_w[r.window_start].append((r.rnk, r.n_events, r.event_type))
+    for w, rs in per_w.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TREND_TOP
+        counts = [x[1] for x in rs]
+        assert counts == sorted(counts, reverse=True)
+
+    # brute force: every event counts in exactly its two covering windows
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in table(spark, SF, "events").select("ts", "event_type").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[h][r.event_type] += 1
+    expect_top = {}
+    win = defaultdict(lambda: defaultdict(int))
+    from datetime import timedelta
+
+    for h, cs in hourly.items():
+        for et, c in cs.items():
+            win[h][et] += c
+            win[h - timedelta(hours=1)][et] += c
+    for w, cs in win.items():
+        ranked = sorted(cs.items(), key=lambda kv: (-kv[1], kv[0]))[:_TREND_TOP]
+        expect_top[w.strftime("%Y-%m-%d %H:%M:%S")] = [
+            (i + 1, n, et) for i, (et, n) in enumerate(ranked)
+        ]
+    assert {w: sorted(rs) for w, rs in per_w.items()} == expect_top
