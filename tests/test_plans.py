@@ -332,3 +332,24 @@ def test_incremental_delta_never_joins_existing_to_existing(spark):
     each scan branch (one < 90, one >= 90)."""
     plan = plan_of("dedup_incremental_delta", spark)
     assert plan.count("split|") >= 2  # both sides bucket-filtered
+
+
+def test_winnow_fingerprint_single_exchange(spark):
+    """The round-5 winnow rewrite: the fingerprint summary is computed
+    per-row (let-binding array form), so the ONLY exchange in the plan is
+    the deliberate round-robin repartition that right-sizes the CPU-bound
+    hash map — no per-doc window shuffle, no distinct shuffle, no Window
+    operator at all."""
+    plan = plan_of("text_fingerprint_winnow", spark)
+    assert plan.count("Exchange") == 1, plan[:500]
+    assert "RoundRobinPartitioning" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan  # summary is a projection, not an agg
+
+
+def test_shingles_have_no_window_or_distinct_shuffle(spark):
+    """shingles() per-row form: minhash signatures see exactly two
+    exchanges (the signature groupBy and the band-bucket join side), and
+    no Window operator from shingle construction."""
+    plan = plan_of("dedup_minhash_lsh", spark)
+    assert "Window" not in plan
