@@ -118,6 +118,7 @@ _DRIVER_QUEUE_R06 = (
     "audit_orderdate_gaps", "privacy_t_closeness", "sample_coreset_kcenter",
     "orders_rfm_migration", "stream_trending_topk_final",
     "orders_littles_law_audit", "orders_spc_control_chart",
+    "embedding_knn_label_audit", "sample_neyman_allocation",
 )
 
 

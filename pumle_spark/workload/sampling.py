@@ -523,3 +523,138 @@ def split_temporal_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman sampling allocation (largest-remainder, exact integers)
+# --------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    sql=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      * CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx
+      FROM orders GROUP BY 1
+    ),
+    sd AS (
+      SELECT priority, n_h,
+             CAST(ROUND(SQRT(CAST(n_h * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+                        / n_h) AS BIGINT) AS sd_cents
+      FROM s
+    ),
+    w AS (SELECT priority, n_h, sd_cents, n_h * sd_cents AS wt FROM sd),
+    tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot, CAST(SUM(n_h) AS BIGINT) AS ntot FROM w),
+    alloc AS (
+      SELECT w.priority, w.n_h, w.sd_cents,
+             ({_NEY_BUDGET} * w.wt) // tw.wtot AS base_n,
+             ({_NEY_BUDGET} * w.wt) % tw.wtot AS rem_n,
+             ({_NEY_BUDGET} * w.n_h) // tw.ntot AS base_p,
+             ({_NEY_BUDGET} * w.n_h) % tw.ntot AS rem_p
+      FROM w CROSS JOIN tw
+    ),
+    lo AS (
+      SELECT CAST({_NEY_BUDGET} - SUM(base_n) AS BIGINT) AS left_n,
+             CAST({_NEY_BUDGET} - SUM(base_p) AS BIGINT) AS left_p
+      FROM alloc
+    ),
+    rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem_n DESC, priority) AS rn_n,
+             ROW_NUMBER() OVER (ORDER BY rem_p DESC, priority) AS rn_p
+      FROM alloc
+    )
+    SELECT priority, n_h, sd_cents,
+           CAST(base_n + CASE WHEN rn_n <= lo.left_n THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_neyman,
+           CAST(base_p + CASE WHEN rn_p <= lo.left_p THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_proportional
+    FROM rk CROSS JOIN lo
+    ORDER BY priority
+    """,
+    tags=("sampling", "neyman", "allocation"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation for a budget of
+    {_NEY_BUDGET}: each stratum (order priority) gets n_h ∝ N_h·σ_h —
+    minimizing the stratified-mean variance — next to the naive
+    proportional allocation (n_h ∝ N_h) for comparison. The spread
+    between the two columns IS the payoff of variance-aware sampling:
+    high-variance strata get oversampled exactly where a fixed-rate
+    sample wastes budget.
+
+    Integer discipline: per-stratum moments are exact (Σx² in
+    DECIMAL(38,0) — bigint would overflow at sf0.01 already); σ is ONE
+    deterministic sqrt of an exact-decimal variance, rounded to whole
+    cents; both allocations use the LARGEST-REMAINDER method (floor
+    shares + ranked remainders), which provably sums to the budget
+    exactly — no float apportionment drift, identical on both engines.
+
+    Scale: one keyed agg over the fact table; everything after operates
+    on |strata| rows."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(cents).cast("bigint").alias("sx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
+    )
+    sd = s.select(
+        "priority",
+        "n_h",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_h") * F.col("sxx")
+                    - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+                ).cast("double")
+            )
+            / F.col("n_h")
+        )
+        .cast("bigint")
+        .alias("sd_cents"),
+    )
+    w = sd.withColumn("wt", F.col("n_h") * F.col("sd_cents"))
+    tw = w.agg(
+        F.sum("wt").cast("bigint").alias("wtot"),
+        F.sum("n_h").cast("bigint").alias("ntot"),
+    )
+    alloc = w.crossJoin(F.broadcast(tw)).select(
+        "priority",
+        "n_h",
+        "sd_cents",
+        F.expr(f"({_NEY_BUDGET} * wt) div wtot").alias("base_n"),
+        F.expr(f"({_NEY_BUDGET} * wt) % wtot").alias("rem_n"),
+        F.expr(f"({_NEY_BUDGET} * n_h) div ntot").alias("base_p"),
+        F.expr(f"({_NEY_BUDGET} * n_h) % ntot").alias("rem_p"),
+    )
+    lo = alloc.agg(
+        (F.lit(_NEY_BUDGET) - F.sum("base_n")).cast("bigint").alias("left_n"),
+        (F.lit(_NEY_BUDGET) - F.sum("base_p")).cast("bigint").alias("left_p"),
+    )
+    rk = alloc.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.desc("rem_n"), "priority")).alias("rn_n"),
+        F.row_number().over(Window.orderBy(F.desc("rem_p"), "priority")).alias("rn_p"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(lo))
+        .select(
+            "priority",
+            "n_h",
+            "sd_cents",
+            (F.col("base_n") + F.when(F.col("rn_n") <= F.col("left_n"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc_neyman"),
+            (F.col("base_p") + F.when(F.col("rn_p") <= F.col("left_p"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("priority")
+    )

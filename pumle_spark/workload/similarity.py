@@ -1673,3 +1673,95 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return out.orderBy("rnd")
+
+
+# --------------------------------------------------------------------------
+# 1-NN label-noise audit (Confident-Learning-style margin report)
+# --------------------------------------------------------------------------
+
+_LNA_STRIDE = 10  # anchor set: every 10th vector
+
+
+@register(
+    "embedding_knn_label_audit",
+    sql=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS aid, label AS alabel, v AS av
+          FROM e WHERE vec_id % {_LNA_STRIDE} = 0),
+    scored AS (
+      SELECT a.aid, a.alabel, e.label,
+             CAST(ROUND(list_cosine_similarity(a.av, e.v) * 1000000) AS BIGINT) AS sim_m
+      FROM a JOIN e ON e.vec_id <> a.aid
+    ),
+    best AS (
+      SELECT aid, alabel,
+             MAX(CASE WHEN label = alabel THEN sim_m END) AS pos_m,
+             MAX(CASE WHEN label <> alabel THEN sim_m END) AS neg_m
+      FROM scored GROUP BY aid, alabel
+    )
+    SELECT CAST(alabel AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN neg_m > pos_m THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_nn,
+           CAST(SUM(CASE WHEN neg_m > pos_m THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS err_ppm,
+           CAST(SUM(pos_m - neg_m) // COUNT(*) AS BIGINT) AS mean_margin_micro
+    FROM best GROUP BY alabel
+    ORDER BY label
+    """,
+    tags=("similarity", "label-noise", "knn"),
+)
+def embedding_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label-error audit over a strided anchor set: for each anchor,
+    the best same-label similarity (nearest positive) vs the best
+    different-label similarity (nearest impostor — mine_hard_negatives'
+    rank-1). An anchor whose impostor beats its nearest positive is a
+    LABEL-NOISE candidate (the Confident-Learning signal); the per-label
+    error rate and mean margin tell you which classes are clean enough to
+    train on and which need relabeling.
+
+    Exactness: similarities quantize once to micro-units (the MMR
+    contract); margins are integer differences summed exactly; the mean
+    is one integer div (negative-safe: margins can be negative, but the
+    SUM is computed before the single div and the div operands keep the
+    same sign on both engines via truncation semantics on BIGINT).
+
+    Scale: anchors broadcast against the corpus (map-only); at full-corpus
+    audit width the same kernel runs per IVF bucket (ann_ivf_assign) —
+    nearest positive and impostor are both within-bucket reranks."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("label"), _vecd().alias("v")
+    ).withColumn("nv", _dot(F.col("v"), F.col("v")))
+    a = e.filter(F.col("vec_id") % _LNA_STRIDE == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("v").alias("av"),
+        F.col("nv").alias("na"),
+    )
+    sim_m = F.round(
+        _dot(F.col("av"), F.col("v")) / F.sqrt(F.col("na") * F.col("nv")) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        e.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select("aid", "alabel", "label", sim_m.alias("sim_m"))
+    )
+    best = scored.groupBy("aid", "alabel").agg(
+        F.max(F.when(F.col("label") == F.col("alabel"), F.col("sim_m"))).alias("pos_m"),
+        F.max(F.when(F.col("label") != F.col("alabel"), F.col("sim_m"))).alias("neg_m"),
+    )
+    return (
+        best.groupBy(F.col("alabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum(F.when(F.col("neg_m") > F.col("pos_m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_wrong_nn"),
+            F.expr(
+                "sum(CASE WHEN neg_m > pos_m THEN 1 ELSE 0 END) * 1000000 div count(1)"
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+            F.expr("sum(pos_m - neg_m) div count(1)").cast("bigint").alias("mean_margin_micro"),
+        )
+        .orderBy("label")
+    )
