@@ -119,6 +119,7 @@ _DRIVER_QUEUE_R06 = (
     "orders_rfm_migration", "stream_trending_topk_final",
     "orders_littles_law_audit", "orders_spc_control_chart",
     "embedding_knn_label_audit", "sample_neyman_allocation",
+    "drift_importance_weights", "events_markov_accuracy",
 )
 
 

@@ -1015,3 +1015,114 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+_IW_Y_SRC, _IW_Y_TGT = 1997, 1998
+
+
+@register(
+    "drift_importance_weights",
+    sql=f"""
+    WITH b AS (
+      SELECT month(o_orderdate) AS m, o_orderpriority AS priority,
+             year(o_orderdate) AS y
+      FROM orders WHERE year(o_orderdate) IN ({_IW_Y_SRC}, {_IW_Y_TGT})
+    ),
+    src AS (SELECT m, priority, COUNT(*) AS ns FROM b WHERE y = {_IW_Y_SRC} GROUP BY 1, 2),
+    tgt AS (SELECT m, priority, COUNT(*) AS nt FROM b WHERE y = {_IW_Y_TGT} GROUP BY 1, 2),
+    tots AS (
+      SELECT (SELECT SUM(ns) FROM src) AS s_tot, (SELECT SUM(nt) FROM tgt) AS t_tot
+    ),
+    w AS (
+      SELECT s.m, s.priority, s.ns, COALESCE(t.nt, 0) AS nt,
+             -- w = (nt/t_tot) / (ns/s_tot), exact micro via cross-multiplication
+             CAST(COALESCE(t.nt, 0) * tots.s_tot * 1000000
+                  // (s.ns * tots.t_tot) AS BIGINT) AS w_micro
+      FROM src s LEFT JOIN tgt t ON t.m = s.m AND t.priority = s.priority
+      CROSS JOIN tots
+    ),
+    ess AS (
+      -- ESS = (Σ ns·w)² / (Σ ns·w²); exact integers in micro² space
+      SELECT CAST(SUM(ns) AS BIGINT) AS n_src,
+             CAST(SUM(ns * w_micro) AS BIGINT) AS sw,
+             SUM(CAST(ns AS DECIMAL(38,0)) * w_micro * w_micro) AS sww
+      FROM w
+    )
+    SELECT w.m AS month, w.priority, CAST(w.ns AS BIGINT) AS n_src,
+           CAST(w.nt AS BIGINT) AS n_tgt, w.w_micro,
+           CAST(ROUND(CAST(ess.sw AS DOUBLE) * CAST(ess.sw AS DOUBLE)
+                      / CAST(ess.sww AS DOUBLE), 3) AS DOUBLE) AS ess_overall
+    FROM w CROSS JOIN ess
+    ORDER BY month, priority
+    """,
+    tags=("drift", "importance-weighting", "covariate-shift"),
+)
+def drift_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-shift importance weights: reweight the {_IW_Y_SRC} source
+    sample to match the {_IW_Y_TGT} target distribution over the
+    (month × priority) grid — w(x) = p_tgt(x)/p_src(x), the standard fix
+    when a model trains on last year's mix but serves this year's. Every
+    row carries the overall EFFECTIVE SAMPLE SIZE (Kish: (Σnw)²/Σnw²) —
+    the honesty metric: a tiny ESS says the shift is too large to fix by
+    reweighting, retrain instead.
+
+    Exactness: weights are one cross-multiplied integer micro-div per
+    cell (no float ratios); ESS numerator/denominator accumulate in
+    DECIMAL(38,0) (micro² terms overflow bigint), with one final integer
+    div. Cells present in source but absent in target get weight 0 —
+    exactly right: target has no such data.
+
+    Scale: two year-filtered keyed aggs (partition-prunable), a
+    grid-sized join, and a scalar fold. The grid is bounded by
+    12 × |priorities| regardless of order volume."""
+    o = table(spark, sf_dir, "orders")
+    b = o.filter(F.year("o_orderdate").isin(_IW_Y_SRC, _IW_Y_TGT)).select(
+        F.month("o_orderdate").alias("m"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("y"),
+    )
+    src = b.filter(F.col("y") == _IW_Y_SRC).groupBy("m", "priority").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    tgt = b.filter(F.col("y") == _IW_Y_TGT).groupBy("m", "priority").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    tots = src.agg(F.sum("ns").alias("s_tot")).crossJoin(
+        tgt.agg(F.sum("nt").alias("t_tot"))
+    )
+    w = (
+        src.join(tgt, ["m", "priority"], "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "m",
+            "priority",
+            "ns",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.expr("coalesce(nt, 0) * s_tot * 1000000 div (ns * t_tot)")
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    ess = w.agg(
+        F.sum("ns").cast("bigint").alias("n_src"),
+        F.sum(F.col("ns") * F.col("w_micro")).cast("bigint").alias("sw"),
+        F.sum(F.col("ns").cast("decimal(38,0)") * F.col("w_micro") * F.col("w_micro")).alias(
+            "sww"
+        ),
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            F.col("m").alias("month"),
+            "priority",
+            F.col("ns").cast("bigint").alias("n_src"),
+            F.col("nt").cast("bigint").alias("n_tgt"),
+            "w_micro",
+            F.round(
+                F.col("sw").cast("double") * F.col("sw").cast("double")
+                / F.col("sww").cast("double"),
+                3,
+            ).alias("ess_overall"),
+        )
+        .orderBy("month", "priority")
+    )

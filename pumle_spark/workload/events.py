@@ -3776,3 +3776,76 @@ def stream_trending_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TREND_TOP)
         .orderBy("window_start", "rnk")
     )
+
+
+@register(
+    "events_markov_accuracy",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr AS (SELECT event_type, nxt, COUNT(*) AS c
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    pred AS (
+      SELECT event_type, nxt AS predicted, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, nxt) AS rn,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+      FROM tr
+    )
+    SELECT event_type, predicted,
+           CAST(total AS BIGINT) AS n_transitions,
+           CAST(c AS BIGINT) AS n_correct,
+           CAST(c * 1000000 // total AS BIGINT) AS accuracy_ppm
+    FROM pred WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("events", "markov", "evaluation"),
+)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact accuracy of the Markov-1 next-event predictor: for each
+    current event type, predict the modal next type (the argmax row of
+    events_transition_bigrams' matrix) and score it against every
+    observed transition — the BASELINE any sequence model must beat
+    before it earns its serving cost, computed in closed form: the
+    majority predictor's accuracy per state is exactly max_c / total_c,
+    no held-out split needed for the in-sample bound.
+
+    Per-user ordering is (ts, event_id) — the sessionizer's total order —
+    so the transition multiset is deterministic. The argmax tiebreak is
+    lexicographic on the successor type. Counts and the ppm accuracy are
+    exact integers.
+
+    Scale: one per-user LEAD window (user-keyed, bounded partitions),
+    one (type, next) rollup — |types|² rows — then a window over the tiny
+    type key. The fact scan dominates; everything after is matrix-sized."""
+    e = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lead("event_type").over(wseq).alias("nxt"))
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wtype = Window.partitionBy("event_type")
+    pred = tr.select(
+        "event_type",
+        F.col("nxt").alias("predicted"),
+        "c",
+        F.row_number().over(wtype.orderBy(F.desc("c"), "nxt")).alias("rn"),
+        F.sum("c").over(wtype).alias("total"),
+    )
+    return (
+        pred.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "predicted",
+            F.col("total").cast("bigint").alias("n_transitions"),
+            F.col("c").cast("bigint").alias("n_correct"),
+            F.expr("c * 1000000 div total").cast("bigint").alias("accuracy_ppm"),
+        )
+        .orderBy("event_type")
+    )
