@@ -120,6 +120,7 @@ _DRIVER_QUEUE_R06 = (
     "orders_littles_law_audit", "orders_spc_control_chart",
     "embedding_knn_label_audit", "sample_neyman_allocation",
     "drift_importance_weights", "events_markov_accuracy",
+    "mix_waterfill_budget", "abtest_sprt_sequential",
 )
 
 

@@ -910,3 +910,142 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# sequential probability ratio test (Wald SPRT, exact integer trajectory)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.40, 0.55   # H0 vs H1 heavy-buyer rate
+_SPRT_WIN = round(_math.log(_SPRT_P1 / _SPRT_P0) * 1_000_000)          # +318454
+_SPRT_LOSE = round(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1_000_000)  # -287682
+_SPRT_A = round(_math.log(19) * 1_000_000)   # accept H1 at ln((1-b)/a), a=b=0.05
+_SPRT_B = -_SPRT_A                           # accept H0
+
+
+@register(
+    "abtest_sprt_sequential",
+    sql=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 50 THEN 'control' ELSE 'treatment' END AS arm,
+             MIN(epoch_us(ts)) AS first_tus,
+             CASE WHEN 5 * COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       > COUNT(*) THEN 1 ELSE 0 END AS heavy
+      FROM events GROUP BY user_id
+    ),
+    seq AS (
+      SELECT arm, heavy,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY first_tus, user_id) AS i,
+             SUM(CASE WHEN heavy = 1 THEN {_SPRT_WIN} ELSE {_SPRT_LOSE} END)
+               OVER (PARTITION BY arm ORDER BY first_tus, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+      FROM u
+    ),
+    crossed AS (
+      SELECT arm,
+             MIN(CASE WHEN llr >= {_SPRT_A} THEN i END) AS i_h1,
+             MIN(CASE WHEN llr <= {_SPRT_B} THEN i END) AS i_h0,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(heavy) AS BIGINT) AS n_heavy,
+             CAST(MAX(CASE WHEN i = (SELECT MAX(i) FROM seq s2 WHERE s2.arm = seq.arm)
+                           THEN llr END) AS BIGINT) AS llr_final
+      FROM seq GROUP BY arm
+    )
+    SELECT arm, n_users, n_heavy,
+           CASE WHEN i_h1 IS NOT NULL AND (i_h0 IS NULL OR i_h1 < i_h0) THEN 'accept_h1'
+                WHEN i_h0 IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(COALESCE(LEAST(COALESCE(i_h1, i_h0), COALESCE(i_h0, i_h1)), 0)
+                AS BIGINT) AS n_at_decision,
+           llr_final AS llr_final_micro
+    FROM crossed
+    ORDER BY arm
+    """,
+    tags=("experiments", "sprt", "sequential"),
+)
+def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per experiment arm:
+    process users in arrival order (first event time) and accumulate the
+    exact log-likelihood-ratio trajectory for "heavy buyer" rate
+    H1: p={_SPRT_P1} vs H0: p={_SPRT_P0}; stop the moment the trajectory
+    crosses ln((1−β)/α) — the always-valid early-stopping discipline that
+    lets an experiment end in days instead of its planned horizon without
+    inflating false positives (the sequential complement of the fixed-
+    horizon abtest_srm_check / abtest_cuped_adjusted pair).
+
+    Exactness: the two LLR increments are micro-quantized CONSTANTS
+    embedded in both engines ({_SPRT_WIN} / {_SPRT_LOSE}); the trajectory
+    is an integer prefix sum under the total (first_tus, user_id) order;
+    crossing indices are exact MINs over the flagged rows. Nothing
+    depends on float summation order.
+
+    Scale: users fold to one row each (the keyed agg does the heavy
+    lifting); the per-arm prefix is a window over users-per-arm — at
+    extreme user counts the two-level bucket prefix
+    (stream_watermark_policy_audit's shape) replaces it, same algebra."""
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("did|"), F.col("user_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 50,
+        "control",
+    ).otherwise("treatment")
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_tus"),
+        F.when(
+            5 * F.count(F.when(F.col("event_type") == "purchase", 1)) > F.count(F.lit(1)), 1
+        )
+        .otherwise(0)
+        .alias("heavy"),
+    ).select("user_id", arm.alias("arm"), "first_tus", "heavy")
+    wseq = Window.partitionBy("arm").orderBy("first_tus", "user_id")
+    seq = u.select(
+        "arm",
+        "heavy",
+        F.row_number().over(wseq).alias("i"),
+        F.sum(
+            F.when(F.col("heavy") == 1, F.lit(_SPRT_WIN)).otherwise(F.lit(_SPRT_LOSE))
+        )
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    wall = Window.partitionBy("arm")
+    crossed = seq.withColumn("max_i", F.max("i").over(wall)).groupBy("arm").agg(
+        F.min(F.when(F.col("llr") >= _SPRT_A, F.col("i"))).alias("i_h1"),
+        F.min(F.when(F.col("llr") <= _SPRT_B, F.col("i"))).alias("i_h0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("heavy").cast("bigint").alias("n_heavy"),
+        F.max(F.when(F.col("i") == F.col("max_i"), F.col("llr")))
+        .cast("bigint")
+        .alias("llr_final_micro"),
+    )
+    return crossed.select(
+        "arm",
+        "n_users",
+        "n_heavy",
+        F.when(
+            F.col("i_h1").isNotNull()
+            & (F.col("i_h0").isNull() | (F.col("i_h1") < F.col("i_h0"))),
+            "accept_h1",
+        )
+        .when(F.col("i_h0").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.coalesce(
+            F.least(
+                F.coalesce("i_h1", "i_h0"), F.coalesce("i_h0", "i_h1")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_at_decision"),
+        "llr_final_micro",
+    ).orderBy("arm")

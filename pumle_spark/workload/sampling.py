@@ -658,3 +658,105 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# quality-weighted mixture optimizer (closed-form water-filling)
+# --------------------------------------------------------------------------
+
+_WF_BUDGET_TOKENS = 100_000
+
+
+@register(
+    "mix_waterfill_budget",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split_regex(trim(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    q AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS avail_tokens,
+             CAST(COUNT(DISTINCT w) * 1000000 // COUNT(*) AS BIGINT) AS q_micro
+      FROM toks GROUP BY source
+    ),
+    tq AS (SELECT CAST(SUM(q_micro * q_micro) AS BIGINT) AS qq FROM q),
+    alloc AS (
+      SELECT q.source, q.avail_tokens, q.q_micro,
+             ({_WF_BUDGET_TOKENS} * q.q_micro * q.q_micro) // tq.qq AS base,
+             ({_WF_BUDGET_TOKENS} * q.q_micro * q.q_micro) % tq.qq AS rem
+      FROM q CROSS JOIN tq
+    ),
+    lo AS (SELECT CAST({_WF_BUDGET_TOKENS} - SUM(base) AS BIGINT) AS leftn FROM alloc),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn FROM alloc)
+    SELECT source, avail_tokens, q_micro,
+           CAST(base + CASE WHEN rn <= lo.leftn THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens,
+           CAST((base + CASE WHEN rn <= lo.leftn THEN 1 ELSE 0 END) * 1000000
+                // {_WF_BUDGET_TOKENS} AS BIGINT) AS share_ppm
+    FROM rk CROSS JOIN lo
+    ORDER BY source
+    """,
+    tags=("sampling", "mixture", "waterfill"),
+)
+def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted token-budget mixture: allocate a training budget of
+    {_WF_BUDGET_TOKENS} tokens across sources to maximize Σ q_s·√t_s
+    (diminishing returns per source — the concave utility behind
+    DoReMi-style mixture tuning). The Lagrangian optimum is CLOSED FORM:
+    t_s ∝ q_s², so no iterative solver runs at query time — the optimizer
+    is one keyed agg plus a largest-remainder apportionment (the
+    sample_neyman_allocation machinery with q² weights).
+
+    Source quality here is the exact lexical-diversity ratio
+    (distinct/total tokens, integer micro) — swap in any per-source score
+    without touching the allocation algebra. The allocation provably sums
+    to the budget exactly.
+
+    Scale: one token rollup per source (the text_lexical_diversity
+    shape), then |sources| rows end to end."""
+    from pumle_spark.workload.text import _tokens_col
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    q = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("avail_tokens"),
+        F.expr("count(DISTINCT w) * 1000000 div count(1)").cast("bigint").alias("q_micro"),
+    )
+    tq = q.agg(F.sum(F.col("q_micro") * F.col("q_micro")).cast("bigint").alias("qq"))
+    alloc = q.crossJoin(F.broadcast(tq)).select(
+        "source",
+        "avail_tokens",
+        "q_micro",
+        F.expr(f"({_WF_BUDGET_TOKENS} * q_micro * q_micro) div qq").alias("base"),
+        F.expr(f"({_WF_BUDGET_TOKENS} * q_micro * q_micro) % qq").alias("rem"),
+    )
+    lo = alloc.agg(
+        (F.lit(_WF_BUDGET_TOKENS) - F.sum("base")).cast("bigint").alias("leftn")
+    )
+    rk = alloc.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    )
+    return (
+        rk.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "avail_tokens",
+            "q_micro",
+            (F.col("base") + F.when(F.col("rn") <= F.col("leftn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            F.expr(
+                f"(base + CASE WHEN rn <= leftn THEN 1 ELSE 0 END) * 1000000"
+                f" div {_WF_BUDGET_TOKENS}"
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
