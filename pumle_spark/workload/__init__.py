@@ -121,6 +121,7 @@ _DRIVER_QUEUE_R06 = (
     "embedding_knn_label_audit", "sample_neyman_allocation",
     "drift_importance_weights", "events_markov_accuracy",
     "mix_waterfill_budget", "abtest_sprt_sequential",
+    "curation_contrastive_batches", "privacy_dp_budget_plan",
 )
 
 

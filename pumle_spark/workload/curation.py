@@ -694,3 +694,98 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive in-batch assignment + false-negative collision audit
+# --------------------------------------------------------------------------
+
+_CB_BATCH = 32  # in-batch negative pool size
+
+
+@register(
+    "curation_contrastive_batches",
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             ('0x' || substr(md5('cb|' || CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, label,
+             (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1) // {_CB_BATCH} AS batch_id
+      FROM v
+    ),
+    lc AS (SELECT batch_id, label, COUNT(*) AS c FROM b GROUP BY 1, 2)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(SUM(c) AS BIGINT) AS batch_size,
+           CAST(COUNT(*) AS BIGINT) AS n_labels,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS collision_pairs,
+           CAST(SUM(c * (c - 1) // 2) * 1000000
+                // (SUM(c) * (SUM(c) - 1) // 2) AS BIGINT) AS collision_ppm
+    FROM lc GROUP BY batch_id
+    ORDER BY batch_id
+    """,
+    tags=("curation", "contrastive", "batching"),
+)
+def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative sampling plan for contrastive training: vectors
+    shuffle deterministically (md5 order — the reproducible epoch-0
+    permutation) into batches of {_CB_BATCH}, and each batch reports its
+    LABEL-COLLISION load — pairs inside the batch that share a label and
+    would therefore be FALSE negatives under the in-batch-negatives
+    assumption (InfoNCE treats every other in-batch item as a negative;
+    collisions silently corrupt the loss). collision_ppm per batch is the
+    exact share of in-batch pairs that are collisions; a corpus whose
+    batches run hot here needs label-aware batching or the
+    mine_hard_negatives explicit-negative route instead.
+
+    Exactness: the permutation is a total order on (md5, vec_id); batch
+    ids are row_number div {_CB_BATCH}; collision counts are exact
+    c·(c−1)/2 integers.
+
+    Scale: the global row_number is the one serial-looking step — in
+    production the same md5 key is RANGE-partitioned and batch ids are
+    assigned per range with size offsets (the two-level prefix shape),
+    which preserves this exact output; the audit itself is one
+    (batch, label) rollup."""
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cb|"), F.col("vec_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    b = v.select(
+        "vec_id",
+        "label",
+        F.expr(f"(row_number() OVER (ORDER BY h, vec_id) - 1) div {_CB_BATCH}").alias(
+            "batch_id"
+        ),
+    )
+    lc = b.groupBy("batch_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        lc.groupBy("batch_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("batch_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.expr("sum(c * (c - 1) div 2)").cast("bigint").alias("collision_pairs"),
+            F.expr(
+                "sum(c * (c - 1) div 2) * 1000000 div (sum(c) * (sum(c) - 1) div 2)"
+            )
+            .cast("bigint")
+            .alias("collision_ppm"),
+        )
+        .select(
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            "batch_size",
+            "n_labels",
+            "collision_pairs",
+            "collision_ppm",
+        )
+        .orderBy("batch_id")
+    )

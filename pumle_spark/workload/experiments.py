@@ -1049,3 +1049,98 @@ def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_at_decision"),
         "llr_final_micro",
     ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# differential-privacy release planning (sensitivity + Laplace scales)
+# --------------------------------------------------------------------------
+
+_DP_EPS_MICRO = (100_000, 1_000_000)  # epsilon = 0.1, 1.0
+
+
+@register(
+    "privacy_dp_budget_plan",
+    sql=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS user_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT s.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(user_cents) AS BIGINT) AS sum_cents,
+             CAST(MAX(user_cents) AS BIGINT) AS sens_cents
+      FROM spend s GROUP BY 1
+    ),
+    eps AS (SELECT unnest([{", ".join(str(e) for e in _DP_EPS_MICRO)}]) AS eps_micro)
+    SELECT n.n_name AS nation, nat.n_users, nat.sum_cents, nat.sens_cents,
+           CAST(eps.eps_micro AS BIGINT) AS eps_micro,
+           CAST(nat.sens_cents * 1000000 // eps.eps_micro AS BIGINT)
+             AS laplace_scale_cents,
+           CAST(nat.sens_cents * 1000000 // eps.eps_micro * 1000000
+                // nat.sum_cents AS BIGINT) AS noise_to_signal_ppm
+    FROM nat
+    JOIN nation n ON n.n_nationkey = nat.c_nationkey
+    CROSS JOIN eps
+    ORDER BY nation, eps_micro
+    """,
+    tags=("privacy", "differential-privacy", "planning"),
+)
+def privacy_dp_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release plan for per-nation revenue totals:
+    the L1 SENSITIVITY of each SUM release (the max single customer's
+    lifetime spend — what one person's presence can change), the Laplace
+    scale b = sensitivity/ε each candidate ε requires, and the
+    noise-to-signal ratio that tells you whether the released total is
+    still usable. This is the planning table a privacy review produces
+    BEFORE any noise is drawn — deliberately deterministic (the draw
+    itself happens at release time, outside the engine), completing the
+    privacy ladder: k-anonymity → l-diversity → t-closeness → DP budget.
+
+    A nation with high noise_to_signal_ppm at the target ε must be
+    coarsened (merge nations, clip contributions) — and because
+    sensitivity here is the observed max, the table also shows exactly
+    how much a contribution CLIP would buy.
+
+    Exactness: integer cents throughout; scales and ratios are integer
+    micro-divs. Scale: one custkey agg, one nation rollup, 25×|ε| rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    nat_tbl = table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("user_cents")
+        )
+    )
+    nat = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("user_cents").cast("bigint").alias("sum_cents"),
+        F.max("user_cents").cast("bigint").alias("sens_cents"),
+    )
+    eps = spark.range(0).sparkSession.createDataFrame(
+        [(e,) for e in _DP_EPS_MICRO], "eps_micro bigint"
+    )
+    return (
+        nat.join(F.broadcast(nat_tbl), nat["c_nationkey"] == nat_tbl["n_nationkey"])
+        .crossJoin(F.broadcast(eps))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_users",
+            "sum_cents",
+            "sens_cents",
+            "eps_micro",
+            F.expr("sens_cents * 1000000 div eps_micro")
+            .cast("bigint")
+            .alias("laplace_scale_cents"),
+            F.expr("sens_cents * 1000000 div eps_micro * 1000000 div sum_cents")
+            .cast("bigint")
+            .alias("noise_to_signal_ppm"),
+        )
+        .orderBy("nation", "eps_micro")
+    )
