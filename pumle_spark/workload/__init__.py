@@ -122,6 +122,7 @@ _DRIVER_QUEUE_R06 = (
     "drift_importance_weights", "events_markov_accuracy",
     "mix_waterfill_budget", "abtest_sprt_sequential",
     "curation_contrastive_batches", "privacy_dp_budget_plan",
+    "events_interrupted_timeseries", "join_relational_division",
 )
 
 

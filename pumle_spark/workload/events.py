@@ -3849,3 +3849,128 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# interrupted time-series causal impact (exact micro OLS extrapolation)
+# --------------------------------------------------------------------------
+
+_ITS_CUT_FRAC_NUM, _ITS_CUT_FRAC_DEN = 7, 10  # cutover at 70% of the day span
+
+
+@register(
+    "events_interrupted_timeseries",
+    sql=f"""
+    WITH d AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1,
+             MIN(day) + ((MAX(day) - MIN(day)) * {_ITS_CUT_FRAC_NUM})
+               // {_ITS_CUT_FRAC_DEN} AS cut
+      FROM d
+    ),
+    pre AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(day - span.d0) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM((day - span.d0) * (day - span.d0)) AS BIGINT) AS sxx,
+             CAST(SUM((day - span.d0) * y) AS BIGINT) AS sxy
+      FROM d, span WHERE day <= span.cut
+    ),
+    post AS (
+      SELECT d.day - span.d0 AS x, d.y, pre.n, pre.sx, pre.sy, pre.sxx, pre.sxy
+      FROM d, span, pre WHERE d.day > span.cut
+    ),
+    terms AS (
+      -- yhat = (sy*sxx - sx*sxy + x*(n*sxy - sx*sy)) / (n*sxx - sx*sx): kept
+      -- rational; excess_num = y*den - yhat_num stays an exact integer
+      SELECT x, y,
+             (n * sxx - sx * sx) AS den,
+             (sy * sxx - sx * sxy) + x * (n * sxy - sx * sy) AS yhat_num
+      FROM post
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_post_days,
+           CAST(SUM(y) AS BIGINT) AS actual_events,
+           CAST(SUM(yhat_num) // MAX(den) AS BIGINT) AS predicted_events,
+           CAST((SUM(y) * MAX(den) - SUM(yhat_num)) * 1000000
+                // SUM(yhat_num) AS BIGINT) AS lift_ppm
+    FROM terms
+    """,
+    tags=("events", "causal", "interrupted-timeseries"),
+)
+def events_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series causal read: fit the pre-period linear
+    trend of daily event volume (OLS on the first {_ITS_CUT_FRAC_NUM}0%
+    of the day span), extrapolate it across the post-period, and report
+    actual-vs-counterfactual cumulative lift — the single-series causal
+    design used when no control group exists (the no-control complement
+    of abtest_diff_in_diff).
+
+    Exactness: the OLS prediction is kept RATIONAL — ŷ(x) den-scaled as
+    (sy·sxx − sx·sxy) + x·(n·sxy − sx·sy) over den = n·sxx − sx², so the
+    post-period predicted TOTAL is one integer div of exact BIGINT sums
+    and the lift is one cross-multiplied integer ppm. No float enters at
+    any point; engine aggregation order is irrelevant.
+
+    Scale: the fact table folds to ≤ span-days rows before any algebra;
+    pre-period moments are five scalars broadcast into the post scan."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).alias("y"))
+    span = d.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.expr(
+            f"min(day) + ((max(day) - min(day)) * {_ITS_CUT_FRAC_NUM})"
+            f" div {_ITS_CUT_FRAC_DEN}"
+        ).alias("cut"),
+    )
+    dd = d.crossJoin(F.broadcast(span))
+    pre = dd.filter(F.col("day") <= F.col("cut")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("day") - F.col("d0")).cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("day") - F.col("d0")) * (F.col("day") - F.col("d0")))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum((F.col("day") - F.col("d0")) * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    post = (
+        dd.filter(F.col("day") > F.col("cut"))
+        .crossJoin(F.broadcast(pre))
+        .select(
+            (F.col("day") - F.col("d0")).alias("x"),
+            "y",
+            "n",
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+        )
+        .select(
+            "x",
+            "y",
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+            (
+                F.col("sy") * F.col("sxx")
+                - F.col("sx") * F.col("sxy")
+                + F.col("x") * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            ).alias("yhat_num"),
+        )
+    )
+    return post.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_post_days"),
+        F.sum("y").cast("bigint").alias("actual_events"),
+        F.expr("sum(yhat_num) div max(den)").cast("bigint").alias("predicted_events"),
+        F.expr(
+            "(sum(y) * max(den) - sum(yhat_num)) * 1000000 div sum(yhat_num)"
+        )
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )

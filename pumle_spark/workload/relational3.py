@@ -360,3 +360,87 @@ def activity_timeline_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon", "kind")
     )
+
+
+# --------------------------------------------------------------------------
+# relational division (the "for all" join)
+# --------------------------------------------------------------------------
+
+_DIV_FROM, _DIV_TO = "1997-02-01", "1997-04-01"
+
+
+@register(
+    "join_relational_division",
+    sql=f"""
+    WITH need AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_need FROM region),
+    cov AS (
+      SELECT l.l_suppkey,
+             COUNT(DISTINCT n.n_regionkey) AS n_regions,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_shipdate >= DATE '{_DIV_FROM}' AND l.l_shipdate < DATE '{_DIV_TO}'
+      GROUP BY l.l_suppkey
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(n_regions AS BIGINT) AS n_regions,
+           n_lines
+    FROM cov CROSS JOIN need
+    WHERE n_regions = need.n_need
+    ORDER BY suppkey
+    """,
+    tags=("relational", "division", "for-all"),
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — Codd's "for all" operator: suppliers whose
+    {_DIV_FROM}..{_DIV_TO} shipments reached customers in EVERY region.
+    SQL has no FOR ALL quantifier, so the classic double-NOT-EXISTS
+    formulation is rewritten as the set-cover count test: a supplier
+    divides the region set iff its DISTINCT covered-region count equals
+    |region| — turning two correlated anti-joins into ONE keyed aggregate
+    plus a broadcast scalar compare (the formulation that scales; nested
+    NOT EXISTS plans as a correlated nested-loop anti-join).
+
+    This closes the relational-algebra surface: selection, projection,
+    joins of every flavor (inner/outer/semi/anti/theta/lateral/as-of),
+    set ops, aggregation, and now division. The divisor is the fixed
+    5-region dimension, so the operator stays non-degenerate at every
+    scale factor; the date window keeps it discriminating (full-history
+    coverage saturates).
+
+    Scale: the region dimension broadcasts; the only wide shuffle is the
+    per-supplier distinct-count; the ship-date predicate pushes to the
+    lineitem scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    need = table(spark, sf_dir, "region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_need")
+    )
+    cov = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_DIV_FROM).cast("date"))
+            & (F.col("l_shipdate") < F.lit(_DIV_TO).cast("date"))
+        )
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.count_distinct("n_regionkey").alias("n_regions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(need))
+        .filter(F.col("n_regions") == F.col("n_need"))
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            F.col("n_regions").cast("bigint").alias("n_regions"),
+            "n_lines",
+        )
+        .orderBy("suppkey")
+    )
