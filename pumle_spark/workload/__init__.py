@@ -123,6 +123,7 @@ _DRIVER_QUEUE_R06 = (
     "mix_waterfill_budget", "abtest_sprt_sequential",
     "curation_contrastive_batches", "privacy_dp_budget_plan",
     "events_interrupted_timeseries", "join_relational_division",
+    "events_growth_accounting", "graph_walk_corpus",
 )
 
 

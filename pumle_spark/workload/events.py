@@ -3974,3 +3974,110 @@ def events_interrupted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("lift_ppm"),
     )
+
+
+@register(
+    "events_growth_accounting",
+    sql="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw
+    ),
+    states AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged
+    ),
+    churn AS (
+      SELECT wk + 1 AS wk, 'churned' AS state
+      FROM lagged l
+      WHERE NOT EXISTS (SELECT 1 FROM uw u
+                        WHERE u.user_id = l.user_id AND u.wk = l.wk + 1)
+        AND l.wk < (SELECT MAX(wk) FROM uw)
+    ),
+    allrows AS (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
+    SELECT CAST(wk AS BIGINT) AS week,
+           CAST(COALESCE(SUM(CASE WHEN state = 'new' THEN 1 END), 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(SUM(CASE WHEN state = 'retained' THEN 1 END), 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(SUM(CASE WHEN state = 'resurrected' THEN 1 END), 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(SUM(CASE WHEN state = 'churned' THEN 1 END), 0) AS BIGINT) AS n_churned
+    FROM allrows
+    GROUP BY wk
+    ORDER BY week
+    """,
+    tags=("events", "growth-accounting", "lifecycle"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework): every
+    active user-week classifies as NEW (first week ever), RETAINED
+    (active previous week too), or RESURRECTED (returning after a gap);
+    users active in week w but not w+1 count as CHURNED in w+1. The
+    four columns satisfy the conservation law
+    active_w = new_w + retained_w + resurrected_w and
+    active_w − retained_{w+1} = churned_{w+1} — growth teams read
+    net-new = new + resurrected − churned at a glance.
+
+    Epoch-day div 7 weeks (no ISO quirks). Classification is one LAG per
+    user; churn is the anti-join of (user, wk+1) against presence —
+    expressed here as the same lag table filtered on "no next-week row",
+    which Spark compiles to a left-anti join, with the global max week
+    excluding the right-censored tail.
+
+    Scale: the fact table collapses to distinct user-weeks first; the
+    lag window partitions by user (bounded); churn's anti-join shares
+    the user-week hash partitioning."""
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr("datediff(to_date(date_trunc('day', ts)), date '1970-01-01') div 7").alias(
+            "wk"
+        ),
+    ).distinct()
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.select("user_id", "wk", F.lag("wk").over(wlag).alias("prev_wk"))
+    states = lagged.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    maxwk = uw.agg(F.max("wk").alias("mw"))
+    # churned in wk+1 = active in wk with NO (user, wk+1) presence row
+    churned = (
+        uw.join(
+            uw.select("user_id", (F.col("wk") - 1).alias("wk")),
+            ["user_id", "wk"],
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(maxwk))
+        .filter(F.col("wk") < F.col("mw"))
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    )
+    allrows = states.unionAll(churned)
+    return (
+        allrows.groupBy(F.col("wk").cast("bigint").alias("week"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("state") == "new", 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("state") == "retained", 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.coalesce(F.sum(F.when(F.col("state") == "resurrected", 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.coalesce(F.sum(F.when(F.col("state") == "churned", 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )

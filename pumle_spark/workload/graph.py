@@ -1283,3 +1283,125 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic random-walk corpus (graph-embedding training data)
+# --------------------------------------------------------------------------
+
+_WALK_LEN = 4
+_WALK_SEED_STRIDE = 10  # seeds: suppliers with s_suppkey % stride == 0
+
+
+def _walk_sql() -> str:
+    steps = []
+    sel = ["SELECT node AS seed_node, 0 AS step, node FROM w0"]
+    for k in range(1, _WALK_LEN + 1):
+        steps.append(f"""
+    w{k} AS (
+      SELECT w.seed_node, nb.dst AS node
+      FROM w{k - 1} w
+      JOIN deg d ON d.src = w.node
+      JOIN nbr nb ON nb.src = w.node
+       AND nb.rn = ('0x' || substr(md5('walk|' || CAST(w.node AS VARCHAR) || '|' || {k}), 1, 8))::UBIGINT
+                    % d.outdeg + 1
+    )""")
+        sel.append(f"SELECT seed_node, {k} AS step, node FROM w{k}")
+    return (
+        "WITH "
+        + _SQL_GRAPH
+        + f""",
+    nbr AS (
+      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM edges
+    ),
+    w0 AS (
+      SELECT s.s_suppkey * 2 + 1 AS seed_node, s.s_suppkey * 2 + 1 AS node
+      FROM supplier s
+      WHERE s.s_suppkey % {_WALK_SEED_STRIDE} = 0
+        AND s.s_suppkey * 2 + 1 IN (SELECT src FROM deg)
+    ),"""
+        + ",".join(steps)
+        + """
+    SELECT CAST(seed_node AS BIGINT) AS seed_node, CAST(step AS INTEGER) AS step,
+           CAST(node AS BIGINT) AS node_id,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type
+    FROM ("""
+        + " UNION ALL ".join(sel)
+        + ") ORDER BY seed_node, step"
+    )
+
+
+@register("graph_walk_corpus", sql=_walk_sql(), tags=("graph", "walks", "embedding-data"))
+def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus over the trade graph: from each
+    strided supplier seed, a {_WALK_LEN}-step walk whose every step picks
+    neighbor rank md5(node, step) mod degree — the deterministic stand-in
+    for the uniform random step, so the corpus is bit-reproducible across
+    engines and re-runs (the property a training-data pipeline actually
+    wants from its walk generator; swap the hash for a seeded RNG and
+    nothing else changes). The emitted (seed, step, node) rows are the
+    sentences a skip-gram embedding trains on.
+
+    Each step is ONE equi-join of the frontier against the rank-indexed
+    neighbor table (nbr: per-source neighbors ranked by dst) — the Pregel
+    economics of graph_pagerank_trade, with a {_WALK_LEN}-round fixed
+    unroll and ReuseExchange deduplicating the shared edge subtree.
+
+    Scale: frontier size stays |seeds| forever (walks don't branch);
+    the neighbor table shuffles once per step on node id. Walk corpora
+    for 1e9-node graphs are exactly this join repeated."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nbr = edges.select(
+        "src", "dst", F.row_number().over(Window.partitionBy("src").orderBy("dst")).alias("rn")
+    )
+    sup = table(spark, sf_dir, "supplier")
+    seeds = (
+        sup.filter(F.col("s_suppkey") % _WALK_SEED_STRIDE == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
+    )
+    cur = seeds.select(F.col("node").alias("seed_node"), F.col("node"))
+    out = cur.select("seed_node", F.lit(0).alias("step"), "node")
+    for k in range(1, _WALK_LEN + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("walk|"), F.col("node").cast("string"), F.lit(f"|{k}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("outdeg")
+            + 1
+        )
+        cur = (
+            cur.join(deg, cur["node"] == deg["src"])
+            .withColumn("pick", pick)
+            .join(
+                nbr,
+                (nbr["src"] == cur["node"]) & (nbr["rn"] == F.col("pick")),
+            )
+            .select("seed_node", F.col("dst").alias("node"))
+        )
+        out = out.unionAll(cur.select("seed_node", F.lit(k).alias("step"), "node"))
+    return out.select(
+        F.col("seed_node").cast("bigint").alias("seed_node"),
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("bigint").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+    ).orderBy("seed_node", "step")
