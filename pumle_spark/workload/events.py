@@ -4081,3 +4081,94 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "events_entropy_rate",
+    sql="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    tr AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+    st AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM tr GROUP BY a),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS t FROM st),
+    terms AS (
+      SELECT tr.a, st.ca, tr.c,
+             tr.c * CAST(ROUND(log2(CAST(tr.c AS DOUBLE) / st.ca) * 1000000)
+                         AS BIGINT) AS term_micro
+      FROM tr JOIN st ON st.a = tr.a
+    ),
+    per_state AS (
+      SELECT a AS state, MAX(ca) AS n_out,
+             CAST(-SUM(term_micro) // MAX(ca) AS BIGINT) AS h_cond_micro
+      FROM terms GROUP BY a
+    )
+    SELECT p.state, p.n_out AS n_transitions, p.h_cond_micro,
+           CAST(p.n_out * 1000000 // tot.t AS BIGINT) AS weight_ppm,
+           CAST((SELECT -SUM(term_micro) FROM terms) // tot.t AS BIGINT)
+             AS entropy_rate_micro
+    FROM per_state p CROSS JOIN tot
+    ORDER BY state
+    """,
+    tags=("events", "markov", "entropy"),
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the observed event chain: per state, the
+    conditional next-event entropy H(next | state) in micro-bits, plus
+    the chain-level rate Σ π(a)·H(·|a) — the information-theoretic upper
+    bound on ANY next-event predictor (events_markov_accuracy's modal
+    baseline is the floor; a sequence model lives between them). A state
+    near zero conditional entropy is fully scripted behavior; near
+    log2(|types|) is noise no model will crack.
+
+    Exactness: one log2 per (a,b) transition cell over identical IEEE
+    inputs, micro-quantized (the unigram-LM contract); everything around
+    it — weights, the π mixture, both divisions — is exact integer
+    arithmetic on transition counts.
+
+    Scale: the fact scan folds to the |types|² transition matrix via one
+    per-user LEAD window; all entropy algebra runs on matrix-sized data."""
+    e = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(wseq).alias("b"),
+    )
+    tr = (
+        seq.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    st = tr.groupBy("a").agg(F.sum("c").cast("bigint").alias("ca"))
+    tot = st.agg(F.sum("ca").cast("bigint").alias("t"))
+    terms = tr.join(st, "a").select(
+        "a",
+        "ca",
+        "c",
+        (
+            F.col("c")
+            * F.round(F.log2(F.col("c").cast("double") / F.col("ca")) * 1_000_000).cast(
+                "bigint"
+            )
+        ).alias("term_micro"),
+    )
+    total_term = terms.agg((-F.sum("term_micro")).cast("bigint").alias("neg_sum"))
+    per_state = terms.groupBy(F.col("a").alias("state")).agg(
+        F.max("ca").cast("bigint").alias("n_transitions"),
+        F.expr("-sum(term_micro) div max(ca)").cast("bigint").alias("h_cond_micro"),
+    )
+    return (
+        per_state.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(total_term))
+        .select(
+            "state",
+            "n_transitions",
+            "h_cond_micro",
+            F.expr("n_transitions * 1000000 div t").cast("bigint").alias("weight_ppm"),
+            F.expr("neg_sum div t").cast("bigint").alias("entropy_rate_micro"),
+        )
+        .orderBy("state")
+    )

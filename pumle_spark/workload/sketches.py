@@ -1067,3 +1067,93 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 (self-join size) sketch — the tug-of-war estimator
+# --------------------------------------------------------------------------
+
+_AMS_K = 16  # independent ±1 estimators (bits of one md5)
+
+
+@register(
+    "sketch_ams_f2",
+    sql=f"""
+    WITH h AS (
+      SELECT l_partkey,
+             ('0x' || substr(md5('ams|' || CAST(l_partkey AS VARCHAR)), 1, 8))::UBIGINT AS hb
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {", ".join(
+                 f"CAST(SUM(CAST((hb >> {i}) & 1 AS BIGINT) * 2 - 1) AS BIGINT) AS z{i}"
+                 for i in range(_AMS_K))}
+      FROM h
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT sums.n_rows, exact.f2 AS exact_f2,
+           CAST(({" + ".join(f"z{i} * z{i}" for i in range(_AMS_K))})
+                // {_AMS_K} AS BIGINT) AS ams_estimate,
+           CAST((({" + ".join(f"z{i} * z{i}" for i in range(_AMS_K))}) // {_AMS_K}
+                 - exact.f2) * 1000000 // exact.f2 AS BIGINT) AS err_ppm
+    FROM sums CROSS JOIN exact
+    """,
+    tags=("sketch", "ams", "f2"),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war sketch (Alon–Matias–Szegedy 1996) for F₂ — the
+    self-join size Σf_k² of the part-key frequency vector, estimated from
+    {_AMS_K} counters WITHOUT materializing frequencies: each estimator
+    keeps Z_i = Σ s_i(key) over the raw stream (s_i = ±1 from bit i of
+    one md5 per row) and E[Z_i²] = F₂ exactly. Beside the exact value the
+    report shows the signed estimation error — the sketch family's
+    (HLL/CMS/Bloom/KMV) missing member for JOIN-SIZE of a relation with
+    ITSELF, the quantity the optimizer needs before a self-join.
+
+    Determinism: the ±1 signs are md5 bits (one digest serves all
+    {_AMS_K} estimators — the CMS slicing trick), Z_i are exact integer
+    sums under any partitioning, and the error div is truncation-
+    normalized so both engines produce the identical signed ppm.
+
+    Scale: constant state ({_AMS_K} counters) per partition, merged by
+    addition — the textbook mergeable sketch; the exact F₂ baseline costs
+    one keyed groupBy and exists only to score the estimate."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ams|"), F.col("l_partkey").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hb")
+    )
+    sums = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.expr(f"((hb >> {i}) & 1) * 2 - 1")).cast("bigint").alias(f"z{i}")
+            for i in range(_AMS_K)
+        ],
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"))
+    )
+    est_expr = "(" + " + ".join(f"z{i} * z{i}" for i in range(_AMS_K)) + f") div {_AMS_K}"
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            F.col("f2").alias("exact_f2"),
+            F.expr(est_expr).cast("bigint").alias("ams_estimate"),
+            # signed ppm: both engines truncate BIGINT division toward zero
+            F.expr(f"({est_expr} - f2) * 1000000 div f2")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
