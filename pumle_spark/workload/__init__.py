@@ -124,7 +124,7 @@ _DRIVER_QUEUE_R06 = (
     "curation_contrastive_batches", "privacy_dp_budget_plan",
     "events_interrupted_timeseries", "join_relational_division",
     "events_growth_accounting", "graph_walk_corpus",
-    "sketch_ams_f2", "events_entropy_rate",
+    "sketch_ams_f2", "events_entropy_rate", "text_cluster_js_mauve",
 )
 
 

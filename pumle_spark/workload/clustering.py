@@ -495,3 +495,133 @@ def cluster_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# MAUVE-style cluster-histogram JS divergence between sources
+# --------------------------------------------------------------------------
+
+_SQL_CLUSTER_JS = f"""
+    WITH {_sql_kmeans_ctes()},
+    asg AS (SELECT vec_id, cid FROM final),
+    src AS (
+      SELECT a.cid, d.source
+      FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+    ),
+    hist AS (SELECT source, cid, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+              FROM ns a JOIN ns b ON a.source < b.source),
+    cells AS (
+      SELECT p.sa, p.sb, p.na, p.nb,
+             COALESCE(ha.c, 0) AS a_c, COALESCE(hb.c, 0) AS b_c
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT cid FROM hist) k
+      LEFT JOIN hist ha ON ha.source = p.sa AND ha.cid = k.cid
+      LEFT JOIN hist hb ON hb.source = p.sb AND hb.cid = k.cid
+    ),
+    terms AS (
+      SELECT sa, sb, na, nb,
+             CASE WHEN a_c > 0 THEN a_c * CAST(ROUND(log2(
+                    2.0 * a_c * nb / (a_c * nb + b_c * na)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS ta,
+             CASE WHEN b_c > 0 THEN b_c * CAST(ROUND(log2(
+                    2.0 * b_c * na / (a_c * nb + b_c * na)) * 1000000) AS BIGINT)
+                  ELSE 0 END AS tb
+      FROM cells
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST((SUM(ta) // MAX(na) + SUM(tb) // MAX(nb)) // 2 AS BIGINT)
+             AS js_micro
+    FROM terms GROUP BY sa, sb
+    ORDER BY source_a, source_b
+"""
+
+
+@register("text_cluster_js_mauve", sql=_SQL_CLUSTER_JS, tags=("clustering", "mauve", "divergence"))
+def text_cluster_js_mauve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE-style distributional divergence between sources (Pillutla et
+    al. 2021's recipe, histogram variant): embed → k-means quantize →
+    compare SOURCES by the Jensen–Shannon divergence of their cluster
+    histograms. The metric that says "source A's content occupies
+    different regions of embedding space than source B" — used to score
+    generated-vs-human text and to spot a crawl source drifting away from
+    the rest of the corpus; the embedding-space complement of the
+    token-level drift_token_js.
+
+    Cluster assignments are the module's fixed-point spherical k-means
+    (bit-reproducible); each JS term is one micro-quantized log2 over
+    exact integer cell counts via the cross-multiplied mixture
+    2·a·nb/(a·nb + b·na) — zero cells contribute exactly zero, no
+    smoothing constant to tune. JS is bounded [0, 1e6] micro-bits.
+
+    Scale: histograms are (source × K) rows off one keyed agg; the pair
+    grid is |sources|²·K cells of pure integer algebra. The corpus-sized
+    work is exactly the k-means assignment everything else already
+    shares."""
+    asg = _kmeans_final(spark, sf_dir).select("vec_id", "cid")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = asg.join(docs, asg["vec_id"] == docs["doc_id"]).select("cid", "source")
+    hist = src.groupBy("source", "cid").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ns = hist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = ns.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    b = ns.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    k = hist.select("cid").distinct()
+    ha = hist.select(F.col("source").alias("sa"), "cid", F.col("c").alias("a_c"))
+    hb = hist.select(F.col("source").alias("sb"), "cid", F.col("c").alias("b_c"))
+    cells = (
+        pairs.crossJoin(F.broadcast(k))
+        .join(ha, ["sa", "cid"], "left")
+        .join(hb, ["sb", "cid"], "left")
+        .select(
+            "sa",
+            "sb",
+            "na",
+            "nb",
+            F.coalesce("a_c", F.lit(0)).alias("a_c"),
+            F.coalesce("b_c", F.lit(0)).alias("b_c"),
+        )
+    )
+    ta = F.when(
+        F.col("a_c") > 0,
+        F.col("a_c")
+        * F.round(
+            F.log2(
+                2.0 * F.col("a_c") * F.col("nb")
+                / (F.col("a_c") * F.col("nb") + F.col("b_c") * F.col("na"))
+            )
+            * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    tb = F.when(
+        F.col("b_c") > 0,
+        F.col("b_c")
+        * F.round(
+            F.log2(
+                2.0 * F.col("b_c") * F.col("na")
+                / (F.col("a_c") * F.col("nb") + F.col("b_c") * F.col("na"))
+            )
+            * 1_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    terms = cells.select("sa", "sb", "na", "nb", ta.alias("ta"), tb.alias("tb"))
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.expr("(sum(ta) div max(na) + sum(tb) div max(nb)) div 2")
+            .cast("bigint")
+            .alias("js_micro"),
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_a",
+            "n_b",
+            "js_micro",
+        )
+        .orderBy("source_a", "source_b")
+    )

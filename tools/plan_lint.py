@@ -112,6 +112,11 @@ ALLOW = {
     "graph_region_modularity": {"BroadcastNestedLoopJoin": "single-row total-weight scalar x 5 regions"},
     "supplier_scorecard": {"BroadcastNestedLoopJoin": "single-row min/max limits x supplier rollup"},
     "privacy_l_diversity": {"BroadcastNestedLoopJoin": "single-row totals + 3-row l grid x QI classes"},
+    # round-5 session-2 additions (same adjudicated classes as above)
+    "mine_hard_negatives": {"BroadcastNestedLoopJoin": "broadcast anchor set x corpus inequality join — the exact-rerank kernel (knn contract); IVF route at full width"},
+    "embedding_knn_label_audit": {"BroadcastNestedLoopJoin": "broadcast anchor set x corpus — same kernel as mine_hard_negatives"},
+    "sample_coreset_kcenter": {"BroadcastNestedLoopJoin": "single-row selected-center broadcast per greedy round"},
+    "text_keyword_textrank": {"BroadcastNestedLoopJoin": "single-row node-count scalar per PageRank iteration (graph_pagerank_trade's class)"},
 }
 
 
