@@ -760,3 +760,78 @@ def mix_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Horvitz–Thompson estimation from the stratified sample (design-unbiased)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_horvitz_thompson",
+    sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    ),
+    strata AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(LEAST({_STRATUM_K}, COUNT(*)) AS BIGINT) AS k_h,
+             CAST(SUM(n_chars) AS BIGINT) AS exact_chars,
+             CAST(SUM(CASE WHEN rnk <= {_STRATUM_K} THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS sample_chars
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_h, k_h, exact_chars,
+           CAST(sample_chars * n_h // k_h AS BIGINT) AS ht_estimate,
+           CAST((sample_chars * n_h // k_h - exact_chars) * 1000000
+                // exact_chars AS BIGINT) AS err_ppm
+    FROM strata
+    ORDER BY lang
+    """,
+    tags=("sampling", "horvitz-thompson", "estimation"),
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimation closing the sampling loop: the
+    {_STRATUM_K}-per-stratum md5-lottery sample
+    (sample_stratified_documents' exact design) has inclusion probability
+    π = k/N_h within each language stratum, so the design-unbiased total
+    estimator is T̂_h = (Σ sampled x)·N_h/k — reported beside the exact
+    per-stratum character totals with a signed error ppm. Design →
+    allocation (sample_neyman_allocation) → draw → ESTIMATE: this is the
+    estimate, and its observed error is the honest answer to "was the
+    sample big enough for this stratum?".
+
+    Exactness: the estimator is one cross-multiplied integer div per
+    stratum (no probability ever materializes as a float); strata where
+    N_h ≤ k have π = 1 and reproduce the exact total with error 0 —
+    asserted by the test as the design-consistency anchor.
+
+    Scale: one md5-rank window per stratum (the sampler's own shape —
+    threshold pre-filtering applies identically at scale) and a stratum-
+    sized output."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", "lang", "n_chars").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    strata = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.least(F.lit(_STRATUM_K), F.count(F.lit(1))).cast("bigint").alias("k_h"),
+        F.sum("n_chars").cast("bigint").alias("exact_chars"),
+        F.sum(F.when(F.col("rnk") <= _STRATUM_K, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sample_chars"),
+    )
+    return strata.select(
+        "lang",
+        "n_h",
+        "k_h",
+        "exact_chars",
+        F.expr("sample_chars * n_h div k_h").cast("bigint").alias("ht_estimate"),
+        F.expr("(sample_chars * n_h div k_h - exact_chars) * 1000000 div exact_chars")
+        .cast("bigint")
+        .alias("err_ppm"),
+    ).orderBy("lang")

@@ -47,3 +47,32 @@ def test_cluster_js_matches_pure_python_over_engine_assignments(spark):
         assert (r.n_a, r.n_b) == (ns[sa], ns[sb])
         assert r.js_micro == js(sa, sb)
         assert 0 <= r.js_micro <= 1_000_000  # JS is bounded by 1 bit
+
+
+def test_horvitz_thompson_matches_lottery_replay(spark):
+    """The md5 lottery, the HT estimator, and the small-stratum exactness
+    anchor (N_h <= k => err 0) replayed in pure python."""
+    import hashlib
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import _STRATUM_K, sample_horvitz_thompson
+
+    rows = defaultdict(list)
+    for r in table(spark, SF, "documents").select("doc_id", "lang", "n_chars").collect():
+        rows[r.lang].append((hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id, r.n_chars))
+
+    got = {r.lang: r for r in sample_horvitz_thompson(spark, SF).collect()}
+    assert set(got) == set(rows)
+    for lang, docs in rows.items():
+        docs.sort()
+        n_h = len(docs)
+        k_h = min(_STRATUM_K, n_h)
+        exact = sum(x for _, _, x in docs)
+        samp = sum(x for _, _, x in docs[:_STRATUM_K])
+        est = samp * n_h // k_h
+        r = got[lang]
+        assert (r.n_h, r.k_h, r.exact_chars, r.ht_estimate) == (n_h, k_h, exact, est)
+        assert r.err_ppm == _tdiv((est - exact) * 1_000_000, exact)
+        if n_h <= _STRATUM_K:
+            assert r.err_ppm == 0  # census stratum: HT is exact by design
