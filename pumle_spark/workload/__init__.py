@@ -125,7 +125,7 @@ _DRIVER_QUEUE_R06 = (
     "events_interrupted_timeseries", "join_relational_division",
     "events_growth_accounting", "graph_walk_corpus",
     "sketch_ams_f2", "events_entropy_rate", "text_cluster_js_mauve",
-    "sample_horvitz_thompson",
+    "sample_horvitz_thompson", "forecast_hierarchy_reconcile",
 )
 
 

@@ -2961,3 +2961,131 @@ def orders_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rule_3sigma") == 1) | (F.col("rule_run8") == 1))
         .orderBy("priority", "week")
     )
+
+
+@register(
+    "forecast_hierarchy_reconcile",
+    sql=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+               - {_HOLT_BASE} AS pos,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders
+      WHERE (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+            BETWEEN {_HOLT_BASE} AND {_HOLT_BASE + _HOLT_K - 1}
+      GROUP BY priority, pos
+    ),
+    p AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    cal AS (SELECT p.priority, g.pos
+            FROM p CROSS JOIN (SELECT unnest(range({_HOLT_K})) AS pos) g),
+    y AS (SELECT c.priority, c.pos, COALESCE(m.rev, 0) AS rev
+          FROM cal c LEFT JOIN m ON m.priority = c.priority AND m.pos = c.pos),
+    s AS (SELECT priority,
+                 CAST(SUM(rev * ({_HOLT_WL})[pos + 1]) AS BIGINT) AS ls,
+                 CAST(SUM(rev * ({_HOLT_WB})[pos + 1]) AS BIGINT) AS bs,
+                 CAST(SUM(rev) AS BIGINT) AS hist
+          FROM y GROUP BY priority),
+    f AS (SELECT priority, hist,
+                 CAST((ls + bs + {_HOLT_OFF}) // {_HOLT_SCALE} - {_HOLT_OFFD}
+                      AS BIGINT) AS f1
+          FROM s),
+    tot AS (SELECT CAST(SUM(f1) AS BIGINT) AS bu_total,
+                   CAST(SUM(hist) AS BIGINT) AS hist_total FROM f),
+    -- the DIRECT total forecast: Holt on the summed series. Linearity of
+    -- the convolution makes it EQUAL to sum(ls)+sum(bs) before the shared
+    -- quantizing div — so the only coherence gap is per-series rounding.
+    direct AS (
+      SELECT CAST((SUM(s.ls) + SUM(s.bs) + {_HOLT_OFF}) // {_HOLT_SCALE}
+                  - {_HOLT_OFFD} AS BIGINT) AS direct_total
+      FROM s
+    )
+    SELECT f.priority, f.f1 AS bottomup_cents,
+           CAST(direct.direct_total * (f.hist * 1000000 // tot.hist_total)
+                // 1000000 AS BIGINT) AS topdown_cents,
+           tot.bu_total, direct.direct_total,
+           CAST((tot.bu_total - direct.direct_total) * 1000000
+                // direct.direct_total AS BIGINT) AS coherence_gap_ppm
+    FROM f CROSS JOIN tot CROSS JOIN direct
+    ORDER BY f.priority
+    """,
+    tags=("analytics", "forecast", "reconciliation"),
+)
+def forecast_hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation over the priority hierarchy:
+    BOTTOM-UP (sum of per-priority Holt forecasts) vs TOP-DOWN (the
+    direct total forecast split by historical shares), with the
+    coherence gap between the two totals. The punchline is structural:
+    Holt is a LINEAR convolution (forecast_holt_linear), so the direct
+    total forecast equals the sum of per-series forecasts up to the
+    per-series quantizing division — the reported gap_ppm measures
+    EXACTLY that rounding, proving the hierarchy is coherent by
+    construction (nonlinear forecasters make this gap real, and this
+    report is how you'd see it).
+
+    Integer discipline inherited wholesale from forecast_holt_linear:
+    exact cents, literal micro-weights, positivity-shifted divs;
+    top-down shares quantize once to integer micro (hist·10⁶ div total)
+    before the leaf multiply, keeping every product inside BIGINT.
+
+    Scale: identical to the underlying forecast — |priorities|·24 rows
+    after the first agg."""
+    o = table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.filter((mi >= _HOLT_BASE) & (mi <= _HOLT_BASE + _HOLT_K - 1))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (mi - _HOLT_BASE).alias("pos"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    p = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    cal = p.crossJoin(spark.range(_HOLT_K).select(F.col("id").cast("int").alias("pos")))
+    y = cal.join(m, ["priority", "pos"], "left").select(
+        "priority", "pos", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    wl_arr = "array(" + ",".join(str(w) for w in _HOLT_WL) + ")"
+    wb_arr = "array(" + ",".join(str(w) for w in _HOLT_WB) + ")"
+    s = y.groupBy("priority").agg(
+        F.sum(F.expr(f"rev * {wl_arr}[pos]")).cast("bigint").alias("ls"),
+        F.sum(F.expr(f"rev * {wb_arr}[pos]")).cast("bigint").alias("bs"),
+        F.sum("rev").cast("bigint").alias("hist"),
+    )
+    f = s.select(
+        "priority",
+        "hist",
+        F.expr(f"(ls + bs + {_HOLT_OFF}) div {_HOLT_SCALE} - {_HOLT_OFFD}")
+        .cast("bigint")
+        .alias("f1"),
+    )
+    tot = f.agg(
+        F.sum("f1").cast("bigint").alias("bu_total"),
+        F.sum("hist").cast("bigint").alias("hist_total"),
+    )
+    direct = s.agg(
+        F.expr(f"(sum(ls) + sum(bs) + {_HOLT_OFF}) div {_HOLT_SCALE} - {_HOLT_OFFD}")
+        .cast("bigint")
+        .alias("direct_total")
+    )
+    return (
+        f.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "priority",
+            F.col("f1").alias("bottomup_cents"),
+            F.expr("direct_total * (hist * 1000000 div hist_total) div 1000000")
+            .cast("bigint")
+            .alias("topdown_cents"),
+            "bu_total",
+            "direct_total",
+            F.expr("(bu_total - direct_total) * 1000000 div direct_total")
+            .cast("bigint")
+            .alias("coherence_gap_ppm"),
+        )
+        .orderBy("priority")
+    )

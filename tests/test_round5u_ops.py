@@ -76,3 +76,61 @@ def test_horvitz_thompson_matches_lottery_replay(spark):
         assert r.err_ppm == _tdiv((est - exact) * 1_000_000, exact)
         if n_h <= _STRATUM_K:
             assert r.err_ppm == 0  # census stratum: HT is exact by design
+
+
+def test_forecast_reconciliation_coherence(spark):
+    """Bottom-up per-priority forecasts replayed with the shared weights;
+    the coherence gap must be exactly the per-series rounding residue
+    (|gap| bounded by |priorities| quantization steps)."""
+    from collections import defaultdict
+    from datetime import datetime
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.analytics import (
+        _HOLT_BASE,
+        _HOLT_K,
+        _HOLT_OFF,
+        _HOLT_OFFD,
+        _HOLT_SCALE,
+        _HOLT_WB,
+        _HOLT_WL,
+        forecast_hierarchy_reconcile,
+    )
+
+    series = defaultdict(lambda: [0] * _HOLT_K)
+    hist = defaultdict(int)
+    for r in table(spark, SF, "orders").collect():
+        d = r.o_orderdate.date() if isinstance(r.o_orderdate, datetime) else r.o_orderdate
+        mi = (d.year - 1992) * 12 + d.month - 1
+        if _HOLT_BASE <= mi < _HOLT_BASE + _HOLT_K:
+            cents = int(round(r.o_totalprice * 100))
+            series[r.o_orderpriority][mi - _HOLT_BASE] += cents
+            hist[r.o_orderpriority] += cents
+        else:
+            series[r.o_orderpriority]  # priority still exists with zero window
+            hist.setdefault(r.o_orderpriority, 0)
+
+    def q(x):
+        return (x + _HOLT_OFF) // _HOLT_SCALE - _HOLT_OFFD
+
+    f1 = {}
+    ls_t = bs_t = 0
+    for p, y in series.items():
+        ls = sum(w * v for w, v in zip(_HOLT_WL, y))
+        bs = sum(w * v for w, v in zip(_HOLT_WB, y))
+        ls_t += ls
+        bs_t += bs
+        f1[p] = q(ls + bs)
+    bu_total = sum(f1.values())
+    direct = q(ls_t + bs_t)
+    hist_total = sum(hist.values())
+
+    got = {r.priority: r for r in forecast_hierarchy_reconcile(spark, SF).collect()}
+    assert set(got) == set(series)
+    for p, r in got.items():
+        assert r.bottomup_cents == f1[p]
+        share = hist[p] * 1_000_000 // hist_total
+        assert r.topdown_cents == direct * share // 1_000_000
+        assert r.bu_total == bu_total
+        assert r.direct_total == direct
+        assert abs(r.bu_total - r.direct_total) <= len(series)  # rounding only

@@ -117,6 +117,24 @@ ALLOW = {
     "embedding_knn_label_audit": {"BroadcastNestedLoopJoin": "broadcast anchor set x corpus — same kernel as mine_hard_negatives"},
     "sample_coreset_kcenter": {"BroadcastNestedLoopJoin": "single-row selected-center broadcast per greedy round"},
     "text_keyword_textrank": {"BroadcastNestedLoopJoin": "single-row node-count scalar per PageRank iteration (graph_pagerank_trade's class)"},
+    "forecast_holt_linear": {"BroadcastNestedLoopJoin": "|priorities| x 24-slot calendar grid product (bounded dims)"},
+    "orders_littles_law_audit": {"BroadcastNestedLoopJoin": "three single-row scalar folds composed"},
+    "text_cluster_js_mauve": {"CartesianProduct": "|sources| x |sources| dim pair grid (bounded)",
+                              "BroadcastNestedLoopJoin": "pair grid x K-cluster broadcast (bounded dims)"},
+    "drift_importance_weights": {"BroadcastNestedLoopJoin": "single-row (s_tot,t_tot)/ESS scalars x grid cells"},
+    "sketch_ams_f2": {"BroadcastNestedLoopJoin": "single-row exact-F2 scalar x single sketch row"},
+    "events_fano_burstiness": {"BroadcastNestedLoopJoin": "single-row hour-span scalar x |types| rows"},
+    "events_interrupted_timeseries": {"BroadcastNestedLoopJoin": "single-row span + pre-moment scalars x post days"},
+    "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
+    "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
+    "privacy_t_closeness": {"BroadcastNestedLoopJoin": "QI classes x 10-band grid + totals/threshold scalars"},
+    "privacy_dp_budget_plan": {"BroadcastNestedLoopJoin": "nation rollup x 2-epsilon grid"},
+    "graph_ppr_seeded": {"BroadcastNestedLoopJoin": "single-row seed-count scalar per iteration (pagerank's class)"},
+    "multimodal_phash_neardup": {"BroadcastNestedLoopJoin": "signature x 4-block constant fan-out (hamming_pairs)"},
+    "sample_neyman_allocation": {"BroadcastNestedLoopJoin": "single-row weight-total + leftover scalars x strata"},
+    "mix_waterfill_budget": {"BroadcastNestedLoopJoin": "single-row q^2-total + leftover scalars x sources"},
+    "join_relational_division": {"BroadcastNestedLoopJoin": "single-row divisor-cardinality scalar x supplier rollup"},
+    "forecast_hierarchy_reconcile": {"BroadcastNestedLoopJoin": "|priorities| x 24-slot grid + two single-row total scalars"},
 }
 
 
