@@ -118,10 +118,12 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    bench_all = bool(os.environ.get("SPARK_GRAFT_BENCH_ALL"))
+
     def _line(t: dict[str, float]) -> str:
         return json.dumps(
             {
-                "metric": "workload_total",
+                "metric": "workload_total_all" if bench_all else "workload_total",
                 "value": round(sum(t.values()), 2),
                 "unit": "sec",
                 "queries": t,
@@ -131,7 +133,10 @@ def main() -> None:
         )
 
     out = _line(timings)
-    while len(out) > _LINE_BUDGET and timings:
+    # the driver keeps only a 2000-byte stdout tail, so the HEADLINE line is
+    # budget-capped; the BENCH_ALL artifact is local-only and must never be
+    # trimmed (a silently shortened artifact reads as full coverage)
+    while not bench_all and len(out) > _LINE_BUDGET and timings:
         # never silently: note every dropped timing on stderr
         dropped = list(timings)[-1]
         print(f"bench: line budget exceeded, dropping {dropped}={timings.pop(dropped)}",

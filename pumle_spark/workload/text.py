@@ -2485,3 +2485,102 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("rank_micro"), "term")
     return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# statistical watermark detection (Kirchenbauer-style greenlist z-scores)
+# --------------------------------------------------------------------------
+
+_WM_MIN_BIGRAMS = 8
+_WM_BIN_MILLI = 500  # z-score histogram bin width (0.5 sigma)
+
+
+@register(
+    "text_watermark_zscores",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    stats AS (
+      SELECT doc_id, len(ws) - 1 AS n,
+             (SELECT COUNT(*) FROM unnest(range(1, len(ws))) t(i)
+              WHERE ('0x' || substr(md5('wm|' || ws[i] || '|' || ws[i + 1]), 1, 1))::UBIGINT
+                    % 2 = 0) AS g
+      FROM d WHERE len(ws) >= {_WM_MIN_BIGRAMS + 1}
+    ),
+    z AS (
+      SELECT doc_id, n, g,
+             CAST(ROUND((2.0 * g - n) / sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+               AS z_milli
+      FROM stats
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM z)
+    SELECT CAST(z.z_milli // {_WM_BIN_MILLI} AS BIGINT) AS z_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000000 // tot.n_docs AS BIGINT) AS share_ppm,
+           CAST(SUM(CASE WHEN z.z_milli >= 4000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_4sigma
+    FROM z CROSS JOIN tot
+    GROUP BY z_bin, tot.n_docs
+    ORDER BY z_bin
+    """,
+    tags=("text", "watermark", "synthetic-detection"),
+)
+def text_watermark_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical watermark detection (Kirchenbauer et al. 2023): under a
+    hash-keyed greenlist with γ = 1/2 (a bigram is "green" iff the md5 of
+    its token pair lands even), an UNWATERMARKED corpus shows green
+    fractions binomially distributed around 1/2 — z ≈ N(0,1) — while
+    watermarked generations pile up at z ≥ 4. The per-doc z-score
+    histogram (0.5σ bins) plus the 4σ tail count is the corpus-level
+    audit a training-data pipeline runs to keep synthetic text out of
+    pretraining data (the provenance complement of
+    text_decontaminate_overlap's benchmark leakage check).
+
+    Determinism: green membership is one md5 nibble parity per bigram;
+    counts are exact integers per row (a single per-row subquery fold —
+    map-side, no explode); the z-score is ONE mirrored double
+    (2g−n)/√n quantized to milli; bins are integer div (truncation
+    symmetric on both engines).
+
+    Scale: per-row token work + one bin-keyed rollup — corpus-linear,
+    zero joins wider than the single-row total."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    stats = d.filter(F.expr(f"size(ws) >= {_WM_MIN_BIGRAMS + 1}")).select(
+        "doc_id",
+        F.expr("size(ws) - 1").cast("bigint").alias("n"),
+        F.expr(
+            "size(filter(sequence(0, size(ws) - 2), "
+            "i -> conv(substring(md5(concat('wm|', ws[i], '|', ws[i + 1])), 1, 1), 16, 10)"
+            " % 2 = 0))"
+        )
+        .cast("bigint")
+        .alias("g"),
+    )
+    z = stats.select(
+        "doc_id",
+        "n",
+        "g",
+        F.round(
+            (2.0 * F.col("g") - F.col("n")) / F.sqrt(F.col("n").cast("double")) * 1000
+        )
+        .cast("bigint")
+        .alias("z_milli"),
+    )
+    tot = z.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_total"))
+    return (
+        z.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"z_milli div {_WM_BIN_MILLI}").cast("bigint").alias("z_bin"),
+            "n_docs_total",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("count(1) * 1000000 div max(n_docs_total)")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.sum(F.when(F.col("z_milli") >= 4000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_4sigma"),
+        )
+        .select("z_bin", "n_docs", "share_ppm", "n_flagged_4sigma")
+        .orderBy("z_bin")
+    )

@@ -134,3 +134,47 @@ def test_forecast_reconciliation_coherence(spark):
         assert r.bu_total == bu_total
         assert r.direct_total == direct
         assert abs(r.bu_total - r.direct_total) <= len(series)  # rounding only
+
+
+def test_watermark_zscores_match_bigram_replay(spark):
+    """Green fractions, z-scores, bins, and the binomial sanity (mean z
+    near 0 for unwatermarked text) replayed in pure python."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import (
+        _WM_BIN_MILLI,
+        _WM_MIN_BIGRAMS,
+        text_watermark_zscores,
+    )
+
+    bins = defaultdict(lambda: [0, 0])  # n_docs, n_flagged
+    zs = []
+    for r in table(spark, SF, "documents").select("text").collect():
+        ws = re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip().split(" ")
+        if len(ws) < _WM_MIN_BIGRAMS + 1:
+            continue
+        n = len(ws) - 1
+        g = sum(
+            1
+            for a, b in zip(ws, ws[1:])
+            if int(hashlib.md5(f"wm|{a}|{b}".encode()).hexdigest()[0], 16) % 2 == 0
+        )
+        zm = round((2.0 * g - n) / math.sqrt(n) * 1000)
+        zs.append(zm)
+        q = abs(zm) // _WM_BIN_MILLI
+        b = q if zm >= 0 else -q
+        bins[b][0] += 1
+        bins[b][1] += 1 if zm >= 4000 else 0
+
+    total = sum(v[0] for v in bins.values())
+    got = {r.z_bin: (r.n_docs, r.share_ppm, r.n_flagged_4sigma) for r in text_watermark_zscores(spark, SF).collect()}
+    assert got == {
+        b: (v[0], v[0] * 1_000_000 // total, v[1]) for b, v in bins.items()
+    }
+    # unwatermarked corpus: mean z within 4/sqrt(n_docs) sigma of zero
+    mean_z = sum(zs) / (1000 * len(zs))
+    assert abs(mean_z) < 4 / math.sqrt(len(zs)) + 0.2
