@@ -107,9 +107,12 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R05)}
 
 # Registered AFTER the round-5 window was frozen (the driver records only
 # queries()[:50]): these are local-green (tools/oracle_check.py) but not yet
-# driver-verified — they are the head of ROUND 6's window, together with
-# whatever r05 leaves unverified. Keep this list in sync when adding queries
-# this round.
+# driver-verified — they head ROUND 6's window. Full never-driver-verified
+# backlog after r05 = these 35 + 52 earlier local-only additions that
+# pre-date the window freeze (registry minus CORRECTNESS_r01–r04 union
+# minus _DRIVER_WINDOW_R05 — recompute with that set algebra when building
+# _DRIVER_WINDOW_R06; it takes r06+r07 to drain at 50/round). Keep this
+# list in sync when adding queries this round.
 _DRIVER_QUEUE_R06 = (
     "mine_hard_negatives", "regress_theilsen_trend", "profile_fd_candidates",
     "forecast_holt_linear", "events_fano_burstiness", "text_keyword_textrank",
