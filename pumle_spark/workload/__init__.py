@@ -129,7 +129,8 @@ _DRIVER_QUEUE_R06 = (
     "events_growth_accounting", "graph_walk_corpus",
     "sketch_ams_f2", "events_entropy_rate", "text_cluster_js_mauve",
     "sample_horvitz_thompson", "forecast_hierarchy_reconcile",
-    "text_watermark_zscores",
+    "text_watermark_zscores", "orders_max_drawdown",
+    "curation_retention_bias_audit",
 )
 
 

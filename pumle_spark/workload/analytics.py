@@ -3089,3 +3089,89 @@ def forecast_hierarchy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "orders_max_drawdown",
+    sql="""
+    WITH m AS (
+      SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY mi
+    ),
+    d AS (
+      SELECT mi, rev,
+             MAX(rev) OVER (ORDER BY mi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_rev,
+             MAX(rev) OVER (ORDER BY mi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev
+               AS drawdown,
+             CAST((MAX(rev) OVER (ORDER BY mi
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev)
+                  * 1000000
+                  // MAX(rev) OVER (ORDER BY mi
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS drawdown_ppm
+      FROM m
+    )
+    SELECT CAST(mi AS BIGINT) AS month_index, rev AS rev_cents,
+           peak_rev AS peak_cents,
+           CAST(drawdown AS BIGINT) AS drawdown_cents, drawdown_ppm,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY drawdown_ppm DESC, mi) AS rnk FROM d)
+    WHERE rnk <= 10
+    ORDER BY rnk
+    """,
+    tags=("analytics", "drawdown", "risk"),
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of monthly revenue: each month's shortfall from
+    the running historical peak, ranked — the risk metric that answers
+    "how bad did it get, from the best month we'd ever had?" (finance's
+    peak-to-trough measure applied to the revenue series; the drawdown
+    complement of pattern_decline_streaks' run-length view: a streak
+    says HOW LONG it fell, drawdown says HOW FAR below the high-water
+    mark it sat).
+
+    Exact integer cents; drawdown_ppm is one integer div against the
+    running peak (both operands exact); top-10 by (ppm, month) total
+    order.
+
+    Scale: the fact table folds to ≤ |months| rows first; the running
+    windows operate on the calendar-bounded series (the WindowExec
+    single-partition warning applies to ~80 rows — the adjudicated
+    two-level prefix pattern would replace it on an unbounded series)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("mi")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    wrun = Window.orderBy("mi").rowsBetween(Window.unboundedPreceding, 0)
+    d = m.select(
+        "mi",
+        "rev",
+        F.max("rev").over(wrun).alias("peak_rev"),
+    ).select(
+        "mi",
+        "rev",
+        "peak_rev",
+        (F.col("peak_rev") - F.col("rev")).alias("drawdown"),
+        F.expr("(peak_rev - rev) * 1000000 div peak_rev").cast("bigint").alias("drawdown_ppm"),
+    )
+    wr = Window.orderBy(F.desc("drawdown_ppm"), "mi")
+    return (
+        d.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("mi").cast("bigint").alias("month_index"),
+            F.col("rev").alias("rev_cents"),
+            F.col("peak_rev").alias("peak_cents"),
+            F.col("drawdown").cast("bigint").alias("drawdown_cents"),
+            "drawdown_ppm",
+            "rnk",
+        )
+        .orderBy("rnk")
+    )

@@ -789,3 +789,112 @@ def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# retention selection-bias audit (does dedup skew the corpus mix?)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_retention_bias_audit",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN},
+    tok AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY t.n_tokens DESC, c.doc_id) AS rk
+      FROM comp c JOIN tok t USING (doc_id)
+    ),
+    dropped AS (SELECT doc_id FROM ranked WHERE rk > 1),
+    before AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+               FROM documents GROUP BY source),
+    after AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      GROUP BY d.source
+    ),
+    tots AS (
+      SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+             (SELECT CAST(SUM(n_after) AS BIGINT) FROM after) AS ta
+      FROM before
+    )
+    SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+           CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT) AS n_dropped,
+           CAST(b.n_before * 1000000 // tots.tb AS BIGINT) AS share_before_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // tots.ta AS BIGINT)
+             AS share_after_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // tots.ta
+                - b.n_before * 1000000 // tots.tb AS BIGINT) AS share_drift_ppm
+    FROM before b
+    LEFT JOIN after a ON a.source = b.source
+    CROSS JOIN tots
+    ORDER BY b.source
+    """,
+    tags=("curation", "dedup", "bias-audit"),
+)
+def curation_retention_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of the near-dup retention policy: compare each
+    source's corpus share BEFORE dedup vs AFTER keep-best retention
+    (dedup_cluster_keep_best's exact winners). Dedup is never neutral —
+    sources that syndicate content lose disproportionally — and a training
+    mix silently reweighted by dedup is a classic data-pipeline bug; this
+    report is the check that the mix you designed (mix_waterfill_budget)
+    is the mix that survives.
+
+    Survivors = cluster winners plus every never-clustered doc, derived
+    as documents minus rank>1 cluster members (one anti-join), so the two
+    distributions share the exact cluster semantics of the dedup path
+    (shared recursive-CTE oracle chain). Shares and drift are exact
+    integer ppm.
+
+    Scale: the cluster build dominates (bucketed LSH, inherited); the
+    audit itself is two source-keyed counts and an anti-join on cluster
+    losers — tiny by construction."""
+    from pumle_spark.workload.dedup import dedup_minhash_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = dedup_minhash_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    toks = docs.select("doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    dropped = (
+        clusters.join(toks, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_before"))
+    after = (
+        docs.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    tots = before.agg(F.sum("n_before").cast("bigint").alias("tb")).crossJoin(
+        after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    )
+    return (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.expr("n_before * 1000000 div tb").cast("bigint").alias("share_before_ppm"),
+            F.expr("coalesce(n_after, 0) * 1000000 div ta")
+            .cast("bigint")
+            .alias("share_after_ppm"),
+            F.expr(
+                "coalesce(n_after, 0) * 1000000 div ta - n_before * 1000000 div tb"
+            )
+            .cast("bigint")
+            .alias("share_drift_ppm"),
+        )
+        .orderBy("source")
+    )
