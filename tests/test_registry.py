@@ -1,0 +1,104 @@
+"""Rotation-invariant lock for the driver verification window.
+
+The driver hash-verifies only ``queries()[:50]`` per round
+(CORRECTNESS_r{N}.json). To extend driver-record coverage instead of
+re-verifying the same names, each round freezes an explicit window of
+never-driver-verified queries. These tests make the freeze mechanical:
+
+1. the live registry order actually starts with the frozen window, and
+2. no window name appears green in any checked-in prior driver record
+   (re-verifying a name wastes one of the 50 slots).
+
+Without this, the window is convention only — round 5's ADVICE showed the
+bookkeeping can drift silently (a hand-counted queue comment was off by 2).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green_union() -> set[str]:
+    """Names hash-verified green in any checked-in CORRECTNESS_r0*.json."""
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+        with open(path) as fh:
+            record = json.load(fh)
+        for name, res in record.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match", True)
+                and not res.get("err")
+            ):
+                green.add(name)
+    return green
+
+
+def test_window_is_exactly_the_first_50_queries():
+    from pumle_spark import workload
+
+    window = workload._DRIVER_WINDOW_R06
+    assert len(window) == 50, f"window must fill all 50 driver slots, got {len(window)}"
+    assert len(set(window)) == 50, "window has duplicate names"
+    head = list(workload.queries())[:50]
+    assert head == list(window), (
+        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R06 — "
+        "a registration-order change or a new query slipped ahead of the window"
+    )
+
+
+def test_window_names_never_driver_verified_before():
+    from pumle_spark import workload
+
+    # r06's own record will (intentionally) contain these names once the
+    # driver runs; only records from PRIOR rounds constrain the freeze.
+    prior = {
+        p
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
+        if os.path.basename(p) < "CORRECTNESS_r06.json"
+    }
+    green: set[str] = set()
+    for path in sorted(prior):
+        with open(path) as fh:
+            record = json.load(fh)
+        for name, res in record.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match", True)
+                and not res.get("err")
+            ):
+                green.add(name)
+    wasted = [n for n in workload._DRIVER_WINDOW_R06 if n in green]
+    assert not wasted, f"window wastes slots on already-driver-green names: {wasted}"
+
+
+def test_window_and_queue_names_exist_in_registry():
+    from pumle_spark import workload
+
+    names = set(workload.queries())
+    missing = [
+        n
+        for n in (*workload._DRIVER_WINDOW_R06, *workload._DRIVER_QUEUE_R07)
+        if n not in names
+    ]
+    assert not missing, f"window/queue references unregistered queries: {missing}"
+
+
+def test_every_query_has_oracle_or_documented_exemption():
+    """Every registry entry should carry a DuckDB oracle; the known
+    exemptions are genuinely non-SQL-expressible (real StreamingQuery runs
+    whose sink the driver checks rows-only)."""
+    from pumle_spark import workload
+
+    qs = workload.queries()
+    oracles = workload.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"queries without a DuckDB oracle: {missing}"
