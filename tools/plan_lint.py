@@ -135,6 +135,15 @@ ALLOW = {
     "mix_waterfill_budget": {"BroadcastNestedLoopJoin": "single-row q^2-total + leftover scalars x sources"},
     "join_relational_division": {"BroadcastNestedLoopJoin": "single-row divisor-cardinality scalar x supplier rollup"},
     "forecast_hierarchy_reconcile": {"BroadcastNestedLoopJoin": "|priorities| x 24-slot grid + two single-row total scalars"},
+    # adjudicated round 6 (flagged unallowed by the round-5 judge): both are
+    # the standard single-row scalar crossJoin(F.broadcast(<1-row agg>))
+    "curation_retention_bias_audit": {"BroadcastNestedLoopJoin": "single-row (tb,ta) corpus-total scalars x |sources| rows"},
+    "text_watermark_zscores": {"BroadcastNestedLoopJoin": "single-row doc-count scalar x z-score bins"},
+    # round-6 additions (adjudicated at registration, same classes as above)
+    "text_langid_kappa": {"BroadcastNestedLoopJoin": "single-row (N, diag, chance) scalars x |langs| rows"},
+    "retrieval_ndcg_eval": {"BroadcastNestedLoopJoin": "single-row corpus (nd, sdl) scalar x pruned postings (bm25's class)"},
+    "retrieval_rbo_overlap": {"BroadcastNestedLoopJoin": "single-row corpus (nd, sdl) scalar x pruned postings (bm25's class)"},
+    "curation_dsir_weights": {"BroadcastNestedLoopJoin": "single-row bucket-LM totals x 1024-bucket grid"},
 }
 
 
