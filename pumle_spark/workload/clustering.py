@@ -532,7 +532,8 @@ _SQL_CLUSTER_JS = f"""
     )
     SELECT sa AS source_a, sb AS source_b,
            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
-           CAST((SUM(ta) // MAX(na) + SUM(tb) // MAX(nb)) // 2 AS BIGINT)
+           CAST((GREATEST(SUM(ta) // MAX(na), 0)
+                 + GREATEST(SUM(tb) // MAX(nb), 0)) // 2 AS BIGINT)
              AS js_micro
     FROM terms GROUP BY sa, sb
     ORDER BY source_a, source_b
@@ -554,7 +555,9 @@ def text_cluster_js_mauve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-reproducible); each JS term is one micro-quantized log2 over
     exact integer cell counts via the cross-multiplied mixture
     2·a·nb/(a·nb + b·na) — zero cells contribute exactly zero, no
-    smoothing constant to tune. JS is bounded [0, 1e6] micro-bits.
+    smoothing constant to tune. Each KL half is clamped at 0 (per-cell
+    micro-rounding can otherwise push a near-identical pair a few
+    micro-bits negative), so JS is bounded [0, 1e6] micro-bits.
 
     Scale: histograms are (source × K) rows off one keyed agg; the pair
     grid is |sources|²·K cells of pure integer algebra. The corpus-sized
@@ -612,7 +615,14 @@ def text_cluster_js_mauve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("na").cast("bigint").alias("n_a"),
             F.max("nb").cast("bigint").alias("n_b"),
-            F.expr("(sum(ta) div max(na) + sum(tb) div max(nb)) div 2")
+            # per-cell micro-rounding of log2 can push a KL half a few micro-
+            # bits negative when two histograms are near-identical (true KL
+            # ~ 0); clamp each half at 0 so js_micro honors its documented
+            # [0, 1e6] bound (mirrored in the DuckDB oracle)
+            F.expr(
+                "(greatest(sum(ta) div max(na), 0)"
+                " + greatest(sum(tb) div max(nb), 0)) div 2"
+            )
             .cast("bigint")
             .alias("js_micro"),
         )

@@ -721,8 +721,10 @@ _CB_BATCH = 32  # in-batch negative pool size
            CAST(SUM(c) AS BIGINT) AS batch_size,
            CAST(COUNT(*) AS BIGINT) AS n_labels,
            CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS collision_pairs,
-           CAST(SUM(c * (c - 1) // 2) * 1000000
-                // (SUM(c) * (SUM(c) - 1) // 2) AS BIGINT) AS collision_ppm
+           CAST(CASE WHEN SUM(c) > 1
+                     THEN SUM(c * (c - 1) // 2) * 1000000
+                          // (SUM(c) * (SUM(c) - 1) // 2)
+                     ELSE 0 END AS BIGINT) AS collision_ppm
     FROM lc GROUP BY batch_id
     ORDER BY batch_id
     """,
@@ -774,8 +776,13 @@ def curation_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("batch_size"),
             F.count(F.lit(1)).cast("bigint").alias("n_labels"),
             F.expr("sum(c * (c - 1) div 2)").cast("bigint").alias("collision_pairs"),
+            # a tail batch of exactly 1 row has zero pairs: the div-by-0 would
+            # yield NULL on both engines, turning the column nullable and
+            # tripping the pandas NaN-vs-None fetch-path hazard — define the
+            # collision share of an empty pair set as 0 instead
             F.expr(
-                "sum(c * (c - 1) div 2) * 1000000 div (sum(c) * (sum(c) - 1) div 2)"
+                "CASE WHEN sum(c) > 1 THEN sum(c * (c - 1) div 2) * 1000000"
+                " div (sum(c) * (sum(c) - 1) div 2) ELSE 0 END"
             )
             .cast("bigint")
             .alias("collision_ppm"),
@@ -897,4 +904,149 @@ def curation_retention_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("share_drift_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via hashed-n-gram importance resampling weights
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_SOURCE = "src1"  # the "looks like this" exemplar subset
+
+
+@register(
+    "curation_dsir_weights",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    tok_ok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('dsir|' || t), 1, 8))::UBIGINT % {_DSIR_BUCKETS}
+               AS b
+      FROM toks WHERE t <> ''
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nr FROM tok_ok GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM tok_ok
+            WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b),
+    grid AS (
+      SELECT g.b, COALESCE(t.nt, 0) + 1 AS nt1, COALESCE(r.nr, 0) + 1 AS nr1
+      FROM (SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS b) g
+      LEFT JOIN tgt t ON t.b = g.b
+      LEFT JOIN raw r ON r.b = g.b
+    ),
+    tots AS (SELECT CAST(SUM(nt1) AS BIGINT) AS tt,
+                    CAST(SUM(nr1) AS BIGINT) AS rt FROM grid),
+    w AS (
+      SELECT b, CAST(ROUND(ln(CAST(nt1 AS DOUBLE) * rt
+                              / (CAST(nr1 AS DOUBLE) * tt)) * 1000000) AS BIGINT)
+                  AS w_micro
+      FROM grid CROSS JOIN tots
+    ),
+    per AS (
+      SELECT k.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_micro) AS BIGINT) AS dsir_micro
+      FROM tok_ok k JOIN w ON w.b = k.b GROUP BY k.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.dsir_micro, 0) AS dsir_micro
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "dsir", "importance-sampling", "selection"),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") weights over hashed unigram features: each
+    doc scores Σ_tokens log( p_target(bucket) / p_raw(bucket) ) with
+    {_DSIR_BUCKETS} hash buckets and add-one smoothing, target = the
+    '{_DSIR_TARGET_SOURCE}' exemplar subset — the standard cheap recipe
+    for "select web data that looks like the curated set" before any
+    expensive model-based scoring. A selection pass keeps the top mass by
+    dsir_micro (select_top_mass_per_source's shape); this query is the
+    weighting stage, emitted per doc so the cut policy stays a separate
+    knob.
+
+    Exactness: bucket counts are exact integers; each bucket's log-ratio
+    ln(nt·R/(nr·T)) is ONE double expression over exact integers,
+    quantized ONCE to micro-units; per-doc weights are exact BIGINT sums
+    of bucket weights — the once-quantized-step discipline, so
+    cross-engine float summation order cannot reorder the selection.
+
+    Scale: the bucket LM is a fixed {_DSIR_BUCKETS}-row broadcast built by
+    one token rollup (map-side combinable); per-doc scoring is a broadcast
+    equi-join on the token stream plus one doc rollup — no corpus-sized
+    shuffle beyond the (doc_id) agg, no pairwise anything. The two LM
+    totals ride a single-row scalar crossJoin (plan_lint ALLOW class).
+
+    Reference basis: arXiv:2302.03169 §3 (hashed n-gram features,
+    importance weight = log-ratio of bag-of-buckets LMs)."""
+    docs = table(spark, sf_dir, "documents")
+    tok_ok = (
+        docs.select("doc_id", "source", F.explode(_tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("t"))), 1, 8), 16, 10)
+                .cast("bigint")
+                % _DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    raw = tok_ok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    tgt = (
+        tok_ok.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    grid = (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").cast("bigint").alias("b"))
+        .join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .select(
+            "b",
+            (F.coalesce("nt", F.lit(0)) + 1).cast("bigint").alias("nt1"),
+            (F.coalesce("nr", F.lit(0)) + 1).cast("bigint").alias("nr1"),
+        )
+    )
+    tots = grid.agg(
+        F.sum("nt1").cast("bigint").alias("tt"),
+        F.sum("nr1").cast("bigint").alias("rt"),
+    )
+    w = grid.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.log(
+                F.col("nt1").cast("double")
+                * F.col("rt")
+                / (F.col("nr1").cast("double") * F.col("tt"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    per = (
+        tok_ok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("dsir_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("dsir_micro", F.lit(0)).cast("bigint").alias("dsir_micro"),
+        )
+        .orderBy("doc_id")
     )

@@ -26,11 +26,13 @@ def test_contrastive_batches_match_permutation_replay(spark):
             labels[lab] += 1
         size = len(batch)
         pairs = sum(c * (c - 1) // 2 for c in labels.values())
+        # a 1-row tail batch has zero pairs; the query defines its share as 0
+        total_pairs = size * (size - 1) // 2
         expect[b // _CB_BATCH] = (
             size,
             len(labels),
             pairs,
-            pairs * 1_000_000 // (size * (size - 1) // 2),
+            pairs * 1_000_000 // total_pairs if total_pairs else 0,
         )
 
     got = {

@@ -38,7 +38,9 @@ def test_cluster_js_matches_pure_python_over_engine_assignments(spark):
                 ta += a_c * round(math.log2(2.0 * a_c * nb / den) * 1_000_000)
             if b_c > 0:
                 tb += b_c * round(math.log2(2.0 * b_c * na / den) * 1_000_000)
-        return _tdiv(_tdiv(ta, na) + _tdiv(tb, nb), 2)
+        # each KL half clamps at 0, matching the query (micro-rounding can
+        # push a near-identical pair a few micro-bits negative)
+        return _tdiv(max(_tdiv(ta, na), 0) + max(_tdiv(tb, nb), 0), 2)
 
     got = {(r.source_a, r.source_b): r for r in text_cluster_js_mauve(spark, SF).collect()}
     srcs = sorted(ns)
