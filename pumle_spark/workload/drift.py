@@ -917,15 +917,19 @@ _MMD_DIM = 64
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     cnt AS (SELECT label, COUNT(*) AS n FROM v GROUP BY label),
     t AS (
+      -- the second-moment matrix is symmetric: materialize only i <= j
+      -- ({_MMD_DIM * (_MMD_DIM + 1) // 2} of {_MMD_DIM * _MMD_DIM} cells) and
+      -- weight off-diagonal terms x2 in the Frobenius sum below
       SELECT label, i.i, j.j,
              CAST(v.v[i.i + 1] * v.v[j.j + 1] AS DECIMAL(28,9)) AS p
       FROM v
       CROSS JOIN generate_series(0, {_MMD_DIM - 1}) i(i)
       CROSS JOIN generate_series(0, {_MMD_DIM - 1}) j(j)
+      WHERE j.j >= i.i  -- duckdb generate_series can't take lateral args
     ),
     s AS (SELECT label, i, j, SUM(p) AS sp FROM t GROUP BY label, i, j),
     d AS (
-      SELECT a.label AS la, b.label AS lb,
+      SELECT a.label AS la, b.label AS lb, a.i, a.j,
              ROUND(CAST(a.sp AS DOUBLE) / ca.n - CAST(b.sp AS DOUBLE) / cb.n, 9) AS md
       FROM s a
       JOIN s b ON b.i = a.i AND b.j = a.j AND a.label < b.label
@@ -934,7 +938,11 @@ _MMD_DIM = 64
     ),
     m AS (
       SELECT la, lb,
-             ROUND(CAST(SUM(CAST(md * md AS DECIMAL(38,18))) AS DOUBLE), 9) AS mmd2
+             ROUND(CAST(SUM(CAST(md * md AS DECIMAL(38,18)))
+                        + SUM(CASE WHEN i < j
+                                   THEN CAST(md * md AS DECIMAL(38,18))
+                                   ELSE CAST(0 AS DECIMAL(38,18)) END)
+                        AS DOUBLE), 9) AS mmd2
       FROM d GROUP BY la, lb
     )
     SELECT CAST(m.la AS INTEGER) AS label_a, CAST(m.lb AS INTEGER) AS label_b,
@@ -952,9 +960,11 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale trick: for k(x,y) = (x·y)², E[k(x,x')] = ‖E[xxᵀ]‖²_F, so
     MMD² = ‖M_A − M_B‖²_F over the groups' SECOND-MOMENT matrices — each
-    group folds to a fixed {_MMD_DIM}×{_MMD_DIM} = {_MMD_DIM * _MMD_DIM}-cell
-    mergeable state in ONE pass, and no cross-group pair is ever formed
-    (the textbook U-statistic is O(n²) pairs; this is O(n·d²) map work).
+    group folds to a fixed mergeable state in ONE pass, and no cross-group
+    pair is ever formed (the textbook U-statistic is O(n²) pairs; this is
+    O(n·d²/2) map work: M is symmetric, so only the upper triangle's
+    {_MMD_DIM * (_MMD_DIM + 1) // 2} of {_MMD_DIM * _MMD_DIM} cells
+    materialize and off-diagonal terms count twice in the Frobenius sum).
 
     Exactness: each xᵢxⱼ term is one deterministic double product
     quantized to DECIMAL(28,9) (the module's term-precision contract),
@@ -967,12 +977,15 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # symmetry: x_i*x_j == x_j*x_i bit-exactly, so explode only the upper
+    # triangle (i <= j: 2080 of 4096 cells) and double off-diagonal terms in
+    # the Frobenius accumulation — same value, half the explode+decimal work
     t = e.select(
         "label",
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {_MMD_DIM - 1}), "
-                f"i -> transform(sequence(0, {_MMD_DIM - 1}), "
+                f"i -> transform(sequence(i, {_MMD_DIM - 1}), "
                 f"j -> struct(i, j, cast(v[i] * v[j] as decimal(28,9)) AS p))))"
             )
         ).alias("x"),
@@ -992,6 +1005,8 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lb",
             "na",
             "nb",
+            "i",
+            "j",
             F.round(
                 F.col("spa").cast("double") / F.col("na")
                 - F.col("spb").cast("double") / F.col("nb"),
@@ -1002,8 +1017,19 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("la", "lb", "na", "nb")
         .agg(
+            # upper triangle only: add the off-diagonal sum once more (exact
+            # decimal + decimal), identical to the full-matrix Frobenius sum
             F.round(
-                F.sum(F.expr("cast(md * md as decimal(38,18))")).cast("double"), 9
+                (
+                    F.sum(F.expr("cast(md * md as decimal(38,18))"))
+                    + F.sum(
+                        F.expr(
+                            "case when i < j then cast(md * md as decimal(38,18))"
+                            " else cast(0 as decimal(38,18)) end"
+                        )
+                    )
+                ).cast("double"),
+                9,
             ).alias("mmd2")
         )
         .select(
