@@ -2584,3 +2584,580 @@ def text_watermark_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("z_bin", "n_docs", "share_ppm", "n_flagged_4sigma")
         .orderBy("z_bin")
     )
+
+
+# --------------------------------------------------------------------------
+# language-ID agreement: Cohen's kappa + per-class precision/recall/F1
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_kappa",
+    sql=f"""
+    WITH d AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ws FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["en"])}))) AS h_en,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["es"])}))) AS h_es,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["fr"])}))) AS h_fr,
+             LEN(list_filter(ws, t -> t IN ({_sql_in(_STOPWORDS["de"])}))) AS h_de
+      FROM d
+    ),
+    pred AS (
+      SELECT doc_id, lang AS gold_lang,
+             CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+                  WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                  WHEN h_de > 0 THEN 'de'
+                  ELSE 'unknown' END AS pred_lang
+      FROM hits
+    ),
+    cm AS (SELECT gold_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2),
+    gold AS (SELECT gold_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+             FROM cm GROUP BY 1),
+    prd AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+            FROM cm GROUP BY 1),
+    cls AS (
+      SELECT COALESCE(g.cls, p.cls) AS cls,
+             COALESCE(g.n_true, 0) AS n_true, COALESCE(p.n_pred, 0) AS n_pred
+      FROM gold g FULL OUTER JOIN prd p ON p.cls = g.cls
+    ),
+    diag AS (SELECT gold_lang AS cls, n AS n_correct FROM cm
+             WHERE gold_lang = pred_lang),
+    tot AS (
+      SELECT CAST(SUM(n_true) AS BIGINT) AS nn,
+             CAST((SELECT COALESCE(SUM(n_correct), 0) FROM diag) AS BIGINT) AS dd,
+             CAST(SUM(n_true * n_pred) AS BIGINT) AS ss
+      FROM cls
+    )
+    SELECT c.cls,
+           c.n_true, c.n_pred,
+           COALESCE(dg.n_correct, 0) AS n_correct,
+           CAST(CASE WHEN c.n_pred > 0
+                     THEN COALESCE(dg.n_correct, 0) * 1000000 // c.n_pred
+                     ELSE 0 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN c.n_true > 0
+                     THEN COALESCE(dg.n_correct, 0) * 1000000 // c.n_true
+                     ELSE 0 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN c.n_true + c.n_pred > 0
+                     THEN 2 * COALESCE(dg.n_correct, 0) * 1000000
+                          // (c.n_true + c.n_pred)
+                     ELSE 0 END AS BIGINT) AS f1_ppm,
+           CAST((t.nn * t.dd - t.ss) * 1000000 // (t.nn * t.nn - t.ss) AS BIGINT)
+             AS kappa_micro
+    FROM cls c LEFT JOIN diag dg ON dg.cls = c.cls CROSS JOIN tot t
+    ORDER BY c.cls
+    """,
+    tags=("text", "langid", "evaluation", "agreement", "kappa"),
+)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the stopword language-ID
+    heuristic and the gold ``lang`` labels: per-class precision/recall/F1
+    plus the corpus-level Cohen's kappa — the scalar that
+    text_langid_confusion's matrix summarizes to, and the number a
+    labeling pipeline actually gates on (raw accuracy flatters any
+    classifier on a skewed language mix; kappa subtracts the agreement a
+    label-marginal-matching random labeler would get for free).
+
+    Exactness: kappa = (N·Σdiag − Σ_c rowc·colc) / (N² − Σ_c rowc·colc)
+    is computed by integer cross-multiplication in micro units (both
+    engines truncate integer division identically); F1 folds to the
+    harmonic-over-counts form 2·correct/(n_true+n_pred), again exact
+    integers — no floats anywhere, so no rounding contract to mirror.
+
+    Scale: one per-doc map (the same stopword filter as text_lang_id),
+    one |langs|²-row confusion rollup; everything after is dim-sized.
+    The kappa scalars ride a single-row broadcast crossJoin (plan_lint
+    ALLOW class: single-row scalar)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("lang").alias("gold_lang"), _tokens_col().alias("ws"))
+    h = {lang: _hits(lang) for lang in ("en", "es", "fr", "de")}
+    pred = (
+        F.when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]) & (h["en"] > 0),
+            "en",
+        )
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]) & (h["es"] > 0), "es")
+        .when((h["fr"] >= h["de"]) & (h["fr"] > 0), "fr")
+        .when(h["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    cm = (
+        d.select("gold_lang", pred.alias("pred_lang"))
+        .groupBy("gold_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    gold = cm.groupBy(F.col("gold_lang").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    prd = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    cls = (
+        gold.join(prd, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+    )
+    diag = cm.filter(F.col("gold_lang") == F.col("pred_lang")).select(
+        F.col("gold_lang").alias("cls"), F.col("n").alias("n_correct")
+    )
+    tot = (
+        cls.join(diag, "cls", "left")
+        .agg(
+            F.sum("n_true").cast("bigint").alias("nn"),
+            F.coalesce(F.sum("n_correct"), F.lit(0)).cast("bigint").alias("dd"),
+            F.sum(F.col("n_true") * F.col("n_pred")).cast("bigint").alias("ss"),
+        )
+    )
+    return (
+        cls.join(diag, "cls", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cls",
+            "n_true",
+            "n_pred",
+            F.coalesce("n_correct", F.lit(0)).cast("bigint").alias("n_correct"),
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN coalesce(n_correct, 0) * 1000000 div n_pred"
+                " ELSE 0 END"
+            ).cast("bigint").alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_true > 0 THEN coalesce(n_correct, 0) * 1000000 div n_true"
+                " ELSE 0 END"
+            ).cast("bigint").alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_true + n_pred > 0 THEN"
+                " 2 * coalesce(n_correct, 0) * 1000000 div (n_true + n_pred)"
+                " ELSE 0 END"
+            ).cast("bigint").alias("f1_ppm"),
+            F.expr("(nn * dd - ss) * 1000000 div (nn * nn - ss)")
+            .cast("bigint")
+            .alias("kappa_micro"),
+        )
+        .orderBy("cls")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility audit: chars-per-token economics by source x lang
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_fertility",
+    sql=f"""
+    WITH d AS (
+      SELECT source, lang, LENGTH(text) AS n_chars, {_SQL_TOKENS} AS ws
+      FROM documents
+    ),
+    per AS (
+      SELECT source, lang, n_chars,
+             LEN(ws) AS n_tok,
+             COALESCE(list_sum(list_transform(ws, t -> LENGTH(t))), 0) AS n_tok_chars
+      FROM d
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN SUM(n_tok) > 0
+                     THEN SUM(n_tok_chars) * 1000000 // SUM(n_tok)
+                     ELSE 0 END AS BIGINT) AS chars_per_token_micro,
+           CAST(SUM(n_tok) * 1000000 // COUNT(*) AS BIGINT) AS tokens_per_doc_micro,
+           CAST(CASE WHEN SUM(n_chars) > 0
+                     THEN (SUM(n_chars) - SUM(n_tok_chars)) * 1000000 // SUM(n_chars)
+                     ELSE 0 END AS BIGINT) AS overhead_ppm
+    FROM per GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    tags=("text", "tokenizer", "fertility", "profiling"),
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-economics audit by (source, lang): chars-per-token
+    (fertility — the number that decides how many real bytes a token
+    budget buys per language), tokens-per-doc, and the non-token overhead
+    share (whitespace/punctuation mass the tokenizer drops). Training-mix
+    planners weight sources by TOKENS, not docs; a source whose fertility
+    is an outlier silently shifts the mix, which is exactly what this
+    surface makes visible.
+
+    Exactness: counts and char sums are exact integers; each ratio is one
+    cross-multiplied integer division (identical truncation on both
+    engines) — no floats. Scale: pure per-row map work followed by one
+    (source × lang) rollup; no joins, no scalar broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(_tokens_col()).cast("bigint").alias("n_tok"),
+        F.coalesce(
+            F.aggregate(
+                _tokens_col(), F.lit(0).cast("bigint"),
+                lambda acc, t: acc + F.length(t).cast("bigint"),
+            ),
+            F.lit(0),
+        ).alias("n_tok_chars"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CASE WHEN sum(n_tok) > 0"
+                " THEN sum(n_tok_chars) * 1000000 div sum(n_tok) ELSE 0 END"
+            ).cast("bigint").alias("chars_per_token_micro"),
+            F.expr("sum(n_tok) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("tokens_per_doc_micro"),
+            F.expr(
+                "CASE WHEN sum(n_chars) > 0"
+                " THEN (sum(n_chars) - sum(n_tok_chars)) * 1000000 div sum(n_chars)"
+                " ELSE 0 END"
+            ).cast("bigint").alias("overhead_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# retrieval evaluation: nDCG@k against graded term-coverage relevance
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+# shared CTE text: the exact BM25 scoring contract of text_bm25_topk
+# (idf·tf-saturation per (query-term, doc), once-quantized to micro, exact
+# BIGINT sum), plus the graded relevance rel = #distinct query terms in doc
+_SQL_BM25_REL = f"""
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(dl) AS BIGINT) AS sdl FROM dlen),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks_ok GROUP BY 1, 2),
+    qt AS (SELECT * FROM {{values}}),
+    df AS (
+      SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM tf WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id, tf.term, dlen.dl,
+             CAST(ROUND(
+               ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+               * (CAST(cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(cnt AS DOUBLE) + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE)
+                     / (CAST(sdl AS DOUBLE) / nd)))
+               * 1000000) AS BIGINT) AS c_micro
+      FROM tf
+      JOIN qt ON qt.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dlen ON dlen.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS rel,
+             CAST(MAX(dl) AS BIGINT) AS dl
+      FROM contrib GROUP BY 1, 2
+    )
+"""
+
+
+def _bm25_scored_rel(spark: SparkSession, sf_dir: str):
+    """(query_id, doc_id, score_micro, rel, dl): the BM25 candidate table of
+    text_bm25_topk plus graded relevance rel = #distinct query terms the doc
+    contains — the shared input of the retrieval-eval queries."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    pruned = tf.join(F.broadcast(qt), "term")
+    df = pruned.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("dfreq")
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("nd")
+    contrib = (
+        pruned.join(F.broadcast(df), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            "dl",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("nd") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+                )
+                * (F.col("cnt").cast("double") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("cnt").cast("double")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").cast("bigint").alias("score_micro"),
+        F.count_distinct("term").cast("bigint").alias("rel"),
+        F.max("dl").cast("bigint").alias("dl"),
+    )
+
+
+@register(
+    "retrieval_ndcg_eval",
+    sql=f"""
+    WITH {_SQL_BM25_REL.format(values=_bm25_query_values())},
+    ranked AS (
+      SELECT query_id, doc_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc_id) AS ideal_pos
+      FROM scored
+    ),
+    gains AS (
+      SELECT query_id,
+             CASE WHEN pos <= {_NDCG_K}
+                  THEN CAST(ROUND((power(2.0, rel) - 1.0) / log2(pos + 1)
+                                  * 1000000) AS BIGINT) ELSE 0 END AS g_micro,
+             CASE WHEN ideal_pos <= {_NDCG_K}
+                  THEN CAST(ROUND((power(2.0, rel) - 1.0) / log2(ideal_pos + 1)
+                                  * 1000000) AS BIGINT) ELSE 0 END AS ig_micro
+      FROM ranked
+    )
+    SELECT CAST(query_id AS INTEGER) AS query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(g_micro) AS BIGINT) AS dcg_micro,
+           CAST(SUM(ig_micro) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN SUM(ig_micro) > 0
+                     THEN SUM(g_micro) * 1000000 // SUM(ig_micro)
+                     ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM gains GROUP BY query_id
+    ORDER BY query_id
+    """,
+    tags=("text", "retrieval", "evaluation", "ndcg"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_NDCG_K} of the BM25 ranker against graded term-coverage
+    relevance (rel = #distinct query terms the doc contains, 1..|terms|) —
+    the retrieval-eval counterpart of ann_recall_report: recall grades the
+    ANN index, nDCG grades the RANKER, and a retrieval stage in a data
+    pipeline ships with both numbers or it ships blind.
+
+    Exactness: every DCG term (2^rel − 1)/log2(pos+1) is ONE double
+    expression over exact integers, quantized ONCE to micro-units (the
+    BM25 once-quantized-step discipline); DCG/IDCG are exact BIGINT sums
+    and nDCG is one integer cross-division. The ideal ranking is fully
+    deterministic (rel desc, doc_id) — IDCG needs no oracle-side sort
+    ambiguity. Ties in score_micro break on doc_id in both engines.
+
+    Scale: inherits text_bm25_topk's inverted-index probe shape — the
+    scored relation is |postings matching query terms|, never the corpus;
+    both rankings are per-query windows over that pruned table; the query
+    set is a constant broadcast."""
+    scored = _bm25_scored_rel(spark, sf_dir)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "rel",
+        F.row_number().over(w_rank).alias("pos"),
+        F.row_number().over(w_ideal).alias("ideal_pos"),
+    )
+    gains = ranked.select(
+        "query_id",
+        F.when(
+            F.col("pos") <= _NDCG_K,
+            F.round(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("pos") + 1)
+                * 1000000
+            ).cast("bigint"),
+        ).otherwise(F.lit(0)).alias("g_micro"),
+        F.when(
+            F.col("ideal_pos") <= _NDCG_K,
+            F.round(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("ideal_pos") + 1)
+                * 1000000
+            ).cast("bigint"),
+        ).otherwise(F.lit(0)).alias("ig_micro"),
+    )
+    return (
+        gains.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("g_micro").cast("bigint").alias("dcg_micro"),
+            F.sum("ig_micro").cast("bigint").alias("idcg_micro"),
+            F.expr(
+                "CASE WHEN sum(ig_micro) > 0"
+                " THEN sum(g_micro) * 1000000 div sum(ig_micro) ELSE 0 END"
+            ).cast("bigint").alias("ndcg_ppm"),
+        )
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "n_candidates",
+            "dcg_micro",
+            "idcg_micro",
+            "ndcg_ppm",
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# rank-biased overlap between the BM25 and coverage-first rankers
+# --------------------------------------------------------------------------
+
+_RBO_K = 10  # evaluation depth (truncated RBO)
+# p = 1/2: weight of depth d is (1-p)·p^(d-1)/d = 1/(d·2^d) — exact in
+# integer pico-units, so RBO needs NO floats at all (libm-free parity)
+
+
+@register(
+    "retrieval_rbo_overlap",
+    sql=f"""
+    WITH {_SQL_BM25_REL.format(values=_bm25_query_values())},
+    ra AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS r
+        FROM scored
+      ) WHERE r <= {_RBO_K}
+    ),
+    rb AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, dl ASC, doc_id) AS r
+        FROM scored
+      ) WHERE r <= {_RBO_K}
+    ),
+    shared AS (
+      SELECT ra.query_id,
+             GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON rb.query_id = ra.query_id AND rb.doc_id = ra.doc_id
+    ),
+    per AS (
+      SELECT query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_topk,
+             -- constant 1..K list + filter: generate_series with a COLUMN
+             -- lower bound binds as a lateral table function in duckdb
+             CAST(SUM(list_sum(list_transform(
+                    list_filter(generate_series(1, {_RBO_K}), d -> d >= m),
+                    d -> 1000000000000 // (d * (1::BIGINT << d))))) AS BIGINT)
+               AS rbo_pico
+      FROM shared GROUP BY query_id
+    )
+    SELECT q.query_id,
+           COALESCE(p.n_shared_topk, 0) AS n_shared_topk,
+           CAST(COALESCE(p.n_shared_topk, 0) * 1000000 // {_RBO_K} AS BIGINT)
+             AS overlap_ppm,
+           COALESCE(p.rbo_pico, 0) AS rbo_pico
+    FROM (SELECT DISTINCT query_id FROM qt) q
+    LEFT JOIN per p ON p.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+    tags=("text", "retrieval", "evaluation", "rbo", "rank-correlation"),
+)
+def retrieval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) at depth
+    {_RBO_K} between two rankers over the same candidates: BM25
+    (lexical saturation scoring) vs the coverage-first heuristic (most
+    distinct query terms, then shortest doc) — the ranker-agreement
+    number a hybrid-retrieval stage uses to decide whether a second
+    ranker adds signal (low RBO) or is redundant (high RBO). RBO is the
+    top-weighted alternative to Kendall tau that handles non-conjoint
+    top-k lists, which plain rank correlation cannot.
+
+    Exactness: with persistence p = 1/2 the depth-d weight
+    (1−p)·p^(d−1)/d = 1/(d·2^d) is EXACT in pico-units, so the whole
+    metric is integer arithmetic — each shared doc first appears in both
+    depth-prefixes at m = max(rank_a, rank_b) and contributes
+    Σ_{{d=m..{_RBO_K}}} 10^12 div (d·2^d); no floats, no rounding
+    contract, no libm variance between engines.
+
+    Scale: both rankings are per-query windows over the pruned BM25
+    candidate table (inverted-index probe, never the corpus); the
+    depth-sum is a constant-size in-row sequence fold; output is one row
+    per query."""
+    scored = _bm25_scored_rel(spark, sf_dir)
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("dl").asc(), F.col("doc_id")
+    )
+    ra = (
+        scored.withColumn("r", F.row_number().over(w_a))
+        .filter(F.col("r") <= _RBO_K)
+        .select("query_id", "doc_id", F.col("r").alias("ra"))
+    )
+    rb = (
+        scored.withColumn("r", F.row_number().over(w_b))
+        .filter(F.col("r") <= _RBO_K)
+        .select("query_id", "doc_id", F.col("r").alias("rb"))
+    )
+    shared = ra.join(rb, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    per = shared.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_topk"),
+        F.sum(
+            F.expr(
+                f"aggregate(sequence(int(m), {_RBO_K}), cast(0 as bigint),"
+                " (acc, d) -> acc + 1000000000000 div"
+                " (cast(d as bigint) * shiftleft(cast(1 as bigint), d)))"
+            )
+        ).cast("bigint").alias("rbo_pico"),
+    )
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in _BM25_QUERIES], "query_id int"
+    )
+    return (
+        qids.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_shared_topk", F.lit(0)).cast("bigint").alias("n_shared_topk"),
+            F.expr(f"coalesce(n_shared_topk, 0) * 1000000 div {_RBO_K}")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+            F.coalesce("rbo_pico", F.lit(0)).cast("bigint").alias("rbo_pico"),
+        )
+        .orderBy("query_id")
+    )
