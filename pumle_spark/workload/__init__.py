@@ -116,9 +116,14 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R06)}
 # set algebra when building _DRIVER_WINDOW_R07). Keep this list in sync when
 # adding queries this round; its length is whatever len() says, never a
 # hand-maintained count.
+# 11 round-6 additions + the 39 remaining pre-freeze names = exactly one
+# 50-row window: round 7 drains the driver-verification backlog to ZERO.
 _DRIVER_QUEUE_R07: tuple[str, ...] = (
     "text_langid_kappa", "text_token_fertility", "retrieval_ndcg_eval",
     "retrieval_rbo_overlap", "curation_dsir_weights",
+    "dedup_lsh_tuning_report", "curation_softdedup_weights",
+    "text_rouge_cluster_pairs", "abtest_power_mde",
+    "embedding_sign_hamming_agreement", "drift_embedding_dim_psi",
 )
 
 

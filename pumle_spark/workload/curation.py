@@ -1050,3 +1050,184 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# SoftDeDup: per-document repetition weights instead of hard dropping
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_softdedup_weights",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN},
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM comp GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(s.n, 1) AS cluster_size,
+           CAST(1000000 // COALESCE(s.n, 1) AS BIGINT) AS weight_micro
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sz s ON s.cluster_id = c.cluster_id
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "dedup", "soft-dedup", "weighting"),
+)
+def curation_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, DOWNWEIGHT
+    them — every member of a MinHash near-dup cluster trains with weight
+    1/|cluster| (exact micro-units), singletons keep weight 1. The sum of
+    weights over a cluster is one document-equivalent, so the effective
+    epoch count of repeated content is held at 1 while unique phrasing
+    within the near-dups still contributes (the reason soft-dedup
+    measurably beats hard dropping on loss-per-token — He et al. 2024,
+    "SoftDedup", ACL; same spirit as sampling by 1/dup-count in the
+    Gopher/MassiveText pipeline).
+
+    Composes dedup_minhash_clusters' exact cluster semantics (shared
+    recursive-CTE oracle chain) with one size rollup and a left join back
+    to the corpus. Exactness: integer division of 1e6 by an exact cluster
+    size — no floats. Scale: cluster build is the bucketed LSH path;
+    everything after is |clusters| + one broadcast-sized join per doc."""
+    from pumle_spark.workload.dedup import dedup_minhash_clusters
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_minhash_clusters(spark, sf_dir).select(
+        "doc_id", F.col("n_docs").cast("bigint").alias("cluster_size")
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.expr("1000000 div coalesce(cluster_size, 1)")
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-1 audit of the keep-best retention decision
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_rouge_cluster_pairs",
+    sql=f"""
+    WITH RECURSIVE {_SQL_COMPONENT_CHAIN},
+    tok AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+      WHERE t <> '' GROUP BY doc_id, t
+    ),
+    dlen AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, l.n_tok,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY l.n_tok DESC, c.doc_id) AS rk
+      FROM comp c JOIN dlen l USING (doc_id)
+    ),
+    kept AS (SELECT cluster_id, doc_id AS kept_doc_id, n_tok AS n_kept
+             FROM ranked WHERE rk = 1),
+    dropped AS (SELECT cluster_id, doc_id AS dropped_doc_id, n_tok AS n_dropped
+                FROM ranked WHERE rk > 1),
+    overlap AS (
+      SELECT d.cluster_id, k.kept_doc_id, d.dropped_doc_id,
+             MAX(k.n_kept) AS n_kept, MAX(d.n_dropped) AS n_dropped,
+             CAST(SUM(LEAST(ta.cnt, tb.cnt)) AS BIGINT) AS n_overlap
+      FROM dropped d
+      JOIN kept k ON k.cluster_id = d.cluster_id
+      JOIN tok ta ON ta.doc_id = k.kept_doc_id
+      JOIN tok tb ON tb.doc_id = d.dropped_doc_id AND tb.t = ta.t
+      GROUP BY d.cluster_id, k.kept_doc_id, d.dropped_doc_id
+    )
+    SELECT cluster_id, kept_doc_id, dropped_doc_id, n_overlap,
+           CAST(CASE WHEN n_dropped > 0
+                     THEN n_overlap * 1000000 // n_dropped ELSE 0 END AS BIGINT)
+             AS rouge1_recall_ppm,
+           CAST(CASE WHEN n_kept + n_dropped > 0
+                     THEN 2 * n_overlap * 1000000 // (n_kept + n_dropped)
+                     ELSE 0 END AS BIGINT) AS rouge1_f1_ppm
+    FROM overlap
+    ORDER BY cluster_id, dropped_doc_id
+    """,
+    tags=("curation", "dedup", "rouge", "evaluation"),
+)
+def text_rouge_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 audit of what keep-best dedup actually throws away: for
+    every (kept, dropped) pair inside a MinHash near-dup cluster, the
+    unigram-multiset overlap Σ_w min(cnt_kept, cnt_dropped) and the
+    resulting ROUGE-1 recall (share of the DROPPED doc's tokens that
+    survive in the kept one) and F1. High recall = the drop was safe
+    (content is covered); a dropped doc with LOW recall is evidence the
+    cluster conflated genuinely different documents — the per-pair drill-
+    down behind curation_retention_bias_audit's aggregate view, using the
+    summarization-eval metric the field already trusts.
+
+    Exactness: token multiset counts are exact integers; overlap is an
+    exact min-sum; both ratios are integer cross-multiplied ppm — no
+    floats. Scale: pairs exist only within verified near-dup clusters
+    (small by construction), and the overlap join is keyed (doc, term) —
+    never corpus×corpus; the cluster build is the bucketed LSH path."""
+    from pumle_spark.workload.dedup import dedup_minhash_clusters
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens_col()).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    dlen = tok.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+    clusters = dedup_minhash_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    ranked = (
+        clusters.join(dlen, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("n_tok").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    kept = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tok").alias("n_kept"),
+    )
+    dropped = ranked.filter(F.col("rk") > 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("dropped_doc_id"),
+        F.col("n_tok").alias("n_dropped"),
+    )
+    ta = tok.select(F.col("doc_id").alias("kept_doc_id"), "t", F.col("cnt").alias("ca"))
+    tb = tok.select(
+        F.col("doc_id").alias("dropped_doc_id"), "t", F.col("cnt").alias("cb")
+    )
+    overlap = (
+        dropped.join(kept, "cluster_id")
+        .join(ta, "kept_doc_id")
+        .join(tb, ["dropped_doc_id", "t"])
+        .groupBy("cluster_id", "kept_doc_id", "dropped_doc_id")
+        .agg(
+            F.max("n_kept").cast("bigint").alias("n_kept"),
+            F.max("n_dropped").cast("bigint").alias("n_dropped"),
+            F.sum(F.least("ca", "cb")).cast("bigint").alias("n_overlap"),
+        )
+    )
+    return overlap.select(
+        "cluster_id",
+        "kept_doc_id",
+        "dropped_doc_id",
+        "n_overlap",
+        F.expr(
+            "CASE WHEN n_dropped > 0 THEN n_overlap * 1000000 div n_dropped"
+            " ELSE 0 END"
+        ).cast("bigint").alias("rouge1_recall_ppm"),
+        F.expr(
+            "CASE WHEN n_kept + n_dropped > 0"
+            " THEN 2 * n_overlap * 1000000 div (n_kept + n_dropped) ELSE 0 END"
+        ).cast("bigint").alias("rouge1_f1_ppm"),
+    ).orderBy("cluster_id", "dropped_doc_id")

@@ -1167,3 +1167,180 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH band/row tuning report: the config table for the 100 TB dedup run
+# --------------------------------------------------------------------------
+
+_TUNE_ROWS = (1, 2, 4)  # rows-per-band layouts over the same 8-hash signature
+
+
+def _sql_tune_config(r: int) -> str:
+    """Band + candidate CTEs for rows_per_band=r over the shared mh CTE —
+    the same '{seed}:{mhash}|…' md5 band-key layout as
+    operators.dedup.lsh_band_keys, regrouped by seed // r."""
+    return f"""bands_r{r} AS (
+      SELECT doc_id, CAST(seed // {r} AS INTEGER) AS band,
+             md5(string_agg(CAST(seed AS VARCHAR) || ':' || mhash, '|' ORDER BY seed))
+               AS band_key
+      FROM mh GROUP BY doc_id, seed // {r}
+    ),
+    cand_r{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_r{r} a JOIN bands_r{r} b
+        ON b.band = a.band AND b.band_key = a.band_key AND a.doc_id < b.doc_id
+    ),
+    m_r{r} AS (
+      SELECT {r} AS rows_per_band, {_N_HASHES // r} AS n_bands,
+             CAST((SELECT COUNT(*) FROM cand_r{r}) AS BIGINT) AS n_candidates,
+             CAST((SELECT COUNT(*) FROM cand_r{r} c
+                   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                  AS BIGINT) AS n_hits
+    )"""
+
+
+@register(
+    "dedup_lsh_tuning_report",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh),
+                        1 + 8 * (seed % 4), 8)) AS mhash
+      FROM sh3 CROSS JOIN generate_series(0, {_N_HASHES - 1}) s(seed)
+      GROUP BY doc_id, seed
+    ),
+    tpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM tpairs t
+      JOIN sizes sa ON sa.doc_id = t.doc_a
+      JOIN sizes sb ON sb.doc_id = t.doc_b
+      WHERE CAST(t.c AS DOUBLE) / (sa.n_sh + sb.n_sh - t.c) >= {_JACCARD_MIN}
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    {", ".join(_sql_tune_config(r) for r in _TUNE_ROWS)},
+    m AS ({" UNION ALL ".join(f"SELECT * FROM m_r{r}" for r in _TUNE_ROWS)})
+    SELECT CAST(m.rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(m.n_bands AS INTEGER) AS n_bands,
+           nt.n_truth, m.n_candidates, m.n_hits,
+           CAST(CASE WHEN nt.n_truth > 0
+                     THEN m.n_hits * 1000000 // nt.n_truth ELSE 1000000 END
+                AS BIGINT) AS completeness_ppm,
+           CAST(1000000 - m.n_candidates * 1000000
+                          // (nd.n_docs * (nd.n_docs - 1) // 2)
+                AS BIGINT) AS reduction_ppm
+    FROM m CROSS JOIN nt CROSS JOIN nd
+    ORDER BY rows_per_band
+    """,
+    tags=("dedup", "lsh", "tuning", "grading"),
+)
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-layout tuning table: the SAME {_N_HASHES}-hash minhash
+    signature regrouped as (bands × rows) = {", ".join(f"({_N_HASHES // r}x{r})" for r in _TUNE_ROWS)},
+    each config graded against the exact ≥{_JACCARD_MIN}-Jaccard truth
+    pairs — pair completeness (recall of true pairs) and reduction ratio
+    (share of the n·(n−1)/2 pair space never considered), in exact ppm.
+    This is the table that decides WHICH config the 100 TB dedup run uses:
+    more rows per band = fewer, purer candidates (lower recall, higher
+    reduction); the theory curve p_detect = 1−(1−j^r)^b becomes a measured
+    number per config. Extends dedup_blocking_quality (one config) to the
+    whole knob grid; same honest-metrics posture as ann_recall_report.
+
+    Exactness: candidate and truth sets are exact; the two ratios are
+    integer cross-multiplied ppm. Scale: signatures and band keys are
+    per-doc map work REUSED across configs (one signature pass, three
+    regroupings); candidates are Σc² bucket joins per config; the truth
+    subtree is the labeled all-pairs baseline, budget-guarded — on a real
+    corpus the report runs on an audit sample.
+    """
+    from pumle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "documents").count(),
+        _ALLPAIRS_MAX_DOCS,
+        "dedup_lsh_tuning_report (all-pairs truth subtree)",
+        "the blocked candidate generators alone (their completeness is what this grades)",
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_docs_df = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    tpairs = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        tpairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+            >= _JACCARD_MIN
+        )
+        .select("doc_a", "doc_b")
+        # the truth set is joined once per config: pin it so the quadratic
+        # subtree runs once, not len(_TUNE_ROWS) times
+        .localCheckpoint(eager=False)
+    )
+    n_truth_df = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    sig = minhash_signatures(
+        sh.withColumnRenamed("doc_id", "key"), n_hashes=_N_HASHES
+    ).localCheckpoint(eager=False)
+
+    out = None
+    for r in _TUNE_ROWS:
+        cand = lsh_candidate_pairs(sig, _N_HASHES, rows_per_band=r).select(
+            F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+        )
+        hits = cand.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        m = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(_N_HASHES // r).cast("int").alias("n_bands"),
+                "n_candidates",
+                "n_hits",
+            )
+        )
+        out = m if out is None else out.unionAll(m)
+    return (
+        out.crossJoin(F.broadcast(n_truth_df))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "rows_per_band",
+            "n_bands",
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN n_hits * 1000000 div n_truth"
+                " ELSE 1000000 END"
+            ).cast("bigint").alias("completeness_ppm"),
+            F.expr(
+                "1000000 - n_candidates * 1000000 div (n_docs * (n_docs - 1) div 2)"
+            ).cast("bigint").alias("reduction_ppm"),
+        )
+        .orderBy("rows_per_band")
+    )

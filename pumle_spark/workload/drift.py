@@ -1152,3 +1152,126 @@ def drift_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# per-dimension embedding PSI: which coordinates moved between populations
+# --------------------------------------------------------------------------
+
+# fixed bin edges shared by both engines (double comparisons are exact):
+# (-inf,-1], (-1,-0.5], (-0.5,-0.25], (-0.25,0], (0,0.25], (0.25,0.5],
+# (0.5,1], (1,inf) — symmetric around 0, tuned to unit-ish embeddings
+_DPSI_EDGES = (-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0)
+_DPSI_FLAG = 0.2  # the standard "investigate" PSI threshold
+
+
+def _dpsi_bin_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {e} THEN {i}" for i, e in enumerate(_DPSI_EDGES)
+    )
+    return f"CASE {whens} ELSE {len(_DPSI_EDGES)} END"
+
+
+@register(
+    "drift_embedding_dim_psi",
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id, label % 2 AS pop, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT pop, d.d AS dim, {_dpsi_bin_sql("v.v[d.d + 1]")} AS bin
+      FROM v CROSS JOIN generate_series(0, {_MMD_DIM - 1}) d(d)
+    ),
+    c AS (
+      SELECT dim, bin,
+             CAST(SUM(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS a,
+             CAST(SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS b
+      FROM cells GROUP BY dim, bin
+    ),
+    tot AS (
+      SELECT dim, CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+      FROM c GROUP BY dim
+    ),
+    terms AS (
+      SELECT c.dim,
+             ROUND((CAST(c.a AS DOUBLE) / t.ta - CAST(c.b AS DOUBLE) / t.tb)
+                   * LN((CAST(c.a AS DOUBLE) / t.ta)
+                        / (CAST(c.b AS DOUBLE) / t.tb)), 9) AS term
+      FROM c JOIN tot t ON t.dim = c.dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi,
+           CAST(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE) > {_DPSI_FLAG}
+                AS BOOLEAN) AS drift_flag
+    FROM terms GROUP BY dim
+    ORDER BY dim
+    """,
+    tags=("drift", "embedding", "psi", "profiling"),
+)
+def drift_embedding_dim_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION population stability index between two embedding
+    populations (even vs odd labels): each of the {_MMD_DIM} coordinates
+    is binned on a fixed symmetric grid and scored with the same smoothed
+    PSI as drift_psi_totalprice. Where drift_embedding_mmd answers "did
+    the distribution move" with one kernel number, this query answers
+    "WHICH coordinates moved" — the drill-down that tells you whether a
+    drift alarm is one rotated feature or a broad shift, and the
+    per-feature monitoring table model-observability stacks keep.
+
+    Exactness: bin assignment compares doubles against shared literal
+    edges (exact on both engines); counts are exact integers with +1
+    smoothing per observed (dim, bin); each PSI term is ONE double
+    expression rounded to 1e-9; the per-dim total follows the module
+    decimal-sum contract (partition-count-invariant), surfaced at 1e-6.
+
+    Scale: the explode is corpus × {_MMD_DIM} rows of map work feeding a
+    (dim, bin) rollup — map-side combinable, ≤{_MMD_DIM} × {len(_DPSI_EDGES) + 1}
+    groups; no joins wider than the dim-sized totals."""
+    whens = None
+    col = F.col("x")
+    for i, e in enumerate(_DPSI_EDGES):
+        whens = (
+            F.when(col <= e, i) if whens is None else whens.when(col <= e, i)
+        )
+    bin_expr = whens.otherwise(len(_DPSI_EDGES))
+    v = table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("pop"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cells = v.select(
+        "pop", F.posexplode("v").alias("dim", "x")
+    ).select("pop", "dim", bin_expr.alias("bin"))
+    c = cells.groupBy("dim", "bin").agg(
+        (F.sum(F.when(F.col("pop") == 0, 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("a"),
+        (F.sum(F.when(F.col("pop") == 1, 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = c.groupBy("dim").agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    terms = c.join(tot, "dim").select(
+        "dim",
+        F.round(
+            (F.col("a").cast("double") / F.col("ta") - F.col("b").cast("double") / F.col("tb"))
+            * F.log(
+                (F.col("a").cast("double") / F.col("ta"))
+                / (F.col("b").cast("double") / F.col("tb"))
+            ),
+            9,
+        ).alias("term"),
+    )
+    psi = F.sum(F.expr("cast(term as decimal(28,9))")).cast("double")
+    return (
+        terms.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(psi, 6).alias("psi"),
+            (psi > _DPSI_FLAG).alias("drift_flag"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n_bins", "psi", "drift_flag")
+        .orderBy("dim")
+    )

@@ -1144,3 +1144,135 @@ def privacy_dp_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "eps_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# power analysis / MDE planning for the hash-assigned experiment
+# --------------------------------------------------------------------------
+
+_MDE_PM = (10, 20, 50)  # minimum detectable effects, per-mille of arm mean
+
+
+@register(
+    "abtest_power_mde",
+    sql=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN bucket < 50 THEN 'control'
+                  WHEN bucket < 80 THEN 'variant_a'
+                  ELSE 'variant_b' END AS arm,
+             c_custkey
+      FROM (SELECT c_custkey,
+                   ('0x' || substr(md5('srm|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 100
+                     AS bucket
+            FROM customer)
+    ),
+    spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT a.arm, COALESCE(s.cents, 0) AS x
+      FROM assigned a LEFT JOIN spend s ON s.o_custkey = a.c_custkey
+    ),
+    moments AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+      FROM units GROUP BY arm
+    ),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({m})" for m in _MDE_PM)}) g(mde_pm))
+    SELECT m.arm, CAST(g.mde_pm AS INTEGER) AS mde_pm, m.n AS n_units,
+           CAST(m.sx // m.n AS BIGINT) AS mean_cents,
+           CAST(CEIL(
+             CAST(16000000 * (CAST(m.n AS DECIMAL(38,0)) * m.sxx
+                              - CAST(m.sx AS DECIMAL(38,0)) * m.sx) AS DOUBLE)
+             / CAST(CAST(g.mde_pm AS DECIMAL(38,0)) * g.mde_pm
+                    * CAST(m.sx AS DECIMAL(38,0)) * m.sx AS DOUBLE)
+           ) AS BIGINT) AS required_n,
+           CAST(m.n >= CEIL(
+             CAST(16000000 * (CAST(m.n AS DECIMAL(38,0)) * m.sxx
+                              - CAST(m.sx AS DECIMAL(38,0)) * m.sx) AS DOUBLE)
+             / CAST(CAST(g.mde_pm AS DECIMAL(38,0)) * g.mde_pm
+                    * CAST(m.sx AS DECIMAL(38,0)) * m.sx AS DOUBLE)
+           ) AS BOOLEAN) AS sufficient
+    FROM moments m CROSS JOIN grid g
+    ORDER BY m.arm, mde_pm
+    """,
+    tags=("experiments", "abtest", "power-analysis", "planning"),
+)
+def abtest_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power / sample-size planning for the hash-assigned experiment: for
+    each arm and each minimum-detectable-effect on the {_MDE_PM} per-mille
+    grid, the required n per arm under the standard two-sided
+    alpha=5% / power=80% normal approximation n ≈ 16·sigma²/delta²
+    (the '16 rule': (z_0.975 + z_0.80)² ≈ 15.7 rounded up), with
+    delta = mde·mean. The planning table every experimentation platform
+    shows BEFORE a test runs — SRM (abtest_srm_check) and CUPED
+    (abtest_cuped_adjusted) audit it after.
+
+    Exactness: per-arm moments are exact (bigint cents, DECIMAL(38,0)
+    for sum-of-squares — the CUPED overflow contract); the closed form
+    required_n = ceil(16e6·(n·Sxx − Sx²) / (mde_pm²·Sx²)) divides two
+    EXACT decimals in one mirrored double division (both engines cast the
+    same exact integers, so the quotient and its ceiling are identical).
+
+    Scale: one keyed rollup per arm (map-side combinable) + a 3×3
+    constant-grid crossJoin — nothing wider than the customer→spend join
+    ever shuffles."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm|"), F.col("c_custkey").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = cust.select(
+        F.when(bucket < 50, "control")
+        .when(bucket < 80, "variant_a")
+        .otherwise("variant_b")
+        .alias("arm"),
+        "c_custkey",
+    )
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    units = assigned.join(
+        spend, assigned["c_custkey"] == spend["o_custkey"], "left"
+    ).select("arm", F.coalesce("cents", F.lit(0)).alias("x"))
+    moments = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    )
+    grid = spark.createDataFrame([(m,) for m in _MDE_PM], "mde_pm int")
+    req = F.ceil(
+        F.expr(
+            "cast(16000000 * (cast(n as decimal(38,0)) * sxx"
+            " - cast(sx as decimal(38,0)) * sx) as double)"
+            " / cast(cast(mde_pm as decimal(38,0)) * mde_pm"
+            " * cast(sx as decimal(38,0)) * sx as double)"
+        )
+    ).cast("bigint")
+    return (
+        moments.crossJoin(F.broadcast(grid))
+        .select(
+            "arm",
+            F.col("mde_pm").cast("int").alias("mde_pm"),
+            F.col("n").alias("n_units"),
+            F.expr("sx div n").cast("bigint").alias("mean_cents"),
+            req.alias("required_n"),
+            (F.col("n") >= req).alias("sufficient"),
+        )
+        .orderBy("arm", "mde_pm")
+    )

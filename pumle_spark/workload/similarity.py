@@ -1765,3 +1765,145 @@ def embedding_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# 1-bit (sign) quantization: Hamming retrieval agreement vs exact cosine
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_sign_hamming_agreement",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(generate_series(1, {_DIM // 2}),
+               i -> CASE WHEN v[i] > 0
+                         THEN (1::BIGINT << ({_DIM // 2} - i)) ELSE 0 END)) AS hi,
+             list_sum(list_transform(generate_series({_DIM // 2 + 1}, {_DIM}),
+               i -> CASE WHEN v[i] > 0
+                         THEN (1::BIGINT << ({_DIM} - i)) ELSE 0 END)) AS lo
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, hi AS qhi, lo AS qlo
+          FROM codes WHERE vec_id % {_QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.qhi, c.hi)) + bit_count(xor(q.qlo, c.lo))
+                  AS BIGINT) AS hamming,
+             ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+      FROM q CROSS JOIN codes c
+      WHERE c.vec_id <> q.query_id
+    ),
+    rh AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, neighbor_id) AS r
+        FROM scored) WHERE r <= {_TOP_K}
+    ),
+    rc AS (
+      SELECT query_id, neighbor_id, r FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS r
+        FROM scored) WHERE r <= {_TOP_K}
+    )
+    SELECT rc.query_id,
+           CAST(COUNT(rh.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(rh.neighbor_id) * 1000000 // {_TOP_K} AS BIGINT)
+             AS agreement_ppm
+    FROM rc LEFT JOIN rh ON rh.query_id = rc.query_id
+                        AND rh.neighbor_id = rc.neighbor_id
+    GROUP BY rc.query_id
+    ORDER BY rc.query_id
+    """,
+    tags=("similarity", "quantization", "hamming", "evaluation"),
+)
+def embedding_sign_hamming_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-agreement audit for 1-bit (sign) embedding quantization:
+    pack each {_DIM}-dim vector into two 32-bit sign codes, rank the
+    corpus by Hamming distance, and report per query how much of the
+    exact-cosine top-{_TOP_K} the Hamming top-{_TOP_K} recovers
+    (agreement@k in ppm). 64x compression (float32[{_DIM}] → {_DIM} bits)
+    is the cheapest retrieval index there is; this query is the number
+    that says whether it is USABLE on this corpus — the 1-bit counterpart
+    of embedding_int8_quantization's reconstruction-error audit and
+    ann_recall_report's index grading.
+
+    Exactness: sign bits compare doubles to zero (exact on both engines);
+    codes are exact BIGINTs, Hamming is bit_count over xor (integer);
+    cosine follows the knn contract (6-decimal round, neighbor_id
+    tiebreak), so both rankings are total orders and agreement is an
+    exact integer.
+
+    Scale: codes are per-row map work; the strided query set is a
+    broadcast against the corpus (the adjudicated exact-kNN kernel — at
+    100 TB the Hamming side probes a multi-index/bucketed layout instead,
+    and THIS query is run on an audit sample to pick the operating
+    point)."""
+    half = _DIM // 2
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
+    hi = F.expr(
+        f"aggregate(sequence(0, {half - 1}), cast(0 as bigint),"
+        f" (acc, i) -> acc + IF(v[i] > 0d, shiftleft(cast(1 as bigint), {half - 1} - i),"
+        " cast(0 as bigint)))"
+    )
+    lo = F.expr(
+        f"aggregate(sequence({half}, {_DIM - 1}), cast(0 as bigint),"
+        f" (acc, i) -> acc + IF(v[i] > 0d, shiftleft(cast(1 as bigint), {_DIM - 1} - i),"
+        " cast(0 as bigint)))"
+    )
+    codes = e.select(
+        "vec_id", "v", hi.alias("hi"), lo.alias("lo")
+    ).withColumn("nv", _dot(F.col("v"), F.col("v")))
+    q = codes.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("hi").alias("qhi"),
+        F.col("lo").alias("qlo"),
+        F.col("nv").alias("nq"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / F.sqrt(F.col("nq") * F.col("nv"))
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("qhi ^ hi")) + F.bit_count(F.expr("qlo ^ lo"))
+            ).cast("bigint").alias("hamming"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    rh = (
+        scored.withColumn("r", F.row_number().over(w_h))
+        .filter(F.col("r") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    rc = (
+        scored.withColumn("r", F.row_number().over(w_c))
+        .filter(F.col("r") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        rc.join(rh.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.expr(f"count(hit) * 1000000 div {_TOP_K}")
+            .cast("bigint")
+            .alias("agreement_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -144,6 +144,9 @@ ALLOW = {
     "retrieval_ndcg_eval": {"BroadcastNestedLoopJoin": "single-row corpus (nd, sdl) scalar x pruned postings (bm25's class)"},
     "retrieval_rbo_overlap": {"BroadcastNestedLoopJoin": "single-row corpus (nd, sdl) scalar x pruned postings (bm25's class)"},
     "curation_dsir_weights": {"BroadcastNestedLoopJoin": "single-row bucket-LM totals x 1024-bucket grid"},
+    "dedup_lsh_tuning_report": {"BroadcastNestedLoopJoin": "single-row truth/doc-count scalars x 3 config rows"},
+    "abtest_power_mde": {"BroadcastNestedLoopJoin": "3-arm moments x 3-row MDE grid (constant product)"},
+    "embedding_sign_hamming_agreement": {"BroadcastNestedLoopJoin": "broadcast strided query set x corpus — the adjudicated exact-kNN kernel"},
 }
 
 
