@@ -1243,7 +1243,7 @@ def _sql_tune_config(r: int) -> str:
 )
 def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-layout tuning table: the SAME {_N_HASHES}-hash minhash
-    signature regrouped as (bands × rows) = {", ".join(f"({_N_HASHES // r}x{r})" for r in _TUNE_ROWS)},
+    signature regrouped as (bands × rows) = (8x1), (4x2), (2x4),
     each config graded against the exact ≥{_JACCARD_MIN}-Jaccard truth
     pairs — pair completeness (recall of true pairs) and reduction ratio
     (share of the n·(n−1)/2 pair space never considered), in exact ppm.

@@ -1798,28 +1798,23 @@ def embedding_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q CROSS JOIN codes c
       WHERE c.vec_id <> q.query_id
     ),
-    rh AS (
-      SELECT query_id, neighbor_id, r FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY hamming ASC, neighbor_id) AS r
-        FROM scored) WHERE r <= {_TOP_K}
-    ),
-    rc AS (
-      SELECT query_id, neighbor_id, r FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cos_sim DESC, neighbor_id) AS r
-        FROM scored) WHERE r <= {_TOP_K}
+    ranked AS (
+      -- both ranks in ONE pass over scored: no self-join, no second scan
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, neighbor_id) AS rh,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rc
+      FROM scored
     )
-    SELECT rc.query_id,
-           CAST(COUNT(rh.neighbor_id) AS BIGINT) AS n_overlap,
-           CAST(COUNT(rh.neighbor_id) * 1000000 // {_TOP_K} AS BIGINT)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rh <= {_TOP_K} AND rc <= {_TOP_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN rh <= {_TOP_K} AND rc <= {_TOP_K}
+                         THEN 1 ELSE 0 END) * 1000000 // {_TOP_K} AS BIGINT)
              AS agreement_ppm
-    FROM rc LEFT JOIN rh ON rh.query_id = rc.query_id
-                        AND rh.neighbor_id = rc.neighbor_id
-    GROUP BY rc.query_id
-    ORDER BY rc.query_id
+    FROM ranked GROUP BY query_id
+    ORDER BY query_id
     """,
     tags=("similarity", "quantization", "hamming", "evaluation"),
 )
@@ -1886,24 +1881,23 @@ def embedding_sign_hamming_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     w_c = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    rh = (
-        scored.withColumn("r", F.row_number().over(w_h))
-        .filter(F.col("r") <= _TOP_K)
-        .select("query_id", "neighbor_id")
+    # both ranks in ONE pass over scored: two Window sorts share the same
+    # partitioning and one scan chain — no self-join, no recomputed lineage
+    # (two separate top-k DataFrames joined back would scan the corpus twice)
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_h).alias("rh"),
+        F.row_number().over(w_c).alias("rc"),
     )
-    rc = (
-        scored.withColumn("r", F.row_number().over(w_c))
-        .filter(F.col("r") <= _TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    hit = F.when((F.col("rh") <= _TOP_K) & (F.col("rc") <= _TOP_K), 1).otherwise(0)
     return (
-        rc.join(rh.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
+        ranked.groupBy("query_id")
         .agg(
-            F.count("hit").cast("bigint").alias("n_overlap"),
-            F.expr(f"count(hit) * 1000000 div {_TOP_K}")
-            .cast("bigint")
-            .alias("agreement_ppm"),
+            F.sum(hit).cast("bigint").alias("n_overlap"),
+            F.expr(
+                f"sum(CASE WHEN rh <= {_TOP_K} AND rc <= {_TOP_K} THEN 1 ELSE 0 END)"
+                f" * 1000000 div {_TOP_K}"
+            ).cast("bigint").alias("agreement_ppm"),
         )
         .orderBy("query_id")
     )

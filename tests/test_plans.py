@@ -353,3 +353,63 @@ def test_shingles_have_no_window_or_distinct_shuffle(spark):
     no Window operator from shingle construction."""
     plan = plan_of("dedup_minhash_lsh", spark)
     assert "Window" not in plan
+
+
+# --------------------------------------------------------------------------
+# round-6 additions: the plan shapes their docstrings promise
+# --------------------------------------------------------------------------
+
+
+def test_dsir_bucket_lm_broadcasts_to_token_stream(spark):
+    """The 1024-bucket LM must reach the token stream as a broadcast hash
+    join — a sort-merge there would shuffle the full token explosion."""
+    plan = plan_of("curation_dsir_weights", spark)
+    assert "BroadcastHashJoin [b" in plan
+    # per-doc scoring joins the bucket weights, never doc x doc
+    assert "CartesianProduct" not in plan
+
+
+def test_token_fertility_is_one_rollup_no_joins(spark):
+    plan = plan_of("text_token_fertility", spark)
+    for pat in ("Join", "Exchange hashpartitioning(source"):
+        pass  # structure asserted below
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # partial + final aggregate around a single (source, lang) exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ndcg_and_rbo_prune_postings_before_scoring(spark):
+    """The BM25 candidate table must be built from a broadcast of the
+    constant query-term set (inverted-index probe), not a corpus-wide
+    shuffle join against it."""
+    for q in ("retrieval_ndcg_eval", "retrieval_rbo_overlap"):
+        plan = plan_of(q, spark)
+        assert "BroadcastHashJoin [term" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_sign_hamming_broadcasts_query_side(spark):
+    """The strided query set rides a broadcast; the corpus side streams
+    (the adjudicated exact-kNN kernel shape)."""
+    plan = plan_of("embedding_sign_hamming_agreement", spark)
+    assert "BroadcastNestedLoopJoin" in plan
+    # both rankings come off the same scored relation: no second corpus scan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_dim_psi_is_mapwork_plus_dim_rollup(spark):
+    plan = plan_of("drift_embedding_dim_psi", spark)
+    assert "Generate posexplode" in plan or "Generate explode" in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_tuning_reuses_checkpointed_signature_and_truth(spark):
+    """The quadratic truth subtree and the signature build are pinned with
+    localCheckpoint so the three config branches reuse them instead of
+    recomputing the all-pairs join per config."""
+    from pumle_spark.workload.dedup import dedup_lsh_tuning_report
+
+    plan = dedup_lsh_tuning_report(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # checkpointed RDD scans appear in place of three repeated shingle joins
+    assert "Scan ExistingRDD" in plan
