@@ -70,60 +70,66 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's CORRECTNESS_r{N}.json records at most 50 queries, taken in
 # registration order. To rotate coverage across rounds, queries already
 # hash-verified by the driver in a previous round (green union over
-# CORRECTNESS_r01–r05 = 201 names; provenance: the checked-in
+# CORRECTNESS_r01–r06 = 251 names; provenance: the checked-in
 # CORRECTNESS_r0*.json files) are pushed behind the window.
 #
-# _DRIVER_WINDOW_R06 is round 6's 50-row window, EXPLICIT and ordered:
-# the 37 queries registered after the round-5 window froze (the former
-# _DRIVER_QUEUE_R06, all local-green via tools/oracle_check.py 290/290 at
-# sf0.01 but never driver-verified), followed by the first 13 (in
-# registration order) of the 52 pre-freeze local-only names. The 39
-# remaining pre-freeze names drain in round 7. The freeze is enforced by
-# tests/test_registry.py: queries()[:50] must equal this tuple and be
+# _DRIVER_WINDOW_R07 is round 7's 50-row window, EXPLICIT and ordered —
+# the verbatim output of `python tools/next_window.py` at freeze time: the
+# 11 queries registered after the round-6 window froze (the former
+# _DRIVER_QUEUE_R07, all local-green via tools/oracle_check.py 301/301 at
+# sf0.01 but never driver-verified), followed by the 39 remaining
+# pre-freeze never-driver-verified names in registration order. 11 + 39 =
+# exactly 50: this round drains the driver-verification backlog to ZERO
+# (next_window.py printed leftovers = 0 at freeze). The freeze is enforced
+# by tests/test_registry.py: queries()[:50] must equal this tuple and be
 # disjoint from every prior CORRECTNESS_r0*.json green union.
-_DRIVER_WINDOW_R06 = (
-    # -- registered after the r05 window froze (37) -----------------------
-    "mine_hard_negatives", "regress_theilsen_trend", "profile_fd_candidates",
-    "forecast_holt_linear", "events_fano_burstiness", "text_keyword_textrank",
-    "multimodal_phash_neardup", "graph_ppr_seeded",
-    "stream_watermark_policy_audit", "drift_embedding_mmd",
-    "audit_orderdate_gaps", "privacy_t_closeness", "sample_coreset_kcenter",
-    "orders_rfm_migration", "stream_trending_topk_final",
-    "orders_littles_law_audit", "orders_spc_control_chart",
-    "embedding_knn_label_audit", "sample_neyman_allocation",
-    "drift_importance_weights", "events_markov_accuracy",
-    "mix_waterfill_budget", "abtest_sprt_sequential",
-    "curation_contrastive_batches", "privacy_dp_budget_plan",
-    "events_interrupted_timeseries", "join_relational_division",
-    "events_growth_accounting", "graph_walk_corpus",
-    "sketch_ams_f2", "events_entropy_rate", "text_cluster_js_mauve",
-    "sample_horvitz_thompson", "forecast_hierarchy_reconcile",
-    "text_watermark_zscores", "orders_max_drawdown",
-    "curation_retention_bias_audit",
-    # -- first 13 of the 52 pre-freeze never-driver-verified names --------
-    "orders_shiplag_survival", "decomp_monthly_revenue",
-    "forecast_ewma_revenue", "revenue_pvm_bridge", "orders_price_elasticity",
-    "audit_duplicate_payments", "anova_twoway_cells", "returns_wilson_ci",
-    "supplier_scorecard", "price_index_fisher", "pattern_decline_streaks",
-    "split_cluster_aware", "split_leakage_neardup",
-)
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R06)}
-
-# Queries registered AFTER the round-6 window froze (the driver records only
-# queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 7's window together with the 39 remaining pre-freeze names (registry minus
-# the CORRECTNESS_r01–r06 green union minus this queue — recompute with that
-# set algebra when building _DRIVER_WINDOW_R07). Keep this list in sync when
-# adding queries this round; its length is whatever len() says, never a
-# hand-maintained count.
-# 11 round-6 additions + the 39 remaining pre-freeze names = exactly one
-# 50-row window: round 7 drains the driver-verification backlog to ZERO.
-_DRIVER_QUEUE_R07: tuple[str, ...] = (
+#
+# POST-DRAIN ROTATION POLICY (round 8 onward): with the backlog at zero,
+# every name has been driver-verified at least once — but only once, ever;
+# a regression introduced after a name's round would never re-enter the
+# driver record. From R08 the window rotates the 50 OLDEST-VERIFIED names:
+# never-verified queue names first (new surface), then names ordered by
+# (last round seen green ascending, registration order). next_window.py
+# computes this mechanically from the checked-in CORRECTNESS records —
+# the freeze stays a paste, and driver verification stays live with each
+# name re-verified roughly every ceil(registry/50) rounds.
+_DRIVER_WINDOW_R07 = (
+    # -- registered after the r06 window froze (the 11-name queue) --------
     "text_langid_kappa", "text_token_fertility", "retrieval_ndcg_eval",
     "retrieval_rbo_overlap", "curation_dsir_weights",
     "dedup_lsh_tuning_report", "curation_softdedup_weights",
     "text_rouge_cluster_pairs", "abtest_power_mde",
     "embedding_sign_hamming_agreement", "drift_embedding_dim_psi",
+    # -- the 39 remaining pre-freeze never-driver-verified names ----------
+    "profile_column_entropy", "drift_ks_two_sample", "drift_token_js",
+    "stream_sessionize_final", "attribution_markov_removal",
+    "events_calibration_report", "events_anomaly_mad",
+    "events_cohort_value_curve", "events_funnel_latency",
+    "sessions_peak_concurrency", "events_attribution_shapley",
+    "slo_burn_rate_alerts", "abtest_srm_check", "abtest_cuped_adjusted",
+    "stats_bootstrap_ci", "privacy_k_anonymity", "abtest_diff_in_diff",
+    "privacy_l_diversity", "graph_kcore_membership", "graph_lpa_communities",
+    "graph_link_prediction", "graph_region_modularity",
+    "layout_zonemap_skipping", "basket_association_rules",
+    "activity_timeline_union", "split_temporal_purged",
+    "embedding_label_centroids", "embedding_int8_quantization",
+    "embedding_effective_dim", "retrieval_mmr_diversified",
+    "text_line_dedup_profile", "text_ngram_novelty", "text_bm25_topk",
+    "retrieval_rrf_fusion", "text_heaps_law", "text_bpe_pair_stats",
+    "text_bigram_perplexity", "text_vocab_coverage", "text_gopher_rules",
+)
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R07)}
+
+# Queries registered AFTER the round-7 window froze (the driver records only
+# queries()[:50]): local-green but not yet driver-verified — they head ROUND
+# 8's window, followed by the oldest-verified names per the post-drain
+# rotation policy above (compute with tools/next_window.py when freezing
+# _DRIVER_WINDOW_R08). Keep this list in sync when adding queries this
+# round; its length is whatever len() says, never a hand-maintained count.
+_DRIVER_QUEUE_R08: tuple[str, ...] = (
+    "mix_unimax_epochs",
+    "sample_weighted_aes",
+    "sketch_bloom_tuning",
 )
 
 

@@ -835,3 +835,262 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_ppm"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# UniMax epoch-capped language budget allocation (arXiv:2304.09151)
+# --------------------------------------------------------------------------
+
+_UMX_EPOCH_CAP = 4  # max epochs any language may repeat
+_UMX_BUDGET = 75_000  # total budget: binds the cap for low-resource langs at sf0.01
+
+_SQL_UMX_TOKS = """
+    toks AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(string_split_regex(trim(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        FROM documents) WHERE w <> ''
+    )
+"""
+
+
+@register(
+    "mix_unimax_epochs",
+    sql=f"""
+    WITH {_SQL_UMX_TOKS},
+    a AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS avail,
+             CAST({_UMX_EPOCH_CAP} * COUNT(*) AS BIGINT) AS cap
+      FROM toks GROUP BY lang
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nl,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      FROM a
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN cap * (nl - i + 1) + pfx <= {_UMX_BUDGET}
+                     THEN 1 ELSE 0 END AS capped
+      FROM rk
+    ),
+    tot AS (
+      SELECT CAST(SUM(capped) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN cap END), 0) AS BIGINT)
+               AS spent,
+             CAST(MAX(nl) AS BIGINT) AS nl2
+      FROM flagged
+    ),
+    alloc AS (
+      SELECT f.lang, f.avail, f.cap, f.capped,
+             CASE WHEN f.capped = 1 THEN f.cap
+                  WHEN t.nl2 > t.k
+                    THEN ({_UMX_BUDGET} - t.spent) // (t.nl2 - t.k)
+                       + CASE WHEN ROW_NUMBER() OVER (ORDER BY f.capped, f.lang)
+                              <= ({_UMX_BUDGET} - t.spent) % (t.nl2 - t.k)
+                              THEN 1 ELSE 0 END
+                  ELSE 0 END AS alloc_tokens
+      FROM flagged f CROSS JOIN tot t
+    )
+    SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
+           CAST(capped AS INTEGER) AS capped,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000 // avail AS BIGINT) AS epochs_milli,
+           CAST(alloc_tokens * 1000000 // {_UMX_BUDGET} AS BIGINT) AS share_ppm
+    FROM alloc
+    ORDER BY lang
+    """,
+    tags=("sampling", "mixture", "unimax", "epochs"),
+)
+def mix_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al., arXiv:2304.09151): allocate
+    a {_UMX_BUDGET}-token budget across languages as UNIFORMLY as
+    possible, subject to no language repeating more than {_UMX_EPOCH_CAP}
+    epochs of its available tokens — the fairness-first alternative to
+    temperature sampling (mix_temperature_rebalance) that provably never
+    over-repeats low-resource languages.
+
+    The paper's sequential greedy loop has a closed prefix form: sort
+    languages ascending by cap_l = {_UMX_EPOCH_CAP}·avail_l; language i
+    is cap-bound iff cap_i·(L−i+1) + Σ_(j<i) cap_j ≤ B (the remaining
+    equal share still exceeds its cap), and because caps ascend, the
+    bound set is a PREFIX — so one window rank + one prefix sum replace
+    the loop. Unbound languages split the leftover exactly via
+    largest-remainder apportionment (the sample_neyman_allocation
+    machinery); the allocation sums to the budget unless every language
+    caps (then Σ = Σ caps and the shortfall is visible in share_ppm).
+
+    Exactness: token counts, caps, prefix sums, and the final division
+    are all BIGINT; both engines truncate identically. Scale: one token
+    rollup per language, then |langs| rows end to end — the windows and
+    the scalar crossJoin ride dim-sized relations (plan_lint classes a)."""
+    from pumle_spark.workload.text import _tokens_col
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    a = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("avail"),
+        (F.lit(_UMX_EPOCH_CAP) * F.count(F.lit(1))).cast("bigint").alias("cap"),
+    )
+    w_cap = Window.orderBy("cap", "lang")
+    rk = a.select(
+        "*",
+        F.row_number().over(w_cap).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("nl"),
+        F.coalesce(
+            F.sum("cap").over(w_cap.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("pfx"),
+    )
+    flagged = rk.withColumn(
+        "capped",
+        F.when(
+            F.col("cap") * (F.col("nl") - F.col("i") + 1) + F.col("pfx")
+            <= _UMX_BUDGET,
+            1,
+        ).otherwise(0),
+    )
+    tot = flagged.agg(
+        F.sum("capped").cast("bigint").alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        ).cast("bigint").alias("spent"),
+        F.max("nl").cast("bigint").alias("nl2"),
+    )
+    w_u = Window.orderBy("capped", "lang")
+    alloc = (
+        flagged.crossJoin(F.broadcast(tot))
+        .withColumn("rn_u", F.row_number().over(w_u))
+        .select(
+            "lang",
+            "avail",
+            "cap",
+            "capped",
+            F.when(F.col("capped") == 1, F.col("cap"))
+            .when(
+                F.col("nl2") > F.col("k"),
+                F.expr(f"({_UMX_BUDGET} - spent) div (nl2 - k)")
+                + F.when(
+                    F.col("rn_u")
+                    <= F.expr(f"({_UMX_BUDGET} - spent) % (nl2 - k)"),
+                    1,
+                ).otherwise(0),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("capped").cast("int").alias("capped"),
+        "alloc_tokens",
+        F.expr("alloc_tokens * 1000 div avail").cast("bigint").alias("epochs_milli"),
+        F.expr(f"alloc_tokens * 1000000 div {_UMX_BUDGET}")
+        .cast("bigint")
+        .alias("share_ppm"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement: Efraimidis–Spirakis exponential race
+# --------------------------------------------------------------------------
+
+_AES_K = 8  # sample size per source
+# -ln(u) lookup over 256 midpoint-quantized uniforms: transcendentals differ
+# between libm and the JVM in the last ulp, so ln() can never appear in an
+# oracle-compared expression (the HLL linear-counting rule). The table ships
+# as literals computed once in Python; repr() round-trips the exact doubles,
+# and everything after the lookup is IEEE-exact (one divide, one multiply,
+# one round) — bit-identical on both engines.
+import math as _math  # noqa: E402
+
+_AES_LNU = [(i, -_math.log((i + 0.5) / 256.0)) for i in range(256)]
+_AES_LNU_SQL = ", ".join(f"({i}, {v!r})" for i, v in _AES_LNU)
+
+
+@register(
+    "sample_weighted_aes",
+    sql=f"""
+    WITH lnu(idx, v) AS (VALUES {_AES_LNU_SQL}),
+    d AS (
+      SELECT source, doc_id, GREATEST(n_chars, 1) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|aes'), 1, 2))::BIGINT
+               AS idx
+      FROM documents
+    ),
+    keyed AS (
+      SELECT d.source, d.doc_id, d.w,
+             CAST(ROUND(l.v / d.w * 1000000000) AS BIGINT) AS e_nano
+      FROM d JOIN lnu l ON l.idx = d.idx
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id,
+           CAST(w AS BIGINT) AS weight_chars, e_nano
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY e_nano, doc_id) AS rnk
+          FROM keyed)
+    WHERE rnk <= {_AES_K}
+    ORDER BY source, rnk
+    """,
+    tags=("sampling", "weighted", "reservoir"),
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per source — the
+    Efraimidis–Spirakis reservoir (A-ES, IPL 2006): item i wins with the
+    smallest exponential clock e_i = −ln(u_i)/w_i, which makes inclusion
+    exactly size-proportional without replacement; here w = document
+    chars, so the sample is a tokens-proportional audit draw (the
+    standard "inspect what training actually sees" picker, vs the
+    unweighted md5 lottery of sample_stratified_documents).
+
+    Determinism: u_i quantizes to 256 md5-derived midpoint uniforms whose
+    −ln values are PRECOMPUTED PYTHON LITERALS (the HLL linear-counting
+    table rule — transcendentals never cross the oracle boundary); the
+    clock is then one IEEE-exact divide+multiply rounded ONCE to
+    nano-units, and the race is an integer rank with doc_id tiebreak.
+    A 1000-executor run, a rerun, and the DuckDB oracle pick the same
+    sample byte for byte.
+
+    Scale: one 256-row broadcast join + a per-source top-{_AES_K} window
+    — the reservoir never materializes; at 100 TB the same plan holds
+    with the window replaced by per-partition top-k + re-rank (Spark
+    does this automatically via partial TakeOrdered under the rank
+    filter)."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint").alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|aes"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("idx"),
+    )
+    lnu = spark.createDataFrame(_AES_LNU, "idx bigint, v double")
+    keyed = d.join(F.broadcast(lnu), "idx").select(
+        "source",
+        "doc_id",
+        "w",
+        F.round(F.col("v") / F.col("w") * 1_000_000_000).cast("bigint").alias("e_nano"),
+    )
+    wr = Window.partitionBy("source").orderBy("e_nano", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _AES_K)
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            F.col("w").alias("weight_chars"),
+            "e_nano",
+        )
+        .orderBy("source", "rnk")
+    )

@@ -1839,7 +1839,17 @@ def embedding_sign_hamming_agreement(spark: SparkSession, sf_dir: str) -> DataFr
     broadcast against the corpus (the adjudicated exact-kNN kernel — at
     100 TB the Hamming side probes a multi-index/bucketed layout instead,
     and THIS query is run on an audit sample to pick the operating
-    point)."""
+    point). Like ann_recall_report's ground-truth subtree, the
+    queries x corpus crossJoin refuses oversized corpora instead of
+    hanging (dedup._assert_allpairs_bounded, same 5x GEMM-shaped cap)."""
+    from pumle_spark.workload.dedup import _ALLPAIRS_MAX_VECS, _assert_allpairs_bounded
+
+    _assert_allpairs_bounded(
+        table(spark, sf_dir, "embeddings").count(),
+        5 * _ALLPAIRS_MAX_VECS,
+        "embedding_sign_hamming_agreement (queries x corpus agreement audit)",
+        "ann_ivfpq_topk / ann_lsh_codes (the production retrieval paths)",
+    )
     half = _DIM // 2
     e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
     hi = F.expr(

@@ -1157,3 +1157,201 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter tuning grid: measured FPR + fill factor per (m, k) config
+# ---------------------------------------------------------------------------
+
+_BFT_CONFIGS = ((1024, 2), (4096, 3), (16384, 6))
+_BFT_MAX_K = max(k for _, k in _BFT_CONFIGS)
+
+
+def _bft_pos_sql(i: str, m: str) -> str:
+    # per-config salt (m in the key) so the three filters use independent bits
+    return (
+        f"('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || {i}"
+        f" || '@' || {m}), 1, 8))::BIGINT % {m}"
+    )
+
+
+@register(
+    "sketch_bloom_tuning",
+    sql=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    cfg(m, k) AS (VALUES {", ".join(f"({m}, {k})" for m, k in _BFT_CONFIGS)}),
+    member_bits AS (
+      SELECT c.m, c.k,
+             ({_bft_pos_sql('r.i', 'c.m')}) // {_BLOOM_WORD} AS word_idx,
+             bit_or(1::BIGINT << (({_bft_pos_sql('r.i', 'c.m')}) % {_BLOOM_WORD}))
+               AS word
+      FROM members CROSS JOIN cfg c
+      CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_BFT_MAX_K))}) r(i)
+      WHERE r.i < c.k
+      GROUP BY c.m, c.k, word_idx
+    ),
+    probe AS (
+      SELECT cu.c_custkey, c.m, c.k,
+             ({_bft_pos_sql('r.i', 'c.m')}) // {_BLOOM_WORD} AS word_idx,
+             ({_bft_pos_sql('r.i', 'c.m')}) % {_BLOOM_WORD} AS bit_pos
+      FROM customer cu CROSS JOIN cfg c
+      CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_BFT_MAX_K))}) r(i)
+      WHERE r.i < c.k AND cu.c_custkey NOT IN (SELECT c_custkey FROM members)
+    ),
+    verdicts AS (
+      SELECT p.m, p.k, p.c_custkey,
+             MIN((COALESCE(b.word, 0) >> p.bit_pos) & 1) AS all_bits
+      FROM probe p
+      LEFT JOIN member_bits b
+        ON b.m = p.m AND b.k = p.k AND b.word_idx = p.word_idx
+      GROUP BY p.m, p.k, p.c_custkey
+    ),
+    fill AS (
+      SELECT m, k, CAST(SUM(bit_count(word)) AS BIGINT) AS n_bits_set
+      FROM member_bits GROUP BY m, k
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+    SELECT v.m, CAST(v.k AS INTEGER) AS k, nm.n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_nonmember_probes,
+           CAST(SUM(v.all_bits) AS BIGINT) AS n_false_pos,
+           CAST(SUM(v.all_bits) * 1000000 // COUNT(*) AS BIGINT) AS fpr_ppm,
+           f.n_bits_set,
+           CAST(f.n_bits_set * 1000000 // v.m AS BIGINT) AS fill_ppm
+    FROM verdicts v
+    JOIN fill f ON f.m = v.m AND f.k = v.k
+    CROSS JOIN nm
+    GROUP BY v.m, v.k, nm.n_members, f.n_bits_set
+    ORDER BY v.m
+    """,
+    tags=("sketch", "bloom", "tuning", "evaluation"),
+)
+def sketch_bloom_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter config picker — the sketch counterpart of
+    dedup_lsh_tuning_report: build the SAME member set (1995 customers)
+    into {len(_BFT_CONFIGS)} filters of different size/hash-count
+    {_BFT_CONFIGS}, probe each with every exact NON-member (ground truth
+    by anti-join, so every positive is a false positive by construction),
+    and report measured FPR and fill factor per config. The replay test
+    checks measured FPR against the (1−e^(−kn/m))^k theory curve —
+    python-side, because transcendentals never cross the oracle boundary
+    (the sample_weighted_aes / HLL rule).
+
+    Exactness: positions are md5-derived integers (per-config salt so the
+    grids are independent), words are BIGINT bit_or, FPR/fill are integer
+    ppm — byte-identical across engines and cluster sizes.
+
+    Scale: each filter is m/{_BLOOM_WORD} words of mergeable state (map-side
+    bit_or partials, one dim-sized rollup); probes fan out by a constant
+    k and join the broadcast word table — the runtime-filter economics
+    this grid exists to tune."""
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    members = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    cfgs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.lit(k).alias("k"))
+                for m, k in _BFT_CONFIGS
+            ]
+        )
+    ).alias("cfg")
+
+    def pos(key: F.Column) -> F.Column:
+        h = F.md5(
+            F.concat(
+                key.cast("string"),
+                F.lit("#"),
+                F.col("i").cast("string"),
+                F.lit("@"),
+                F.col("m").cast("string"),
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.col("m")
+
+    def fan(df):
+        return (
+            df.select("c_custkey", cfgs)
+            .select("c_custkey", "cfg.m", "cfg.k")
+            .select(
+                "*",
+                F.explode(
+                    F.array(*[F.lit(i) for i in range(_BFT_MAX_K)])
+                ).alias("i"),
+            )
+            .filter(F.col("i") < F.col("k"))
+        )
+
+    mbits = (
+        fan(members)
+        .withColumn("bit", pos(F.col("c_custkey")))
+        .select(
+            "m",
+            "k",
+            (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("m", "k", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    probe = (
+        fan(cu.join(members, "c_custkey", "left_anti").select("c_custkey"))
+        .withColumn("bit", pos(F.col("c_custkey")))
+        .select(
+            "c_custkey",
+            "m",
+            "k",
+            (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
+            (F.col("bit") % _BLOOM_WORD).cast("int").alias("bit_pos"),
+        )
+    )
+    verdicts = (
+        probe.join(F.broadcast(mbits), ["m", "k", "word_idx"], "left")
+        .withColumn(
+            "bit_set",
+            F.expr(
+                "shiftright(coalesce(word, CAST(0 AS BIGINT)), bit_pos)"
+                " & CAST(1 AS BIGINT)"
+            ),
+        )
+        .groupBy("m", "k", "c_custkey")
+        .agg(F.min("bit_set").alias("all_bits"))
+    )
+    fill = mbits.groupBy("m", "k").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_bits_set")
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (
+        verdicts.groupBy("m", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nonmember_probes"),
+            F.sum("all_bits").cast("bigint").alias("n_false_pos"),
+            F.expr("sum(all_bits) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("fpr_ppm"),
+        )
+        .join(F.broadcast(fill), ["m", "k"])
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "m",
+            F.col("k").cast("int").alias("k"),
+            "n_members",
+            "n_nonmember_probes",
+            "n_false_pos",
+            "fpr_ppm",
+            "n_bits_set",
+            F.expr("n_bits_set * 1000000 div m").cast("bigint").alias("fill_ppm"),
+        )
+        .orderBy("m")
+    )

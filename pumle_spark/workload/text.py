@@ -1415,10 +1415,14 @@ def _bm25_query_values() -> str:
     return f"(VALUES {rows}) q(query_id, term)"
 
 
-@register(
-    "text_bm25_topk",
-    sql=f"""
-    WITH toks AS (
+# Shared CTE text: the exact BM25 scoring contract (idf·tf-saturation per
+# (query-term, doc), once-quantized to micro, exact BIGINT sum), plus the
+# graded relevance rel = #distinct query terms in doc. text_bm25_topk AND
+# the retrieval evals (nDCG/RBO) all build on this one relation, so the
+# "same scoring contract" between ranker and its evaluators is a single
+# definition, not a convention that can drift.
+_SQL_BM25_REL = f"""
+    toks AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
     ),
     toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -1427,13 +1431,13 @@ def _bm25_query_values() -> str:
                      CAST(SUM(dl) AS BIGINT) AS sdl FROM dlen),
     tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM toks_ok GROUP BY 1, 2),
-    qt AS (SELECT * FROM {_bm25_query_values()}),
+    qt AS (SELECT * FROM {{values}}),
     df AS (
       SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS dfreq
       FROM tf WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1
     ),
     contrib AS (
-      SELECT qt.query_id, tf.doc_id,
+      SELECT qt.query_id, tf.doc_id, tf.term, dlen.dl,
              CAST(ROUND(
                ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
                * (CAST(cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
@@ -1448,38 +1452,20 @@ def _bm25_query_values() -> str:
       CROSS JOIN stats
     ),
     scored AS (
-      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      SELECT query_id, doc_id,
+             CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS rel,
+             CAST(MAX(dl) AS BIGINT) AS dl
       FROM contrib GROUP BY 1, 2
     )
-    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_micro,
-           CAST(rnk AS INTEGER) AS rnk
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY score_micro DESC, doc_id) AS rnk
-          FROM scored)
-    WHERE rnk <= {_BM25_TOPK}
-    ORDER BY query_id, rnk
-    """,
-    tags=("text", "bm25", "ranking", "retrieval"),
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (Okapi, k1={_BM25_K1}, b={_BM25_B}) top-{_BM25_TOPK} retrieval
-    for a fixed multi-term query set — the ranking function behind every
-    classic search/retrieval stage of a data pipeline (and the usual
-    lexical half of hybrid retrieval next to the ANN family).
+"""
 
-    Determinism (the once-quantized-step discipline): each (query-term,
-    doc) contribution idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is ONE
-    double expression over exact integer inputs, quantized ONCE to
-    micro-units; the per-(query,doc) score is then an exact BIGINT sum,
-    so cross-engine float-sum ordering cannot reorder the top-k (doc_id
-    tiebreak on equal quantized scores).
 
-    Scale: the query set is a constant broadcast; joining it to the
-    (doc,term) term-frequency table FIRST prunes the postings to query
-    terms only — the classic inverted-index probe — so the scored
-    relation is |matching postings|, not the corpus. df and corpus stats
-    are term-/scalar-sized broadcasts; the final top-k is a per-query
-    window over the pruned score table."""
+def _bm25_scored_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_micro, rel, dl): the BM25 candidate table
+    shared by text_bm25_topk and the retrieval-eval queries (nDCG/RBO);
+    rel = #distinct query terms the doc contains is the evals' graded
+    relevance. Mirrors _SQL_BM25_REL column for column."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
         F.col("term") != ""
@@ -1508,6 +1494,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
+            "term",
+            "dl",
             F.round(
                 F.log(
                     F.lit(1.0)
@@ -1525,9 +1513,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_micro"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c_micro").cast("bigint").alias("score_micro")
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").cast("bigint").alias("score_micro"),
+        F.count_distinct("term").cast("bigint").alias("rel"),
+        F.max("dl").cast("bigint").alias("dl"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    sql=f"""
+    WITH {_SQL_BM25_REL.format(values=_bm25_query_values())}
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_micro,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT query_id, doc_id, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {_BM25_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    tags=("text", "bm25", "ranking", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1={_BM25_K1}, b={_BM25_B}) top-{_BM25_TOPK} retrieval
+    for a fixed multi-term query set — the ranking function behind every
+    classic search/retrieval stage of a data pipeline (and the usual
+    lexical half of hybrid retrieval next to the ANN family). Built on the
+    SAME scored relation (_bm25_scored_rel / _SQL_BM25_REL) its nDCG/RBO
+    evaluators grade, so ranker and evals cannot drift apart.
+
+    Determinism (the once-quantized-step discipline): each (query-term,
+    doc) contribution idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is ONE
+    double expression over exact integer inputs, quantized ONCE to
+    micro-units; the per-(query,doc) score is then an exact BIGINT sum,
+    so cross-engine float-sum ordering cannot reorder the top-k (doc_id
+    tiebreak on equal quantized scores).
+
+    Scale: the query set is a constant broadcast; joining it to the
+    (doc,term) term-frequency table FIRST prunes the postings to query
+    terms only — the classic inverted-index probe — so the scored
+    relation is |matching postings|, not the corpus. df and corpus stats
+    are term-/scalar-sized broadcasts; the final top-k is a per-query
+    window over the pruned score table."""
+    scored = _bm25_scored_rel(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id")
     )
@@ -2644,8 +2673,9 @@ def text_watermark_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 2 * COALESCE(dg.n_correct, 0) * 1000000
                           // (c.n_true + c.n_pred)
                      ELSE 0 END AS BIGINT) AS f1_ppm,
-           CAST((t.nn * t.dd - t.ss) * 1000000 // (t.nn * t.nn - t.ss) AS BIGINT)
-             AS kappa_micro
+           CAST(CASE WHEN t.nn * t.nn > t.ss
+                     THEN (t.nn * t.dd - t.ss) * 1000000 // (t.nn * t.nn - t.ss)
+                     ELSE 0 END AS BIGINT) AS kappa_micro
     FROM cls c LEFT JOIN diag dg ON dg.cls = c.cls CROSS JOIN tot t
     ORDER BY c.cls
     """,
@@ -2734,7 +2764,15 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 2 * coalesce(n_correct, 0) * 1000000 div (n_true + n_pred)"
                 " ELSE 0 END"
             ).cast("bigint").alias("f1_ppm"),
-            F.expr("(nn * dd - ss) * 1000000 div (nn * nn - ss)")
+            # N² == Σ rowc·colc for a degenerate single-class matrix:
+            # Spark div would yield NULL, DuckDB // would raise — guard on
+            # both engines (kappa is 0 by convention when chance agreement
+            # saturates), mirroring the collision_ppm fix.
+            F.expr(
+                "CASE WHEN nn * nn > ss"
+                " THEN (nn * dd - ss) * 1000000 div (nn * nn - ss)"
+                " ELSE 0 END"
+            )
             .cast("bigint")
             .alias("kappa_micro"),
         )
@@ -2751,7 +2789,10 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_fertility",
     sql=f"""
     WITH d AS (
-      SELECT source, lang, LENGTH(text) AS n_chars, {_SQL_TOKENS} AS ws
+      -- empty-string tokens (whitespace-only docs) are not tokens: filter
+      -- them out of the count, matching the module's tokenizer convention
+      SELECT source, lang, LENGTH(text) AS n_chars,
+             list_filter({_SQL_TOKENS}, t -> t <> '') AS ws
       FROM documents
     ),
     per AS (
@@ -2790,14 +2831,17 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) — no floats. Scale: pure per-row map work followed by one
     (source × lang) rollup; no joins, no scalar broadcasts."""
     docs = table(spark, sf_dir, "documents")
+    # empty-string tokens (whitespace-only docs) are not tokens — filter
+    # before counting, matching the module's tokenizer convention
+    ws = F.filter(_tokens_col(), lambda t: t != "")
     per = docs.select(
         "source",
         "lang",
         F.length("text").cast("bigint").alias("n_chars"),
-        F.size(_tokens_col()).cast("bigint").alias("n_tok"),
+        F.size(ws).cast("bigint").alias("n_tok"),
         F.coalesce(
             F.aggregate(
-                _tokens_col(), F.lit(0).cast("bigint"),
+                ws, F.lit(0).cast("bigint"),
                 lambda acc, t: acc + F.length(t).cast("bigint"),
             ),
             F.lit(0),
@@ -2831,106 +2875,6 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _NDCG_K = 10
-
-# shared CTE text: the exact BM25 scoring contract of text_bm25_topk
-# (idf·tf-saturation per (query-term, doc), once-quantized to micro, exact
-# BIGINT sum), plus the graded relevance rel = #distinct query terms in doc
-_SQL_BM25_REL = f"""
-    toks AS (
-      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
-    ),
-    toks_ok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ok GROUP BY 1),
-    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
-                     CAST(SUM(dl) AS BIGINT) AS sdl FROM dlen),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM toks_ok GROUP BY 1, 2),
-    qt AS (SELECT * FROM {{values}}),
-    df AS (
-      SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS dfreq
-      FROM tf WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1
-    ),
-    contrib AS (
-      SELECT qt.query_id, tf.doc_id, tf.term, dlen.dl,
-             CAST(ROUND(
-               ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
-               * (CAST(cnt AS DOUBLE) * ({_BM25_K1} + 1.0))
-               / (CAST(cnt AS DOUBLE) + {_BM25_K1}
-                  * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE)
-                     / (CAST(sdl AS DOUBLE) / nd)))
-               * 1000000) AS BIGINT) AS c_micro
-      FROM tf
-      JOIN qt ON qt.term = tf.term
-      JOIN df ON df.term = tf.term
-      JOIN dlen ON dlen.doc_id = tf.doc_id
-      CROSS JOIN stats
-    ),
-    scored AS (
-      SELECT query_id, doc_id,
-             CAST(SUM(c_micro) AS BIGINT) AS score_micro,
-             CAST(COUNT(DISTINCT term) AS BIGINT) AS rel,
-             CAST(MAX(dl) AS BIGINT) AS dl
-      FROM contrib GROUP BY 1, 2
-    )
-"""
-
-
-def _bm25_scored_rel(spark: SparkSession, sf_dir: str):
-    """(query_id, doc_id, score_micro, rel, dl): the BM25 candidate table of
-    text_bm25_topk plus graded relevance rel = #distinct query terms the doc
-    contains — the shared input of the retrieval-eval queries."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("term")).filter(
-        F.col("term") != ""
-    )
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("bigint").alias("nd"),
-        F.sum("dl").cast("bigint").alias("sdl"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
-        "query_id int, term string",
-    )
-    pruned = tf.join(F.broadcast(qt), "term")
-    df = pruned.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("dfreq")
-    )
-    avgdl = F.col("sdl").cast("double") / F.col("nd")
-    contrib = (
-        pruned.join(F.broadcast(df), "term")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            "term",
-            "dl",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("nd") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
-                )
-                * (F.col("cnt").cast("double") * (_BM25_K1 + 1.0))
-                / (
-                    F.col("cnt").cast("double")
-                    + _BM25_K1
-                    * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
-                )
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("c_micro"),
-        )
-    )
-    return contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c_micro").cast("bigint").alias("score_micro"),
-        F.count_distinct("term").cast("bigint").alias("rel"),
-        F.max("dl").cast("bigint").alias("dl"),
-    )
 
 
 @register(

@@ -43,12 +43,12 @@ def _green_union() -> set[str]:
 def test_window_is_exactly_the_first_50_queries():
     from pumle_spark import workload
 
-    window = workload._DRIVER_WINDOW_R06
+    window = workload._DRIVER_WINDOW_R07
     assert len(window) == 50, f"window must fill all 50 driver slots, got {len(window)}"
     assert len(set(window)) == 50, "window has duplicate names"
     head = list(workload.queries())[:50]
     assert head == list(window), (
-        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R06 — "
+        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R07 — "
         "a registration-order change or a new query slipped ahead of the window"
     )
 
@@ -56,12 +56,12 @@ def test_window_is_exactly_the_first_50_queries():
 def test_window_names_never_driver_verified_before():
     from pumle_spark import workload
 
-    # r06's own record will (intentionally) contain these names once the
+    # r07's own record will (intentionally) contain these names once the
     # driver runs; only records from PRIOR rounds constrain the freeze.
     prior = {
         p
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
-        if os.path.basename(p) < "CORRECTNESS_r06.json"
+        if os.path.basename(p) < "CORRECTNESS_r07.json"
     }
     green: set[str] = set()
     for path in sorted(prior):
@@ -76,7 +76,7 @@ def test_window_names_never_driver_verified_before():
                 and not res.get("err")
             ):
                 green.add(name)
-    wasted = [n for n in workload._DRIVER_WINDOW_R06 if n in green]
+    wasted = [n for n in workload._DRIVER_WINDOW_R07 if n in green]
     assert not wasted, f"window wastes slots on already-driver-green names: {wasted}"
 
 
@@ -86,7 +86,7 @@ def test_window_and_queue_names_exist_in_registry():
     names = set(workload.queries())
     missing = [
         n
-        for n in (*workload._DRIVER_WINDOW_R06, *workload._DRIVER_QUEUE_R07)
+        for n in (*workload._DRIVER_WINDOW_R07, *workload._DRIVER_QUEUE_R08)
         if n not in names
     ]
     assert not missing, f"window/queue references unregistered queries: {missing}"

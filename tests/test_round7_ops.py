@@ -1,0 +1,171 @@
+"""Round-7 operator tests: UniMax epoch-capped allocation (and the other
+round-7 additions as they land). Pure-python re-derivations against
+sf0.001, following the round-4/5/6 replay-test pattern."""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    s = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    return s.split(" ") if s else []
+
+
+def test_unimax_allocation_properties(spark):
+    """Token counts replayed in python; the closed prefix form must satisfy
+    the UniMax contract the paper's sequential greedy loop guarantees:
+    (1) alloc ≤ cap everywhere and capped rows pay exactly their cap,
+    (2) the budget is spent exactly (or Σcaps when every language caps),
+    (3) uncapped languages split the leftover uniformly (within the
+        largest-remainder ±1),
+    (4) fairness: no capped language's cap exceeds an uncapped allocation
+        by more than the remainder unit — i.e. capping only ever REDUCES a
+        language below the uniform share, never above it."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import (
+        _UMX_BUDGET,
+        _UMX_EPOCH_CAP,
+        mix_unimax_epochs,
+    )
+
+    avail: dict[str, int] = {}
+    for r in table(spark, SF, "documents").select("lang", "text").collect():
+        avail[r.lang] = avail.get(r.lang, 0) + len(_toks(r.text))
+
+    rows = {r.lang: r for r in mix_unimax_epochs(spark, SF).collect()}
+    assert set(rows) == set(avail)
+
+    for lang, r in rows.items():
+        assert r.avail_tokens == avail[lang]
+        assert r.cap_tokens == _UMX_EPOCH_CAP * avail[lang]
+        assert 0 <= r.alloc_tokens <= r.cap_tokens
+        if r.capped:
+            assert r.alloc_tokens == r.cap_tokens
+        assert r.epochs_milli == r.alloc_tokens * 1000 // r.avail_tokens
+        assert r.share_ppm == r.alloc_tokens * 1_000_000 // _UMX_BUDGET
+
+    total_caps = sum(r.cap_tokens for r in rows.values())
+    spent = sum(r.alloc_tokens for r in rows.values())
+    assert spent == min(_UMX_BUDGET, total_caps)
+
+    uncapped = [r.alloc_tokens for r in rows.values() if not r.capped]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+        for r in rows.values():
+            if r.capped:
+                assert r.cap_tokens <= max(uncapped)
+
+
+def test_weighted_aes_sample_matches_python_race(spark):
+    """The exponential race replayed in pure python: md5-quantized uniform,
+    literal -ln table, nano-rounded clock, (e, doc_id) rank — the Spark
+    sample must match row for row, and the clock must actually be
+    weight-sensitive (a doc's rank key scales inversely with its size)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import _AES_K, _AES_LNU, sample_weighted_aes
+
+    lnu = dict(_AES_LNU)
+    per_source: dict[str, list[tuple[int, int, int]]] = {}
+    for r in table(spark, SF, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect():
+        w = max(int(r.n_chars), 1)
+        idx = int(hashlib.md5(f"{r.doc_id}|aes".encode()).hexdigest()[:2], 16)
+        e_nano = int(
+            Decimal(repr(lnu[idx] / w * 1_000_000_000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        per_source.setdefault(r.source, []).append((e_nano, r.doc_id, w))
+
+    expect = []
+    for src in sorted(per_source):
+        for rnk, (e, did, w) in enumerate(sorted(per_source[src])[:_AES_K], start=1):
+            expect.append((src, rnk, did, w, e))
+
+    got = [
+        (r.source, r.rnk, r.doc_id, r.weight_chars, r.e_nano)
+        for r in sample_weighted_aes(spark, SF).collect()
+    ]
+    assert got == expect
+
+    # weight sensitivity: among docs sharing the same u-bucket, the larger
+    # doc always carries the smaller clock
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for rows in per_source.values():
+        for e, did, w in rows:
+            idx = int(hashlib.md5(f"{did}|aes".encode()).hexdigest()[:2], 16)
+            by_bucket.setdefault(idx, []).append((w, e))
+    checked = 0
+    for pairs in by_bucket.values():
+        pairs.sort()
+        for (w1, e1), (w2, e2) in zip(pairs, pairs[1:]):
+            if w1 < w2:
+                assert e1 >= e2
+                checked += 1
+    assert checked > 0
+
+
+def test_bloom_tuning_matches_python_filters_and_theory(spark):
+    """Each (m, k) filter replayed in pure python (bit-exact: words, fill,
+    false positives), then the measured FPR checked against the
+    (1 - e^(-kn/m))^k theory curve — the transcendental stays python-side."""
+    import hashlib
+    import math
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sketches import _BFT_CONFIGS, sketch_bloom_tuning
+
+    o = table(spark, SF, "orders").select("o_custkey", "o_orderdate").collect()
+    members = {
+        r.o_custkey
+        for r in o
+        if r.o_orderdate.year == 1995
+    }
+    probes = [
+        r.c_custkey
+        for r in table(spark, SF, "customer").select("c_custkey").collect()
+        if r.c_custkey not in members
+    ]
+
+    def positions(key: int, k: int, m: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{key}#{i}@{m}".encode()).hexdigest()[:8], 16) % m
+            for i in range(k)
+        ]
+
+    got = {(r.m, r.k): r for r in sketch_bloom_tuning(spark, SF).collect()}
+    assert set(got) == set(_BFT_CONFIGS)
+
+    for m, k in _BFT_CONFIGS:
+        bits: set[int] = set()
+        for key in members:
+            bits.update(positions(key, k, m))
+        n_fp = sum(
+            1 for key in probes if all(p in bits for p in positions(key, k, m))
+        )
+        r = got[(m, k)]
+        assert r.n_members == len(members)
+        assert r.n_nonmember_probes == len(probes)
+        assert r.n_false_pos == n_fp
+        assert r.n_bits_set == len(bits)
+        assert r.fpr_ppm == n_fp * 1_000_000 // len(probes)
+        assert r.fill_ppm == len(bits) * 1_000_000 // m
+
+        # theory check: measured FPR within a factor-of-3 band of the
+        # asymptotic curve (tight for the fuller filters, loose when the
+        # expected count is a handful)
+        theory = (1.0 - math.exp(-k * len(members) / m)) ** k
+        expected_fp = theory * len(probes)
+        if expected_fp >= 10:
+            assert 0.33 * expected_fp <= n_fp <= 3.0 * expected_fp
+
+    # monotonicity: bigger, better-tuned filters must measure lower FPR
+    fprs = [got[cfg].fpr_ppm for cfg in sorted(_BFT_CONFIGS)]
+    assert fprs == sorted(fprs, reverse=True)
