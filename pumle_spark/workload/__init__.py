@@ -130,6 +130,8 @@ _DRIVER_QUEUE_R08: tuple[str, ...] = (
     "mix_unimax_epochs",
     "sample_weighted_aes",
     "sketch_bloom_tuning",
+    "drift_page_hinkley",
+    "graph_hyperball_reach",
 )
 
 

@@ -1275,3 +1275,127 @@ def drift_embedding_dim_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dim").cast("int").alias("dim"), "n_bins", "psi", "drift_flag")
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley sequential drift detector over the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 2_000_000  # tolerance delta (micro-events): ~0.5 sigma of the hourly rate
+_PH_FAST = 12_000_000  # lambda (micro): sensitive threshold — pages the on-call
+_PH_SLOW = 25_000_000  # lambda (micro): conservative threshold — opens an incident
+
+
+@register(
+    "drift_page_hinkley",
+    sql=f"""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT hour_ts, x,
+             ROW_NUMBER() OVER (ORDER BY hour_ts) AS t,
+             SUM(x) OVER (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hourly
+    ),
+    terms AS (
+      SELECT hour_ts, x, t,
+             x * 1000000 - (cum * 1000000 // t) AS dev
+      FROM seq
+    ),
+    walk AS (
+      SELECT hour_ts, x,
+             SUM(dev - {_PH_DELTA}) OVER (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)
+               AS mu,
+             SUM(dev + {_PH_DELTA}) OVER (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)
+               AS md
+      FROM terms
+    ),
+    ph AS (
+      SELECT hour_ts, x,
+             mu - LEAST(0, MIN(mu) OVER (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING))
+               AS ph_up,
+             GREATEST(0, MAX(md) OVER (ORDER BY hour_ts ROWS UNBOUNDED PRECEDING)) - md
+               AS ph_down
+      FROM walk
+    )
+    SELECT hour_ts, x,
+           CAST(ph_up AS BIGINT) AS ph_up_micro,
+           CAST(ph_down AS BIGINT) AS ph_down_micro,
+           CAST(CASE WHEN ph_up > {_PH_FAST} OR ph_down > {_PH_FAST}
+                     THEN 1 ELSE 0 END AS INTEGER) AS alert_fast,
+           CAST(CASE WHEN ph_up > {_PH_SLOW} OR ph_down > {_PH_SLOW}
+                     THEN 1 ELSE 0 END AS INTEGER) AS alert_slow
+    FROM ph
+    ORDER BY hour_ts
+    """,
+    tags=("drift", "sequential", "page-hinkley", "monitoring"),
+)
+def drift_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided Page–Hinkley drift detector (Page 1954; the sequential
+    test stream-monitoring frameworks run per metric) over the hourly
+    event-rate series. Each side keeps its own deviation walk with a
+    ±delta tolerance (delta = {_PH_DELTA / 1_000_000:.0f} events ≈ 0.5
+    sigma of the hourly rate): PH_up = m − running-min flags a sustained
+    rate INCREASE past lambda, PH_down = running-max − m a sustained
+    DECREASE — at two thresholds (page at {_PH_FAST / 1_000_000:.0f},
+    incident at {_PH_SLOW / 1_000_000:.0f}, the slo_burn_rate multi-policy
+    shape). Unlike the fixed-window KS/PSI family this is an ANYTIME
+    detector: one row per hour, alertable mid-stream, no reference window
+    to curate; delta is what keeps a stationary series quiet (with
+    delta=0 a random walk crosses any lambda eventually).
+
+    Exactness: the recurrence is the prefix identity PH_up,t = m_t −
+    min_(i≤t) m_i (the orders_cusum_changepoint trick), so no iteration
+    exists; x̄ quantizes once per step via integer division and
+    everything downstream is exact BIGINT — bit-identical cross-engine.
+
+    Scale: one hourly rollup, then windows over the CALENDAR-bounded
+    hour series (plan_lint class a). At stream scale the same statistic
+    updates in O(1) state per metric — this batch form is its audit/
+    backtest twin."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w_ord = Window.orderBy("hour_ts")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = hourly.select(
+        "hour_ts",
+        "x",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("x").over(w_cum).alias("cum"),
+    )
+    terms = seq.select(
+        "hour_ts",
+        "x",
+        (F.col("x") * 1_000_000 - F.expr("cum * 1000000 div t")).alias("dev"),
+    )
+    walk = terms.select(
+        "hour_ts",
+        "x",
+        F.sum(F.col("dev") - _PH_DELTA).over(w_cum).alias("mu"),
+        F.sum(F.col("dev") + _PH_DELTA).over(w_cum).alias("md"),
+    )
+    ph = walk.select(
+        "hour_ts",
+        "x",
+        (F.col("mu") - F.least(F.lit(0), F.min("mu").over(w_cum))).alias("ph_up"),
+        (F.greatest(F.lit(0), F.max("md").over(w_cum)) - F.col("md")).alias("ph_down"),
+    )
+
+    def alert(lam: int) -> F.Column:
+        return ((F.col("ph_up") > lam) | (F.col("ph_down") > lam)).cast("int")
+
+    return ph.select(
+        "hour_ts",
+        "x",
+        F.col("ph_up").cast("bigint").alias("ph_up_micro"),
+        F.col("ph_down").cast("bigint").alias("ph_down_micro"),
+        alert(_PH_FAST).alias("alert_fast"),
+        alert(_PH_SLOW).alias("alert_slow"),
+    ).orderBy("hour_ts")

@@ -1405,3 +1405,209 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
     ).orderBy("seed_node", "step")
+
+
+# --------------------------------------------------------------------------
+# HyperBall: HLL-merged k-hop neighborhood sizes for EVERY node at once
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_HB_M = 16  # registers per node (4-bit bucket index off the md5 hex)
+_HB_HOPS = 2
+# alpha_16 * m^2 * 2^33 as ONE decimal literal both engines parse to the
+# same double (the _HLL_NUM rule, m=16 instance)
+_HB_NUM = repr(0.673 * _HB_M * _HB_M * 8589934592.0)
+_HB_SMALL = 2.5 * _HB_M
+# linear-counting lookup m*ln(m/V): transcendental → python literal table
+_HB_LC = [(v, _HB_M * _math.log(_HB_M / v)) for v in range(1, _HB_M + 1)]
+_HB_LC_SQL = ", ".join(f"({v}, {est!r})" for v, est in _HB_LC)
+
+
+def _sql_hb_step(i: int, prev: str) -> str:
+    return f"""
+    r{i} AS (
+      SELECT node, bucket, MAX(m_reg) AS m_reg FROM (
+        SELECT e.dst AS node, r.bucket, r.m_reg
+        FROM edges e JOIN {prev} r ON r.node = e.src
+        UNION ALL
+        SELECT node, bucket, m_reg FROM {prev}
+      ) GROUP BY 1, 2
+    )"""
+
+
+def _sql_hb_est(i: int) -> str:
+    return f"""
+    e{i} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_filled,
+             CAST(SUM(1::BIGINT << (33 - m_reg)) AS BIGINT) AS s_filled
+      FROM r{i} GROUP BY node
+    ),
+    c{i} AS (
+      SELECT v.node,
+             CASE WHEN v.raw <= {_HB_SMALL} AND v.nv > 0 THEN lc.lc_est
+                  ELSE v.raw END AS est
+      FROM (
+        SELECT node, {_HB_M} - n_filled AS nv,
+               {_HB_NUM} / CAST(s_filled + ({_HB_M} - n_filled) * 8589934592
+                                AS DOUBLE) AS raw
+        FROM e{i}
+      ) v LEFT JOIN lc ON lc.v = v.nv
+    ),
+    s{i} AS (
+      SELECT {i} AS hops,
+             CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+             CAST(ROUND(est * 1000) AS BIGINT) AS q
+      FROM c{i}
+    )"""
+
+
+@register(
+    "graph_hyperball_reach",
+    sql=f"""
+    WITH {_SQL_GRAPH},
+    lc(v, lc_est) AS (VALUES {_HB_LC_SQL}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (
+      SELECT node,
+             ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 1))::BIGINT AS bucket,
+             CASE WHEN w32 = 0 THEN 33 ELSE 33 - length(bin(w32)) END AS m_reg
+      FROM (
+        SELECT node,
+               ('0x' || substr(md5(CAST(node AS VARCHAR)), 2, 8))::BIGINT AS w32
+        FROM nodes)
+    ),
+    {_sql_hb_step(1, "r0")},
+    {_sql_hb_step(2, "r1")},
+    {_sql_hb_est(1)},
+    {_sql_hb_est(2)}
+    SELECT hops, side,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_ball_milli,
+           CAST(MIN(q) AS BIGINT) AS min_ball_milli,
+           CAST(MAX(q) AS BIGINT) AS max_ball_milli
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    GROUP BY hops, side
+    ORDER BY hops, side
+    """,
+    tags=("graph", "hyperball", "sketch", "iterative"),
+)
+def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013 — the algorithm behind the Facebook
+    "four degrees of separation" measurement): the k-hop neighborhood
+    size of EVERY node simultaneously, by giving each node a {_HB_M}-register
+    HyperLogLog counter seeded with itself and, per superstep, merging
+    each node's counter with its neighbors' (register-wise max — the
+    union of HLL sketches). Exact per-node k-hop reach needs the
+    |E|·avg-degree^k path blow-up dedup_clusters_recursive_sql documents;
+    HyperBall replaces it with {_HB_HOPS} keyed joins over fixed-size
+    state — THE 100 TB neighborhood-function design. Reported as the
+    per-hop ball-size distribution by graph side (the reachability
+    growth profile graph_bfs_reach gives for one seed, here for all
+    nodes at once).
+
+    Determinism (the sketch-module contract): registers derive from md5
+    of the node id, merges are integer MAX, the harmonic sum uses the
+    exact 2^(33−M) integer scaling, alpha·m²·2^33 is ONE shared decimal
+    literal, linear counting ships as a {_HB_M}-entry literal table
+    (transcendentals never cross the oracle boundary), and each estimate
+    quantizes ONCE to milli-units before exact integer rollups.
+
+    Scale: per superstep ONE equi-join of the edge list against a
+    |V|×{_HB_M}-row register table, hash-partitioned on the node id, and
+    one register-wise max rollup — Pregel economics with O(m) state per
+    node; localCheckpoint truncates lineage so superstep 1 feeds both
+    superstep 2 and its own estimate without recomputation.
+
+    Reference: reference repo has no graph/sketch surface (SURVEY §2.13
+    beyond-reference family)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .unionAll(
+            pairs.select(
+                (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    key_md5 = F.md5(F.col("node").cast("string"))
+    w32 = F.conv(F.substring(key_md5, 2, 8), 16, 10).cast("bigint")
+    rho = F.when(w32 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.conv(w32.cast("string"), 10, 2))
+    )
+    r = nodes.select(
+        "node",
+        F.conv(F.substring(key_md5, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+        rho.cast("int").alias("m_reg"),
+    )
+    lc = spark.createDataFrame(_HB_LC, "v bigint, lc_est double")
+    sides = []
+    for hop in range(1, _HB_HOPS + 1):
+        grown = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "bucket", "m_reg")
+            .unionAll(r)
+            .groupBy("node", "bucket")
+            .agg(F.max("m_reg").alias("m_reg"))
+            .localCheckpoint(eager=False)
+        )
+        r = grown
+        per_node = grown.groupBy("node").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - m_reg)"))
+            .cast("bigint")
+            .alias("s_filled"),
+        )
+        est = (
+            per_node.select(
+                "node",
+                (F.lit(_HB_M) - F.col("n_filled")).cast("bigint").alias("nv"),
+                (
+                    F.expr(_HB_NUM)
+                    / (
+                        F.col("s_filled")
+                        + (F.lit(_HB_M) - F.col("n_filled")) * F.lit(8589934592)
+                    ).cast("double")
+                ).alias("raw"),
+            )
+            .join(F.broadcast(lc), F.col("nv") == F.col("v"), "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("raw") <= F.lit(_HB_SMALL)) & (F.col("nv") > 0),
+                    F.col("lc_est"),
+                )
+                .otherwise(F.col("raw"))
+                .alias("est"),
+            )
+        )
+        sides.append(
+            est.select(
+                F.lit(hop).alias("hops"),
+                F.when(F.col("node") % 2 == 0, "customer")
+                .otherwise("supplier")
+                .alias("side"),
+                F.round(F.col("est") * 1000).cast("bigint").alias("q"),
+            )
+        )
+    allq = sides[0]
+    for df in sides[1:]:
+        allq = allq.unionAll(df)
+    return (
+        allq.groupBy("hops", "side")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("sum(q) div count(1)").cast("bigint").alias("mean_ball_milli"),
+            F.min("q").cast("bigint").alias("min_ball_milli"),
+            F.max("q").cast("bigint").alias("max_ball_milli"),
+        )
+        .orderBy("hops", "side")
+    )

@@ -932,9 +932,17 @@ def mix_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.explode(_tokens_col()).alias("w"))
         .filter(F.col("w") != "")
     )
-    a = toks.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("avail"),
-        (F.lit(_UMX_EPOCH_CAP) * F.count(F.lit(1))).cast("bigint").alias("cap"),
+    # |langs| rows feed BOTH the capped-set scalars and the final allocation:
+    # localCheckpoint pins the token rollup so the corpus is scanned once
+    # (the catalyst let-binding pattern; without it the lineage recomputes
+    # the full token explosion on each branch)
+    a = (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("avail"),
+            (F.lit(_UMX_EPOCH_CAP) * F.count(F.lit(1))).cast("bigint").alias("cap"),
+        )
+        .localCheckpoint(eager=False)
     )
     w_cap = Window.orderBy("cap", "lang")
     rk = a.select(

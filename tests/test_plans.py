@@ -412,3 +412,65 @@ def test_lsh_tuning_reuses_checkpointed_signature_and_truth(spark):
     plan = dedup_lsh_tuning_report(spark, SF)._jdf.queryExecution().executedPlan().toString()
     # checkpointed RDD scans appear in place of three repeated shingle joins
     assert "Scan ExistingRDD" in plan
+
+
+# --------------------------------------------------------------------------
+# round-7 additions: the plan shapes their docstrings promise
+# --------------------------------------------------------------------------
+
+
+def test_unimax_is_one_rollup_plus_dim_windows(spark):
+    """One token rollup per language, checkpointed so the capped-set
+    scalars and the final allocation share it — the corpus token
+    explosion must be scanned exactly once; everything after rides
+    |langs| rows."""
+    plan = plan_of("mix_unimax_epochs", spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") + plan.count("Generate explode") <= 2
+    assert "Scan ExistingRDD" in plan  # the checkpointed |langs| rollup
+
+
+def test_weighted_aes_broadcasts_the_lnu_table(spark):
+    """The 256-row -ln(u) literal table must reach the corpus as a
+    broadcast hash join; the race is a per-source window, never global."""
+    plan = plan_of("sample_weighted_aes", spark)
+    assert "BroadcastHashJoin [idx" in plan
+    assert "CartesianProduct" not in plan
+    # the top-k window partitions by source (no unpartitioned pull)
+    assert "hashpartitioning(source" in plan
+
+
+def test_bloom_tuning_broadcasts_sketch_words(spark):
+    """Probes join the per-config word table as a broadcast (the
+    runtime-filter shape this grid exists to tune); the config/hash
+    fan-out is a constant Generate, not a join."""
+    plan = plan_of("sketch_bloom_tuning", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_page_hinkley_is_join_free(spark):
+    """A rollup plus calendar-bounded windows: no join operator of any
+    kind may appear in the detector's plan."""
+    plan = plan_of("drift_page_hinkley", spark)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "ShuffledHashJoin"):
+        assert op not in plan
+    assert plan.count("Window") >= 2  # the prefix walks
+
+
+def test_hyperball_supersteps_are_keyed_joins_over_checkpoints(spark):
+    """Each superstep joins the checkpointed edge list against the register
+    table on the node id — no pair explosion, no quadratic shapes; the
+    checkpoint truncates lineage so superstep 1 is not recomputed."""
+    from pumle_spark.workload.graph import graph_hyperball_reach
+
+    plan = (
+        graph_hyperball_reach(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed edges / supersteps

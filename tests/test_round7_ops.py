@@ -169,3 +169,156 @@ def test_bloom_tuning_matches_python_filters_and_theory(spark):
     # monotonicity: bigger, better-tuned filters must measure lower FPR
     fprs = [got[cfg].fpr_ppm for cfg in sorted(_BFT_CONFIGS)]
     assert fprs == sorted(fprs, reverse=True)
+
+
+def test_page_hinkley_matches_python_recurrence(spark):
+    """The sequential PH recurrence (running mean, ±delta walks, running
+    min/max, both thresholds) replayed in pure python over the same hourly
+    series; every row must match exactly, and the detector must be QUIET
+    at the incident threshold on this stationary series while the page
+    threshold exercises both alert states."""
+    from collections import Counter
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.drift import (
+        _PH_DELTA,
+        _PH_FAST,
+        _PH_SLOW,
+        drift_page_hinkley,
+    )
+
+    counts: Counter = Counter()
+    for r in table(spark, SF, "events").select("ts").collect():
+        counts[r.ts.strftime("%Y-%m-%d %H:00:00")] += 1
+
+    expect = []
+    cum = mu = md = mu_min = md_max = 0
+    for t, hour in enumerate(sorted(counts), start=1):
+        x = counts[hour]
+        cum += x
+        dev = x * 1_000_000 - (cum * 1_000_000 // t)
+        mu += dev - _PH_DELTA
+        md += dev + _PH_DELTA
+        mu_min = min(mu_min, mu)
+        md_max = max(md_max, md)
+        up, down = mu - mu_min, md_max - md
+        expect.append(
+            (
+                hour,
+                x,
+                up,
+                down,
+                int(up > _PH_FAST or down > _PH_FAST),
+                int(up > _PH_SLOW or down > _PH_SLOW),
+            )
+        )
+
+    got = [
+        (r.hour_ts, r.x, r.ph_up_micro, r.ph_down_micro, r.alert_fast, r.alert_slow)
+        for r in drift_page_hinkley(spark, SF).collect()
+    ]
+    assert got == expect
+    assert sum(r[5] for r in got) == 0  # stationary series: no incidents
+
+
+def test_hyperball_matches_python_registers_and_tracks_exact_reach(spark):
+    """The register seeding, both merge supersteps, the harmonic/linear-
+    counting estimate, and the milli-quantized rollups replayed in pure
+    python — bit-exact. Then the estimates are checked against the EXACT
+    python BFS ball sizes: per (hop, side) the mean estimate must sit
+    within the m=16 HLL error envelope of the true mean."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.graph import (
+        _HB_HOPS,
+        _HB_LC,
+        _HB_M,
+        _HB_NUM,
+        _HB_SMALL,
+        graph_hyperball_reach,
+    )
+
+    o = {r.o_orderkey: r.o_custkey for r in table(spark, SF, "orders").collect()}
+    adj: dict[int, set[int]] = defaultdict(set)
+    for r in table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").collect():
+        if r.l_orderkey in o:
+            c, s = 2 * o[r.l_orderkey], 2 * r.l_suppkey + 1
+            adj[c].add(s)
+            adj[s].add(c)
+
+    def seed(node: int) -> dict[int, int]:
+        h = hashlib.md5(str(node).encode()).hexdigest()
+        bucket = int(h[0], 16)
+        w32 = int(h[1:9], 16)
+        rho = 33 if w32 == 0 else 33 - w32.bit_length()
+        return {bucket: rho}
+
+    def estimate(regs: dict[int, int]) -> float:
+        s = sum(1 << (33 - m) for m in regs.values())
+        s += (_HB_M - len(regs)) * (1 << 33)
+        raw = float(_HB_NUM) / s
+        nv = _HB_M - len(regs)
+        if raw <= _HB_SMALL and nv > 0:
+            return dict(_HB_LC)[nv]
+        return raw
+
+    regs = {n: seed(n) for n in adj}
+    balls = {n: {n} for n in adj}
+    expect_rows = {}
+    for hop in range(1, _HB_HOPS + 1):
+        new_regs = {}
+        new_balls = {}
+        for n in adj:
+            merged = dict(regs[n])
+            ball = set(balls[n])
+            for nb in adj[n]:
+                for b, m in regs[nb].items():
+                    merged[b] = max(merged.get(b, 0), m)
+                ball |= balls[nb]
+            new_regs[n] = merged
+            new_balls[n] = ball
+        regs, balls = new_regs, new_balls
+        per_side: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for n in adj:
+            q = int(
+                Decimal(repr(estimate(regs[n]) * 1000)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            side = "customer" if n % 2 == 0 else "supplier"
+            per_side[side].append((q, len(balls[n])))
+        for side, qs in per_side.items():
+            n_nodes = len(qs)
+            sq = sum(q for q, _ in qs)
+            expect_rows[(hop, side)] = (
+                n_nodes,
+                sq // n_nodes,
+                min(q for q, _ in qs),
+                max(q for q, _ in qs),
+                sum(e for _, e in qs) / n_nodes,  # exact mean ball (python only)
+            )
+
+    got = {
+        (r.hops, r.side): (
+            r.n_nodes,
+            r.mean_ball_milli,
+            r.min_ball_milli,
+            r.max_ball_milli,
+        )
+        for r in graph_hyperball_reach(spark, SF).collect()
+    }
+    assert set(got) == set(expect_rows)
+    for key, row in got.items():
+        assert row == expect_rows[key][:4], key
+        # accuracy envelope: mean HLL estimate within ±45% of the exact
+        # mean reach (m=16 → ~26% per-node sigma, tighter after averaging)
+        est_mean = row[1] / 1000.0
+        exact_mean = expect_rows[key][4]
+        assert 0.55 * exact_mean <= est_mean <= 1.45 * exact_mean, (
+            key,
+            est_mean,
+            exact_mean,
+        )

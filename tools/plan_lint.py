@@ -214,6 +214,7 @@ _WINDOW_ALLOW = {
     "sample_sequential_poisson": "sequential-Poisson lottery rank — total-order contract over the (doc_id, rank_value) projection",
     # round-7 additions (adjudicated at registration)
     "mix_unimax_epochs": "prefix-cap scan + largest-remainder rank over |langs| rows",
+    "drift_page_hinkley": "PH prefix walks over the hourly series (calendar-bounded)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
