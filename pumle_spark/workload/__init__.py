@@ -132,6 +132,7 @@ _DRIVER_QUEUE_R08: tuple[str, ...] = (
     "sketch_bloom_tuning",
     "drift_page_hinkley",
     "graph_hyperball_reach",
+    "privacy_dp_noisy_marginals",
 )
 
 

@@ -322,3 +322,55 @@ def test_hyperball_matches_python_registers_and_tracks_exact_reach(spark):
             est_mean,
             exact_mean,
         )
+
+
+def test_dp_noisy_marginals_replays_mechanism_and_distribution(spark):
+    """The inverse-CDF table re-derived from the discrete-Laplace pmf, the
+    md5 cell indexing and clamping replayed exactly; the table itself must
+    be a valid mechanism (symmetric, mode at 0, heavier tails at smaller
+    epsilon)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import (
+        _DPN_EPS,
+        _DPN_TABLE,
+        privacy_dp_noisy_marginals,
+    )
+
+    noise = {(e, i): k for e, i, k in _DPN_TABLE}
+
+    # mechanism sanity: for each eps the pmf of the table must match the
+    # discrete Laplace within quantization (mode 0, near-symmetric) and the
+    # smaller eps must have strictly more mass off-center
+    spread = {}
+    for e in _DPN_EPS:
+        ks = [noise[(e, i)] for i in range(256)]
+        c = Counter(ks)
+        assert c[0] == max(c.values())  # mode at zero
+        assert abs(sum(1 for k in ks if k > 0) - sum(1 for k in ks if k < 0)) <= 2
+        spread[e] = sum(abs(k) for k in ks) / len(ks)
+        a = math.exp(-e / 1000.0)
+        expected_p0 = (1 - a) / (1 + a)
+        assert abs(c[0] / 256.0 - expected_p0) <= 2 / 256.0 + 0.01
+    assert spread[500] > spread[1000]
+
+    true_n = Counter(
+        r.o_orderpriority
+        for r in table(spark, SF, "orders").select("o_orderpriority").collect()
+    )
+    got = {
+        (r.priority, r.eps_milli): r
+        for r in privacy_dp_noisy_marginals(spark, SF).collect()
+    }
+    assert set(got) == {(p, e) for p in true_n for e in _DPN_EPS}
+    for (p, e), r in got.items():
+        idx = int(hashlib.md5(f"{p}|{e}".encode()).hexdigest()[:2], 16)
+        k = noise[(e, idx)]
+        expect_noisy = max(true_n[p] + k, 0)
+        assert r.true_n == true_n[p]
+        assert r.noisy_n == expect_noisy
+        assert r.abs_err == abs(expect_noisy - true_n[p])
+        assert r.err_ppm == r.abs_err * 1_000_000 // r.true_n
