@@ -1373,10 +1373,17 @@ def privacy_dp_noisy_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = spark.createDataFrame(
         _DPN_TABLE, "eps_milli bigint, idx bigint, k bigint"
     )
-    keyed = cells.join(
-        F.broadcast(noise),
-        F.col("idx")
-        == F.conv(
+    # derive the (eps, idx) key on the cells side FIRST so the noise lookup
+    # is a pure equi broadcast-hash join (a key expression mixing both
+    # sides' columns would degrade to a nested-loop join)
+    fanned = cells.select(
+        "*",
+        F.explode(F.array(*[F.lit(e).cast("bigint") for e in _DPN_EPS])).alias(
+            "eps_milli"
+        ),
+    ).withColumn(
+        "idx",
+        F.conv(
             F.substring(
                 F.md5(
                     F.concat(
@@ -1390,6 +1397,7 @@ def privacy_dp_noisy_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint"),
     )
+    keyed = fanned.join(F.broadcast(noise), ["eps_milli", "idx"])
     noisy = F.greatest(F.col("true_n") + F.col("k"), F.lit(0))
     return keyed.select(
         "priority",

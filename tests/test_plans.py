@@ -474,3 +474,12 @@ def test_hyperball_supersteps_are_keyed_joins_over_checkpoints(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # checkpointed edges / supersteps
+
+
+def test_dp_noisy_marginals_noise_lookup_is_hash_join(spark):
+    """The (eps, idx) key is derived on the cells side first, so the noise
+    table lookup must stay a broadcast HASH join — a key expression mixing
+    both sides would silently degrade to a nested loop."""
+    plan = plan_of("privacy_dp_noisy_marginals", spark)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -157,6 +157,7 @@ ALLOW = {
     "embedding_sign_hamming_agreement": {"BroadcastNestedLoopJoin": "broadcast strided query set x corpus — the adjudicated exact-kNN kernel"},
     # round-7 additions (adjudicated at registration)
     "mix_unimax_epochs": {"BroadcastNestedLoopJoin": "single-row (k, spent, nl) scalars x |langs| rows"},
+    "sketch_bloom_tuning": {"BroadcastNestedLoopJoin": "single-row member-count scalar x 3 config rows"},
 }
 
 # Unpartitioned-WindowExec adjudications (round 7: the check itself is new;
