@@ -30,6 +30,25 @@ import json
 import math
 import sys
 
+# Adjudicated super-linear queries (the plan_lint ALLOW contract): each
+# entry names a query whose WORK is genuinely pair-growth-bound — the
+# semantics enumerate pairs whose count grows faster than the input under
+# the sf-replica's densification (the replica multiplies rows inside the
+# SAME time span / band structure, so within-band pairs grow ~quadratically
+# while real-world growth would mostly extend the axis). A flag on a
+# labeled query reports as info and does not fail the gate; anything NOT
+# listed here still exits 1.
+LABELED_PAIR_GROWTH = {
+    "interval_overlap_sessions": (
+        "pairs of concurrent sessions ARE the output contract; the sf "
+        "replica densifies a fixed 720-hour span so same-band pairs grow "
+        "~quadratically (r6 verdict adjudicated at 1.26; banded prefilter "
+        "is the correct plan — candidates bounded per band, top-k output)"
+    ),
+    "dedup_ngram_jaccard": "labeled all-pairs truth baseline (budget-guarded)",
+    "dedup_blocking_quality": "carries the all-pairs truth subtree by design",
+}
+
 
 def _load(path: str) -> tuple[dict[str, float], dict[str, str]]:
     with open(path) as fh:
@@ -65,7 +84,9 @@ def main() -> int:
     rows.sort(reverse=True)
 
     newly_refused = sorted(set(hi_ref) - set(lo_ref))
-    flagged = [r for r in rows if r[0] > args.alpha and r[3] >= args.floor]
+    over = [r for r in rows if r[0] > args.alpha and r[3] >= args.floor]
+    flagged = [r for r in over if r[1] not in LABELED_PAIR_GROWTH]
+    labeled = [r for r in over if r[1] in LABELED_PAIR_GROWTH]
 
     print(f"== scaling sf{args.sf_lo} -> sf{args.sf_hi}: "
           f"{len(rows)} queries timed at both scales ==")
@@ -84,6 +105,9 @@ def main() -> int:
     med = sorted(r[0] for r in rows)[len(rows) // 2] if rows else float("nan")
     print(f"== median exponent {med:.2f}; {len(flagged)} flagged over "
           f"alpha={args.alpha} (floor {args.floor}s) ==")
+    for alpha, q, tl, th in labeled:
+        print(f"info  {q}: exponent {alpha:.2f} ({tl:.2f}s -> {th:.2f}s) — "
+              f"labeled pair-growth, adjudicated: {LABELED_PAIR_GROWTH[q]}")
     for alpha, q, tl, th in flagged:
         print(f"FLAG {q}: exponent {alpha:.2f} ({tl:.2f}s -> {th:.2f}s)")
     return 1 if flagged else 0
