@@ -92,3 +92,48 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_key(xb: str, yb: str, bits: int = DEFAULT_BITS) -> Column:
+    """Hilbert-curve index of two pre-bucketized non-negative ints — the
+    classic xy2d quadrant walk (the Wikipedia/Hamilton formulation): per
+    level s=2^k (high to low) the quadrant id (3·rx)⊕ry scales by s², then
+    the frame reflects/swaps for the next level. Unlike the Morton
+    interleave, consecutive Hilbert indices are ALWAYS grid neighbors (no
+    quadrant-boundary jumps), so equal-size files cut from the sorted
+    order get tighter bounding boxes — measured by
+    workload/layout.py:layout_curve_locality.
+
+    Implementation note (the Catalyst let-binding lesson): unrolling the
+    level loop into nested CASE columns references each level's (x, y)
+    twice per successor, which ProjectCollapse substitutes textually —
+    a 4^bits expression tree that OOMs the planner at bits=8. The walk is
+    therefore ONE `aggregate()` fold over sequence(bits-1..0) with a
+    struct accumulator: lambda variables bind per step at runtime, the
+    expression stays O(1) in size, and the 8-step loop runs per row
+    inside codegen. The DuckDB oracle mirrors it as a chain of per-level
+    CTE projections (name references, not substitution)."""
+    n = 1 << bits
+    body = f"""
+    aggregate(
+      sequence({bits - 1}, 0, -1),
+      named_struct('x', CAST(({{x}}) AS BIGINT),
+                   'y', CAST(({{y}}) AS BIGINT),
+                   'd', CAST(0 AS BIGINT)),
+      (a, k) -> named_struct(
+        'x', CASE WHEN ((a.y >> k) & 1) = 0
+                  THEN CASE WHEN ((a.x >> k) & 1) = 1
+                            THEN CAST({n - 1} AS BIGINT) - a.y ELSE a.y END
+                  ELSE a.x END,
+        'y', CASE WHEN ((a.y >> k) & 1) = 0
+                  THEN CASE WHEN ((a.x >> k) & 1) = 1
+                            THEN CAST({n - 1} AS BIGINT) - a.x ELSE a.x END
+                  ELSE a.y END,
+        'd', a.d + shiftleft(CAST(1 AS BIGINT), 2 * k) * CASE
+               WHEN ((a.x >> k) & 1) = 1 AND ((a.y >> k) & 1) = 0 THEN 3
+               WHEN ((a.x >> k) & 1) = 1 AND ((a.y >> k) & 1) = 1 THEN 2
+               WHEN ((a.x >> k) & 1) = 0 AND ((a.y >> k) & 1) = 1 THEN 1
+               ELSE 0 END),
+      a -> a.d
+    )"""
+    return F.expr(body.format(x=xb, y=yb)).cast("long")

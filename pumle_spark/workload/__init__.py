@@ -133,6 +133,8 @@ _DRIVER_QUEUE_R08: tuple[str, ...] = (
     "drift_page_hinkley",
     "graph_hyperball_reach",
     "privacy_dp_noisy_marginals",
+    "layout_hilbert_orders",
+    "layout_curve_locality",
 )
 
 

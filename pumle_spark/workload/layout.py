@@ -213,3 +213,221 @@ def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "threshold_c")
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout key + measured Hilbert-vs-Morton locality audit
+# --------------------------------------------------------------------------
+
+_FILE_ROWS = 4096  # rows per simulated file in the locality audit
+
+
+def _sql_hilbert_ctes(src: str) -> str:
+    """Per-level CTE chain computing the xy2d walk (hx, hy, hd) from
+    `src`(o_orderkey, xb, yb). CTE name references are exactly the
+    let-binding the Spark side gets from its aggregate() fold — textual
+    substitution of the level recurrence would be a 4^bits expression."""
+    ctes = [
+        f"h{_BITS} AS (SELECT o_orderkey, xb, yb, CAST(xb AS BIGINT) AS hx,"
+        f" CAST(yb AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    n = 1 << _BITS
+    for k in range(_BITS - 1, -1, -1):
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        quad = (
+            f"CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3"
+            f" WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+            f" WHEN {rx} = 0 AND {ry} = 1 THEN 1 ELSE 0 END"
+        )
+        new_x = (
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - hy ELSE hy END ELSE hx END"
+        )
+        new_y = (
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - hx ELSE hx END ELSE hy END"
+        )
+        ctes.append(
+            f"h{k} AS (SELECT o_orderkey, xb, yb, {new_x} AS hx, {new_y} AS hy,"
+            f" hd + {1 << (2 * k)} * {quad} AS hd FROM h{k + 1})"
+        )
+    return ",\n    ".join(ctes)
+
+
+_SQL_BUCKETED = f"""
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS dday
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+             MIN(dday) AS ymin, MAX(dday) AS ymax
+      FROM src
+    ),
+    bucketed AS (
+      SELECT s.o_orderkey,
+             ((s.o_custkey - b.xmin) * {1 << _BITS}) // (b.xmax - b.xmin + 1) AS xb,
+             ((s.dday - b.ymin) * {1 << _BITS}) // (b.ymax - b.ymin + 1) AS yb
+      FROM src s CROSS JOIN bounds b
+    )"""
+
+
+@register(
+    "layout_hilbert_orders",
+    sql=f"""
+    WITH {_SQL_BUCKETED},
+    {_sql_hilbert_ctes("bucketed")}
+    SELECT o_orderkey, xb, yb, CAST(hd AS BIGINT) AS hkey
+    FROM h0
+    """,
+    tags=("layout", "hilbert"),
+)
+def layout_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key for orders over (customer, order day)
+    — layout_zorder_orders' sibling with the locality-optimal space-
+    filling curve: consecutive Hilbert indices are always grid neighbors,
+    so equal-size files cut from the sorted order cover tighter boxes
+    than the Morton curve's quadrant-jumping order (quantified by
+    layout_curve_locality). Same bucketization (observed bounds, 2^{_BITS}
+    cells, single-row broadcast scalar); the walk itself is one
+    aggregate() fold per row on the Spark side and a per-level CTE chain
+    in the oracle — see pumle_spark/layout.py:hilbert_key for why the
+    unrolled-CASE form is a planner OOM. All integer, bit-identical."""
+    from pumle_spark.layout import hilbert_key
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit(_EPOCH).cast("date")).alias("dday"),
+    )
+    bounds = src.select(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min("dday").alias("ymin"),
+        F.max("dday").alias("ymax"),
+    )
+    xb = bucketize(F.col("o_custkey"), F.col("xmin"), F.col("xmax"), _BITS)
+    yb = bucketize(
+        F.col("dday").cast("long"), F.col("ymin").cast("long"),
+        F.col("ymax").cast("long"), _BITS,
+    )
+    return (
+        src.crossJoin(F.broadcast(bounds))
+        .withColumn("xb", xb)
+        .withColumn("yb", yb)
+        .select("o_orderkey", "xb", "yb", hilbert_key("xb", "yb", _BITS).alias("hkey"))
+    )
+
+
+@register(
+    "layout_curve_locality",
+    sql=f"""
+    WITH {_SQL_BUCKETED},
+    {_sql_hilbert_ctes("bucketed")},
+    keys AS (
+      SELECT o_orderkey, xb, yb,
+             CAST({_sql_zorder_terms("xb", "yb")} AS BIGINT) AS zkey,
+             CAST(hd AS BIGINT) AS hkey
+      FROM h0
+    ),
+    files AS (
+      SELECT 'hilbert' AS curve,
+             (ROW_NUMBER() OVER (ORDER BY hkey, o_orderkey) - 1) // {_FILE_ROWS} AS f,
+             xb, yb
+      FROM keys
+      UNION ALL
+      SELECT 'zorder' AS curve,
+             (ROW_NUMBER() OVER (ORDER BY zkey, o_orderkey) - 1) // {_FILE_ROWS} AS f,
+             xb, yb
+      FROM keys
+    ),
+    boxes AS (
+      SELECT curve, f,
+             CAST((MAX(xb) - MIN(xb) + 1) * (MAX(yb) - MIN(yb) + 1) AS BIGINT)
+               AS area
+      FROM files GROUP BY curve, f
+    )
+    SELECT curve,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(area) * 1000 // COUNT(*) AS BIGINT) AS mean_box_area_milli,
+           CAST(MAX(area) AS BIGINT) AS max_box_area
+    FROM boxes GROUP BY curve
+    ORDER BY curve
+    """,
+    tags=("layout", "hilbert", "zorder", "evaluation"),
+)
+def layout_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Hilbert-vs-Morton locality: cut the SAME bucketized orders
+    into {_FILE_ROWS}-row files along each curve's sort order and compare
+    per-file bounding-box areas — the number that decides which clustering
+    key a lakehouse write should use (a file's min/max stats prune a 2-D
+    box predicate in proportion to how tight its box is; mean box area IS
+    the expected scan amplification). The Hilbert row must win or the
+    layout module's claim is wrong — asserted in the replay test.
+
+    Exactness: pure integer (bucketized coords, integer areas, milli
+    division). The file-ordinal assignment is the layout total-order
+    contract (plan_lint class c — production writes range-partition the
+    sort, as write_zordered does)."""
+    from pumle_spark.layout import hilbert_key
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit(_EPOCH).cast("date")).alias("dday"),
+    )
+    bounds = src.select(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min("dday").alias("ymin"),
+        F.max("dday").alias("ymax"),
+    )
+    keys = (
+        src.crossJoin(F.broadcast(bounds))
+        .withColumn("xb", bucketize(F.col("o_custkey"), F.col("xmin"), F.col("xmax"), _BITS))
+        .withColumn(
+            "yb",
+            bucketize(
+                F.col("dday").cast("long"), F.col("ymin").cast("long"),
+                F.col("ymax").cast("long"), _BITS,
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "xb",
+            "yb",
+            zorder_key(F.col("xb"), F.col("yb"), _BITS).alias("zkey"),
+            hilbert_key("xb", "yb", _BITS).alias("hkey"),
+        )
+        # both curve cuts read this relation: pin it so the scan + Hilbert
+        # fold run once instead of once per union branch
+        .localCheckpoint(eager=False)
+    )
+    def cut(key: str, curve: str):
+        return keys.select(
+            F.lit(curve).alias("curve"),
+            F.expr(f"(row_number() OVER (ORDER BY {key}, o_orderkey) - 1)"
+                   f" div {_FILE_ROWS}").alias("f"),
+            "xb",
+            "yb",
+        )
+
+    files = cut("hkey", "hilbert").unionAll(cut("zkey", "zorder"))
+    boxes = files.groupBy("curve", "f").agg(
+        ((F.max("xb") - F.min("xb") + 1) * (F.max("yb") - F.min("yb") + 1))
+        .cast("bigint")
+        .alias("area")
+    )
+    return (
+        boxes.groupBy("curve")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.expr("sum(area) * 1000 div count(1)")
+            .cast("bigint")
+            .alias("mean_box_area_milli"),
+            F.max("area").cast("bigint").alias("max_box_area"),
+        )
+        .orderBy("curve")
+    )

@@ -483,3 +483,25 @@ def test_dp_noisy_marginals_noise_lookup_is_hash_join(spark):
     plan = plan_of("privacy_dp_noisy_marginals", spark)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hilbert_fold_is_constant_size_single_scan(spark):
+    """The xy2d walk must be ONE aggregate() fold (constant expression
+    size), not an unrolled CASE tree; one orders scan + the single-row
+    bounds broadcast."""
+    plan = plan_of("layout_hilbert_orders", spark)
+    assert "CartesianProduct" not in plan
+    # two narrow scans: the single-row bounds aggregate + the keyed pass
+    assert plan.count("Scan parquet") == 2
+    # the fold survives as ONE lambdafunction expression (sequence
+    # constant-folded), never an unrolled CASE tree per level
+    assert "lambdafunction(named_struct(x, CASE WHEN" in plan
+
+
+def test_curve_locality_cuts_share_the_checkpointed_keys(spark):
+    """Both curve cuts ride the SAME checkpointed keyed relation — the
+    orders scan and the Hilbert fold must not recompute per union branch."""
+    plan = plan_of("layout_curve_locality", spark)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0  # keys materialized once upstream

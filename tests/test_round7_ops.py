@@ -374,3 +374,99 @@ def test_dp_noisy_marginals_replays_mechanism_and_distribution(spark):
         assert r.noisy_n == expect_noisy
         assert r.abs_err == abs(expect_noisy - true_n[p])
         assert r.err_ppm == r.abs_err * 1_000_000 // r.true_n
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Canonical Hilbert xy2d (Wikipedia) — the independent semantic anchor
+    for the engine's aggregate-fold / CTE-chain implementations."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_canonical_walk_and_wins_locality(spark):
+    """Every per-row hkey equals the canonical python xy2d of the same
+    bucketized coords; the file-cut locality audit replays exactly; and
+    Hilbert must measure tighter mean boxes than the Morton curve — the
+    claim the layout module makes, asserted."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.layout import (
+        _BITS,
+        _FILE_ROWS,
+        layout_curve_locality,
+        layout_hilbert_orders,
+    )
+
+    n = 1 << _BITS
+    rows = layout_hilbert_orders(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.xb < n and 0 <= r.yb < n
+        assert r.hkey == _xy2d(n, r.xb, r.yb), (r.xb, r.yb)
+
+    # replay the audit: same rows, python sort + cut + bbox
+    zkeys = []
+    for r in rows:
+        z = 0
+        for i in range(_BITS):
+            z |= ((r.xb >> i) & 1) << (2 * i)
+            z |= ((r.yb >> i) & 1) << (2 * i + 1)
+        zkeys.append((z, r.o_orderkey, r.xb, r.yb))
+    hkeys = [(r.hkey, r.o_orderkey, r.xb, r.yb) for r in rows]
+
+    def audit(keyed):
+        keyed = sorted(keyed)
+        boxes = []
+        for i in range(0, len(keyed), _FILE_ROWS):
+            chunk = keyed[i : i + _FILE_ROWS]
+            xs = [c[2] for c in chunk]
+            ys = [c[3] for c in chunk]
+            boxes.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return len(boxes), sum(boxes) * 1000 // len(boxes), max(boxes)
+
+    expect = {"hilbert": audit(hkeys), "zorder": audit(zkeys)}
+    got = {
+        r.curve: (r.n_files, r.mean_box_area_milli, r.max_box_area)
+        for r in layout_curve_locality(spark, SF).collect()
+    }
+    assert got == expect
+    # sf0.001 fits in a single file (both boxes = full extent), so the
+    # strict locality win is asserted on a dense synthetic grid instead:
+    # a full 64x64 population cut into 256-point files — Hilbert's
+    # neighbor-continuity must measure strictly tighter boxes than the
+    # Morton quadrant jumps (at sf0.1 the registered query itself measures
+    # 2.42M vs 4.48M milli-cells, PERF.md round-7).
+    assert got["hilbert"][1] <= got["zorder"][1]
+
+    # chunk=200 (non-power-of-two, like real file sizes): power-of-two
+    # chunks on a complete grid tile perfectly for BOTH curves; unaligned
+    # cuts expose Morton's quadrant jumps (measured: 282 vs 469 cells)
+    def synth_audit(key_fn, m=64, chunk=200):
+        keyed = sorted((key_fn(x, y), x, y) for x in range(m) for y in range(m))
+        boxes = []
+        for i in range(0, len(keyed), chunk):
+            c = keyed[i : i + chunk]
+            xs = [p[1] for p in c]
+            ys = [p[2] for p in c]
+            boxes.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return sum(boxes) / len(boxes)
+
+    def zkey(x, y, bits=6):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    h_mean = synth_audit(lambda x, y: _xy2d(64, x, y))
+    z_mean = synth_audit(zkey)
+    assert h_mean < z_mean, (h_mean, z_mean)

@@ -158,6 +158,8 @@ ALLOW = {
     # round-7 additions (adjudicated at registration)
     "mix_unimax_epochs": {"BroadcastNestedLoopJoin": "single-row (k, spent, nl) scalars x |langs| rows"},
     "sketch_bloom_tuning": {"BroadcastNestedLoopJoin": "single-row member-count scalar x 3 config rows"},
+    "layout_hilbert_orders": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
+    "layout_curve_locality": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
 }
 
 # Unpartitioned-WindowExec adjudications (round 7: the check itself is new;
@@ -216,6 +218,7 @@ _WINDOW_ALLOW = {
     # round-7 additions (adjudicated at registration)
     "mix_unimax_epochs": "prefix-cap scan + largest-remainder rank over |langs| rows",
     "drift_page_hinkley": "PH prefix walks over the hourly series (calendar-bounded)",
+    "layout_curve_locality": "file-ordinal assignment along each curve is the layout total-order contract (layout_zonemap's class); production writes range-partition the sort",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
