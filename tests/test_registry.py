@@ -114,3 +114,45 @@ def test_every_query_is_named_in_coverage_md():
         cov = fh.read()
     missing = sorted(n for n in workload.queries() if f"`{n}`" not in cov)
     assert missing == [], f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_next_window_regime_logic():
+    """The round-8+ freeze depends on next_window.build_window switching
+    regimes correctly at backlog==0 — unit-tested on synthetic records so
+    the switch is proven before the round that needs it."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from next_window import build_window
+
+    names = [f"q{i:02d}" for i in range(12)]
+
+    # DRAIN: some names never verified; queue heads the window
+    latest = {n: 3 for n in names[:6]}
+    regime, window, leftovers = build_window(
+        names, latest, queue=["q10", "q11"], size=4
+    )
+    assert regime == "DRAIN"
+    assert window == ["q10", "q11", "q06", "q07"]
+    assert leftovers == ["q08", "q09"]
+    assert not (set(window) & set(latest)), "DRAIN must not waste slots"
+
+    # ROTATE: everything verified at least once; oldest-green first,
+    # registration order breaks ties; a live queue still leads
+    latest = {n: 3 for n in names}
+    latest["q04"] = 1
+    latest["q09"] = 1
+    latest["q02"] = 2
+    regime, window, leftovers = build_window(names, latest, queue=[], size=4)
+    assert regime.startswith("ROTATE")
+    assert window == ["q04", "q09", "q02", "q00"]
+    assert leftovers == []
+
+    # new surface smaller than the window: never-verified names lead, and
+    # the remaining slots rotate oldest-verified — never left unfilled
+    regime, window, leftovers = build_window(
+        [*names, "new_op"], latest, queue=["new_op"], size=4
+    )
+    assert regime == "DRAIN+ROTATE-FILL"
+    assert window == ["new_op", "q04", "q09", "q02"]
+    assert leftovers == []

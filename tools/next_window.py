@@ -61,11 +61,44 @@ def last_green_round() -> dict[str, int]:
     return latest
 
 
+def build_window(
+    names: list[str], latest: dict[str, int], queue: list[str], size: int = 50
+) -> tuple[str, list[str], list[str]]:
+    """Pure regime logic, unit-tested in tests/test_registry.py:
+    (regime, window, leftovers) from the registry order, the per-name
+    last-green-round map, and the live queue declaration order.
+
+    Never-verified names (live queue first, then backlog in registration
+    order) always lead; if they don't fill the window, the remaining
+    slots rotate the OLDEST-verified names (ascending last-green round,
+    registration order as the tiebreak) — a short round-8 queue must not
+    leave 40+ slots unused just because the regime label says DRAIN."""
+    reg_pos = {n: i for i, n in enumerate(names)}
+    green = set(latest)
+    backlog = [n for n in names if n not in green]
+    live_queue = [q for q in queue if q not in green]
+
+    never = list(
+        dict.fromkeys([*live_queue, *(n for n in backlog if n not in queue)])
+    )
+    if len(never) >= size:
+        window = never[:size]
+        return "DRAIN", window, [n for n in backlog if n not in window]
+    # fill the rest by rotating oldest-verified names: ascending last-green
+    # round, ties broken by current registration order — deterministic.
+    rest = sorted(
+        (n for n in names if n in green),
+        key=lambda n: (latest[n], reg_pos[n]),
+    )
+    window = [*never, *rest][:size]
+    regime = "DRAIN+ROTATE-FILL" if never else "ROTATE (oldest-verified)"
+    return regime, window, []
+
+
 def main() -> int:
     from pumle_spark import workload
 
     names = list(workload.queries())  # frozen window first, then registration order
-    reg_pos = {n: i for i, n in enumerate(names)}
     latest = last_green_round()
     green = set(latest)
     queue = [
@@ -76,29 +109,12 @@ def main() -> int:
     ]
     backlog = [n for n in names if n not in green]
     stale_queue = [q for q in queue if q in green]
-    live_queue = [q for q in queue if q not in green]
 
     print(f"registry={len(names)} green_union={len(green)} backlog={len(backlog)}")
     if stale_queue:
         print(f"queue names already green (drop from queue): {stale_queue}")
 
-    if backlog:
-        regime = "DRAIN"
-        window = list(
-            dict.fromkeys([*live_queue, *(n for n in backlog if n not in queue)])
-        )[:50]
-        leftovers = [n for n in backlog if n not in window]
-    else:
-        regime = "ROTATE (oldest-verified)"
-        # Queue names (never verified) first; then ascending last-green
-        # round, ties broken by current registration order so the choice
-        # is deterministic.
-        rest = sorted(
-            (n for n in names if n not in live_queue),
-            key=lambda n: (latest.get(n, 0), reg_pos[n]),
-        )
-        window = list(dict.fromkeys([*live_queue, *rest]))[:50]
-        leftovers = []
+    regime, window, leftovers = build_window(names, latest, queue)
 
     print(f"regime={regime}")
     print(f"\n_DRIVER_WINDOW (next round, {len(window)} names):")
