@@ -68,74 +68,55 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's CORRECTNESS_r{N}.json records at most 50 queries, taken in
-# registration order. To rotate coverage across rounds, queries already
-# hash-verified by the driver in a previous round (green union over
-# CORRECTNESS_r01–r06 = 251 names; provenance: the checked-in
-# CORRECTNESS_r0*.json files) are pushed behind the window.
+# registration order. Rounds 1–7 ran the DRAIN regime (never-driver-verified
+# names only); round 7 drained the backlog to ZERO (cumulative driver-green
+# union = 301/301 pre-freeze names over CORRECTNESS_r01–r07).
 #
-# _DRIVER_WINDOW_R07 is round 7's 50-row window, EXPLICIT and ordered —
-# the verbatim output of `python tools/next_window.py` at freeze time: the
-# 11 queries registered after the round-6 window froze (the former
-# _DRIVER_QUEUE_R07, all local-green via tools/oracle_check.py 301/301 at
-# sf0.01 but never driver-verified), followed by the 39 remaining
-# pre-freeze never-driver-verified names in registration order. 11 + 39 =
-# exactly 50: this round drains the driver-verification backlog to ZERO
-# (next_window.py printed leftovers = 0 at freeze). The freeze is enforced
-# by tests/test_registry.py: queries()[:50] must equal this tuple and be
-# disjoint from every prior CORRECTNESS_r0*.json green union.
-#
-# POST-DRAIN ROTATION POLICY (round 8 onward): with the backlog at zero,
-# every name has been driver-verified at least once — but only once, ever;
-# a regression introduced after a name's round would never re-enter the
-# driver record. From R08 the window rotates the 50 OLDEST-VERIFIED names:
-# never-verified queue names first (new surface), then names ordered by
-# (last round seen green ascending, registration order). next_window.py
-# computes this mechanically from the checked-in CORRECTNESS records —
-# the freeze stays a paste, and driver verification stays live with each
-# name re-verified roughly every ceil(registry/50) rounds.
-_DRIVER_WINDOW_R07 = (
-    # -- registered after the r06 window froze (the 11-name queue) --------
-    "text_langid_kappa", "text_token_fertility", "retrieval_ndcg_eval",
-    "retrieval_rbo_overlap", "curation_dsir_weights",
-    "dedup_lsh_tuning_report", "curation_softdedup_weights",
-    "text_rouge_cluster_pairs", "abtest_power_mde",
-    "embedding_sign_hamming_agreement", "drift_embedding_dim_psi",
-    # -- the 39 remaining pre-freeze never-driver-verified names ----------
-    "profile_column_entropy", "drift_ks_two_sample", "drift_token_js",
-    "stream_sessionize_final", "attribution_markov_removal",
-    "events_calibration_report", "events_anomaly_mad",
-    "events_cohort_value_curve", "events_funnel_latency",
-    "sessions_peak_concurrency", "events_attribution_shapley",
-    "slo_burn_rate_alerts", "abtest_srm_check", "abtest_cuped_adjusted",
-    "stats_bootstrap_ci", "privacy_k_anonymity", "abtest_diff_in_diff",
-    "privacy_l_diversity", "graph_kcore_membership", "graph_lpa_communities",
-    "graph_link_prediction", "graph_region_modularity",
-    "layout_zonemap_skipping", "basket_association_rules",
-    "activity_timeline_union", "split_temporal_purged",
-    "embedding_label_centroids", "embedding_int8_quantization",
-    "embedding_effective_dim", "retrieval_mmr_diversified",
-    "text_line_dedup_profile", "text_ngram_novelty", "text_bm25_topk",
-    "retrieval_rrf_fusion", "text_heaps_law", "text_bpe_pair_stats",
-    "text_bigram_perplexity", "text_vocab_coverage", "text_gopher_rules",
+# _DRIVER_WINDOW_R08 is round 8's 50-row window — the FIRST live run of the
+# post-drain ROTATE regime — pasted verbatim from `python tools/next_window.py`
+# (regime printed: DRAIN+ROTATE-FILL): the 8 queries registered after the
+# round-7 window froze (the former _DRIVER_QUEUE_R08, all local-green via
+# tools/oracle_check.py 309/309 at sf0.01 but never driver-verified) lead,
+# followed by the 42 OLDEST-driver-verified names (ascending last-green
+# round over the checked-in CORRECTNESS_r0*.json records, registration
+# order as the tiebreak). Rotation keeps driver verification LIVE: a name
+# re-verifies roughly every ceil(registry/50) rounds, so a regression
+# introduced after a name's first green round re-enters the driver record
+# instead of hiding behind a stale "green once, ever" mark. The freeze is
+# enforced by tests/test_registry.py: queries()[:50] must equal this tuple,
+# never-verified names must lead, and the rotated tail must be exactly the
+# oldest-verified stratum (no slot wasted on a recently-verified name).
+_DRIVER_WINDOW_R08 = (
+    # -- registered after the r07 window froze (the 8-name queue) ---------
+    "mix_unimax_epochs", "sample_weighted_aes", "sketch_bloom_tuning",
+    "drift_page_hinkley", "graph_hyperball_reach", "privacy_dp_noisy_marginals",
+    "layout_hilbert_orders", "layout_curve_locality",
+    # -- the 42 oldest-driver-verified names (rotation fill) --------------
+    "scalar_dates_orders",
+    "case_when_price_bands", "pivot_status_by_year", "q7_nation_pair_volume",
+    "q10_returned_items", "dedup_exact", "dedup_exact_normalized",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_clusters",
+    "dedup_embedding_cosine", "dedup_simhash32", "events_hourly_rollup",
+    "events_sessionize", "events_asof_purchase_view", "events_json_extract",
+    "events_user_activity", "multimodal_media_stats", "physics_brine_properties",
+    "physics_bilinear_interp", "param_hash_customers", "sweep_linspace_grid",
+    "scatter_dense_grid", "forder_index_roundtrip", "wells_range_join",
+    "schedule_rampup", "validate_customer_constraints", "minpos_quantity_floor",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q4_order_priority", "q6_forecast_revenue", "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates", "agg_percentiles_by_status", "having_big_spenders",
+    "window_dense_rank_ntile", "join_broadcast_brand_volume", "join_left_outer_part_activity",
+    "join_semi_active_customers", "join_anti_inactive_customers",
 )
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R07)}
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R08)}
 
-# Queries registered AFTER the round-7 window froze (the driver records only
+# Queries registered AFTER the round-8 window froze (the driver records only
 # queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 8's window, followed by the oldest-verified names per the post-drain
-# rotation policy above (compute with tools/next_window.py when freezing
-# _DRIVER_WINDOW_R08). Keep this list in sync when adding queries this
-# round; its length is whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R08: tuple[str, ...] = (
-    "mix_unimax_epochs",
-    "sample_weighted_aes",
-    "sketch_bloom_tuning",
-    "drift_page_hinkley",
-    "graph_hyperball_reach",
-    "privacy_dp_noisy_marginals",
-    "layout_hilbert_orders",
-    "layout_curve_locality",
-)
+# 9's window, followed by the oldest-verified rotation per the policy above
+# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R09).
+# Keep this list in sync when adding queries this round; its length is
+# whatever len() says, never a hand-maintained count.
+_DRIVER_QUEUE_R09: tuple[str, ...] = ()
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

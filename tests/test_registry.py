@@ -1,13 +1,16 @@
 """Rotation-invariant lock for the driver verification window.
 
 The driver hash-verifies only ``queries()[:50]`` per round
-(CORRECTNESS_r{N}.json). To extend driver-record coverage instead of
-re-verifying the same names, each round freezes an explicit window of
-never-driver-verified queries. These tests make the freeze mechanical:
+(CORRECTNESS_r{N}.json). Rounds 1–7 ran the DRAIN regime (fill the window
+with never-driver-verified names until the backlog is zero); round 7
+drained it. From round 8 the ROTATE regime re-verifies the OLDEST-green
+names so driver verification stays live. These tests make the freeze
+mechanical:
 
-1. the live registry order actually starts with the frozen window, and
-2. no window name appears green in any checked-in prior driver record
-   (re-verifying a name wastes one of the 50 slots).
+1. the live registry order actually starts with the frozen window,
+2. never-verified queue names lead the window (new surface first), and
+3. the rotated tail is exactly the oldest-verified stratum — no slot is
+   spent on a name verified more recently than one left outside.
 
 Without this, the window is convention only — round 5's ADVICE showed the
 bookkeeping can drift silently (a hand-counted queue comment was off by 2).
@@ -18,14 +21,24 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Records from this round onward land AFTER the freeze (the r08 record will
+# intentionally contain the window names once the driver runs); only strictly
+# prior records constrain it.
+_FREEZE_CUTOFF = "CORRECTNESS_r08.json"
 
-def _green_union() -> set[str]:
-    """Names hash-verified green in any checked-in CORRECTNESS_r0*.json."""
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+
+def _latest_green() -> dict[str, int]:
+    """name -> highest round seen hash-green, over records before the freeze."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        if base >= _FREEZE_CUTOFF:
+            continue
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", base).group(1))
         with open(path) as fh:
             record = json.load(fh)
         for name, res in record.items():
@@ -36,48 +49,48 @@ def _green_union() -> set[str]:
                 and res.get("hash_match", True)
                 and not res.get("err")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def test_window_is_exactly_the_first_50_queries():
     from pumle_spark import workload
 
-    window = workload._DRIVER_WINDOW_R07
+    window = workload._DRIVER_WINDOW_R08
     assert len(window) == 50, f"window must fill all 50 driver slots, got {len(window)}"
     assert len(set(window)) == 50, "window has duplicate names"
     head = list(workload.queries())[:50]
     assert head == list(window), (
-        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R07 — "
+        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R08 — "
         "a registration-order change or a new query slipped ahead of the window"
     )
 
 
-def test_window_names_never_driver_verified_before():
+def test_window_rotates_oldest_verified_names():
+    """ROTATE-regime lock: never-verified names lead; the rotated tail is
+    the oldest-verified stratum. Any green name OUTSIDE the window must have
+    been verified no earlier than every rotated name INSIDE it — otherwise a
+    slot was wasted on a fresher name while a staler one aged further."""
     from pumle_spark import workload
 
-    # r07's own record will (intentionally) contain these names once the
-    # driver runs; only records from PRIOR rounds constrain the freeze.
-    prior = {
-        p
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
-        if os.path.basename(p) < "CORRECTNESS_r07.json"
-    }
-    green: set[str] = set()
-    for path in sorted(prior):
-        with open(path) as fh:
-            record = json.load(fh)
-        for name, res in record.items():
-            if (
-                isinstance(res, dict)
-                and res.get("rows_match")
-                and res.get("schema_match")
-                and res.get("hash_match", True)
-                and not res.get("err")
-            ):
-                green.add(name)
-    wasted = [n for n in workload._DRIVER_WINDOW_R07 if n in green]
-    assert not wasted, f"window wastes slots on already-driver-green names: {wasted}"
+    latest = _latest_green()
+    window = list(workload._DRIVER_WINDOW_R08)
+
+    never = [n for n in window if n not in latest]
+    assert window[: len(never)] == never, (
+        f"never-driver-verified names must lead the window: {never}"
+    )
+
+    rotated = [n for n in window if n in latest]
+    outside = [n for n in workload.queries() if n in latest and n not in set(window)]
+    if rotated and outside:
+        newest_inside = max(latest[n] for n in rotated)
+        oldest_outside = min(latest[n] for n in outside)
+        assert newest_inside <= oldest_outside, (
+            "window skips older-verified names: rotated tail contains a name "
+            f"green as recently as r{newest_inside:02d} while a name last "
+            f"green in r{oldest_outside:02d} sits outside the window"
+        )
 
 
 def test_window_and_queue_names_exist_in_registry():
@@ -86,7 +99,7 @@ def test_window_and_queue_names_exist_in_registry():
     names = set(workload.queries())
     missing = [
         n
-        for n in (*workload._DRIVER_WINDOW_R07, *workload._DRIVER_QUEUE_R08)
+        for n in (*workload._DRIVER_WINDOW_R08, *workload._DRIVER_QUEUE_R09)
         if n not in names
     ]
     assert not missing, f"window/queue references unregistered queries: {missing}"

@@ -104,7 +104,7 @@ ALLOW = {
     "graph_lpa_communities": {"BroadcastNestedLoopJoin": "single-row node-total scalar x community rows"},
     "abtest_srm_check": {"BroadcastNestedLoopJoin": "single-row unit-total + chi2-total scalars x 3 arms"},
     "abtest_cuped_adjusted": {"BroadcastNestedLoopJoin": "single-row pooled-theta scalar x 3 arms"},
-    "stats_bootstrap_ci": {"BroadcastNestedLoopJoin": "single-row observed-mean scalar x 200 replicate rows"},
+    "stats_bootstrap_ci": {"BroadcastNestedLoopJoin": "single-row observed-mean scalar x _BOOT_B=100 replicate rows"},
     "privacy_k_anonymity": {"BroadcastNestedLoopJoin": "single-row class/row-total scalars x 4 k-thresholds"},
     "graph_link_prediction": {"BroadcastNestedLoopJoin": "single-row edge-quantile threshold scalar (census's sparsifier)"},
     "text_bpe_pair_stats": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x top pairs"},
@@ -190,7 +190,7 @@ _WINDOW_ALLOW = {
     "text_keyword_textrank": "rank over the per-term TextRank rollup (top-term report)",
     "text_bpe_pair_stats": "rank over the adjacent-pair count rollup (vocab-bounded)",
     "supplier_scorecard": "rank over the per-supplier composite rollup (dim-sized)",
-    "stats_bootstrap_ci": "rank over 200 bootstrap replicate means",
+    "stats_bootstrap_ci": "rank over _BOOT_B=100 bootstrap replicate means",
     "slo_burn_rate_alerts": "RANGE windows over the hourly rollup (calendar-bounded)",
     "sessions_peak_concurrency": "sweep-line carry over per-day boundary rollup (calendar-bounded)",
     "events_session_paths": "rank over the distinct-path session-count rollup (top-N report)",
