@@ -116,7 +116,16 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R08)}
 # (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R09).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R09: tuple[str, ...] = ()
+_DRIVER_QUEUE_R09: tuple[str, ...] = (
+    "dedup_exact_substring",
+    "text_kneser_ney_logprob",
+    "abtest_fdr_bh",
+    "stats_mann_whitney",
+    "privacy_randomized_response",
+    "split_group_kfold",
+    "layout_bloom_skipping",
+    "ann_adc_rerank",
+)
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

@@ -1344,3 +1344,87 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+_ES_GRAM = 4  # token k-gram length; production runs ~50 tokens (see docstring)
+
+
+@register(
+    "dedup_exact_substring",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i + {_ES_GRAM} - 1], ' ')) AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {_ES_GRAM} + 2)) AS i
+            FROM d WHERE len(ws) >= {_ES_GRAM})
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {_ES_GRAM} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, arXiv:2107.06499
+    §4.1): every maximal token span of >= {_ES_GRAM} tokens that occurs
+    verbatim in at least TWO distinct documents, reported as
+    (doc_id, span_start, span_tokens) — the spans a training-data pipeline
+    would cut, not just which documents collide. The paper's suffix-array
+    scan is replaced by the distributed equivalent: a rolling k-gram
+    fingerprint match plus per-document island merging (two consecutive
+    duplicated k-gram starts overlap in k-1 tokens, so a run of starts IS
+    one maximal duplicated span). {_ES_GRAM}-token grams here; production
+    uses ~50-token grams, which only shrinks every intermediate.
+
+    Scale shape: gram fingerprints are a per-row array expression (no
+    self-join); the duplicate-gram filter is ONE hash-partitioned groupBy
+    on the 32-byte fingerprint with map-side partial aggregation, and the
+    mark-back join re-uses that exchange (both sides hashed on `h`, never
+    on the document body). Island merging windows partition by doc_id —
+    per-document state only, no global sort. Nothing is quadratic in docs
+    or in corpus size; hot grams cost Σc_h on the probe, not Σc_h².
+    Reference analogue: PUMLE has no text surface; this extends the
+    dedup family mandated by the driver brief."""
+    k = _ES_GRAM
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    grams = (
+        d.filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k} + 1), "
+                    f"i -> struct(i AS pos, md5(array_join(slice(ws, i, {k}), ' ')) AS h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    marked = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.select("doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island"))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_tokens")

@@ -1411,3 +1411,449 @@ def privacy_dp_noisy_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_ppm"),
     ).orderBy("priority", "eps_milli")
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over a metric family (the multiple-testing gate)
+# --------------------------------------------------------------------------
+
+# Two-sided normal p-values as a python-computed literal table (the module's
+# transcendental rule: erfc never crosses the oracle boundary — both engines
+# read the same repr() doubles). |z| quantizes to 1/50 steps, capped at 6.
+_BH_ALPHA = 0.1
+_BH_CONV_CENTS = 50000  # conversion: user's per-type spend exceeds $500
+_PHI2 = [(zq, _math.erfc((zq / 50.0) / _math.sqrt(2.0))) for zq in range(301)]
+_PHI2_SQL = ", ".join(f"({zq}, {p!r})" for zq, p in _PHI2)
+
+
+@register(
+    "abtest_fdr_bh",
+    sql=f"""
+    WITH phi(zq, p2) AS (VALUES {_PHI2_SQL}),
+    assigned AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('fdr|' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 50
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users FROM assigned GROUP BY arm),
+    per_user AS (
+      SELECT e.event_type, a.arm, e.user_id,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events e JOIN assigned a USING (user_id)
+      GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT event_type, arm,
+             CAST(SUM(CASE WHEN v > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS u,
+             CAST(SUM(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT t.event_type,
+             t.u AS u_t, t.s1 AS s1_t, t.s2 AS s2_t, nt.n_users AS n_t,
+             c.u AS u_c, c.s1 AS s1_c, c.s2 AS s2_c, nc.n_users AS n_c
+      FROM cells t
+      JOIN cells c ON c.event_type = t.event_type AND c.arm = 'control'
+      JOIN arms nt ON nt.arm = 'treatment'
+      JOIN arms nc ON nc.arm = 'control'
+      WHERE t.arm = 'treatment'
+    ),
+    hyps AS (
+      SELECT 'mean_value' AS metric_kind, event_type,
+             CASE WHEN
+                 ((CAST(n_t AS DOUBLE) * CAST(s2_t AS DOUBLE)
+                   - CAST(s1_t AS DOUBLE) * CAST(s1_t AS DOUBLE))
+                  / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE))) / n_t
+                 + ((CAST(n_c AS DOUBLE) * CAST(s2_c AS DOUBLE)
+                     - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE))) / n_c > 0
+             THEN
+             ((CAST(s1_t AS DOUBLE) / n_t) - (CAST(s1_c AS DOUBLE) / n_c))
+             / sqrt(
+                 ((CAST(n_t AS DOUBLE) * CAST(s2_t AS DOUBLE)
+                   - CAST(s1_t AS DOUBLE) * CAST(s1_t AS DOUBLE))
+                  / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE))) / n_t
+                 + ((CAST(n_c AS DOUBLE) * CAST(s2_c AS DOUBLE)
+                     - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE))
+                    / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE))) / n_c
+               ) END AS z
+      FROM wide
+      UNION ALL
+      SELECT 'conversion' AS metric_kind, event_type,
+             CASE WHEN u_t + u_c > 0 AND u_t + u_c < n_t + n_c
+             THEN
+             ((CAST(u_t AS DOUBLE) / n_t) - (CAST(u_c AS DOUBLE) / n_c))
+             / sqrt(
+                 (CAST(u_t + u_c AS DOUBLE) / (n_t + n_c))
+                 * (1.0 - CAST(u_t + u_c AS DOUBLE) / (n_t + n_c))
+                 * (1.0 / n_t + 1.0 / n_c)
+               ) END AS z
+      FROM wide
+    ),
+    live AS (SELECT * FROM hyps WHERE z IS NOT NULL),
+    pvals AS (
+      SELECT h.metric_kind, h.event_type, h.z, phi.p2
+      FROM live h
+      JOIN phi ON phi.zq = LEAST(CAST(ROUND(ABS(h.z) * 50) AS BIGINT), 300)
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p2, metric_kind, event_type) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM pvals
+    ),
+    cut AS (
+      SELECT *,
+             MAX(CASE WHEN p2 * m <= {_BH_ALPHA} * rnk THEN rnk END) OVER () AS kstar
+      FROM ranked
+    )
+    SELECT metric_kind, event_type,
+           ROUND(z, 6) AS z,
+           ROUND(p2, 8) AS p_two,
+           CAST(rnk AS INTEGER) AS rnk,
+           CAST(m AS INTEGER) AS m_tests,
+           CAST(rnk <= COALESCE(kstar, 0) AS BOOLEAN) AS rejected
+    FROM cut
+    """,
+    tags=("experiments", "abtest", "fdr", "multiple-testing"),
+)
+def abtest_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (Benjamini & Hochberg 1995) over the
+    metric family an experimentation platform reads every morning: per
+    event_type, a Welch z on the per-user value metric AND a two-proportion
+    z on conversion, users hash-split 50/50 (md5('fdr|'||user_id), the
+    module's assignment convention). Zero-users are handled WITHOUT
+    materializing zero rows: a user absent from (type, arm) contributes 0
+    to Σv and Σv², so means/variances over all n_arm users come from the
+    present-user sums alone. BH: rank p ascending, k* = max over i with
+    p_i <= α·i/m, reject ranks <= k* (α = {_BH_ALPHA}).
+
+    Exactness: the metric is integer cents; Σv and Σv² are exact
+    DECIMAL(38,0); every z is a single mirrored double expression of exact
+    integers (no float sums), so both engines compute bit-identical z. The
+    normal tail p = erfc(|z|/√2) NEVER crosses the engine boundary — it is
+    a 301-entry python-literal table keyed on round(|z|·50) capped at 6σ,
+    joined identically on both sides.
+
+    Scale: assignment and cents are map work; per_user is one
+    hash-partitioned groupBy; cells is a second partial-aggregated rollup
+    of |types|·2 rows. The BH windows run over the m-row hypothesis table
+    (m = 2·|event types| — bounded, see plan_lint adjudication). The phi
+    table is a 301-row broadcast."""
+    e = table(spark, sf_dir, "events")
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("fdr|"), F.col("user_id").cast("string"))), 1, 4),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+                < 50,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("arm"),
+        )
+    )
+    arms = assigned.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    per_user = (
+        e.join(assigned, "user_id")
+        .groupBy("event_type", "arm", "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("v"))
+    )
+    vd = F.col("v").cast("decimal(19,0)")
+    cells = per_user.groupBy("event_type", "arm").agg(
+        F.sum(F.when(F.col("v") > _BH_CONV_CENTS, 1).otherwise(0)).cast("bigint").alias("u"),
+        F.sum(vd).cast("decimal(38,0)").alias("s1"),
+        F.sum(vd * vd).cast("decimal(38,0)").alias("s2"),
+    )
+    t = cells.filter(F.col("arm") == "treatment").select(
+        "event_type",
+        F.col("u").alias("u_t"), F.col("s1").alias("s1_t"), F.col("s2").alias("s2_t"),
+    )
+    c = cells.filter(F.col("arm") == "control").select(
+        "event_type",
+        F.col("u").alias("u_c"), F.col("s1").alias("s1_c"), F.col("s2").alias("s2_c"),
+    )
+    nt = arms.filter(F.col("arm") == "treatment").select(F.col("n_users").alias("n_t"))
+    nc = arms.filter(F.col("arm") == "control").select(F.col("n_users").alias("n_c"))
+    wide = (
+        t.join(c, "event_type")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+    )
+
+    def _var(s1, s2, n):
+        nd = F.col(n).cast("double")
+        return (
+            (nd * F.col(s2).cast("double") - F.col(s1).cast("double") * F.col(s1).cast("double"))
+            / (nd * nd)
+        )
+
+    se2_mean = _var("s1_t", "s2_t", "n_t") / F.col("n_t") + _var("s1_c", "s2_c", "n_c") / F.col("n_c")
+    z_mean = F.when(
+        se2_mean > 0,
+        (
+            (F.col("s1_t").cast("double") / F.col("n_t"))
+            - (F.col("s1_c").cast("double") / F.col("n_c"))
+        )
+        / F.sqrt(se2_mean),
+    )
+    pooled = (F.col("u_t") + F.col("u_c")).cast("double") / (F.col("n_t") + F.col("n_c"))
+    z_prop = F.when(
+        (F.col("u_t") + F.col("u_c") > 0) & (F.col("u_t") + F.col("u_c") < F.col("n_t") + F.col("n_c")),
+        (
+            (F.col("u_t").cast("double") / F.col("n_t"))
+            - (F.col("u_c").cast("double") / F.col("n_c"))
+        )
+        / F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / F.col("n_t") + F.lit(1.0) / F.col("n_c"))),
+    )
+    # one pass over `wide`: a UNION ALL would re-evaluate the whole cells
+    # subtree (and its scalar broadcasts) once per metric kind
+    hyps = (
+        wide.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("mean_value").alias("metric_kind"), z_mean.alias("z")),
+                    F.struct(F.lit("conversion").alias("metric_kind"), z_prop.alias("z")),
+                )
+            ).alias("h"),
+        )
+        .select(F.col("h.metric_kind").alias("metric_kind"), "event_type", F.col("h.z").alias("z"))
+        .filter(F.col("z").isNotNull())
+    )
+    phi = spark.createDataFrame(_PHI2, "zq bigint, p2 double")
+    pvals = hyps.join(
+        F.broadcast(phi),
+        F.col("zq") == F.least(F.round(F.abs(F.col("z")) * 50).cast("bigint"), F.lit(300)),
+    ).select("metric_kind", "event_type", "z", "p2")
+    w_rank = Window.orderBy("p2", "metric_kind", "event_type")
+    w_all = Window.partitionBy()
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    cut = ranked.select(
+        "*",
+        F.max(
+            F.when(F.col("p2") * F.col("m") <= F.lit(_BH_ALPHA) * F.col("rnk"), F.col("rnk"))
+        ).over(w_all).alias("kstar"),
+    )
+    return cut.select(
+        "metric_kind",
+        "event_type",
+        F.round("z", 6).alias("z"),
+        F.round("p2", 8).alias("p_two"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("m").cast("int").alias("m_tests"),
+        (F.col("rnk") <= F.coalesce(F.col("kstar"), F.lit(0))).alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) — the nonparametric two-sample test
+# --------------------------------------------------------------------------
+
+_MW_A, _MW_B = "R", "A"  # compared l_returnflag populations (returned vs accepted)
+_MW_Z_CRIT = 1.96
+
+
+@register(
+    "stats_mann_whitney",
+    sql=f"""
+    WITH s AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS grp
+      FROM lineitem WHERE l_returnflag IN ('{_MW_A}', '{_MW_B}')
+    ),
+    per_v AS (
+      SELECT qty,
+             CAST(SUM(CASE WHEN grp = '{_MW_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+             CAST(SUM(CASE WHEN grp = '{_MW_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2v
+      FROM s GROUP BY qty
+    ),
+    walked AS (
+      SELECT qty, n1v, n2v, n1v + n2v AS tv,
+             CAST(COALESCE(SUM(n1v + n2v) OVER (ORDER BY qty
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(n2v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * cum_before + tv + 1)) AS BIGINT) AS w1_twice,
+             CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tie_cubes
+      FROM walked
+    )
+    SELECT n1, n2,
+           CAST((w1_twice - n1 * (n1 + 1)) // 2 AS BIGINT) AS u1,
+           ROUND(
+             (CAST(w1_twice - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+               )),
+             6) AS z,
+           CAST(ABS(
+             (CAST(w1_twice - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+             / (2.0 * sqrt(
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                 * (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+               ))) > {_MW_Z_CRIT} AS BOOLEAN) AS significant
+    FROM agg
+    """,
+    tags=("experiments", "stats", "nonparametric", "rank-sum"),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    approximation (Mann & Whitney 1947; tie correction per Lehmann 1975):
+    does l_quantity differ in distribution between returned ('{_MW_A}')
+    and accepted ('{_MW_B}') line items? The nonparametric complement to the suite's parametric and
+    KS tests — the test a metrics platform reaches for when values are
+    heavy-tailed and a mean test is untrustworthy.
+
+    NO global sort: l_quantity is discrete, so average ranks come from the
+    value-frequency table. For value v with below-count b and tie-count t,
+    the shared average rank is b + (t+1)/2; kept exact as 2·rank =
+    2b + t + 1, so the rank-sum 2·W1 = Σ n1v·(2b+t+1) is exact BIGINT.
+    U1 = W1 − n1(n1+1)/2; Var(U) = (n1·n2/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    z is one mirrored double expression of exact integers — bit-identical
+    across engines; the only window walks the ~50-row distinct-value table
+    (bounded, see plan_lint adjudication).
+
+    Scale: one partial-aggregated groupBy(qty) over the filtered scan (the
+    returnflag predicate pushes to parquet), a 50-row window, a single-row
+    reduce. Works unchanged when the two samples have billions of rows,
+    BECAUSE the rank computation never materializes per-row ranks."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin(_MW_A, _MW_B))
+    per_v = li.groupBy(F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.sum(F.when(F.col("l_returnflag") == _MW_A, 1).otherwise(0)).cast("bigint").alias("n1v"),
+        F.sum(F.when(F.col("l_returnflag") == _MW_B, 1).otherwise(0)).cast("bigint").alias("n2v"),
+    )
+    w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, -1)
+    walked = per_v.select(
+        "qty", "n1v", "n2v",
+        (F.col("n1v") + F.col("n2v")).alias("tv"),
+        F.coalesce(F.sum(F.col("n1v") + F.col("n2v")).over(w), F.lit(0)).cast("bigint").alias("cum_before"),
+    )
+    agg = walked.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum("n2v").cast("bigint").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cum_before") + F.col("tv") + 1)).cast("bigint").alias("w1_twice"),
+        F.sum(F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv")).cast("bigint").alias("tie_cubes"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    num = (F.col("w1_twice") - F.col("n1") * (F.col("n1") + 1)).cast("double") - (
+        F.col("n1") * F.col("n2")
+    ).cast("double")
+    var_u = (n1d * n2d / F.lit(12.0)) * (
+        (F.col("n1") + F.col("n2") + 1).cast("double")
+        - F.col("tie_cubes").cast("double")
+        / ((F.col("n1") + F.col("n2")).cast("double") * (F.col("n1") + F.col("n2") - 1).cast("double"))
+    )
+    z = num / (F.lit(2.0) * F.sqrt(var_u))
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("(w1_twice - n1 * (n1 + 1)) div 2").cast("bigint").alias("u1"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _MW_Z_CRIT).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# randomized response (Warner 1965) — local-DP collection audit
+# --------------------------------------------------------------------------
+
+_RR_TRUTH_PCT = 75  # answer truthfully with prob 0.75, else a fair coin
+
+
+@register(
+    "privacy_randomized_response",
+    sql=f"""
+    WITH resp AS (
+      SELECT n_name,
+             CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+             CASE WHEN ('0x' || substr(md5('rr|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < {_RR_TRUTH_PCT}
+                  THEN CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END
+                  ELSE ('0x' || substr(md5('rr|' || CAST(c_custkey AS VARCHAR)), 5, 1))::BIGINT % 2
+             END AS reported
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    cells AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth) AS BIGINT) AS true_yes,
+             CAST(SUM(reported) AS BIGINT) AS reported_yes
+      FROM resp GROUP BY n_name
+    )
+    SELECT n_name, n, true_yes, reported_yes,
+           ROUND(CAST(true_yes AS DOUBLE) / n, 6) AS true_pi,
+           ROUND(CAST(8 * reported_yes - n AS DOUBLE) / CAST(6 * n AS DOUBLE), 6) AS est_pi,
+           ROUND(CAST(8 * reported_yes - n AS DOUBLE) / CAST(6 * n AS DOUBLE)
+                 - CAST(true_yes AS DOUBLE) / n, 6) AS est_err
+    FROM cells
+    """,
+    tags=("experiments", "privacy", "local-dp", "randomized-response"),
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response collection audit (Warner 1965, forced-response
+    variant — the local-DP mechanism RAPPOR builds on): each customer
+    reports the sensitive bit (acctbal < 0, "in debt") truthfully with
+    p = {_RR_TRUTH_PCT}/100, else a fair coin, both decided by disjoint
+    md5('rr|'||key) digits so the mechanism is deterministic and
+    cross-engine identical. Per nation: the debiased estimate
+    π̂ = (λ − (1−p)/2)/p — with p = 3/4 exactly (8·yes − n)/(6n) — against
+    the ground truth the curator still holds, i.e. the estimator-error
+    audit you run BEFORE trusting the mechanism on data you won't see.
+    Local-DP guarantee: ε = ln(p/((1−p)/2)) = ln 6 per response.
+
+    Exactness: counts are integers; every ratio is one mirrored double
+    division of exact integers, rounded at output. No transcendental
+    crosses the boundary (ln 6 appears only in this docstring).
+
+    Scale: the mechanism is per-row map work over customer (hash digits,
+    no state); nation is a broadcast dim join; one partial-aggregated
+    groupBy(nation) of 3 integer sums. Nothing else shuffles."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    h = F.md5(F.concat(F.lit("rr|"), F.col("c_custkey").cast("string")))
+    truth = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    coin = F.conv(F.substring(h, 5, 1), 16, 10).cast("bigint") % 2
+    reported = F.when(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 100 < _RR_TRUTH_PCT, truth
+    ).otherwise(coin)
+    cells = (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(F.col("n_name"), truth.alias("truth"), reported.alias("reported"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("truth").cast("bigint").alias("true_yes"),
+            F.sum("reported").cast("bigint").alias("reported_yes"),
+        )
+    )
+    est = (8 * F.col("reported_yes") - F.col("n")).cast("double") / (6 * F.col("n")).cast("double")
+    true_pi = F.col("true_yes").cast("double") / F.col("n")
+    return cells.select(
+        "n_name", "n", "true_yes", "reported_yes",
+        F.round(true_pi, 6).alias("true_pi"),
+        F.round(est, 6).alias("est_pi"),
+        F.round(est - true_pi, 6).alias("est_err"),
+    )

@@ -431,3 +431,205 @@ def layout_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curve")
     )
+
+
+# --------------------------------------------------------------------------
+# per-file bloom indexes vs zonemaps for point predicates
+# --------------------------------------------------------------------------
+
+_LBS_FILES = 16       # simulated ingest files (orderkey-ranged, the free layout)
+_LBS_BITS = 65536     # bloom bits per file (sized for the sf0.01-0.1 keys/file;
+                      # production sizes by NDV like Parquet's writer does)
+_LBS_K = 3            # hash functions
+_LBS_WORD = 32        # bits per word; masks stay well inside a signed 64-bit lane
+_LBS_PROBE_STRIDE = 100  # probe partkeys: p_partkey % stride == 0
+
+
+def _lbs_pos_sql(pk: str, sk: str, i: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({pk} AS VARCHAR) || '|' || CAST({sk} AS VARCHAR)"
+        f" || '|' || {i} || '|lbs'), 1, 8))::BIGINT % {_LBS_BITS}"
+    )
+
+
+@register(
+    "layout_bloom_skipping",
+    sql=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+    mx AS (SELECT MAX(l_orderkey) AS mo FROM li),
+    fkeys AS (
+      SELECT DISTINCT CAST(l_orderkey // ((mx.mo // {_LBS_FILES}) + 1) AS BIGINT) AS f,
+             l_partkey AS pk, l_suppkey AS sk
+      FROM li CROSS JOIN mx
+    ),
+    zone AS (SELECT f, MIN(pk) AS mn, MAX(pk) AS mxk FROM fkeys GROUP BY f),
+    words AS (
+      SELECT f, pos // {_LBS_WORD} AS w_idx,
+             bit_or(1::BIGINT << (pos % {_LBS_WORD})) AS word
+      FROM (SELECT f, {_lbs_pos_sql('pk', 'sk', 'r.i')} AS pos
+            FROM fkeys CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_LBS_K))}) r(i))
+      GROUP BY f, w_idx
+    ),
+    ns AS (SELECT MAX(s_suppkey) AS n FROM supplier),
+    probes AS (
+      SELECT p_partkey AS qpk, ((p_partkey * 7) % ns.n) + 1 AS qsk
+      FROM part CROSS JOIN ns
+      WHERE p_partkey % {_LBS_PROBE_STRIDE} = 0
+    ),
+    pbits AS (
+      SELECT qpk, qsk, {_lbs_pos_sql('qpk', 'qsk', 'r.i')} AS pos
+      FROM probes CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_LBS_K))}) r(i)
+    ),
+    pfile AS (
+      SELECT pb.qpk, pb.qsk, z.f,
+             CAST(MAX(CASE WHEN z.mn <= pb.qpk AND pb.qpk <= z.mxk THEN 1 ELSE 0 END) AS BIGINT)
+               AS zm_bit,
+             CAST(MAX(CASE WHEN z.mn <= pb.qpk AND pb.qpk <= z.mxk THEN 1 ELSE 0 END)
+                  * MIN((COALESCE(w.word, 0) >> (pb.pos % {_LBS_WORD})) & 1) AS BIGINT)
+               AS scan_bit
+      FROM pbits pb
+      CROSS JOIN zone z
+      LEFT JOIN words w ON w.f = z.f AND w.w_idx = pb.pos // {_LBS_WORD}
+      GROUP BY pb.qpk, pb.qsk, z.f
+    ),
+    truth AS (
+      SELECT p.qpk, p.qsk, k.f
+      FROM probes p JOIN fkeys k ON k.pk = p.qpk AND k.sk = p.qsk
+    )
+    SELECT pf.qpk AS probe_partkey,
+           pf.qsk AS probe_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(pf.zm_bit) AS BIGINT) AS zonemap_scan_files,
+           CAST(SUM(pf.scan_bit) AS BIGINT) AS bloom_scan_files,
+           CAST(SUM(CASE WHEN t.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_files,
+           CAST(SUM(pf.zm_bit) - SUM(pf.scan_bit) AS BIGINT) AS files_saved
+    FROM pfile pf
+    LEFT JOIN truth t ON t.qpk = pf.qpk AND t.qsk = pf.qsk AND t.f = pf.f
+    GROUP BY pf.qpk, pf.qsk
+    """,
+    tags=("layout", "pruning", "bloom"),
+)
+def layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-index skipping audit — the data-skipping layer
+    zonemaps CANNOT provide. The point lookup is "did supplier S ship part
+    P" over orderkey-ranged ingest files: the partkey zonemap brackets
+    nearly every file (partkey is uncorrelated with ingest order), while a
+    {_LBS_BITS}-bit k={_LBS_K} per-file bloom over (partkey, suppkey)
+    pairs — what Parquet column bloom filters give you — is negative for
+    almost every (probe, file). A reader consults BOTH: bloom_scan_files
+    counts files where zonemap AND bloom say scan, so
+    bloom_scan >= true_files always (false positives only) and
+    files_saved = zonemap_scan − bloom_scan is the measured win. Probe
+    pairs mix present and absent keys ((pk·7) mod |suppliers| + 1), so
+    both the hit path and the total-miss path are exercised.
+
+    Exactness: bit positions are md5-derived integers; filters are BIGINT
+    bit_or word tables (the sketch_bloom_tuning representation); every
+    output is an integer count.
+
+    Scale shape: the file word-tables are mergeable map-side bit_or
+    partials keyed (file, word); probes fan out by k={_LBS_K} and cross
+    only the FILE-COUNT-sized zone/word tables (broadcast — the
+    probe×file product is the audit's output domain, not a data-sized
+    join). The only corpus-wide work is the DISTINCT (file, pk, sk)
+    projection — one hash-partitioned exchange. Filter sizing is
+    per-file-NDV-dependent by nature; at 100 TB the writer sizes m from
+    the rowgroup NDV exactly as Parquet's bloom writer does."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    mx = li.agg(F.max("l_orderkey").alias("mo"))
+    fkeys = (
+        li.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST(l_orderkey div ((mo div {_LBS_FILES}) + 1) AS BIGINT)").alias("f"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+    )
+    zone = fkeys.groupBy("f").agg(F.min("pk").alias("mn"), F.max("pk").alias("mxk"))
+
+    def _pos(pk_col, sk_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            pk_col.cast("string"), F.lit("|"), sk_col.cast("string"),
+                            F.lit("|"), i_col.cast("string"), F.lit("|lbs"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _LBS_BITS
+        )
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(_LBS_K)])).alias("i")
+    words = (
+        fkeys.select("f", "pk", "sk", ks)
+        .select("f", _pos(F.col("pk"), F.col("sk"), F.col("i")).alias("pos"))
+        .groupBy("f", F.expr(f"pos div {_LBS_WORD}").alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_LBS_WORD} AS INT))")
+            ).alias("word")
+        )
+    )
+    ns = table(spark, sf_dir, "supplier").agg(F.max("s_suppkey").alias("n"))
+    probes = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % _LBS_PROBE_STRIDE == 0)
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("qpk"),
+            ((F.col("p_partkey") * 7) % F.col("n") + 1).alias("qsk"),
+        )
+    )
+    pbits = probes.select("qpk", "qsk", ks).select(
+        "qpk", "qsk", _pos(F.col("qpk"), F.col("qsk"), F.col("i")).alias("pos")
+    )
+    zm_bit = F.max(
+        F.when((F.col("mn") <= F.col("qpk")) & (F.col("qpk") <= F.col("mxk")), 1).otherwise(0)
+    )
+    pfile = (
+        pbits.crossJoin(F.broadcast(zone))
+        .join(
+            F.broadcast(words),
+            (words["f"] == zone["f"]) & (words["w_idx"] == F.expr(f"pos div {_LBS_WORD}")),
+            "left",
+        )
+        .groupBy("qpk", "qsk", zone["f"])
+        .agg(
+            zm_bit.cast("bigint").alias("zm_bit"),
+            (
+                zm_bit
+                * F.min(
+                    F.expr(
+                        f"shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+                        f" CAST(pos % {_LBS_WORD} AS INT)) & CAST(1 AS BIGINT)"
+                    )
+                )
+            ).cast("bigint").alias("scan_bit"),
+        )
+    )
+    truth = F.broadcast(probes).join(
+        fkeys, (probes["qpk"] == fkeys["pk"]) & (probes["qsk"] == fkeys["sk"])
+    ).select(F.col("qpk").alias("t_qpk"), F.col("qsk").alias("t_qsk"), F.col("f").alias("t_f"))
+    return (
+        pfile.join(
+            F.broadcast(truth),
+            (F.col("qpk") == F.col("t_qpk")) & (F.col("qsk") == F.col("t_qsk")) & (F.col("f") == F.col("t_f")),
+            "left_outer",
+        )
+        .groupBy(F.col("qpk").alias("probe_partkey"), F.col("qsk").alias("probe_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("zm_bit").cast("bigint").alias("zonemap_scan_files"),
+            F.sum("scan_bit").cast("bigint").alias("bloom_scan_files"),
+            F.sum(F.when(F.col("t_f").isNotNull(), 1).otherwise(0)).cast("bigint").alias("true_files"),
+            (F.sum("zm_bit") - F.sum("scan_bit")).cast("bigint").alias("files_saved"),
+        )
+    )

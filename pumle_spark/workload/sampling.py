@@ -1102,3 +1102,87 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# grouped K-fold assignment (leakage-safe cross-validation folds)
+# --------------------------------------------------------------------------
+
+_GKF_K = 5
+
+
+@register(
+    "split_group_kfold",
+    sql=f"""
+    WITH assigned AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             CAST(('0x' || substr(md5('gkf|' || CAST(o.o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  % {_GKF_K} AS BIGINT) AS fold
+      FROM orders o
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM assigned GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS all_rows,
+             CAST(SUM(value_cents) AS BIGINT) AS all_cents
+      FROM per_fold
+    )
+    SELECT p.fold, p.n_groups, p.n_rows,
+           CAST(p.n_rows * 1000000 // t.all_rows AS BIGINT) AS row_share_ppm,
+           CAST(p.value_cents * 1000000 // t.all_cents AS BIGINT) AS value_share_ppm,
+           CAST(p.n_rows * {_GKF_K} - t.all_rows AS BIGINT) AS row_excess_vs_uniform
+    FROM per_fold p CROSS JOIN tot t
+    """,
+    tags=("sampling", "split", "cross-validation"),
+)
+def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped {_GKF_K}-fold assignment: every order of a customer lands in
+    the SAME fold (fold = md5('gkf|'||custkey) mod {_GKF_K}), the grouping
+    that keeps cross-validation honest when rows within a group are
+    correlated — a random row split would leak a customer's behavior from
+    train into validation (the GroupKFold contract, Pedregosa et al. 2011
+    §sklearn.model_selection). Reported per fold: group count, row count,
+    row/value shares in ppm, and the deviation from a uniform row split —
+    the balance audit that tells you whether hash-fold imbalance is small
+    enough to ignore at your scale.
+
+    Exactness: fold assignment is pure integer hash arithmetic; shares are
+    integer-ppm floor divisions of exact cent/row sums — no floats at all.
+
+    Scale: assignment is map work (no shuffle to form folds — that is the
+    POINT of hash-fold vs sorted/dealt folds); the audit is one
+    {_GKF_K}-row partial-aggregated groupBy. COUNT(DISTINCT custkey) is
+    the only expensive term and Spark's partial-distinct handles it; at
+    100 TB you would swap it for an HLL sketch (see sketch_hll_distinct)
+    without touching the fold semantics."""
+    o = table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("gkf|"), F.col("o_custkey").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % _GKF_K
+    )
+    assigned = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", fold.alias("fold")
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_groups"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("value_cents"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_rows").cast("bigint").alias("all_rows"),
+        F.sum("value_cents").cast("bigint").alias("all_cents"),
+    )
+    return per_fold.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_groups",
+        "n_rows",
+        F.expr("n_rows * 1000000 div all_rows").cast("bigint").alias("row_share_ppm"),
+        F.expr("value_cents * 1000000 div all_cents").cast("bigint").alias("value_share_ppm"),
+        (F.col("n_rows") * _GKF_K - F.col("all_rows")).cast("bigint").alias("row_excess_vs_uniform"),
+    )

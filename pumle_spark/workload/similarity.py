@@ -655,10 +655,11 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_pq_adc_topk",
-    sql=f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# The ADC scoring pipeline as a shared CTE chain — ann_pq_adc_topk ranks it
+# directly; ann_adc_rerank consumes the same candidates and refines them with
+# exact distances. ONE scoring definition (the text_bm25_topk lesson), not a
+# convention kept in sync by hand.
+_SQL_ADC_CTES = f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     cents AS (
       SELECT vec_id // {_PQ_STRIDE} AS cent_id, emb AS cemb FROM v
       WHERE vec_id % {_PQ_STRIDE} = 0 AND vec_id < {_PQ_K * _PQ_STRIDE}
@@ -690,7 +691,13 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN lut l ON l.m = a.m AND l.cent_id = a.code
       WHERE a.vec_id <> l.query_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    sql=f"""
+    WITH {_SQL_ADC_CTES}
     SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY adc_d2, neighbor_id) AS rnk
@@ -711,6 +718,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (m, codeword) + one groupBy(query, neighbor) whose partial aggregate
     does the {_PQ_M}-way sum map-side. Rank ties and cross-engine float
     noise resolve on (ROUND, neighbor_id)."""
+    adc = _adc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ADC scoring pipeline (query_id, neighbor_id, adc_d2) — the
+    Spark mirror of _SQL_ADC_CTES, consumed by ann_pq_adc_topk (ranked
+    as-is) and ann_adc_rerank (candidate generation)."""
     v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
     cents = v.filter(
         (F.col("vec_id") % _PQ_STRIDE == 0) & (F.col("vec_id") < _PQ_K * _PQ_STRIDE)
@@ -748,17 +768,86 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut = d2.join(F.broadcast(qids), d2.vec_id == F.col("query_id")).select(
         "query_id", "m", F.col("cent_id").alias("code"), "r"
     )
-    adc = (
+    return (
         assign.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("r"), 6).alias("adc_d2"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+
+
+_RERANK_C = 15  # ADC candidates refined per query (3x the final top-k)
+
+
+@register(
+    "ann_adc_rerank",
+    sql=f"""
+    WITH {_SQL_ADC_CTES},
+    cand AS (
+      SELECT query_id, neighbor_id, adc_d2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2, neighbor_id) AS crnk
+            FROM adc)
+      WHERE crnk <= {_RERANK_C}
+    ),
+    refined AS (
+      SELECT c.query_id, c.neighbor_id, c.adc_d2,
+             ROUND(SUM((qv.emb[i.i] - nv.emb[i.i]) * (qv.emb[i.i] - nv.emb[i.i])), 6)
+               AS exact_d2
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
+      CROSS JOIN generate_series(1, {_DIM}) i(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, neighbor_id, adc_d2, exact_d2, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY exact_d2, neighbor_id) AS rnk
+          FROM refined)
+    WHERE rnk <= {_TOP_K}
+    """,
+    tags=("similarity", "pq", "ann", "rerank"),
+)
+def ann_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN answer: ADC candidate generation + exact re-ranking —
+    the refinement stage of Jégou et al. 2011 (§IV-D, IVFADC+R) that every
+    production PQ store runs: the quantized ADC score orders CANDIDATES
+    cheaply ({_PQ_M} table lookups per neighbor), then only the top
+    {_RERANK_C} per query are re-scored against the FULL {_DIM}-dim
+    vectors and the final top-{_TOP_K} is cut on exact distance. Output
+    keeps both scores, so the quantization error the rerank repaired is
+    visible per pair (exact_d2 vs adc_d2).
+
+    Scale: the expensive full-vector fetch touches |q|·{_RERANK_C} rows —
+    NOT the corpus; it is two hash equi-joins back to the embedding table
+    on vec_id (at 100 TB: point lookups against the vector store). The
+    candidate stage shares _adc_scored / _SQL_ADC_CTES with
+    ann_pq_adc_topk — one scoring definition. Ranks cut on 6-dp-rounded
+    distances with neighbor_id tiebreaks (the module's cross-engine
+    contract)."""
+    adc = _adc_scored(spark, sf_dir)
+    wc = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col("neighbor_id"))
+    cand = (
+        adc.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _RERANK_C)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    v = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
+    exact_expr = F.aggregate(
+        F.zip_with("qemb", "nemb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        cand.join(v.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")), "query_id")
+        .join(v.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("nemb")), "neighbor_id")
+        .select("query_id", "neighbor_id", "adc_d2", F.round(exact_expr, 6).alias("exact_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("exact_d2"), F.col("neighbor_id"))
     return (
-        adc.withColumn("rnk", F.row_number().over(w))
+        refined.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+        .select("query_id", "neighbor_id", "adc_d2", "exact_d2", F.col("rnk").cast("int").alias("rnk"))
     )
 
 

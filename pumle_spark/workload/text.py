@@ -3105,3 +3105,125 @@ def retrieval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring (the CCNet/KenLM filter, exactly)
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount; 3/4 is exact in binary, so the
+              # discounted numerator is cross-engine bit-identical
+_KN_TOP = 25
+
+
+@register(
+    "text_kneser_ney_logprob",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS prev, ws[i + 1] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM d WHERE len(ws) >= 2)
+    ),
+    c2 AS (SELECT prev, tok, COUNT(*) AS c2 FROM bg GROUP BY prev, tok),
+    c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1p
+           FROM c2 GROUP BY prev),
+    cont AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM c2 GROUP BY tok),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2),
+    term AS (
+      SELECT b.doc_id,
+             CAST(ROUND(-LN(
+               (c2.c2 - {_KN_D}) / c1.c1
+               + ({_KN_D} * c1.n1p / c1.c1) * (CAST(cont.n_ctx AS DOUBLE) / tt.n_types)
+             ) * 1000000) AS BIGINT) AS nll
+      FROM bg b
+      JOIN c2 ON c2.prev = b.prev AND c2.tok = b.tok
+      JOIN c1 ON c1.prev = b.prev
+      JOIN cont ON cont.tok = b.tok
+      CROSS JOIN tt
+    ),
+    docagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll) AS BIGINT) AS nll_micro
+      FROM term GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, nll_micro,
+           CAST(nll_micro // n_bigrams AS BIGINT) AS avg_nll_micro
+    FROM docagg
+    ORDER BY avg_nll_micro DESC, doc_id
+    LIMIT {_KN_TOP}
+    """,
+    tags=("text", "perplexity", "kneser-ney", "quality"),
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLL under an interpolated Kneser-Ney bigram LM (Kneser
+    & Ney 1995; Chen & Goodman 1999 eq. 4.25) — the smoothing KenLM
+    implements and CCNet's quality stage actually runs, one order down:
+      p(tok|prev) = max(c(prev,tok) - D, 0)/c(prev)
+                    + D·N1+(prev,·)/c(prev) · N1+(·,tok)/N1+(·,·)
+    with D = {_KN_D}. Scoring the training corpus itself means every
+    bigram has c >= 1, so the max() never clips and the continuation
+    term is a strict interpolation. Reported: the {_KN_TOP} most
+    surprising documents — what the filter would cut.
+
+    Determinism: the module's micro-quantization contract — each bigram's
+    -ln(p) rounds to integer micro-nats BEFORE the per-doc sum (exact
+    BIGINT under any fold order); D = 3/4 keeps (c - D) exact in binary.
+
+    Scale shape: identical to text_bigram_perplexity's — the three LM
+    tables (c2/c1+N1+, continuation counts) are corpus-vocabulary-bounded
+    keyed aggregates with map-side partials; scoring re-joins the bigram
+    stream on natural keys; the type-count denominator is a single-row
+    broadcast. The c1 and N1+ rollups share ONE groupBy (same key)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    bg = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS prev, element_at(ws, i + 1) AS tok))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.prev", "p.tok")
+    )
+    c2 = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    cont = c2.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_ctx"))
+    tt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        (F.col("c2") - F.lit(_KN_D)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1p") / F.col("c1"))
+        * (F.col("n_ctx").cast("double") / F.col("n_types"))
+    )
+    term = (
+        bg.join(c2, ["prev", "tok"])
+        .join(c1, "prev")
+        .join(cont, "tok")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.round(-F.log(p_kn) * 1_000_000).cast("bigint").alias("nll"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll").cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            F.expr("nll_micro div n_bigrams").cast("bigint").alias("avg_nll_micro"),
+        )
+        .orderBy(F.desc("avg_nll_micro"), "doc_id")
+        .limit(_KN_TOP)
+    )

@@ -505,3 +505,103 @@ def test_curve_locality_cuts_share_the_checkpointed_keys(spark):
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Scan parquet") == 0  # keys materialized once upstream
+
+
+# ---------------------------------------------------------------------------
+# round-8 plan locks
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_reuses_gram_exchange(spark):
+    """The duplicate-gram filter and the mark-back join hash on the SAME
+    32-byte fingerprint — the probe must reuse the groupBy's exchange, not
+    re-shuffle the gram stream, and islands window per doc_id only."""
+    plan = plan_of("dedup_exact_substring", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one gram-stream shuffle feeds both the aggregate and the join probe
+    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning(h#") <= 2
+    # island merge is per-document state
+    assert "Window" in plan and "partitionBy" not in plan.lower().replace(
+        "window [", ""
+    ) or "doc_id" in plan.split("Window")[1][:200]
+
+
+def test_kneser_ney_shares_one_bigram_rollup(spark):
+    """c1/N1+ come from ONE groupBy(prev) over c2 (not two), the
+    continuation table is keyed on tok, and the type-count denominator is
+    a single-row broadcast — no nested-loop wider than that scalar."""
+    plan = plan_of("text_kneser_ney_logprob", spark)
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row n_types scalar
+    assert "CartesianProduct" not in plan
+    # top-25 report cut: global TakeOrdered, never a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fdr_bh_windows_only_touch_hypothesis_rows(spark):
+    """The BH step-up windows must sit above the |hypotheses|-row relation
+    (post-aggregation), and the phi p-value table joins as a broadcast
+    HASH join on the quantized key — never a nested loop against data."""
+    plan = plan_of("abtest_fdr_bh", spark)
+    assert "BroadcastHashJoin" in plan  # phi lookup
+    # the only nested-loop inputs are the two single-row arm-count scalars
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_never_ranks_rows(spark):
+    """The rank-sum must come from the value-frequency histogram: no
+    per-row global sort/rank — the only Window runs over the ~50-row
+    distinct-quantity rollup AFTER the groupBy, and the returnflag
+    predicate reaches the parquet scan."""
+    plan = plan_of("stats_mann_whitney", spark)
+    assert "PushedFilters" in plan and "In(l_returnflag" in plan
+    # window input is the aggregated histogram, not the scan
+    win_seg = plan.split("Window")[-1]
+    assert "HashAggregate" in win_seg  # aggregate below the window
+    assert "TakeOrderedAndProject" not in plan.split("Window")[0]
+
+
+def test_randomized_response_is_map_plus_dim_rollup(spark):
+    """The mechanism is per-row hash arithmetic: one customer scan, one
+    broadcast nation join, one partial-aggregated groupBy — no other
+    shuffle, no nested loop, no window."""
+    plan = plan_of("privacy_randomized_response", spark)
+    assert "BroadcastHashJoin" in plan
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
+        assert op not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the nation rollup
+
+
+def test_group_kfold_assignment_is_shuffle_free_map(spark):
+    """Fold assignment must be pure map work — the ONLY exchanges are the
+    5-fold audit rollup (and its single-row total); no join against a fold
+    table, no window."""
+    plan = plan_of("split_group_kfold", spark)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # md5-mod fold expression evaluated in the scan's project, pre-shuffle
+    assert "pmod(cast(conv(substring(md5" in plan.replace(" ", "").lower() or "conv(substring(md5" in plan
+
+
+def test_bloom_skipping_word_tables_broadcast(spark):
+    """The probe side joins the per-file word table and zone table as
+    BROADCASTS (file-count-sized), and the corpus contributes only the
+    DISTINCT (f, pk, sk) exchange — the audit never shuffles probes
+    against data."""
+    plan = plan_of("layout_bloom_skipping", spark)
+    assert "BroadcastHashJoin" in plan  # words lookup on (f, w_idx)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adc_rerank_fetches_candidates_not_corpus(spark):
+    """The refine stage joins the candidate set back to the embedding
+    table on vec_id via hash joins; the full-vector fold appears ABOVE
+    those joins, and the final cut is per-query row_number (partitioned
+    window), never a global sort."""
+    plan = plan_of("ann_adc_rerank", spark)
+    assert "CartesianProduct" not in plan
+    # both exact-side fetches are equi-joins on the id
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" not in plan  # per-query windows, no global top-k

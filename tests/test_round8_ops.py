@@ -1,0 +1,348 @@
+"""Round-8 operator tests: pure-python re-derivations against sf0.001,
+following the round-4..7 replay-test pattern — each query's math is redone
+row-by-row in python (hashlib md5, exact integer arithmetic) and compared
+to the collected Spark result."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(text: str) -> list[str]:
+    s = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    return s.split(" ") if s else []
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_exact_substring_spans_match_python_islands(spark):
+    """Replay: k-gram hashes per doc, cross-doc duplicated grams, island
+    merge — the span set must match exactly, and every span must really
+    occur verbatim in >= 2 documents."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.dedup import _ES_GRAM, dedup_exact_substring
+
+    docs = {
+        r.doc_id: _toks(r.text)
+        for r in table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    k = _ES_GRAM
+    gram_docs: dict[str, set[int]] = {}
+    positions: dict[int, list[int]] = {}
+    for did, ws in docs.items():
+        for i in range(len(ws) - k + 1):
+            h = _md5(" ".join(ws[i : i + k]))
+            gram_docs.setdefault(h, set()).add(did)
+    for did, ws in docs.items():
+        pos = [
+            i + 1
+            for i in range(len(ws) - k + 1)
+            if len(gram_docs[_md5(" ".join(ws[i : i + k]))]) >= 2
+        ]
+        if pos:
+            positions[did] = pos
+    expect = set()
+    for did, pos in positions.items():
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            expect.add((did, start, prev - start + k))
+            start = prev = p
+        expect.add((did, start, prev - start + k))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in dedup_exact_substring(spark, SF).collect()
+    }
+    assert got == expect
+    # spot-check: a reported span really is a verbatim cross-doc substring
+    did, start, length = sorted(got)[0]
+    span = " ".join(docs[did][start - 1 : start - 1 + k])  # leading k-gram
+    holders = {d for d, ws in docs.items() if span in " ".join(ws)}
+    assert len(holders) >= 2
+
+
+def test_kneser_ney_matches_python_lm(spark):
+    """Replay the interpolated-KN bigram model and the micro-quantization
+    contract; the top-25 rows must match exactly."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _KN_D, _KN_TOP, text_kneser_ney_logprob
+
+    docs = {
+        r.doc_id: _toks(r.text)
+        for r in table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    c2: dict[tuple[str, str], int] = {}
+    for ws in docs.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    cont: dict[str, int] = {}
+    for (a, b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+        n1p[a] = n1p.get(a, 0) + 1
+        cont[b] = cont.get(b, 0) + 1
+    n_types = len(c2)
+
+    expect = {}
+    for did, ws in docs.items():
+        if len(ws) < 2:
+            continue
+        nll = 0
+        for a, b in zip(ws, ws[1:]):
+            p = (c2[(a, b)] - _KN_D) / c1[a] + (_KN_D * n1p[a] / c1[a]) * (cont[b] / n_types)
+            nll += round(-math.log(p) * 1_000_000)
+        nb = len(ws) - 1
+        expect[did] = (nb, nll, nll // nb)
+
+    rows = text_kneser_ney_logprob(spark, SF).collect()
+    assert len(rows) == _KN_TOP
+    order = sorted(expect.items(), key=lambda kv: (-kv[1][2], kv[0]))[:_KN_TOP]
+    assert [(r.doc_id, r.n_bigrams, r.nll_micro, r.avg_nll_micro) for r in rows] == [
+        (did, nb, nll, avg) for did, (nb, nll, avg) in order
+    ]
+    # KN probabilities are a proper distribution per context (sums to 1)
+    some_prev = next(iter(c1))
+    mass = sum(
+        (c2[(a, b)] - _KN_D) / c1[a] + (_KN_D * n1p[a] / c1[a]) * (cont[b] / n_types)
+        for (a, b) in c2
+        if a == some_prev
+    )
+    assert abs(mass - 1.0) < 1e-9
+
+
+def test_fdr_bh_replays_and_satisfies_stepup(spark):
+    """Replay arms/moments in python; z must match to 6dp, and the
+    rejected set must equal the BH step-up rule applied to the p-values."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import _BH_ALPHA, _BH_CONV_CENTS, abtest_fdr_bh
+
+    events = table(spark, SF, "events").select("user_id", "event_type", "value").collect()
+    users = sorted({r.user_id for r in events})
+    arm = {
+        u: ("control" if int(_md5(f"fdr|{u}")[:4], 16) % 100 < 50 else "treatment")
+        for u in users
+    }
+    n_arm = {a: sum(1 for u in users if arm[u] == a) for a in ("control", "treatment")}
+    pu: dict[tuple[str, str, int], int] = {}
+    for r in events:
+        key = (r.event_type, arm[r.user_id], r.user_id)
+        pu[key] = pu.get(key, 0) + round(r.value * 100)
+    cells: dict[tuple[str, str], tuple[int, int, int]] = {}
+    for (et, a, _u), v in pu.items():
+        u0, s1, s2 = cells.get((et, a), (0, 0, 0))
+        cells[(et, a)] = (u0 + (1 if v > _BH_CONV_CENTS else 0), s1 + v, s2 + v * v)
+
+    def var(s1, s2, n):
+        return (n * s2 - s1 * s1) / (n * n)
+
+    expect_z = {}
+    for et in sorted({k[0] for k in cells}):
+        ut, s1t, s2t = cells[(et, "treatment")]
+        uc, s1c, s2c = cells[(et, "control")]
+        nt, nc = n_arm["treatment"], n_arm["control"]
+        se2 = var(s1t, s2t, nt) / nt + var(s1c, s2c, nc) / nc
+        if se2 > 0:
+            expect_z[("mean_value", et)] = (s1t / nt - s1c / nc) / math.sqrt(se2)
+        if 0 < ut + uc < nt + nc:
+            pooled = (ut + uc) / (nt + nc)
+            expect_z[("conversion", et)] = (ut / nt - uc / nc) / math.sqrt(
+                pooled * (1 - pooled) * (1 / nt + 1 / nc)
+            )
+
+    rows = abtest_fdr_bh(spark, SF).collect()
+    assert {(r.metric_kind, r.event_type) for r in rows} == set(expect_z)
+    for r in rows:
+        assert abs(r.z - expect_z[(r.metric_kind, r.event_type)]) < 1e-5
+        # p is the erfc table value at the quantized |z|
+        zq = min(round(abs(expect_z[(r.metric_kind, r.event_type)]) * 50), 300)
+        assert abs(r.p_two - math.erfc((zq / 50.0) / math.sqrt(2))) < 1e-7
+    # BH step-up on the reported p-values reproduces the rejected set
+    ps = sorted((r.p_two, r.metric_kind, r.event_type) for r in rows)
+    m = len(ps)
+    kstar = max(
+        (i + 1 for i, (p, *_k) in enumerate(ps) if p * m <= _BH_ALPHA * (i + 1)),
+        default=0,
+    )
+    rejected = {(mk, et) for p, mk, et in ps[:kstar]}
+    assert {(r.metric_kind, r.event_type) for r in rows if r.rejected} == rejected
+
+
+def test_mann_whitney_matches_naive_rank_sum(spark):
+    """Replay with the NAIVE per-row average-rank definition — the
+    histogram formulation must agree exactly on U, and on z to 6dp."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import _MW_A, _MW_B, stats_mann_whitney
+
+    li = (
+        table(spark, SF, "lineitem")
+        .select("l_quantity", "l_returnflag")
+        .collect()
+    )
+    xs = [(int(r.l_quantity), r.l_returnflag) for r in li if r.l_returnflag in (_MW_A, _MW_B)]
+    vals = sorted(v for v, _g in xs)
+    # average rank per value (1-based)
+    first = {}
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+    count = {}
+    for v, _g in xs:
+        count[v] = count.get(v, 0) + 1
+    avg_rank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    n1 = sum(1 for _v, g in xs if g == _MW_A)
+    n2 = len(xs) - n1
+    w1 = sum(avg_rank[v] for v, g in xs if g == _MW_A)
+    u1 = w1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    ties = sum(t**3 - t for t in count.values())
+    var_u = (n1 * n2 / 12) * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var_u)
+
+    row = stats_mann_whitney(spark, SF).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.u1 == int(u1)  # exact: 2*W1 is always an integer
+    assert abs(row.z - z) < 1e-5
+    assert row.significant == (abs(z) > 1.96)
+
+
+def test_randomized_response_mechanism_and_estimator(spark):
+    """Replay the forced-response mechanism per customer and the debiased
+    estimator identity π̂ = (8·yes − n)/(6n)."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import _RR_TRUTH_PCT, privacy_randomized_response
+
+    cust = table(spark, SF, "customer").select("c_custkey", "c_acctbal", "c_nationkey").collect()
+    nat = {r.n_nationkey: r.n_name for r in table(spark, SF, "nation").collect()}
+    agg: dict[str, list[int]] = {}
+    for r in cust:
+        h = _md5(f"rr|{r.c_custkey}")
+        truth = 1 if r.c_acctbal < 0 else 0
+        if int(h[:4], 16) % 100 < _RR_TRUTH_PCT:
+            rep = truth
+        else:
+            rep = int(h[4], 16) % 2
+        a = agg.setdefault(nat[r.c_nationkey], [0, 0, 0])
+        a[0] += 1
+        a[1] += truth
+        a[2] += rep
+    rows = privacy_randomized_response(spark, SF).collect()
+    assert {r.n_name for r in rows} == set(agg)
+    for r in rows:
+        n, ty, ry = agg[r.n_name]
+        assert (r.n, r.true_yes, r.reported_yes) == (n, ty, ry)
+        assert abs(r.est_pi - (8 * ry - n) / (6 * n)) < 5e-7  # 6dp rounding
+        assert abs(r.est_err - (r.est_pi - r.true_pi)) < 2e-6
+
+
+def test_group_kfold_is_leakage_safe_and_balanced(spark):
+    """Every order of a customer lands in one fold (replayed hash), folds
+    partition the rows, and the audit columns are the exact integer ppm."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import _GKF_K, split_group_kfold
+
+    orders = table(spark, SF, "orders").select("o_custkey", "o_totalprice").collect()
+    fold_of = lambda ck: int(_md5(f"gkf|{ck}")[:8], 16) % _GKF_K  # noqa: E731
+    per_fold: dict[int, list[int]] = {}
+    groups: dict[int, set[int]] = {}
+    for r in orders:
+        f = fold_of(r.o_custkey)
+        a = per_fold.setdefault(f, [0, 0])
+        a[0] += 1
+        a[1] += round(r.o_totalprice * 100)
+        groups.setdefault(f, set()).add(r.o_custkey)
+    all_rows = sum(a[0] for a in per_fold.values())
+    all_cents = sum(a[1] for a in per_fold.values())
+
+    rows = {r.fold: r for r in split_group_kfold(spark, SF).collect()}
+    assert set(rows) == set(per_fold)
+    for f, r in rows.items():
+        assert r.n_rows == per_fold[f][0]
+        assert r.n_groups == len(groups[f])
+        assert r.row_share_ppm == per_fold[f][0] * 1_000_000 // all_rows
+        assert r.value_share_ppm == per_fold[f][1] * 1_000_000 // all_cents
+        assert r.row_excess_vs_uniform == per_fold[f][0] * _GKF_K - all_rows
+    assert sum(r.n_rows for r in rows.values()) == all_rows
+
+
+def test_bloom_skipping_invariants_and_truth(spark):
+    """Bloom filters admit false positives only: for every probe,
+    true_files <= bloom_scan <= zonemap_scan <= n_files, and the truth
+    column matches a python replay of per-file key sets."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.layout import _LBS_FILES, _LBS_PROBE_STRIDE, layout_bloom_skipping
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey").collect()
+    mo = max(r.l_orderkey for r in li)
+    span = mo // _LBS_FILES + 1
+    file_keys: dict[int, set[tuple[int, int]]] = {}
+    for r in li:
+        file_keys.setdefault(r.l_orderkey // span, set()).add((r.l_partkey, r.l_suppkey))
+    ns = max(r.s_suppkey for r in table(spark, SF, "supplier").collect())
+    probes = {
+        (pk, (pk * 7) % ns + 1)
+        for pk in (r.p_partkey for r in table(spark, SF, "part").collect())
+        if pk % _LBS_PROBE_STRIDE == 0
+    }
+
+    rows = layout_bloom_skipping(spark, SF).collect()
+    assert {(r.probe_partkey, r.probe_suppkey) for r in rows} == probes
+    for r in rows:
+        truth = sum(
+            1 for ks in file_keys.values() if (r.probe_partkey, r.probe_suppkey) in ks
+        )
+        assert r.true_files == truth
+        assert truth <= r.bloom_scan_files <= r.zonemap_scan_files <= r.n_files
+        assert r.files_saved == r.zonemap_scan_files - r.bloom_scan_files
+
+
+def test_adc_rerank_refines_candidates_exactly(spark):
+    """The reranked top-k must be exactly the best-k BY TRUE DISTANCE among
+    the ADC top-C candidates, and exact_d2 must match a python recompute
+    from the raw embeddings."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.similarity import (
+        _RERANK_C,
+        _TOP_K,
+        _adc_scored,
+        ann_adc_rerank,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    adc = _adc_scored(spark, SF).collect()
+    cands: dict[int, list] = {}
+    for r in adc:
+        cands.setdefault(r.query_id, []).append((r.adc_d2, r.neighbor_id))
+    expect = {}
+    for q, lst in cands.items():
+        top_c = [nid for _d, nid in sorted(lst)[:_RERANK_C]]
+        scored = sorted(
+            (
+                round(sum((a - b) * (a - b) for a, b in zip(emb[q], emb[nid])), 6),
+                nid,
+            )
+            for nid in top_c
+        )
+        expect[q] = scored[:_TOP_K]
+
+    rows = ann_adc_rerank(spark, SF).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.rnk, r.exact_d2, r.neighbor_id))
+    assert set(got) == set(expect)
+    for q in expect:
+        ordered = [(d, nid) for _rk, d, nid in sorted(got[q])]
+        assert [nid for _d, nid in ordered] == [nid for _d, nid in expect[q]]
+        for (dg, _ng), (de, _ne) in zip(ordered, expect[q]):
+            assert abs(dg - de) < 2e-6  # both 6dp-rounded folds

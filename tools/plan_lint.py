@@ -133,6 +133,11 @@ ALLOW = {
     "sketch_ams_f2": {"BroadcastNestedLoopJoin": "single-row exact-F2 scalar x single sketch row"},
     "events_fano_burstiness": {"BroadcastNestedLoopJoin": "single-row hour-span scalar x |types| rows"},
     "events_interrupted_timeseries": {"BroadcastNestedLoopJoin": "single-row span + pre-moment scalars x post days"},
+    # round-8 additions (same adjudicated classes as above)
+    "text_kneser_ney_logprob": {"BroadcastNestedLoopJoin": "single-row bigram-type-count scalar x bigram stream (text_bigram_perplexity's class)"},
+    "abtest_fdr_bh": {"BroadcastNestedLoopJoin": "single-row per-arm user-count scalars x |event-type| cells"},
+    "split_group_kfold": {"BroadcastNestedLoopJoin": "single-row row/value-total scalars x 5 fold rows"},
+    "layout_bloom_skipping": {"BroadcastNestedLoopJoin": "single-row max-orderkey + supplier-count scalars x corpus map; probe x 16-file zone grid (bounded dims)"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
     "privacy_t_closeness": {"BroadcastNestedLoopJoin": "QI classes x 10-band grid + totals/threshold scalars"},
@@ -219,6 +224,9 @@ _WINDOW_ALLOW = {
     "mix_unimax_epochs": "prefix-cap scan + largest-remainder rank over |langs| rows",
     "drift_page_hinkley": "PH prefix walks over the hourly series (calendar-bounded)",
     "layout_curve_locality": "file-ordinal assignment along each curve is the layout total-order contract (layout_zonemap's class); production writes range-partition the sort",
+    # round-8 additions (adjudicated at registration)
+    "abtest_fdr_bh": "BH step-up rank/k* over the m = 2x|event-type| hypothesis rows (bounded)",
+    "stats_mann_whitney": "rank-sum prefix over the <=50-value quantity histogram (value-bounded)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
