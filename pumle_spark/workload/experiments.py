@@ -1437,29 +1437,28 @@ _PHI2_SQL = ", ".join(f"({zq}, {p!r})" for zq, p in _PHI2)
                   THEN 'control' ELSE 'treatment' END AS arm
       FROM (SELECT DISTINCT user_id FROM events)
     ),
-    arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users FROM assigned GROUP BY arm),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN arm = 'control'   THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+      FROM assigned
+    ),
     per_user AS (
       SELECT e.event_type, a.arm, e.user_id,
              CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS v
       FROM events e JOIN assigned a USING (user_id)
       GROUP BY 1, 2, 3
     ),
-    cells AS (
-      SELECT event_type, arm,
-             CAST(SUM(CASE WHEN v > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS u,
-             CAST(SUM(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
-             CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
-      FROM per_user GROUP BY 1, 2
-    ),
-    wide AS (
-      SELECT t.event_type,
-             t.u AS u_t, t.s1 AS s1_t, t.s2 AS s2_t, nt.n_users AS n_t,
-             c.u AS u_c, c.s1 AS s1_c, c.s2 AS s2_c, nc.n_users AS n_c
-      FROM cells t
-      JOIN cells c ON c.event_type = t.event_type AND c.arm = 'control'
-      JOIN arms nt ON nt.arm = 'treatment'
-      JOIN arms nc ON nc.arm = 'control'
-      WHERE t.arm = 'treatment'
+    wide AS (  -- one conditional-aggregation rollup; no cells self-join
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 'treatment' AND v > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS u_t,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN CAST(v AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s1_t,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s2_t,
+             CAST(SUM(CASE WHEN arm = 'control' AND v > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS u_c,
+             CAST(SUM(CASE WHEN arm = 'control' THEN CAST(v AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s1_c,
+             CAST(SUM(CASE WHEN arm = 'control' THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s2_c,
+             arms.n_t, arms.n_c
+      FROM per_user CROSS JOIN arms
+      GROUP BY event_type, arms.n_t, arms.n_c
     ),
     hyps AS (
       SELECT 'mean_value' AS metric_kind, event_type,
@@ -1538,11 +1537,14 @@ def abtest_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 301-entry python-literal table keyed on round(|z|·50) capped at 6σ,
     joined identically on both sides.
 
-    Scale: assignment and cents are map work; per_user is one
-    hash-partitioned groupBy; cells is a second partial-aggregated rollup
-    of |types|·2 rows. The BH windows run over the m-row hypothesis table
-    (m = 2·|event types| — bounded, see plan_lint adjudication). The phi
-    table is a 301-row broadcast."""
+    Scale: assignment and cents are map work; per_user is ONE
+    hash-partitioned groupBy, lazily checkpointed so the arm-universe
+    count and the per-type rollup share its shuffle; both arms pivot in a
+    single conditional aggregation (a cells self-join would re-evaluate
+    per_user per side). The BH windows run over the m-row hypothesis
+    table (m = 2·|event types| — bounded, see plan_lint adjudication).
+    The phi table is a 301-row broadcast; the arm counts a single-row
+    broadcast."""
     e = table(spark, sf_dir, "events")
     assigned = (
         e.select("user_id")
@@ -1563,32 +1565,45 @@ def abtest_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("arm"),
         )
     )
-    arms = assigned.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # lazy checkpoint: per_user feeds BOTH the arm-universe count and the
+    # metric rollup — without the pin each consumer would re-run the
+    # events scan + shuffle (the mix_unimax let-binding pattern)
     per_user = (
         e.join(assigned, "user_id")
         .groupBy("event_type", "arm", "user_id")
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    # every user has >= 1 event, so the per_user user set IS the assigned
+    # universe; counting it here avoids a second events scan
+    arms = (
+        per_user.select("user_id", "arm")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).cast("bigint").alias("n_t"),
+            F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).cast("bigint").alias("n_c"),
+        )
     )
     vd = F.col("v").cast("decimal(19,0)")
-    cells = per_user.groupBy("event_type", "arm").agg(
-        F.sum(F.when(F.col("v") > _BH_CONV_CENTS, 1).otherwise(0)).cast("bigint").alias("u"),
-        F.sum(vd).cast("decimal(38,0)").alias("s1"),
-        F.sum(vd * vd).cast("decimal(38,0)").alias("s2"),
-    )
-    t = cells.filter(F.col("arm") == "treatment").select(
-        "event_type",
-        F.col("u").alias("u_t"), F.col("s1").alias("s1_t"), F.col("s2").alias("s2_t"),
-    )
-    c = cells.filter(F.col("arm") == "control").select(
-        "event_type",
-        F.col("u").alias("u_c"), F.col("s1").alias("s1_c"), F.col("s2").alias("s2_c"),
-    )
-    nt = arms.filter(F.col("arm") == "treatment").select(F.col("n_users").alias("n_t"))
-    nc = arms.filter(F.col("arm") == "control").select(F.col("n_users").alias("n_c"))
+
+    def _arm(a, expr):
+        return F.when(F.col("arm") == a, expr)
+
+    # one conditional-aggregation rollup pivots both arms — a cells
+    # self-join would re-evaluate the per_user aggregate once per side
     wide = (
-        t.join(c, "event_type")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nc))
+        per_user.crossJoin(F.broadcast(arms))
+        .groupBy("event_type", "n_t", "n_c")
+        .agg(
+            F.sum(_arm("treatment", F.when(F.col("v") > _BH_CONV_CENTS, 1).otherwise(0)))
+            .cast("bigint").alias("u_t"),
+            F.sum(_arm("treatment", vd)).cast("decimal(38,0)").alias("s1_t"),
+            F.sum(_arm("treatment", vd * vd)).cast("decimal(38,0)").alias("s2_t"),
+            F.sum(_arm("control", F.when(F.col("v") > _BH_CONV_CENTS, 1).otherwise(0)))
+            .cast("bigint").alias("u_c"),
+            F.sum(_arm("control", vd)).cast("decimal(38,0)").alias("s1_c"),
+            F.sum(_arm("control", vd * vd)).cast("decimal(38,0)").alias("s2_c"),
+        )
     )
 
     def _var(s1, s2, n):
