@@ -125,6 +125,10 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "split_group_kfold",
     "layout_bloom_skipping",
     "ann_adc_rerank",
+    "curation_quality_funnel",
+    "dedup_cdc_chunking",
+    "privacy_dp_quantile",
+    "stats_permutation_test",
 )
 
 

@@ -1428,3 +1428,134 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").cast("bigint").alias("span_start"),
         (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span_tokens"),
     ).select("doc_id", "span_start", "span_tokens")
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+# --------------------------------------------------------------------------
+
+_CDC_W = 3       # rolling window (tokens) feeding the boundary hash
+_CDC_MASK = 16   # boundary when hash % 16 == 0 -> ~16-token expected chunks
+
+
+@register(
+    "dedup_cdc_chunking",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id, source, w, pos,
+             CASE WHEN pos >= {_CDC_W}
+                   AND ('0x' || substr(md5(
+                         LAG(w, 2) OVER dw || ' ' || LAG(w, 1) OVER dw || ' ' || w
+                         || '|cdc'), 1, 8))::BIGINT % {_CDC_MASK} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks
+      WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunked AS (
+      SELECT doc_id, source, w, pos,
+             CAST(COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS chunk_id
+      FROM marked
+    ),
+    chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM chunked GROUP BY doc_id, source, chunk_id
+    ),
+    freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS copies FROM chunks GROUP BY h)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           CAST(SUM(CASE WHEN f.copies >= 2 THEN c.n_tokens ELSE 0 END) AS BIGINT)
+             AS dup_tokens,
+           CAST(SUM(CASE WHEN f.copies >= 2 THEN c.n_tokens ELSE 0 END) * 1000000
+                // SUM(c.n_tokens) AS BIGINT) AS dup_token_ppm
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.source
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit (the FastCDC / LBFS idea, Xia
+    et al. 2016 / Muthitacharoen et al. 2001): chunk boundaries fall where
+    a rolling hash of the trailing {_CDC_W}-token window hits
+    0 mod {_CDC_MASK}, so boundaries are CONTENT-anchored — an insertion
+    early in a document shifts every fixed-size block but leaves CDC
+    chunks identical after the edit point, which is why storage systems
+    and training-data pipelines dedup at chunk level. Per source: chunk
+    count, token mass, and how much of it is duplicated content (a chunk
+    hash seen >= 2 times corpus-wide).
+
+    Scale shape: boundary flags need only a 2-token LAG (per-doc window,
+    hash-partitioned by doc_id); chunk ids are a per-doc prefix sum over
+    the SAME partitioning (one exchange serves both); chunk hashing is a
+    (doc, chunk)-keyed groupBy that reuses it again; the corpus-wide
+    frequency table is one groupBy on the 32-byte hash and joins back on
+    that same key. Nothing is quadratic; hot chunks cost Σc on the probe.
+
+    Exactness: boundaries and chunk hashes are md5 integer arithmetic;
+    the ordered string_agg / sorted-collect_list pair is deterministic
+    because (doc_id, pos) is a total order."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens_col().alias("ws")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode("ws").alias("pos0", "w"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "w")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    roll = F.concat(
+        F.lag("w", 2).over(dw), F.lit(" "), F.lag("w", 1).over(dw), F.lit(" "),
+        F.col("w"), F.lit("|cdc"),
+    )
+    boundary = F.when(
+        (F.col("pos") >= _CDC_W)
+        & (F.conv(F.substring(F.md5(roll), 1, 8), 16, 10).cast("bigint") % _CDC_MASK == 0),
+        1,
+    ).otherwise(0)
+    marked = toks.select("doc_id", "source", "w", "pos", boundary.alias("boundary"))
+    wprev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = marked.select(
+        "doc_id", "source", "w", "pos",
+        F.coalesce(F.sum("boundary").over(wprev), F.lit(0)).cast("bigint").alias("chunk_id"),
+    )
+    # lazy checkpoint: chunks feeds BOTH the global frequency table and the
+    # per-source rollup probe — without the pin the whole tokenize + window
+    # + collect pipeline runs once per consumer (measured 2x the plan)
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+                ),
+                " ",
+            )
+        ).alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("copies"))
+    dup_tok = F.sum(F.when(F.col("copies") >= 2, F.col("n_tokens")).otherwise(0))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("copies") >= 2, 1).otherwise(0)).cast("bigint").alias("dup_chunks"),
+            dup_tok.cast("bigint").alias("dup_tokens"),
+            F.expr(
+                "sum(CASE WHEN copies >= 2 THEN n_tokens ELSE 0 END) * 1000000"
+                " div sum(n_tokens)"
+            ).cast("bigint").alias("dup_token_ppm"),
+        )
+    )

@@ -1872,3 +1872,285 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 6).alias("est_pi"),
         F.round(est - true_pi, 6).alias("est_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# DP quantile release via the exponential mechanism (Gumbel-max form)
+# --------------------------------------------------------------------------
+
+_DPQ_EPS_MILLI = (1, 10, 1000)  # epsilon grid: 0.001 (noise-dominated), 0.01, 1.0
+_DPQ_Q_MILLI = (500, 900)      # released quantiles: median, p90
+# Gumbel(0,1) inverse CDF -ln(-ln(u)) on the 256-point md5 grid — the
+# module's transcendental rule: ln never crosses the oracle boundary.
+_GUM = [(i, -_math.log(-_math.log((i + 0.5) / 256.0))) for i in range(256)]
+_GUM_SQL = ", ".join(f"({i}, {g!r})" for i, g in _GUM)
+
+
+@register(
+    "privacy_dp_quantile",
+    sql=f"""
+    WITH gum(idx, g) AS (VALUES {_GUM_SQL}),
+    hist AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    walked AS (
+      SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_le,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    grid AS (
+      SELECT * FROM (VALUES {", ".join(f"({e})" for e in _DPQ_EPS_MILLI)}) e(eps_milli)
+      CROSS JOIN (VALUES {", ".join(f"({q})" for q in _DPQ_Q_MILLI)}) q(q_milli)
+    ),
+    scored AS (
+      SELECT g.eps_milli, g.q_milli, w.v, w.n,
+             -ABS(1000 * w.cum_le - g.q_milli * w.n) AS u_scaled,
+             (CAST(g.eps_milli AS DOUBLE) / 1000.0)
+               * (CAST(-ABS(1000 * w.cum_le - g.q_milli * w.n) AS DOUBLE) / 1000.0) / 2.0
+               + gm.g AS score
+      FROM grid g
+      CROSS JOIN walked w
+      JOIN gum gm ON gm.idx = ('0x' || substr(md5(
+             CAST(w.v AS VARCHAR) || '|' || g.eps_milli || '|' || g.q_milli || '|dpq'),
+             1, 2))::BIGINT
+    ),
+    released AS (
+      SELECT eps_milli, q_milli, v AS released_v, n,
+             ROW_NUMBER() OVER (PARTITION BY eps_milli, q_milli
+                                ORDER BY score DESC, v) AS rnk
+      FROM scored
+    ),
+    truth AS (
+      SELECT eps_milli, q_milli, v AS true_v,
+             ROW_NUMBER() OVER (PARTITION BY eps_milli, q_milli
+                                ORDER BY -u_scaled, v) AS trnk
+      FROM scored
+    )
+    SELECT r.eps_milli, r.q_milli, r.released_v, t.true_v,
+           CAST(ABS(r.released_v - t.true_v) AS BIGINT) AS value_err,
+           r.n AS n_rows
+    FROM released r
+    JOIN truth t ON t.eps_milli = r.eps_milli AND t.q_milli = r.q_milli AND t.trnk = 1
+    WHERE r.rnk = 1
+    """,
+    tags=("experiments", "privacy", "dp", "exponential-mechanism"),
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP quantile release by the exponential mechanism (McSherry & Talwar
+    2007) in its Gumbel-max form: sampling v with P(v) ∝ exp(ε·u(v)/2)
+    equals releasing argmax_v(ε·u(v)/2 + Gumbel_v) — so one deterministic
+    md5-indexed Gumbel draw per candidate turns the sampler into a pure
+    argmax the oracle can replay. Utility is the (scaled-exact) rank
+    distance u(v) = −|1000·cum_le(v) − q‰·n|; candidates are the value
+    histogram bins. Released vs true empirical quantile per (ε, q) cell —
+    the accuracy-vs-ε audit a curator runs before choosing a budget.
+
+    Exactness: utilities are exact integers (cumulative counts
+    cross-multiplied against q‰·n); the score is ONE mirrored double
+    expression of exact integers plus a python-literal Gumbel table (ln
+    never crosses the engine boundary — the _DPN_TABLE rule); ties break
+    on the value.
+
+    Scale shape: the value histogram is one partial-aggregated groupBy
+    (50 bins for l_quantity); cumulative counts and both argmax windows
+    run over the |bins|×|grid| relation (bounded — plan_lint adjudicated);
+    the Gumbel table is a 256-row broadcast hash join keyed on a
+    candidate-side md5 digit."""
+    li = table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.orderBy("v")
+    w_all = Window.partitionBy()
+    walked = hist.select(
+        "v",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum_le"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+    )
+    grid = spark.createDataFrame(
+        [(e, q) for e in _DPQ_EPS_MILLI for q in _DPQ_Q_MILLI],
+        "eps_milli bigint, q_milli bigint",
+    )
+    gum = spark.createDataFrame(_GUM, "idx bigint, g double")
+    u_scaled = -F.abs(1000 * F.col("cum_le") - F.col("q_milli") * F.col("n"))
+    gidx = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("v").cast("string"), F.lit("|"),
+                    F.col("eps_milli").cast("string"), F.lit("|"),
+                    F.col("q_milli").cast("string"), F.lit("|dpq"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    scored = (
+        F.broadcast(grid)
+        .crossJoin(walked)
+        .withColumn("u_scaled", u_scaled)
+        .withColumn("gidx", gidx)
+        .join(F.broadcast(gum), F.col("idx") == F.col("gidx"))
+        .select(
+            "eps_milli", "q_milli", "v", "n", "u_scaled",
+            (
+                (F.col("eps_milli").cast("double") / F.lit(1000.0))
+                * (F.col("u_scaled").cast("double") / F.lit(1000.0))
+                / F.lit(2.0)
+                + F.col("g")
+            ).alias("score"),
+        )
+    )
+    w_rel = Window.partitionBy("eps_milli", "q_milli").orderBy(F.desc("score"), "v")
+    w_tru = Window.partitionBy("eps_milli", "q_milli").orderBy((-F.col("u_scaled")), "v")
+    released = scored.withColumn("rnk", F.row_number().over(w_rel)).filter(F.col("rnk") == 1)
+    truth = scored.withColumn("trnk", F.row_number().over(w_tru)).filter(F.col("trnk") == 1)
+    return (
+        released.select(
+            "eps_milli", "q_milli", F.col("v").alias("released_v"), F.col("n").alias("n_rows")
+        )
+        .join(
+            F.broadcast(truth.select("eps_milli", "q_milli", F.col("v").alias("true_v"))),
+            ["eps_milli", "q_milli"],
+        )
+        .select(
+            "eps_milli",
+            "q_milli",
+            "released_v",
+            "true_v",
+            F.abs(F.col("released_v") - F.col("true_v")).cast("bigint").alias("value_err"),
+            "n_rows",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# permutation test (Fisher randomization) — the assumption-free A/B p-value
+# --------------------------------------------------------------------------
+
+_PERM_B = 64
+
+
+@register(
+    "stats_permutation_test",
+    sql=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    reps AS (
+      SELECT p.o_custkey, p.cents, b.b,
+             CASE WHEN ('0x' || substr(md5('perm|' || b.b || '|' ||
+                          CAST(p.o_custkey AS VARCHAR)), 1, 4))::BIGINT % 100 < 50
+                  THEN 1 ELSE 0 END AS in_t
+      FROM per_cust p
+      CROSS JOIN (SELECT unnest(range(0, {_PERM_B + 1})) AS b) b
+    ),
+    diffs AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN in_t = 1 THEN cents END) AS DOUBLE)
+               / SUM(CASE WHEN in_t = 1 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN in_t = 0 THEN cents END) AS DOUBLE)
+               / SUM(CASE WHEN in_t = 0 THEN 1 ELSE 0 END) AS diff
+      FROM reps GROUP BY b
+    ),
+    obs AS (SELECT diff AS obs_diff FROM diffs WHERE b = 0)
+    SELECT ROUND(obs.obs_diff, 4) AS obs_diff_cents,
+           CAST({_PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN d.b > 0 AND ABS(d.diff) >= ABS(obs.obs_diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST((1 + SUM(CASE WHEN d.b > 0 AND ABS(d.diff) >= ABS(obs.obs_diff)
+                              THEN 1 ELSE 0 END)) * 1000 // ({_PERM_B} + 1) AS BIGINT)
+             AS p_milli
+    FROM diffs d CROSS JOIN obs
+    GROUP BY obs.obs_diff
+    """,
+    tags=("experiments", "stats", "permutation", "randomization"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher randomization (permutation) test for the customer-spend A/B
+    metric — the assumption-free companion to the suite's Welch
+    (abtest_fdr_bh), rank-sum (stats_mann_whitney) and bootstrap
+    (stats_bootstrap_ci) inference: b = 0 is the observed md5 assignment,
+    b = 1..{_PERM_B} are re-randomized assignments (md5('perm|'||b||key)),
+    and p = (1 + #extreme) / (B+1), the add-one Monte-Carlo estimator
+    (Phipson & Smyth 2010) that never reports p = 0.
+
+    Exactness: per-customer cents are exact integers; each replicate's
+    mean difference is one mirrored double expression of exact integer
+    sums (no float accumulation order exists); the p-value is an integer
+    milli floor division.
+
+    Scale shape: ONE pass builds the per-customer rollup; the B+1
+    replicate expansion multiplies that DIM-sized rollup, not the orders
+    fact, and partial aggregation collapses it map-side into B+1 groups
+    before any shuffle (the stats_bootstrap_ci expansion contract). The
+    diffs relation is {_PERM_B + 1} rows; obs is a single-row broadcast."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    reps = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.explode(F.array(*[F.lit(b) for b in range(_PERM_B + 1)])).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("perm|"), F.col("b").cast("string"), F.lit("|"),
+                            F.col("o_custkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < 50,
+            1,
+        ).otherwise(0).alias("in_t"),
+    )
+    diffs = reps.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("in_t") == 1, F.col("cents"))).cast("double")
+            / F.sum(F.when(F.col("in_t") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("in_t") == 0, F.col("cents"))).cast("double")
+            / F.sum(F.when(F.col("in_t") == 0, 1).otherwise(0))
+        ).alias("diff")
+    )
+    obs = diffs.filter(F.col("b") == 0).select(F.col("diff").alias("obs_diff"))
+    extreme = F.sum(
+        F.when(
+            (F.col("b") > 0) & (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            extreme.alias("n_extreme"),
+            F.expr(
+                f"CAST((1 + sum(CASE WHEN b > 0 AND abs(diff) >= abs(obs_diff)"
+                f" THEN 1 ELSE 0 END)) * 1000 div ({_PERM_B} + 1) AS BIGINT)"
+            ).alias("p_milli"),
+        )
+        .select(
+            F.round("obs_diff", 4).alias("obs_diff_cents"),
+            "n_perms",
+            "n_extreme",
+            "p_milli",
+        )
+    )

@@ -470,7 +470,7 @@ def _lbs_pos_sql(pk: str, sk: str, i: str) -> str:
             FROM fkeys CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(_LBS_K))}) r(i))
       GROUP BY f, w_idx
     ),
-    ns AS (SELECT MAX(s_suppkey) AS n FROM supplier),
+    ns AS (SELECT GREATEST(MAX(s_suppkey), 1) AS n FROM supplier),
     probes AS (
       SELECT p_partkey AS qpk, ((p_partkey * 7) % ns.n) + 1 AS qsk
       FROM part CROSS JOIN ns
@@ -578,7 +578,7 @@ def layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word")
         )
     )
-    ns = table(spark, sf_dir, "supplier").agg(F.max("s_suppkey").alias("n"))
+    ns = table(spark, sf_dir, "supplier").agg(F.greatest(F.max("s_suppkey"), F.lit(1)).alias("n"))
     probes = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % _LBS_PROBE_STRIDE == 0)

@@ -2255,11 +2255,10 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GPH_MIN_TOK, _GPH_MAX_TOK = 20, 80
 _GPH_MIN_STOP = 3
 
-
-@register(
-    "text_gopher_rules",
-    sql=f"""
-    WITH d AS (
+# ONE definition of the per-document Gopher flag features, shared by the
+# per-rule dashboard (text_gopher_rules) and the first-fail funnel
+# (curation_quality_funnel) — the text_bm25_topk lesson.
+_SQL_GPH_FLAGS = f"""d AS (
       SELECT source, {_SQL_TOKENS} AS ws FROM documents
     ),
     flags AS (
@@ -2269,7 +2268,27 @@ _GPH_MIN_STOP = 3
              LEN(list_filter(ws, t -> t IN ({{en_stop}}))) AS n_stop,
              LEN(list_filter(ws, t -> regexp_matches(t, '[0-9]'))) AS n_digit
       FROM d
-    ),
+    )"""
+
+
+def _gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher features (source, n, sumlen, n_stop, n_digit) —
+    the Spark mirror of _SQL_GPH_FLAGS; pure JVM array expressions in one
+    projection."""
+    d = table(spark, sf_dir, "documents").select("source", _tokens_col().alias("ws"))
+    return d.select(
+        "source",
+        F.size("ws").alias("n"),
+        F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t)).alias("sumlen"),
+        _hits("en").alias("n_stop"),
+        F.expr("size(filter(ws, t -> t RLIKE '[0-9]'))").alias("n_digit"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    sql=f"""
+    WITH {{gph_flags}},
     agg AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CASE WHEN n < {_GPH_MIN_TOK} THEN 1 ELSE 0 END) AS BIGINT) AS f_short,
@@ -2290,7 +2309,7 @@ _GPH_MIN_STOP = 3
     SELECT source, rule, n_docs, n_failed,
            CAST(n_failed * 1000000 // n_docs AS BIGINT) AS fail_ppm
     FROM un ORDER BY source, rule
-    """.replace("{en_stop}", _sql_in(_STOPWORDS["en"])),
+    """.replace("{gph_flags}", _SQL_GPH_FLAGS).replace("{en_stop}", _sql_in(_STOPWORDS["en"])),
     tags=("text", "quality", "gopher"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,17 +2327,11 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists); fail_ppm is one integer floor division.
 
     Scale shape: the per-document flags are pure JVM array expressions
-    inside one projection (no Python); one source-keyed groupBy with
-    map-side partials; the rule unpivot multiplies the |sources| rollup
-    by five constant rows. Linear in corpus bytes, one shuffle."""
-    d = table(spark, sf_dir, "documents").select("source", _tokens_col().alias("ws"))
-    flags = d.select(
-        "source",
-        F.size("ws").alias("n"),
-        F.aggregate("ws", F.lit(0), lambda acc, t: acc + F.length(t)).alias("sumlen"),
-        _hits("en").alias("n_stop"),
-        F.expr("size(filter(ws, t -> t RLIKE '[0-9]'))").alias("n_digit"),
-    )
+    inside one projection (no Python, shared with curation_quality_funnel
+    via _gopher_flags); one source-keyed groupBy with map-side partials;
+    the rule unpivot multiplies the |sources| rollup by five constant
+    rows. Linear in corpus bytes, one shuffle."""
+    flags = _gopher_flags(spark, sf_dir)
 
     def _nfail(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
@@ -3226,4 +3239,93 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("avg_nll_micro"), "doc_id")
         .limit(_KN_TOP)
+    )
+
+
+@register(
+    "curation_quality_funnel",
+    sql=f"""
+    WITH {{gph_flags}},
+    staged AS (
+      SELECT source, n,
+             CASE WHEN n < {_GPH_MIN_TOK} THEN '1_too_short'
+                  WHEN n > {_GPH_MAX_TOK} THEN '2_too_long'
+                  WHEN 2 * sumlen > 9 * n OR sumlen < 3 * n THEN '3_mean_tok_len'
+                  WHEN n_stop < {_GPH_MIN_STOP} THEN '4_low_stopword'
+                  WHEN 10 * n_digit > n THEN '5_digit_heavy'
+                  ELSE '6_kept' END AS stage
+      FROM flags
+    ),
+    g AS (
+      SELECT source, stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM staged GROUP BY 1, 2
+    )
+    SELECT source, stage, n_docs, n_tokens,
+           CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS doc_share_ppm,
+           CAST(n_tokens * 1000000 // SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+             AS token_share_ppm
+    FROM g
+    """.replace("{gph_flags}", _SQL_GPH_FLAGS).replace("{en_stop}", _sql_in(_STOPWORDS["en"])),
+    tags=("curation", "quality", "funnel", "gopher"),
+)
+def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fail curation funnel over the Gopher rule chain — the
+    attrition table every pipeline run reports: each document is charged
+    to the FIRST rule that rejects it (rule order: too_short, too_long,
+    mean_tok_len, low_stopword, digit_heavy), so the stage counts sum to
+    the corpus exactly once, unlike text_gopher_rules' marginal per-rule
+    dashboard (which double-counts a doc failing two rules). Per (source,
+    stage): docs, token mass, and exact-ppm shares of the source — the
+    numbers that say WHERE the token budget dies.
+
+    ONE flag definition: the per-document features come from
+    _SQL_GPH_FLAGS / _gopher_flags, shared verbatim with
+    text_gopher_rules, so the funnel can never drift from the dashboard.
+
+    Exactness: all rules are integer comparisons (cross-multiplied
+    thresholds); shares are integer floor divisions.
+
+    Scale shape: one corpus projection, one (source, stage)-keyed groupBy
+    with map-side partials; the share windows partition by source over
+    the <=6x|sources| rollup. Linear, one shuffle."""
+    flags = _gopher_flags(spark, sf_dir)
+    stage = (
+        F.when(F.col("n") < _GPH_MIN_TOK, "1_too_short")
+        .when(F.col("n") > _GPH_MAX_TOK, "2_too_long")
+        .when(
+            (2 * F.col("sumlen") > 9 * F.col("n")) | (F.col("sumlen") < 3 * F.col("n")),
+            "3_mean_tok_len",
+        )
+        .when(F.col("n_stop") < _GPH_MIN_STOP, "4_low_stopword")
+        .when(10 * F.col("n_digit") > F.col("n"), "5_digit_heavy")
+        .otherwise("6_kept")
+    )
+    g = (
+        flags.select("source", "n", stage.alias("stage"))
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 1000000").cast("bigint").alias("_dnum"),
+        F.expr("n_tokens * 1000000").cast("bigint").alias("_tnum"),
+        F.sum("n_docs").over(w).alias("_dall"),
+        F.sum("n_tokens").over(w).alias("_tall"),
+    ).select(
+        "source",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.expr("_dnum div _dall").cast("bigint").alias("doc_share_ppm"),
+        F.expr("_tnum div _tall").cast("bigint").alias("token_share_ppm"),
     )

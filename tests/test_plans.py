@@ -605,3 +605,48 @@ def test_adc_rerank_fetches_candidates_not_corpus(spark):
     # both exact-side fetches are equi-joins on the id
     assert plan.count("BroadcastHashJoin") >= 2
     assert "TakeOrderedAndProject" not in plan  # per-query windows, no global top-k
+
+
+def test_quality_funnel_is_one_rollup_plus_source_windows(spark):
+    """First-fail staging is a CASE projection over the shared flag frame;
+    one (source, stage) groupBy; the share windows partition by source.
+    No join of any kind."""
+    plan = plan_of("curation_quality_funnel", spark)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan
+    assert "Window" in plan
+
+
+def test_cdc_chunking_reuses_the_doc_partitioning(spark):
+    """Boundary LAGs, the chunk-id prefix sum, and the (doc, chunk) rollup
+    all key on doc_id — ONE exchange hash-partitioned on doc_id must serve
+    the window chain (no re-shuffle between the two windows), and the
+    frequency probe joins on the chunk hash."""
+    plan = plan_of("dedup_cdc_chunking", spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id#") <= 1
+    # the checkpointed chunk table feeds both consumers
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange hashpartitioning(h#" in plan
+
+
+def test_dp_quantile_windows_touch_only_the_histogram(spark):
+    """The value histogram aggregates BEFORE any window; the Gumbel table
+    joins as a broadcast hash join keyed on the candidate-side digit."""
+    plan = plan_of("privacy_dp_quantile", spark)
+    assert "BroadcastHashJoin" in plan  # gumbel lookup
+    assert "SortMergeJoin" not in plan
+    win_seg = plan.split("Window")[-1]
+    assert "HashAggregate" in win_seg
+
+
+def test_permutation_expansion_collapses_map_side(spark):
+    """The 65-replicate explode multiplies the per-customer rollup and must
+    partially aggregate into B+1 groups BEFORE the shuffle (the bootstrap
+    contract): a partial_ aggregate sits above Generate, below Exchange."""
+    plan = plan_of("stats_permutation_test", spark)
+    gen_idx = plan.index("Generate explode")
+    # a partial aggregate appears above the explode in the same stage
+    above = plan[:gen_idx]
+    assert "partial_" in above or "HashAggregate" in above
+    assert "CartesianProduct" not in plan

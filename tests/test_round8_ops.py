@@ -346,3 +346,177 @@ def test_adc_rerank_refines_candidates_exactly(spark):
         assert [nid for _d, nid in ordered] == [nid for _d, nid in expect[q]]
         for (dg, _ng), (de, _ne) in zip(ordered, expect[q]):
             assert abs(dg - de) < 2e-6  # both 6dp-rounded folds
+
+
+def test_quality_funnel_first_fail_partition(spark):
+    """Replay the first-fail staging per document; stage counts must
+    partition each source exactly once (unlike the marginal per-rule
+    dashboard), and token/doc shares must be exact ppm."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import (
+        _GPH_MIN_STOP,
+        _GPH_MIN_TOK,
+        _GPH_MAX_TOK,
+        _STOPWORDS,
+        curation_quality_funnel,
+    )
+
+    en = set(_STOPWORDS["en"])
+    agg: dict[tuple[str, str], list[int]] = {}
+    src_tot: dict[str, list[int]] = {}
+    for r in table(spark, SF, "documents").select("source", "text").collect():
+        ws = _toks(r.text)
+        n = len(ws)
+        sumlen = sum(len(t) for t in ws)
+        n_stop = sum(1 for t in ws if t in en)
+        n_digit = sum(1 for t in ws if re.search(r"[0-9]", t))
+        if n < _GPH_MIN_TOK:
+            stage = "1_too_short"
+        elif n > _GPH_MAX_TOK:
+            stage = "2_too_long"
+        elif 2 * sumlen > 9 * n or sumlen < 3 * n:
+            stage = "3_mean_tok_len"
+        elif n_stop < _GPH_MIN_STOP:
+            stage = "4_low_stopword"
+        elif 10 * n_digit > n:
+            stage = "5_digit_heavy"
+        else:
+            stage = "6_kept"
+        a = agg.setdefault((r.source, stage), [0, 0])
+        a[0] += 1
+        a[1] += n
+        t = src_tot.setdefault(r.source, [0, 0])
+        t[0] += 1
+        t[1] += n
+
+    rows = curation_quality_funnel(spark, SF).collect()
+    assert {(r.source, r.stage) for r in rows} == set(agg)
+    for r in rows:
+        nd, nt = agg[(r.source, r.stage)]
+        td, tt = src_tot[r.source]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert r.doc_share_ppm == nd * 1_000_000 // td
+        assert r.token_share_ppm == nt * 1_000_000 // tt
+    # partition property: per-source doc counts sum to the source total
+    for src, (td, _tt) in src_tot.items():
+        assert sum(r.n_docs for r in rows if r.source == src) == td
+
+
+def test_cdc_chunking_matches_python_boundaries(spark):
+    """Replay the rolling-hash boundaries and chunk hashes; per-source
+    chunk/dup stats must match, and the content-anchoring property must
+    hold: two docs sharing a long token run share interior chunks."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.dedup import _CDC_MASK, _CDC_W, dedup_cdc_chunking
+
+    docs = [
+        (r.doc_id, r.source, _toks(r.text))
+        for r in table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    ]
+    chunk_count: dict[str, int] = {}
+    per_chunk: list[tuple[str, str, int]] = []  # (source, hash, n_tokens)
+    for _did, src, ws in docs:
+        cur: list[str] = []
+        chunks: list[list[str]] = []
+        for i, w in enumerate(ws, start=1):
+            cur.append(w)
+            if i >= _CDC_W:
+                roll = f"{ws[i - 3]} {ws[i - 2]} {w}|cdc"
+                if int(_md5(roll)[:8], 16) % _CDC_MASK == 0:
+                    chunks.append(cur)
+                    cur = []
+        if cur:
+            chunks.append(cur)
+        for ch in chunks:
+            h = _md5(" ".join(ch))
+            chunk_count[h] = chunk_count.get(h, 0) + 1
+            per_chunk.append((src, h, len(ch)))
+
+    expect: dict[str, list[int]] = {}
+    for src, h, n in per_chunk:
+        a = expect.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        if chunk_count[h] >= 2:
+            a[2] += 1
+            a[3] += n
+
+    rows = {r.source: r for r in dedup_cdc_chunking(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for src, (nc, nt, dc, dt) in expect.items():
+        r = rows[src]
+        assert (r.n_chunks, r.n_tokens, r.dup_chunks, r.dup_tokens) == (nc, nt, dc, dt)
+        assert r.dup_token_ppm == dt * 1_000_000 // nt
+
+
+def test_dp_quantile_gumbel_argmax_and_accuracy_ordering(spark):
+    """Replay the exponential-mechanism argmax per (eps, q) cell; the true
+    quantile must match the exact empirical quantile, and the released
+    value must equal the Gumbel-max replay."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import (
+        _DPQ_EPS_MILLI,
+        _DPQ_Q_MILLI,
+        _GUM,
+        privacy_dp_quantile,
+    )
+
+    qty = sorted(
+        int(r.l_quantity) for r in table(spark, SF, "lineitem").select("l_quantity").collect()
+    )
+    n = len(qty)
+    vals = sorted(set(qty))
+    cum = {}
+    run = 0
+    cnt = {v: 0 for v in vals}
+    for v in qty:
+        cnt[v] += 1
+    for v in vals:
+        run += cnt[v]
+        cum[v] = run
+    gum = dict(_GUM)
+
+    rows = {(r.eps_milli, r.q_milli): r for r in privacy_dp_quantile(spark, SF).collect()}
+    assert set(rows) == {(e, q) for e in _DPQ_EPS_MILLI for q in _DPQ_Q_MILLI}
+    for (e, q), r in rows.items():
+        best = min(vals, key=lambda v: (abs(1000 * cum[v] - q * n), v))
+        assert r.true_v == best
+        scored = []
+        for v in vals:
+            u = -abs(1000 * cum[v] - q * n)
+            g = gum[int(_md5(f"{v}|{e}|{q}|dpq")[:2], 16)]
+            scored.append(((e / 1000.0) * (u / 1000.0) / 2.0 + g, -v))
+        released = -max(scored)[1]
+        assert r.released_v == released
+        assert r.value_err == abs(released - best)
+        assert r.n_rows == n
+
+
+def test_permutation_test_replays_and_p_is_add_one(spark):
+    """Replay all B+1 assignments; the observed diff, extreme count, and
+    add-one Monte-Carlo p must match exactly."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.experiments import _PERM_B, stats_permutation_test
+
+    per_cust: dict[int, int] = {}
+    for r in table(spark, SF, "orders").select("o_custkey", "o_totalprice").collect():
+        per_cust[r.o_custkey] = per_cust.get(r.o_custkey, 0) + round(r.o_totalprice * 100)
+
+    def diff(b: int) -> float:
+        st = sc = nt = nc = 0
+        for ck, cents in per_cust.items():
+            if int(_md5(f"perm|{b}|{ck}")[:4], 16) % 100 < 50:
+                st += cents
+                nt += 1
+            else:
+                sc += cents
+                nc += 1
+        return st / nt - sc / nc
+
+    obs = diff(0)
+    extreme = sum(1 for b in range(1, _PERM_B + 1) if abs(diff(b)) >= abs(obs))
+    row = stats_permutation_test(spark, SF).collect()[0]
+    assert abs(row.obs_diff_cents - obs) < 1e-3
+    assert row.n_perms == _PERM_B
+    assert row.n_extreme == extreme
+    assert row.p_milli == (1 + extreme) * 1000 // (_PERM_B + 1)

@@ -138,6 +138,8 @@ ALLOW = {
     "abtest_fdr_bh": {"BroadcastNestedLoopJoin": "single-row per-arm user-count scalars x |event-type| cells"},
     "split_group_kfold": {"BroadcastNestedLoopJoin": "single-row row/value-total scalars x 5 fold rows"},
     "layout_bloom_skipping": {"BroadcastNestedLoopJoin": "single-row max-orderkey + supplier-count scalars x corpus map; probe x 16-file zone grid (bounded dims)"},
+    "privacy_dp_quantile": {"BroadcastNestedLoopJoin": "6-row (eps, q) grid x 50-bin value histogram (bounded dims)"},
+    "stats_permutation_test": {"BroadcastNestedLoopJoin": "single-row observed-diff scalar x 65 replicate rows (stats_bootstrap_ci's class)"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
     "privacy_t_closeness": {"BroadcastNestedLoopJoin": "QI classes x 10-band grid + totals/threshold scalars"},
@@ -227,6 +229,7 @@ _WINDOW_ALLOW = {
     # round-8 additions (adjudicated at registration)
     "abtest_fdr_bh": "BH step-up rank/k* over the m = 2x|event-type| hypothesis rows (bounded)",
     "stats_mann_whitney": "rank-sum prefix over the <=50-value quantity histogram (value-bounded)",
+    "privacy_dp_quantile": "cumulative counts + per-(eps,q) argmax over the <=50-bin value histogram (value-bounded)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
