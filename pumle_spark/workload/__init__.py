@@ -129,6 +129,8 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "dedup_cdc_chunking",
     "privacy_dp_quantile",
     "stats_permutation_test",
+    "graph_minhash_neighbors",
+    "sketch_cms_heavy_change",
 )
 
 

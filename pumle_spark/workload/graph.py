@@ -1611,3 +1611,120 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops", "side")
     )
+
+
+# --------------------------------------------------------------------------
+# similar-node detection: MinHash over bipartite neighborhoods
+# --------------------------------------------------------------------------
+
+_GMN_HASHES = 8
+_GMN_ROWS = 2  # rows per LSH band -> 4 bands
+_GMN_JACC_MIN_PPM = 30000  # keep pairs with neighborhood Jaccard >= 3%
+
+
+@register(
+    "graph_minhash_neighbors",
+    sql=f"""
+    WITH adj AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    sizes AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY ck),
+    mh AS (
+      SELECT ck, seed,
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || CAST(pk AS VARCHAR)),
+                        1 + 8 * (seed % 4), 8)) AS mhash
+      FROM adj CROSS JOIN generate_series(0, {_GMN_HASHES - 1}) s(seed)
+      GROUP BY ck, seed
+    ),
+    bands AS (
+      SELECT ck, CAST(seed // {_GMN_ROWS} AS INTEGER) AS band,
+             md5(string_agg(CAST(seed AS VARCHAR) || ':' || mhash, '|' ORDER BY seed))
+               AS band_key
+      FROM mh GROUP BY ck, seed // {_GMN_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.ck AS cust_a, b.ck AS cust_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.ck < b.ck
+    ),
+    verified AS (
+      SELECT c.cust_a, c.cust_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN adj a ON a.ck = c.cust_a
+      JOIN adj b ON b.ck = c.cust_b AND b.pk = a.pk
+      GROUP BY 1, 2
+    )
+    SELECT v.cust_a, v.cust_b, v.n_common,
+           sa.deg AS deg_a, sb.deg AS deg_b,
+           CAST(v.n_common * 1000000 // (sa.deg + sb.deg - v.n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM verified v
+    JOIN sizes sa ON sa.ck = v.cust_a
+    JOIN sizes sb ON sb.ck = v.cust_b
+    WHERE v.n_common * 1000000 // (sa.deg + sb.deg - v.n_common)
+          >= {_GMN_JACC_MIN_PPM}
+    """,
+    tags=("graph", "minhash", "lsh", "similarity"),
+)
+def graph_minhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-node detection on the bipartite customer→part graph: MinHash
+    the part-NEIGHBORHOOD of every customer and LSH-band the signatures, so
+    "customers who buy alike" falls out of bucket joins instead of an
+    all-pairs set comparison — the same sketch the dedup family applies to
+    shingles, lifted to graph adjacency (SimRank's question answered with
+    minhash economics; cf. Broder 1997 resemblance). Candidates are
+    verified with the EXACT neighborhood Jaccard (integer ppm) and pairs
+    below {_GMN_JACC_MIN_PPM} ppm are dropped.
+
+    ONE sketch definition: reuses operators.dedup.minhash_signatures /
+    lsh_band_keys (the dedup_minhash_lsh machinery) with the adjacency as
+    the element set — 4 32-bit hashes per md5 digest, {_GMN_HASHES} hashes
+    in {_GMN_HASHES // _GMN_ROWS} bands of {_GMN_ROWS}.
+
+    Scale shape: the adjacency is one DISTINCT projection of the
+    orders⋈lineitem join (keyed equi-join, no fan-out beyond the fact
+    table); signatures are one groupBy(ck) with {_GMN_HASHES} min()
+    partials; banding shuffles |nodes|·bands tiny rows; the quadratic
+    verify runs ONLY inside buckets (Σ_bucket c², the LSH contract), then
+    two keyed joins back to the adjacency for exact intersections.
+
+    Exactness: signatures are md5 hex slices (engine-portable); Jaccard
+    is an integer ppm floor division; the threshold compares integers."""
+    from pumle_spark.operators.dedup import lsh_band_keys, minhash_signatures
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    adj = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds signatures + sizes + two verify probes
+    )
+    sizes = adj.groupBy("ck").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    sig = minhash_signatures(
+        adj.select(F.col("ck").alias("key"), F.col("pk").cast("string").alias("sh")),
+        _GMN_HASHES,
+    )
+    bands = lsh_band_keys(sig, _GMN_HASHES, rows_per_band=_GMN_ROWS)
+    a = bands.select(F.col("key").alias("cust_a"), "band", "band_key")
+    b = bands.select(F.col("key").alias("cust_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select("cust_a", "cust_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(adj.select(F.col("ck").alias("cust_a"), "pk"), "cust_a")
+        .join(adj.select(F.col("ck").alias("cust_b"), "pk"), ["cust_b", "pk"])
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    jacc_ppm = F.expr("n_common * 1000000 div (deg_a + deg_b - n_common)").cast("bigint")
+    return (
+        verified.join(sizes.select(F.col("ck").alias("cust_a"), F.col("deg").alias("deg_a")), "cust_a")
+        .join(sizes.select(F.col("ck").alias("cust_b"), F.col("deg").alias("deg_b")), "cust_b")
+        .select("cust_a", "cust_b", "n_common", "deg_a", "deg_b", jacc_ppm.alias("jaccard_ppm"))
+        .filter(F.col("jaccard_ppm") >= _GMN_JACC_MIN_PPM)
+    )

@@ -1355,3 +1355,170 @@ def sketch_bloom_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# --------------------------------------------------------------------------
+# CMS heavy-change detection between two periods
+# --------------------------------------------------------------------------
+
+_HC_YEAR_A, _HC_YEAR_B = 1993, 1995
+_HC_TOPK = 15
+
+
+@register(
+    "sketch_cms_heavy_change",
+    sql=f"""
+    WITH spans AS (
+      SELECT l_partkey,
+             CASE WHEN year(l_shipdate) = {_HC_YEAR_A} THEN 'a'
+                  WHEN year(l_shipdate) = {_HC_YEAR_B} THEN 'b' END AS period
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({_HC_YEAR_A}, {_HC_YEAR_B})
+    ),
+    cells AS (
+      SELECT r.i AS row_i,
+             ('0x' || substr(md5(CAST(s.l_partkey AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
+               % {_CMS_W} AS col_j,
+             CAST(SUM(CASE WHEN s.period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN s.period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM spans s CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+      GROUP BY r.i, col_j
+    ),
+    probe AS (
+      SELECT p.p_partkey, r.i AS row_i,
+             ('0x' || substr(md5(CAST(p.p_partkey AS VARCHAR)), 1 + 8 * r.i, 8))::BIGINT
+               % {_CMS_W} AS col_j
+      FROM part p CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+    ),
+    est AS (
+      SELECT pr.p_partkey,
+             CAST(MIN(COALESCE(c.cnt_a, 0)) AS BIGINT) AS est_a,
+             CAST(MIN(COALESCE(c.cnt_b, 0)) AS BIGINT) AS est_b
+      FROM probe pr LEFT JOIN cells c ON c.row_i = pr.row_i AND c.col_j = pr.col_j
+      GROUP BY pr.p_partkey
+    ),
+    exact AS (
+      SELECT l_partkey,
+             CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+             CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS exact_b
+      FROM spans GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT e.p_partkey, e.est_a, e.est_b, e.est_b - e.est_a AS est_change,
+             COALESCE(x.exact_a, 0) AS exact_a, COALESCE(x.exact_b, 0) AS exact_b,
+             COALESCE(x.exact_b, 0) - COALESCE(x.exact_a, 0) AS exact_change,
+             ROW_NUMBER() OVER (ORDER BY ABS(e.est_b - e.est_a) DESC, e.p_partkey) AS rnk
+      FROM est e LEFT JOIN exact x ON x.l_partkey = e.p_partkey
+    )
+    SELECT p_partkey, est_a, est_b,
+           CAST(est_change AS BIGINT) AS est_change,
+           exact_a, exact_b,
+           CAST(exact_change AS BIGINT) AS exact_change,
+           CAST(ABS(est_change - exact_change) AS BIGINT) AS est_abs_err,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_HC_TOPK}
+    """,
+    tags=("sketch", "cms", "heavy-change", "drift"),
+)
+def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection between two shipping years with Count-Min
+    sketches (Cormode & Muthukrishnan 2004, "what's new" monitoring): both
+    periods share ONE d={_CMS_D}×w={_CMS_W} cell grid built in a single
+    conditional-aggregation pass (cnt_a, cnt_b per cell — CMS is linear,
+    so the per-period sketches are just two columns of the same table);
+    every dictionary key (the part dim) is probed with min-over-rows per
+    period and the top-{_HC_TOPK} by |estimated change| are reported next
+    to the exact change — the error column the sketch-sizing decision
+    reads. Items outside both periods estimate 0 (COALESCE'd empty cells).
+
+    Scale shape: the sketch stays a fixed 2·d·w-cell table no matter the
+    fact size (map-side partial counts, one (row, col) groupBy); the probe
+    is dim×d rows against the broadcast cell table; exact counts — needed
+    only for the audit columns — are one keyed groupBy. The rank window
+    runs over the dim-sized estimate table (plan_lint adjudicated).
+
+    Exactness: cells, estimates, and changes are exact integers; the
+    hash family is the module's md5-digest slicing (one digest per key,
+    d row-hashes)."""
+    li = table(spark, sf_dir, "lineitem")
+    spans = li.filter(
+        F.year("l_shipdate").isin(_HC_YEAR_A, _HC_YEAR_B)
+    ).select(
+        "l_partkey",
+        F.when(F.year("l_shipdate") == _HC_YEAR_A, "a").otherwise("b").alias("period"),
+    )
+
+    def _cols(key_col):
+        digest = F.md5(key_col.cast("string"))
+        return [
+            (
+                F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast("bigint") % _CMS_W
+            ).alias(f"c{i}")
+            for i in range(_CMS_D)
+        ]
+
+    cells = (
+        spans.select("period", *_cols(F.col("l_partkey")))
+        .select(
+            "period",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row_i"), F.col(f"c{i}").alias("col_j"))
+                    for i in range(_CMS_D)
+                ])
+            ).alias("rc"),
+        )
+        .groupBy(F.col("rc.row_i").alias("row_i"), F.col("rc.col_j").alias("col_j"))
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("bigint").alias("cnt_a"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("bigint").alias("cnt_b"),
+        )
+    )
+    probe = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", *_cols(F.col("p_partkey")))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row_i"), F.col(f"c{i}").alias("col_j"))
+                    for i in range(_CMS_D)
+                ])
+            ).alias("rc"),
+        )
+        .select("p_partkey", F.col("rc.row_i").alias("row_i"), F.col("rc.col_j").alias("col_j"))
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row_i", "col_j"], "left")
+        .groupBy("p_partkey")
+        .agg(
+            F.min(F.coalesce(F.col("cnt_a"), F.lit(0))).cast("bigint").alias("est_a"),
+            F.min(F.coalesce(F.col("cnt_b"), F.lit(0))).cast("bigint").alias("est_b"),
+        )
+    )
+    exact = spans.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("bigint").alias("exact_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("bigint").alias("exact_b"),
+    )
+    joined = est.join(exact, est["p_partkey"] == exact["l_partkey"], "left").select(
+        "p_partkey",
+        "est_a",
+        "est_b",
+        (F.col("est_b") - F.col("est_a")).cast("bigint").alias("est_change"),
+        F.coalesce(F.col("exact_a"), F.lit(0)).cast("bigint").alias("exact_a"),
+        F.coalesce(F.col("exact_b"), F.lit(0)).cast("bigint").alias("exact_b"),
+        (F.coalesce(F.col("exact_b"), F.lit(0)) - F.coalesce(F.col("exact_a"), F.lit(0)))
+        .cast("bigint")
+        .alias("exact_change"),
+    )
+    w = Window.orderBy(F.abs(F.col("est_change")).desc(), "p_partkey")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HC_TOPK)
+        .select(
+            "p_partkey", "est_a", "est_b", "est_change", "exact_a", "exact_b",
+            "exact_change",
+            F.abs(F.col("est_change") - F.col("exact_change")).cast("bigint").alias("est_abs_err"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -650,3 +650,29 @@ def test_permutation_expansion_collapses_map_side(spark):
     above = plan[:gen_idx]
     assert "partial_" in above or "HashAggregate" in above
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_neighbors_quadratic_work_stays_in_buckets(spark):
+    """The adjacency is checkpointed once for four consumers; the bucket
+    self-join keys on (band, band_key); verify joins back to the adjacency
+    on node ids. No cartesian shapes anywhere."""
+    plan = plan_of("graph_minhash_neighbors", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the pinned adjacency
+
+
+def test_cms_heavy_change_sketch_is_one_conditional_pass(spark):
+    """Both period sketches are columns of ONE (row, col) groupBy (CMS
+    linearity); the dictionary probe joins the broadcast cell table; the
+    rank window sits above the dim-sized estimate aggregate."""
+    plan = plan_of("sketch_cms_heavy_change", spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE cell-grid shuffle carries both periods' counts (CMS
+    # linearity); the exact-audit rollup is a separate keyed aggregate by
+    # design, so partial_sum(CASE WHEN period...) appears in both
+    # three keyed shuffles total: the cell grid (grouping expression over
+    # (row_i, col_j)), the per-part estimate rollup, the exact audit rollup
+    assert plan.count("Exchange hashpartitioning(_groupingexpression") == 1
+    assert plan.count("Exchange hashpartitioning") == 3

@@ -169,3 +169,17 @@ def test_next_window_regime_logic():
     assert regime == "DRAIN+ROTATE-FILL"
     assert window == ["new_op", "q04", "q09", "q02"]
     assert leftovers == []
+
+
+def test_readme_query_count_matches_registry():
+    """README's '(N queries, every one DuckDB-oracle-paired' claim is now
+    test-enforced (round-7 ADVICE: the hand-edited count drifted). Update
+    the README line when the registry grows."""
+    from pumle_spark import workload
+
+    n = len(workload.queries())
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    assert f"({n} queries, every one DuckDB-oracle-paired" in readme, (
+        f"README query count is stale: registry has {n}"
+    )

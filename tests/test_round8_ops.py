@@ -520,3 +520,111 @@ def test_permutation_test_replays_and_p_is_add_one(spark):
     assert row.n_perms == _PERM_B
     assert row.n_extreme == extreme
     assert row.p_milli == (1 + extreme) * 1000 // (_PERM_B + 1)
+
+
+def test_minhash_neighbors_candidates_and_exact_jaccard(spark):
+    """Replay signatures, banding, candidate generation and the exact
+    neighborhood Jaccard in python; the reported pair set and ppm values
+    must match, and every reported pair must clear the threshold."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.graph import (
+        _GMN_HASHES,
+        _GMN_JACC_MIN_PPM,
+        _GMN_ROWS,
+        graph_minhash_neighbors,
+    )
+
+    o = {r.o_orderkey: r.o_custkey for r in table(spark, SF, "orders").collect()}
+    adj: dict[int, set[int]] = {}
+    for r in table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect():
+        ck = o[r.l_orderkey]
+        adj.setdefault(ck, set()).add(r.l_partkey)
+
+    def sig(ck):
+        out = []
+        for s in range(_GMN_HASHES):
+            out.append(
+                min(_md5(f"{s // 4}|{pk}")[8 * (s % 4) : 8 * (s % 4) + 8] for pk in adj[ck])
+            )
+        return out
+
+    sigs = {ck: sig(ck) for ck in adj}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for ck, sg in sigs.items():
+        for b in range(_GMN_HASHES // _GMN_ROWS):
+            seeds = range(b * _GMN_ROWS, (b + 1) * _GMN_ROWS)
+            key = _md5("|".join(f"{s}:{sg[s]}" for s in seeds))
+            buckets.setdefault((b, key), []).append(ck)
+    cand = set()
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((min(a, b), max(a, b)))
+    expect = {}
+    for a, b in cand:
+        inter = len(adj[a] & adj[b])
+        if inter == 0:
+            continue
+        ppm = inter * 1_000_000 // (len(adj[a]) + len(adj[b]) - inter)
+        if ppm >= _GMN_JACC_MIN_PPM:
+            expect[(a, b)] = (inter, len(adj[a]), len(adj[b]), ppm)
+
+    rows = graph_minhash_neighbors(spark, SF).collect()
+    got = {(r.cust_a, r.cust_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_ppm) for r in rows}
+    assert got == expect
+    assert all(v[3] >= _GMN_JACC_MIN_PPM for v in got.values())
+
+
+def test_cms_heavy_change_never_underestimates_and_ranks_match(spark):
+    """CMS min-over-rows per period must dominate the exact count
+    (overcount-only invariant, per period) and the reported top-k must be
+    the python replay's |est change| ranking."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sketches import (
+        _CMS_D,
+        _CMS_W,
+        _HC_TOPK,
+        _HC_YEAR_A,
+        _HC_YEAR_B,
+        sketch_cms_heavy_change,
+    )
+
+    cells_a: dict[tuple[int, int], int] = {}
+    cells_b: dict[tuple[int, int], int] = {}
+    exact_a: dict[int, int] = {}
+    exact_b: dict[int, int] = {}
+
+    def cols(pk):
+        h = _md5(str(pk))
+        return [int(h[8 * i : 8 * i + 8], 16) % _CMS_W for i in range(_CMS_D)]
+
+    for r in table(spark, SF, "lineitem").select("l_partkey", "l_shipdate").collect():
+        y = r.l_shipdate.year
+        if y == _HC_YEAR_A:
+            tgt_c, tgt_e = cells_a, exact_a
+        elif y == _HC_YEAR_B:
+            tgt_c, tgt_e = cells_b, exact_b
+        else:
+            continue
+        tgt_e[r.l_partkey] = tgt_e.get(r.l_partkey, 0) + 1
+        for i, c in enumerate(cols(r.l_partkey)):
+            tgt_c[(i, c)] = tgt_c.get((i, c), 0) + 1
+
+    parts = [r.p_partkey for r in table(spark, SF, "part").collect()]
+    est = {}
+    for pk in parts:
+        cs = cols(pk)
+        ea = min(cells_a.get((i, c), 0) for i, c in enumerate(cs))
+        eb = min(cells_b.get((i, c), 0) for i, c in enumerate(cs))
+        est[pk] = (ea, eb)
+        assert ea >= exact_a.get(pk, 0) and eb >= exact_b.get(pk, 0)  # overcount-only
+
+    order = sorted(parts, key=lambda p: (-abs(est[p][1] - est[p][0]), p))[:_HC_TOPK]
+    rows = sketch_cms_heavy_change(spark, SF).collect()
+    assert [r.p_partkey for r in sorted(rows, key=lambda r: r.rnk)] == order
+    for r in rows:
+        ea, eb = est[r.p_partkey]
+        assert (r.est_a, r.est_b) == (ea, eb)
+        assert r.exact_a == exact_a.get(r.p_partkey, 0)
+        assert r.exact_b == exact_b.get(r.p_partkey, 0)
+        assert r.est_abs_err == abs(r.est_change - r.exact_change)

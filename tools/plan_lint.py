@@ -230,6 +230,7 @@ _WINDOW_ALLOW = {
     "abtest_fdr_bh": "BH step-up rank/k* over the m = 2x|event-type| hypothesis rows (bounded)",
     "stats_mann_whitney": "rank-sum prefix over the <=50-value quantity histogram (value-bounded)",
     "privacy_dp_quantile": "cumulative counts + per-(eps,q) argmax over the <=50-bin value histogram (value-bounded)",
+    "sketch_cms_heavy_change": "top-k rank over the part-dim estimate table (dim-bounded report)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
