@@ -131,6 +131,8 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "stats_permutation_test",
     "graph_minhash_neighbors",
     "sketch_cms_heavy_change",
+    "drift_wasserstein_1d",
+    "curation_dedup_cascade",
 )
 
 

@@ -1231,3 +1231,189 @@ def text_rouge_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 2 * n_overlap * 1000000 div (n_kept + n_dropped) ELSE 0 END"
         ).cast("bigint").alias("rouge1_f1_ppm"),
     ).orderBy("cluster_id", "dropped_doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup cascade: exact -> near-dup, with per-stage attrition accounting
+# --------------------------------------------------------------------------
+
+_CSC_J_PPM = 300000  # near-dup removal threshold: verified Jaccard >= 0.3
+
+
+@register(
+    "curation_dedup_cascade",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id,
+             {{tokens}} AS ws,
+             md5(array_to_string({{tokens}}, ' ')) AS norm_h
+      FROM documents
+    ),
+    base AS (SELECT doc_id, LEN(ws) AS n_tokens, norm_h FROM d),
+    keeper AS (SELECT norm_h, MIN(doc_id) AS keep_id FROM base GROUP BY norm_h),
+    s1 AS (  -- stage-1 verdict: exact-normalized duplicate unless the keeper
+      SELECT b.doc_id, b.n_tokens,
+             CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END AS removed_exact
+      FROM base b JOIN keeper k ON k.norm_h = b.norm_h
+    ),
+    {{shingles}},
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh),
+                        1 + 8 * (seed % 4), 8)) AS mhash
+      FROM sh3 CROSS JOIN generate_series(0, 7) s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             md5(string_agg(CAST(seed AS VARCHAR) || ':' || mhash, '|' ORDER BY seed))
+               AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    ),
+    survivors AS (SELECT doc_id FROM s1 WHERE removed_exact = 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN survivors sa ON sa.doc_id = a.doc_id
+      JOIN survivors sb ON sb.doc_id = b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh3 a ON a.doc_id = c.doc_a
+      JOIN sh3 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    near_removed AS (  -- anchor-wins: the smaller doc_id of a passing pair stays
+      SELECT DISTINCT v.doc_b AS doc_id
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE v.n_common * 1000000 // (sa.n_sh + sb.n_sh - v.n_common) >= {_CSC_J_PPM}
+    ),
+    staged AS (
+      SELECT s1.doc_id, s1.n_tokens,
+             CASE WHEN s1.removed_exact = 1 THEN '1_exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN '2_near_dup'
+                  ELSE '3_kept' END AS stage
+      FROM s1 LEFT JOIN near_removed nr ON nr.doc_id = s1.doc_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM staged),
+    g AS (
+      SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM staged GROUP BY stage
+    ),
+    all_stages(stage) AS (VALUES ('1_exact_dup'), ('2_near_dup'), ('3_kept'))
+    SELECT a.stage,
+           COALESCE(g.n_docs, 0) AS n_docs,
+           COALESCE(g.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(g.n_docs, 0) * 1000000 // t.all_docs AS BIGINT) AS doc_share_ppm,
+           CAST(COALESCE(g.n_tokens, 0) * 1000000 // t.all_tokens AS BIGINT) AS token_share_ppm
+    FROM all_stages a LEFT JOIN g ON g.stage = a.stage CROSS JOIN tot t
+    """.replace("{tokens}", "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')")
+       .replace("{shingles}", __import__("pumle_spark.workload.dedup", fromlist=["_SQL_SHINGLES"])._SQL_SHINGLES.strip()),
+    tags=("curation", "dedup", "cascade", "funnel"),
+)
+def curation_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CASCADE a training-data pipeline actually runs, with
+    per-stage attrition accounting: stage 1 removes exact-normalized
+    duplicates (keep the lowest doc_id per md5(normalized text) group);
+    stage 2 runs MinHash-LSH near-dup detection among the stage-1
+    survivors and removes the LARGER doc of every verified pair with
+    Jaccard >= {_CSC_J_PPM} ppm (anchor-wins policy; all three stage rows
+    are always emitted, zeros included — this corpus has no exact dups,
+    which the report should SAY rather than omit — deterministic and
+    order-free, the simple greedy used when a full connected-components
+    pass is not worth its shuffles); stage 3 is what ships. Output: doc
+    and token attrition per stage in exact ppm — the cascade's cost
+    report next to curation_quality_funnel's rule report.
+
+    ONE definition everywhere: the tokenizer, shingle CTE, minhash family
+    and banding are the dedup module's (_SQL_SHINGLES,
+    minhash_signatures/lsh_candidate_pairs on the Spark side).
+
+    Scale shape: stage 1 is a hash-groupBy on a 32-byte key; stage 2's
+    quadratic work stays inside LSH buckets (Σ_bucket c²) filtered to
+    survivors BEFORE verification; attrition is one |stages|-row rollup.
+    Nothing all-pairs, nothing driver-side."""
+    from pumle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from pumle_spark.workload.dedup import _shingles
+
+    docs = table(spark, sf_dir, "documents")
+    from pumle_spark.workload.dedup import _tokens_col
+
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens_col()).alias("n_tokens"),
+        F.md5(F.array_join(_tokens_col(), " ")).alias("norm_h"),
+    ).localCheckpoint(eager=False)
+    keeper = base.groupBy("norm_h").agg(F.min("doc_id").alias("keep_id"))
+    s1 = base.join(keeper, "norm_h").select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0).alias("removed_exact"),
+    ).localCheckpoint(eager=False)
+
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)  # (doc_id, sh) distinct
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    sig = minhash_signatures(
+        sh.select(F.col("doc_id").alias("key"), "sh"), 8
+    )
+    survivors = s1.filter(F.col("removed_exact") == 0).select("doc_id")
+    cand = (
+        lsh_candidate_pairs(sig, 8, rows_per_band=2)
+        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+        .join(survivors.select(F.col("doc_id").alias("doc_a")), "doc_a")
+        .join(survivors.select(F.col("doc_id").alias("doc_b")), "doc_b")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    near_removed = (
+        verified.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")), "doc_b")
+        .filter(
+            F.expr(f"n_common * 1000000 div (sa + sb - n_common) >= {_CSC_J_PPM}")
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    staged = (
+        s1.join(near_removed.withColumn("near", F.lit(1)), "doc_id", "left_outer")
+        .select(
+            "n_tokens",
+            F.when(F.col("removed_exact") == 1, "1_exact_dup")
+            .when(F.col("near").isNotNull(), "2_near_dup")
+            .otherwise("3_kept")
+            .alias("stage"),
+        )
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+    )
+    g = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    all_stages = spark.createDataFrame(
+        [("1_exact_dup",), ("2_near_dup",), ("3_kept",)], "stage string"
+    )
+    return (
+        F.broadcast(all_stages)
+        .join(g, "stage", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.expr("coalesce(n_docs, 0) * 1000000 div all_docs").cast("bigint").alias("doc_share_ppm"),
+            F.expr("coalesce(n_tokens, 0) * 1000000 div all_tokens").cast("bigint").alias("token_share_ppm"),
+        )
+    )

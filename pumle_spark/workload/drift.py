@@ -1399,3 +1399,127 @@ def drift_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         alert(_PH_FAST).alias("alert_fast"),
         alert(_PH_SLOW).alias("alert_slow"),
     ).orderBy("hour_ts")
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover) distance — the drift metric with units
+# --------------------------------------------------------------------------
+
+
+@register(
+    "drift_wasserstein_1d",
+    sql="""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS isf
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    pv AS (
+      SELECT vc, CAST(SUM(isf) AS BIGINT) AS ca,
+             CAST(SUM(1 - isf) AS BIGINT) AS cb
+      FROM s GROUP BY vc
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+    cum AS (
+      SELECT vc,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cfa,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cfb,
+             LEAD(vc) OVER (ORDER BY vc) AS next_vc
+      FROM pv
+      WINDOW w AS (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+    ),
+    terms AS (
+      SELECT CAST(ABS(cfa * tot.nb - cfb * tot.na) AS DECIMAL(19,0))
+               * CAST(next_vc - vc AS DECIMAL(19,0)) AS contrib,
+             tot.na, tot.nb
+      FROM cum CROSS JOIN tot
+      WHERE next_vc IS NOT NULL
+    )
+    SELECT na, nb,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_values,
+           ROUND(CAST(CAST(SUM(contrib) AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4) AS w1_cents
+    FROM terms GROUP BY na, nb
+    """,
+    tags=("drift", "wasserstein", "distribution"),
+)
+def drift_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover) distance between the price
+    distributions of finished and open orders: W1 = ∫|F_A − F_B| dv over
+    the observed cent grid — the drift metric with UNITS (cents of price
+    mass to move), completing the suite's KS (sup metric), PSI (binned
+    log-ratio), JS (token mass) and MMD (kernel) family. Same split as
+    drift_ks_two_sample, so the two reports read together.
+
+    Exactness: each segment contributes |cumA·nb − cumB·na|·gap_cents, an
+    exact DECIMAL(38,0) product of BIGINTs summed exactly; ONE mirrored
+    double division by na·nb at the end. No float accumulation exists.
+
+    Scale: per-value counts are one keyed groupBy; the cumulative and the
+    next-value LEAD reuse drift_ks_two_sample's two-level prefix idiom —
+    bucket carry-ins via a domain-bounded window, the heavy cumsum
+    partitioned BY bucket, and the bucket-crossing gap recovered from the
+    broadcast first-value-per-bucket table. The DuckDB oracle uses the
+    equivalent single window — engine equivalence, not plan equivalence."""
+    s = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("isf"),
+        )
+    )
+    pv = s.groupBy("vc").agg(
+        F.sum("isf").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("isf")).cast("bigint").alias("cb"),
+    ).withColumn("bkt", F.floor(F.col("vc") / (_KS_BUCKET_W * 100)).cast("bigint"))
+    tot = pv.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    # level 1: bucket subtotals -> exclusive carry-ins + the NEXT bucket's
+    # first value (to close the bucket-crossing gap) — all domain-bounded
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("bkt")
+    boff = (
+        pv.groupBy("bkt")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"), F.min("vc").alias("first_vc"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ba").over(wb), F.lit(0)).cast("bigint").alias("oa"),
+            F.coalesce(F.sum("bb").over(wb), F.lit(0)).cast("bigint").alias("ob"),
+            F.lead("first_vc").over(wnext).alias("next_bucket_first"),
+        )
+    )
+    # level 2: heavy cumsum + in-bucket lead, partitioned by bucket
+    wl = Window.partitionBy("bkt").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlead = Window.partitionBy("bkt").orderBy("vc")
+    cum = pv.join(F.broadcast(boff), "bkt").select(
+        "vc",
+        (F.col("oa") + F.sum("ca").over(wl)).cast("bigint").alias("cfa"),
+        (F.col("ob") + F.sum("cb").over(wl)).cast("bigint").alias("cfb"),
+        F.coalesce(F.lead("vc").over(wlead), F.col("next_bucket_first")).alias("next_vc"),
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("next_vc").isNotNull())
+        .select(
+            (
+                F.abs(F.col("cfa") * F.col("nb") - F.col("cfb") * F.col("na"))
+                .cast("decimal(19,0)")
+                * (F.col("next_vc") - F.col("vc")).cast("decimal(19,0)")
+            ).alias("contrib"),
+            "na",
+            "nb",
+        )
+    )
+    return terms.groupBy("na", "nb").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_values"),
+        F.round(
+            F.sum("contrib").cast("decimal(38,0)").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            4,
+        ).alias("w1_cents"),
+    ).select("na", "nb", "n_values", "w1_cents")

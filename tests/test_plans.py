@@ -676,3 +676,23 @@ def test_cms_heavy_change_sketch_is_one_conditional_pass(spark):
     # (row_i, col_j)), the per-part estimate rollup, the exact audit rollup
     assert plan.count("Exchange hashpartitioning(_groupingexpression") == 1
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_wasserstein_reuses_the_ks_two_level_prefix(spark):
+    """The heavy cumulative and the in-bucket LEAD partition by bucket;
+    the only unpartitioned window walks the domain-bounded bucket table;
+    totals broadcast. No sort-merge joins."""
+    plan = plan_of("drift_wasserstein_1d", spark)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partitioned windows exist (the bucket-keyed heavy pass)
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_dedup_cascade_quadratic_work_is_bucketed_and_survivor_filtered(spark):
+    """Stage-2 candidates are LSH bucket pairs filtered to stage-1
+    survivors BEFORE shingle verification; the base/stage tables are
+    checkpointed once for their multiple consumers."""
+    plan = plan_of("curation_dedup_cascade", spark)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # pinned base/s1/shingles

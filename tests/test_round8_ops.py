@@ -628,3 +628,107 @@ def test_cms_heavy_change_never_underestimates_and_ranks_match(spark):
         assert r.exact_a == exact_a.get(r.p_partkey, 0)
         assert r.exact_b == exact_b.get(r.p_partkey, 0)
         assert r.est_abs_err == abs(r.est_change - r.exact_change)
+
+
+def test_wasserstein_matches_python_integral(spark):
+    """Replay W1 = ∫|F_A − F_B| over the cent grid in python; the exact
+    rational must match to the 4dp output rounding, and W1 must be
+    bounded by the mean absolute difference of the supports."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.drift import drift_wasserstein_1d
+
+    a, b = [], []
+    for r in table(spark, SF, "orders").select("o_totalprice", "o_orderstatus").collect():
+        if r.o_orderstatus == "F":
+            a.append(round(r.o_totalprice * 100))
+        elif r.o_orderstatus == "O":
+            b.append(round(r.o_totalprice * 100))
+    vals = sorted(set(a) | set(b))
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    cum_a = cum_b = 0
+    numer = 0
+    for v, nxt in zip(vals, vals[1:]):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        numer += abs(cum_a * nb - cum_b * na) * (nxt - v)
+
+    row = drift_wasserstein_1d(spark, SF).collect()[0]
+    assert (row.na, row.nb, row.n_values) == (na, nb, len(vals))
+    assert abs(row.w1_cents - numer / (na * nb)) < 1e-3
+    # sanity: W1 can't exceed the support span
+    assert 0 <= row.w1_cents <= vals[-1] - vals[0]
+
+
+def test_dedup_cascade_stages_partition_and_match_replay(spark):
+    """Replay both stages in python (exact-normalized keep-lowest, then
+    LSH candidates + exact Jaccard with the anchor-wins rule); the three
+    stage rows must match exactly and partition the corpus."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.curation import _CSC_J_PPM, curation_dedup_cascade
+
+    docs = {
+        r.doc_id: _toks(r.text)
+        for r in table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    norm_h: dict[str, list[int]] = {}
+    for did, ws in docs.items():
+        norm_h.setdefault(_md5(" ".join(ws)), []).append(did)
+    removed_exact = {d for grp in norm_h.values() for d in grp if d != min(grp)}
+
+    sh = {
+        did: {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        for did, ws in docs.items()
+        if len(ws) >= 3
+    }
+
+    def sig(did):
+        return [
+            min(_md5(f"{s // 4}|{x}")[8 * (s % 4) : 8 * (s % 4) + 8] for x in sh[did])
+            for s in range(8)
+        ]
+
+    sigs = {d: sig(d) for d in sh}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for d, sg in sigs.items():
+        for bband in range(4):
+            seeds = range(bband * 2, bband * 2 + 2)
+            buckets.setdefault(
+                (bband, _md5("|".join(f"{s}:{sg[s]}" for s in seeds))), []
+            ).append(d)
+    survivors = set(docs) - removed_exact
+    removed_near = set()
+    for members in buckets.values():
+        for i, x in enumerate(members):
+            for y in members[i + 1 :]:
+                lo, hi = min(x, y), max(x, y)
+                if lo not in survivors or hi not in survivors:
+                    continue
+                inter = len(sh[lo] & sh[hi])
+                if inter and inter * 1_000_000 // (len(sh[lo]) + len(sh[hi]) - inter) >= _CSC_J_PPM:
+                    removed_near.add(hi)
+
+    expect = {"1_exact_dup": [0, 0], "2_near_dup": [0, 0], "3_kept": [0, 0]}
+    for did, ws in docs.items():
+        stage = (
+            "1_exact_dup"
+            if did in removed_exact
+            else "2_near_dup"
+            if did in removed_near
+            else "3_kept"
+        )
+        expect[stage][0] += 1
+        expect[stage][1] += len(ws)
+
+    rows = {r.stage: r for r in curation_dedup_cascade(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    all_docs = len(docs)
+    all_tokens = sum(len(ws) for ws in docs.values())
+    for stage, (nd, nt) in expect.items():
+        r = rows[stage]
+        assert (r.n_docs, r.n_tokens) == (nd, nt), stage
+        assert r.doc_share_ppm == nd * 1_000_000 // all_docs
+        assert r.token_share_ppm == nt * 1_000_000 // all_tokens
+    assert sum(r.n_docs for r in rows.values()) == all_docs

@@ -139,6 +139,8 @@ ALLOW = {
     "split_group_kfold": {"BroadcastNestedLoopJoin": "single-row row/value-total scalars x 5 fold rows"},
     "layout_bloom_skipping": {"BroadcastNestedLoopJoin": "single-row max-orderkey + supplier-count scalars x corpus map; probe x 16-file zone grid (bounded dims)"},
     "privacy_dp_quantile": {"BroadcastNestedLoopJoin": "6-row (eps, q) grid x 50-bin value histogram (bounded dims)"},
+    "drift_wasserstein_1d": {"BroadcastNestedLoopJoin": "single-row (na, nb) totals scalar x per-value diff rows (drift_ks_two_sample's class)"},
+    "curation_dedup_cascade": {"BroadcastNestedLoopJoin": "single-row doc/token totals scalar x 3 stage rows"},
     "stats_permutation_test": {"BroadcastNestedLoopJoin": "single-row observed-diff scalar x 65 replicate rows (stats_bootstrap_ci's class)"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
@@ -231,6 +233,7 @@ _WINDOW_ALLOW = {
     "stats_mann_whitney": "rank-sum prefix over the <=50-value quantity histogram (value-bounded)",
     "privacy_dp_quantile": "cumulative counts + per-(eps,q) argmax over the <=50-bin value histogram (value-bounded)",
     "sketch_cms_heavy_change": "top-k rank over the part-dim estimate table (dim-bounded report)",
+    "drift_wasserstein_1d": "two-level prefix: bucket carry-in window is domain-bounded; the heavy cumsum partitions by bucket (drift_ks_two_sample's class)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
     ALLOW.setdefault(_n, {})["Window-no-partition"] = _why
