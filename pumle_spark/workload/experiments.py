@@ -37,19 +37,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
-# Poisson(1) inverse-CDF thresholds scaled by 2^48: weight k iff
-# u48 < _POIS_T[k] (first match wins), else 6. floor(cum_cdf * 2^48) with
+# Poisson(1) inverse-CDF thresholds scaled by 2^32: weight k iff
+# u32 < _POIS_T[k] (first match wins), else 6. floor(cum_cdf * 2^32) with
 # cum_cdf = e^-1 * (1 + 1 + 1/2! + ...) — the literals below are exact and
 # shared verbatim by the Spark expression and the DuckDB oracle, so the
 # drawn weight is identical on both engines for every (row, replicate).
+# Round-8 change (measured, see PERF.md): 32-bit uniforms let ONE md5
+# digest serve FOUR replicates (4 x 8-hex slices of the 128-bit digest),
+# quartering the hash work; the PMF quantization error moves from 2^-48
+# to 2^-32 — still ~1e-10 relative, far below Monte-Carlo noise.
 _POIS_T = (
-    103548857136060,
-    207097714272121,
-    258872142840152,
-    276130285696162,
-    280444821410164,
-    281307728552965,
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
 )
+_BOOT_SLICES = 4  # replicates per md5 digest
 
 # B=100 replicates (round-7 change, measured): the B=200 interval at sf0.1
 # was [24943532.63, 25092859.54] (width 149327 cents), B=100 gives
@@ -69,11 +74,28 @@ _CHI2_CRIT_DF2 = 5.991464547107979  # chi-square 0.95 quantile, df = 2
 _CUPED_SPLIT = "1998-07-01"
 
 
-def _weight_case_sql(u48: str) -> str:
-    """CASE expression mapping a 48-bit uniform to a Poisson(1) weight —
+def _weight_case_sql(u32: str) -> str:
+    """CASE expression mapping a 32-bit uniform to a Poisson(1) weight —
     identical text works in both Spark SQL and DuckDB."""
-    arms = " ".join(f"WHEN {u48} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    arms = " ".join(f"WHEN {u32} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
     return f"CASE {arms} ELSE 6 END"
+
+
+def _boot_digest_sql(d: int) -> str:
+    """The d-th per-row bootstrap digest (DuckDB text)."""
+    return f"md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|' || {d})"
+
+
+def _boot_w_sql(b: int, spark_side: bool = False) -> str:
+    """Weight expression for replicate b over the sliced digest — the hex
+    slice -> integer step differs per engine ('0x'-cast vs conv), the CASE
+    thresholds are the shared _POIS_T literals."""
+    d, j = b // _BOOT_SLICES, b % _BOOT_SLICES
+    if spark_side:
+        u32 = f"CAST(conv(substring(dg{d}, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+    else:
+        u32 = f"('0x' || substr(dg{d}, {1 + 8 * j}, 8))::BIGINT"
+    return _weight_case_sql(u32)
 
 
 # --------------------------------------------------------------------------
@@ -325,35 +347,41 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
-    obs AS (
-      SELECT CAST(SUM(cents) AS DECIMAL(38,0)) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM base
+    hashed AS (
+      SELECT cents,
+             {", ".join(f"{_boot_digest_sql(d)} AS dg{d}" for d in range(_BOOT_B // _BOOT_SLICES))}
+      FROM base
     ),
-    reps AS (
-      SELECT b, u48,
-             {_weight_case_sql("u48")} AS w, cents
-      FROM (
-        SELECT bs.b, cents,
-               ('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|' || CAST(bs.b AS VARCHAR)), 1, 12))::BIGINT
-                 AS u48
-        FROM base CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) bs
-      )
+    weighted AS (
+      SELECT cents,
+             {", ".join(f"CAST({_boot_w_sql(b)} AS BIGINT) AS w{b}" for b in range(_BOOT_B))}
+      FROM hashed
+    ),
+    wide AS (
+      SELECT CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(
+                 f"CAST(SUM(CAST(w{b} AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s{b},"
+                 f" CAST(SUM(w{b}) AS BIGINT) AS c{b}" for b in range(_BOOT_B))}
+      FROM weighted
     ),
     means AS (
-      SELECT b,
-             CAST(SUM(CAST(w AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
-               / NULLIF(CAST(SUM(w) AS DOUBLE), 0) AS mean_cents
-      FROM reps GROUP BY b
+      SELECT s, n, u.b,
+             CASE u.b {" ".join(f"WHEN {b} THEN CAST(s{b} AS DOUBLE) / NULLIF(CAST(c{b} AS DOUBLE), 0)" for b in range(_BOOT_B))} END
+               AS mean_cents
+      FROM wide CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) u
     ),
     ranked AS (
-      SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk FROM means
+      SELECT s, n, mean_cents,
+             ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rk FROM means
     )
     SELECT CAST({_BOOT_B} AS INTEGER) AS n_resamples,
-           obs.n AS n_rows,
-           ROUND(CAST(obs.s AS DOUBLE) / obs.n, 2) AS mean_obs_cents,
+           n AS n_rows,
+           ROUND(CAST(s AS DOUBLE) / n, 2) AS mean_obs_cents,
            ROUND(MAX(CASE WHEN rk = {_BOOT_LO} THEN mean_cents END), 2) AS ci_lo_cents,
            ROUND(MAX(CASE WHEN rk = {_BOOT_HI} THEN mean_cents END), 2) AS ci_hi_cents
-    FROM ranked CROSS JOIN obs
-    GROUP BY obs.n, obs.s
+    FROM ranked
+    GROUP BY n, s
     """,
     tags=("experiments", "bootstrap", "statistics"),
 )
@@ -361,8 +389,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap confidence interval for the mean order value
     (Chamandy et al. 2012 — "Estimating uncertainty for massive data
     streams", the bootstrap Google runs at cluster scale): every (row,
-    replicate) pair draws w ~ Poisson(1) from a 48-bit md5 uniform against
-    precomputed integer thresholds ⌊CDF·2⁴⁸⌋ = {_POIS_T}, replicate means
+    replicate) pair draws w ~ Poisson(1) from a 32-bit md5 uniform against
+    precomputed integer thresholds ⌊CDF·2³²⌋ = {_POIS_T}, replicate means
     are Σw·x/Σw, and the CI is the ({_BOOT_LO},{_BOOT_HI}) order-statistic
     pair of the {_BOOT_B} means (2.5%/97.5% with explicit ranks — no
     engine-specific percentile interpolation).
@@ -374,46 +402,56 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the ×{_BOOT_B} expansion is generated per-row (no shuffle) and
     collapses through map-side partial aggregation into exactly {_BOOT_B}
     groups — the canonical one-pass bootstrap that replaces resample-with-
-    replacement (which would shuffle the corpus B times). 100 TB × 200
-    replicates never materializes: each partition emits 200 partial rows.
+    replacement (which would shuffle the corpus B times). 100 TB × B
+    replicates never materializes: each partition emits {_BOOT_B} partial
+    rows. Round-8 kernel (measured, PERF.md): the expansion runs as TWO
+    plain Generates — 25 digests per row, then 4 slices per digest — so
+    the md5 count is B/4 per row, and every step stays inside whole-stage
+    codegen (higher-order-lambda and 2B-buffer wide-agg forms both
+    measured SLOWER than the original; this form is 16.2s → 10.9s at
+    sf0.1).
     """
     o = table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    obs = base.agg(
-        F.sum(F.col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    n_digests = _BOOT_B // _BOOT_SLICES
+    # ONE md5 per (row, digest): each 128-bit digest serves FOUR replicates
+    # (8-hex slices), quartering the hash work vs the old per-(row,
+    # replicate) digest. Every step below is a PLAIN projection/Generate —
+    # no higher-order lambdas, which Spark evaluates interpreted per
+    # element (measured: an inline(flatten(transform(...))) form of this
+    # kernel ran 21.9s vs 12s, and a 202-buffer wide aggregate 19.5s —
+    # the codegen'd explode pipeline wins).
+    digests = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(n_digests - 1))).alias("d"),
+        F.col("o_orderkey"),
+    ).select(
+        "cents",
+        "d",
+        F.md5(
+            F.concat(
+                F.lit("boot|"), F.col("o_orderkey").cast("string"), F.lit("|"),
+                F.col("d").cast("string"),
+            )
+        ).alias("dg"),
     )
-    reps = (
-        base.select("o_orderkey", "cents")
-        .select(
-            "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-            F.col("o_orderkey"),
-        )
-        .withColumn(
-            "u48",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("boot|"),
-                            F.col("o_orderkey").cast("string"),
-                            F.lit("|"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-        )
-        .withColumn("w", F.expr(_weight_case_sql("u48")))
-    )
-    means = reps.groupBy("b").agg(
+    slices = digests.select(
+        "cents",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("d") * _BOOT_SLICES + F.lit(j)).alias("b"),
+                    F.conv(F.substring("dg", 1 + 8 * j, 8), 16, 10)
+                    .cast("bigint")
+                    .alias("u32"),
+                )
+                for j in range(_BOOT_SLICES)
+            ])
+        ).alias("p"),
+    ).select("cents", F.col("p.b").alias("b"), F.expr(_weight_case_sql("p.u32")).alias("w"))
+    means = slices.groupBy("b").agg(
         (
             F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
             .cast("decimal(38,0)")
@@ -421,12 +459,17 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("w").cast("double"), F.lit(0))
         ).alias("mean_cents")
     )
+    obs = base.agg(
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    means = means.crossJoin(F.broadcast(obs))
     ranked = means.select(
+        "s", "n",
         "mean_cents", F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rk")
     )
     return (
-        ranked.crossJoin(F.broadcast(obs))
-        .groupBy("n", "s")
+        ranked.groupBy("n", "s")
         .agg(
             F.max(F.when(F.col("rk") == _BOOT_LO, F.col("mean_cents"))).alias("lo"),
             F.max(F.when(F.col("rk") == _BOOT_HI, F.col("mean_cents"))).alias("hi"),

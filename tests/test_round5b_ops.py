@@ -109,8 +109,12 @@ def test_bootstrap_ci_matches_python_replay(spark):
     o = table(spark, SF, "orders").select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")).collect()
     cents = {r.o_orderkey: r.cents for r in o}
 
+    from pumle_spark.workload.experiments import _BOOT_SLICES
+
     def weight(k, b):
-        u = int(hashlib.md5(f"boot|{k}|{b}".encode()).hexdigest()[:12], 16)
+        d, j = b // _BOOT_SLICES, b % _BOOT_SLICES
+        dg = hashlib.md5(f"boot|{k}|{d}".encode()).hexdigest()
+        u = int(dg[8 * j : 8 * j + 8], 16)
         for w, t in enumerate(_POIS_T):
             if u < t:
                 return w
