@@ -133,6 +133,7 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "sketch_cms_heavy_change",
     "drift_wasserstein_1d",
     "curation_dedup_cascade",
+    "text_bpe_train_merges",
 )
 
 

@@ -463,24 +463,22 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents").cast("decimal(19,0)")).cast("decimal(38,0)").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    means = means.crossJoin(F.broadcast(obs))
     ranked = means.select(
-        "s", "n",
         "mean_cents", F.row_number().over(Window.orderBy("mean_cents", "b")).alias("rk")
     )
-    return (
-        ranked.groupBy("n", "s")
-        .agg(
-            F.max(F.when(F.col("rk") == _BOOT_LO, F.col("mean_cents"))).alias("lo"),
-            F.max(F.when(F.col("rk") == _BOOT_HI, F.col("mean_cents"))).alias("hi"),
-        )
-        .select(
-            F.lit(_BOOT_B).cast("int").alias("n_resamples"),
-            F.col("n").alias("n_rows"),
-            F.round(F.col("s").cast("double") / F.col("n"), 2).alias("mean_obs_cents"),
-            F.round("lo", 2).alias("ci_lo_cents"),
-            F.round("hi", 2).alias("ci_hi_cents"),
-        )
+    # ungrouped agg → ALWAYS one row (even over zero replicates), so the
+    # empty-input shape matches the oracle's ungrouped `wide` CTE: one row
+    # of NULLs with n_rows = 0, never an empty result.
+    cis = ranked.agg(
+        F.max(F.when(F.col("rk") == _BOOT_LO, F.col("mean_cents"))).alias("lo"),
+        F.max(F.when(F.col("rk") == _BOOT_HI, F.col("mean_cents"))).alias("hi"),
+    )
+    return obs.crossJoin(F.broadcast(cis)).select(
+        F.lit(_BOOT_B).cast("int").alias("n_resamples"),
+        F.col("n").alias("n_rows"),
+        F.round(F.col("s").cast("double") / F.col("n"), 2).alias("mean_obs_cents"),
+        F.round("lo", 2).alias("ci_lo_cents"),
+        F.round("hi", 2).alias("ci_hi_cents"),
     )
 
 

@@ -1513,11 +1513,21 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transcendentals never cross the oracle boundary), and each estimate
     quantizes ONCE to milli-units before exact integer rollups.
 
-    Scale: per superstep ONE equi-join of the edge list against a
-    |V|×{_HB_M}-row register table, hash-partitioned on the node id, and
-    one register-wise max rollup — Pregel economics with O(m) state per
-    node; localCheckpoint truncates lineage so superstep 1 feeds both
-    superstep 2 and its own estimate without recomputation.
+    Scale: the {_HB_M} registers are NIBBLE-PACKED into two BIGINT words
+    (6 bits per register — values reach 33 — 8 registers per word), so
+    the superstep state is |V| ROWS, not |V|×{_HB_M}: ONE equi-join of
+    the edge list against the packed table, then ONE hash aggregation
+    whose {_HB_M} MAX buffers each fold a shift-and-mask field extract
+    (register-wise max = field-wise MAX over the packed words). The
+    harmonic sum and empty-register count then come straight off the
+    merged fields ROW-WISE — the per-hop second aggregation the unpacked
+    layout needed (re-grouping {_HB_M} register rows per node into one
+    estimate) disappears entirely. Packing cut the sf0.1 wall time from
+    6.29s to 3.86s (round 8, min-of-6 back-to-back on one session; the
+    r08 battery recorded the unpacked form at 11.07s) — shuffle rows
+    ÷{_HB_M}, one aggregation per superstep instead of two;
+    localCheckpoint truncates lineage so superstep 1 feeds superstep 2
+    without recomputation.
 
     Reference: reference repo has no graph/sketch surface (SURVEY §2.13
     beyond-reference family)."""
@@ -1543,40 +1553,55 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(w32 == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.conv(w32.cast("string"), 10, 2))
     )
+    # seed: the one non-empty register lands in its 6-bit field of w0/w1
+    # (bucket 0-7 → w0, 8-15 → w1); every other field stays 0 = empty.
     r = nodes.select(
         "node",
-        F.conv(F.substring(key_md5, 1, 1), 16, 10).cast("bigint").alias("bucket"),
-        rho.cast("int").alias("m_reg"),
+        F.conv(F.substring(key_md5, 1, 1), 16, 10).cast("int").alias("bucket"),
+        rho.cast("bigint").alias("m_reg"),
+    ).select(
+        "node",
+        F.expr(
+            "CASE WHEN bucket < 8 THEN shiftleft(m_reg, 6 * bucket) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("w0"),
+        F.expr(
+            "CASE WHEN bucket >= 8 THEN shiftleft(m_reg, 6 * (bucket - 8)) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("w1"),
     )
+    # field extracts / rebuilds over the packed words (6-bit lanes)
+    ext = [f"(shiftright(w{i // 8}, {6 * (i % 8)}) & 63)" for i in range(_HB_M)]
+    pack = [
+        " + ".join(f"shiftleft(g{i}, {6 * (i % 8)})" for i in range(w * 8, w * 8 + 8))
+        for w in range(2)
+    ]
+    s_all = " + ".join(
+        f"shiftleft(CAST(1 AS BIGINT), 33 - {e})" for e in ext
+    )  # empty field (0) contributes 2^33 — exactly the unpacked formula
+    n_empty = " + ".join(f"CAST(({e} = 0) AS BIGINT)" for e in ext)
     lc = spark.createDataFrame(_HB_LC, "v bigint, lc_est double")
     sides = []
     for hop in range(1, _HB_HOPS + 1):
         grown = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "bucket", "m_reg")
+            .select(F.col("dst").alias("node"), "w0", "w1")
             .unionAll(r)
-            .groupBy("node", "bucket")
-            .agg(F.max("m_reg").alias("m_reg"))
+            .groupBy("node")
+            .agg(*[F.max(F.expr(e)).alias(f"g{i}") for i, e in enumerate(ext)])
+            .select(
+                "node",
+                F.expr(pack[0]).alias("w0"),
+                F.expr(pack[1]).alias("w1"),
+            )
             .localCheckpoint(eager=False)
         )
         r = grown
-        per_node = grown.groupBy("node").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_filled"),
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - m_reg)"))
-            .cast("bigint")
-            .alias("s_filled"),
-        )
         est = (
-            per_node.select(
+            grown.select(
                 "node",
-                (F.lit(_HB_M) - F.col("n_filled")).cast("bigint").alias("nv"),
-                (
-                    F.expr(_HB_NUM)
-                    / (
-                        F.col("s_filled")
-                        + (F.lit(_HB_M) - F.col("n_filled")) * F.lit(8589934592)
-                    ).cast("double")
-                ).alias("raw"),
+                F.expr(n_empty).alias("nv"),
+                (F.expr(_HB_NUM) / F.expr(s_all).cast("double")).alias("raw"),
             )
             .join(F.broadcast(lc), F.col("nv") == F.col("v"), "left")
             .select(

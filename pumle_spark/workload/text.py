@@ -2038,6 +2038,160 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE tokenizer TRAINING: a k-merge unroll of the count→argmax→merge loop
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def _sql_bpe_step(i: int) -> str:
+    """One merge round of the oracle's CTE chain: pair counts over w{i},
+    the deterministic argmax, the greedy merge producing w{i+1}, and the
+    step's report row t{i+1}."""
+    return f"""
+    p{i} AS (
+      SELECT a[j] AS x, a[j + 1] AS y, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (
+        SELECT a, f, unnest(range(2, len(a) - 1)) AS j
+        FROM (SELECT string_split(s, '||') AS a, f FROM w{i})
+        WHERE len(a) >= 4
+      )
+      GROUP BY a[j], a[j + 1]
+    ),
+    b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
+    w{i + 1} AS (
+      SELECT replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|') AS s, f
+      FROM w{i}, b{i}
+    ),
+    t{i + 1} AS (
+      SELECT {i + 1} AS step, x AS left_sym, y AS right_sym,
+             x || y AS merged_sym, cnt AS pair_count,
+             (SELECT CAST(SUM(f * (len(string_split(s, '||')) - 2)) AS BIGINT)
+              FROM w{i + 1}) AS corpus_symbols_after
+      FROM b{i}
+    )"""
+
+
+@register(
+    "text_bpe_train_merges",
+    sql=f"""
+    WITH d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(ws) AS w FROM d) WHERE w <> '' GROUP BY w
+    ),
+    w0 AS (
+      SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM wf
+    ),
+    {", ".join(_sql_bpe_step(i) for i in range(_BPE_MERGES))}
+    SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym, merged_sym,
+           pair_count, corpus_symbols_after
+    FROM ({" UNION ALL ".join(f"SELECT * FROM t{i + 1}" for i in range(_BPE_MERGES))})
+    ORDER BY step
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), not just the first
+    pair census `text_bpe_pair_stats` reports: a fixed {_BPE_MERGES}-merge
+    unroll of the count→argmax→merge loop, emitting per round the merged
+    pair, its corpus-weighted count at selection time, and the corpus
+    symbol total after the merge (the compression-curve the trainer's
+    stopping rule watches).
+
+    The merge itself — greedy left-to-right, non-overlapping, exactly the
+    BPE apply rule — runs ENGINE-SIDE with no UDF via a doubled-delimiter
+    encoding: a word's symbol sequence is kept as '||a||b||…||', and
+    merging pair (x, y) is the plain SQL `replace('|x||y|', '|xy|')`. The
+    doubled delimiter is what makes replace() correct: adjacent
+    occurrences ('||x||y||x||y||') each keep a private outer '|', so the
+    scan-and-skip semantics both engines implement IS the greedy
+    non-overlap rule ('||xy||xy||'), including self-pairs ('||x||x||x||'
+    → '||xx||x||'). Symbols are [a-z0-9] concatenations, so '|' can never
+    occur inside one and the encoding stays unambiguous.
+
+    Determinism: every number is an exact BIGINT (corpus-weighted counts,
+    post-merge symbol totals — no floats anywhere); the argmax is totally
+    ordered (count DESC, then pair lexicographic), so the merge SEQUENCE
+    is reproducible — the property a tokenizer artifact must have.
+
+    Scale shape: the corpus collapses to the word-frequency table FIRST
+    (vocabulary-sized by Heaps' law — the industrial BPE-trainer
+    reduction), so each round is |vocab|-sized work: one in-array pair
+    explode + keyed groupBy, a 1-row totally-ordered top-1, and a
+    broadcast of that single merge rule onto the word table. Per-round
+    localCheckpoint caps lineage so round k+1 never recomputes round k
+    (the graph_lpa_communities fixed-unroll contract); {_BPE_MERGES}
+    merges << |vocab|, so the argmax can never run dry.
+
+    Reference: reference repo has no text surface (SURVEY §2.13
+    beyond-reference LLM-pipeline family); trainer loop per Sennrich et
+    al. 2016 (arXiv:1508.07909) Algorithm 1."""
+    d = table(spark, sf_dir, "documents").select(_tokens_col().alias("ws"))
+    wf = (
+        d.select(F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    words = wf.select(
+        F.concat(F.lit("||"), F.regexp_replace("w", "(.)", "$1||")).alias("s"), "f"
+    ).localCheckpoint(eager=False)
+    steps = []
+    for k in range(1, _BPE_MERGES + 1):
+        pairs = (
+            words.select(F.split("s", "\\|\\|").alias("a"), "f")
+            .filter(F.size("a") >= 4)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, size(a) - 2), "
+                        "j -> struct(element_at(a, j) AS x, element_at(a, j + 1) AS y))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select("p.x", "p.y", "f")
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|')"
+                ).alias("s"),
+                "f",
+            )
+            .localCheckpoint(eager=False)
+        )
+        stat = words.agg(
+            F.sum(F.expr("f * (size(split(s, '\\\\|\\\\|')) - 2)"))
+            .cast("bigint")
+            .alias("corpus_symbols_after")
+        )
+        steps.append(
+            best.crossJoin(F.broadcast(stat)).select(
+                F.lit(k).cast("int").alias("step"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.concat("x", "y").alias("merged_sym"),
+                F.col("cnt").alias("pair_count"),
+                "corpus_symbols_after",
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
 # bigram language-model perplexity audit (add-1 smoothing)
 # --------------------------------------------------------------------------
 

@@ -696,3 +696,22 @@ def test_dedup_cascade_quadratic_work_is_bucketed_and_survivor_filtered(spark):
     plan = plan_of("curation_dedup_cascade", spark)
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # pinned base/s1/shingles
+
+
+def test_bpe_train_corpus_scanned_once_then_vocab_rounds(spark):
+    """The corpus parquet is scanned exactly ONCE (the word-frequency
+    collapse); all merge rounds run off checkpointed vocab-sized state,
+    each merge rule / corpus total is a 1-row broadcast, and the argmax is
+    a TakeOrdered, never a full sort of the pair table."""
+    plan = plan_of("text_bpe_train_merges", spark)
+    # the corpus scan lives INSIDE the round-0 word-table checkpoint's
+    # lineage: the assembled plan reads only checkpointed vocab state
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan  # per-round word-table checkpoints
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # one report branch per merge round: the checkpointed 1-row argmax
+    # crossed with that round's corpus-total scalar — nothing wider
+    from pumle_spark.workload.text import _BPE_MERGES
+
+    assert plan.count("BroadcastNestedLoopJoin") == _BPE_MERGES

@@ -732,3 +732,60 @@ def test_dedup_cascade_stages_partition_and_match_replay(spark):
         assert r.doc_share_ppm == nd * 1_000_000 // all_docs
         assert r.token_share_ppm == nt * 1_000_000 // all_tokens
     assert sum(r.n_docs for r in rows.values()) == all_docs
+
+
+def test_bpe_train_merges_matches_python_trainer(spark):
+    """Replay: Sennrich Algorithm-1 BPE trainer in pure python (word-freq
+    table, count→argmax→greedy-merge for {k} rounds) — the merge SEQUENCE,
+    each pair's selection-time count, and the post-merge corpus symbol
+    totals must all match exactly. Also locks the greedy non-overlap rule
+    the doubled-delimiter replace() encodes (self-pair 'aaa' → ['aa','a'])."""
+    from collections import Counter
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _BPE_MERGES, text_bpe_train_merges
+
+    wf: Counter[str] = Counter()
+    for r in table(spark, SF, "documents").select("text").collect():
+        for w in _toks(r.text):
+            if w:
+                wf[w] += 1
+
+    words: dict[str, list[str]] = {w: list(w) for w in wf}
+    expect = []
+    for step in range(1, _BPE_MERGES + 1):
+        cnt: Counter[tuple[str, str]] = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        best = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        for w, syms in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+        total = sum(wf[w] * len(syms) for w, syms in words.items())
+        expect.append(
+            (step, best[0], best[1], best[0] + best[1], cnt[best], total)
+        )
+
+    got = [tuple(r) for r in text_bpe_train_merges(spark, SF).collect()]
+    assert got == expect
+    # the greedy rule itself, in isolation: overlapping self-pairs merge
+    # left-to-right without reuse
+    syms, out, i = list("aaa"), [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == ("a", "a"):
+            out.append("aa")
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    assert out == ["aa", "a"]

@@ -142,6 +142,7 @@ ALLOW = {
     "drift_wasserstein_1d": {"BroadcastNestedLoopJoin": "single-row (na, nb) totals scalar x per-value diff rows (drift_ks_two_sample's class)"},
     "curation_dedup_cascade": {"BroadcastNestedLoopJoin": "single-row doc/token totals scalar x 3 stage rows"},
     "stats_permutation_test": {"BroadcastNestedLoopJoin": "single-row observed-diff scalar x 65 replicate rows (stats_bootstrap_ci's class)"},
+    "text_bpe_train_merges": {"BroadcastNestedLoopJoin": "single-row merge-rule argmax + corpus-total scalars x vocab table, 2 per merge round x _BPE_MERGES=8"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
     "privacy_t_closeness": {"BroadcastNestedLoopJoin": "QI classes x 10-band grid + totals/threshold scalars"},
