@@ -134,6 +134,7 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "drift_wasserstein_1d",
     "curation_dedup_cascade",
     "text_bpe_train_merges",
+    "text_repeated_ngrams",
 )
 
 

@@ -3483,3 +3483,132 @@ def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_dnum div _dall").cast("bigint").alias("doc_share_ppm"),
         F.expr("_tnum div _tall").cast("bigint").alias("token_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# repeated-n-gram memorization audit (Kandpal et al. 2022)
+# --------------------------------------------------------------------------
+
+_RNG_N = 8    # token n-gram length of the audited spans
+_RNG_TOP = 20
+
+
+@register(
+    "text_repeated_ngrams",
+    sql=f"""
+    WITH d AS (SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             md5(array_to_string(ws[i:i + {_RNG_N} - 1], ' ')) AS h,
+             array_to_string(ws[i:i + {_RNG_N} - 1], ' ') AS t
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(1, len(ws) - {_RNG_N} + 2)) AS i
+            FROM d WHERE len(ws) >= {_RNG_N})
+    ),
+    per_hs AS (
+      SELECT h, source, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+             MIN(t) AS t
+      FROM grams GROUP BY h, source
+    ),
+    rolled AS (
+      SELECT h, source, cnt,
+             SUM(cnt) OVER wh AS n_occurrences,
+             SUM(nd) OVER wh AS n_docs,
+             CAST(COUNT(*) OVER wh AS BIGINT) AS n_sources,
+             MIN(t) OVER wh AS span_text,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY cnt DESC, source) AS rn
+      FROM per_hs
+      WINDOW wh AS (PARTITION BY h)
+    )
+    SELECT span_text,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_sources,
+           source AS top_source,
+           cnt AS top_source_occurrences,
+           CAST(cnt * 1000000 // n_occurrences AS BIGINT) AS top_source_share_ppm
+    FROM rolled
+    WHERE rn = 1 AND n_occurrences >= 2
+    ORDER BY n_occurrences DESC, span_text
+    LIMIT {_RNG_TOP}
+    """,
+    tags=("text", "memorization", "ngram", "audit"),
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram memorization audit (Kandpal, Wallace & Raffel 2022,
+    arXiv:2202.06539: sequence-level memorization grows log-linearly with
+    the number of times a span is DUPLICATED in training data): the
+    top-{_RNG_TOP} verbatim {_RNG_N}-token spans by corpus repetition
+    count, with ownership attribution — which source contributes the most
+    occurrences and what share it owns — so a pipeline can tell boilerplate
+    concentrated in one source (license headers, templates: cut at the
+    source) from corpus-wide cliches. Complements `dedup_exact_substring`
+    (which finds the per-document spans to cut) by ranking WHAT is
+    repeated and WHO repeats it.
+
+    Determinism: spans are exact token sequences; every measure is a
+    BIGINT count; ownership ties break lexicographically by source; the
+    report order (count DESC, span text) is total.
+
+    Scale shape: the gram stream is a per-row array expression (no
+    self-join) aggregated TWICE keyed on the 32-byte fingerprint — first
+    (h, source) with map-side partial aggregation, then per-h rollup +
+    ownership argmax as h-PARTITIONED windows over the already-collapsed
+    (h, source) table (|grams|·|sources| rows at most, never the corpus).
+    The span text rides as MIN(t) through both levels (equal h ⇒ equal
+    text), so no join back to the corpus; the final cut is a global
+    top-{_RNG_TOP} TakeOrdered. Nothing quadratic, nothing driver-side.
+    Reference analogue: PUMLE has no text surface; extends the driver
+    brief's text-analysis family."""
+    n = _RNG_N
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _tokens_col().alias("ws")
+    )
+    grams = (
+        d.filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n} + 1), "
+                    f"i -> array_join(slice(ws, i, {n}), ' '))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "source", F.md5("t").alias("h"), "t")
+    )
+    per_hs = grams.groupBy("h", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("doc_id").cast("bigint").alias("nd"),
+        F.min("t").alias("t"),
+    )
+    wh = Window.partitionBy("h")
+    wr = Window.partitionBy("h").orderBy(F.desc("cnt"), "source")
+    rolled = per_hs.select(
+        "h",
+        "source",
+        "cnt",
+        F.sum("cnt").over(wh).alias("n_occurrences"),
+        F.sum("nd").over(wh).alias("n_docs"),
+        F.count(F.lit(1)).over(wh).cast("bigint").alias("n_sources"),
+        F.min("t").over(wh).alias("span_text"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        rolled.filter((F.col("rn") == 1) & (F.col("n_occurrences") >= 2))
+        .select(
+            "span_text",
+            "n_occurrences",
+            "n_docs",
+            "n_sources",
+            F.col("source").alias("top_source"),
+            F.col("cnt").alias("top_source_occurrences"),
+            F.expr("cnt * 1000000 div n_occurrences")
+            .cast("bigint")
+            .alias("top_source_share_ppm"),
+        )
+        .orderBy(F.desc("n_occurrences"), "span_text")
+        .limit(_RNG_TOP)
+    )

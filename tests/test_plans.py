@@ -715,3 +715,17 @@ def test_bpe_train_corpus_scanned_once_then_vocab_rounds(spark):
     from pumle_spark.workload.text import _BPE_MERGES
 
     assert plan.count("BroadcastNestedLoopJoin") == _BPE_MERGES
+
+
+def test_repeated_ngrams_windows_ride_the_gram_hash(spark):
+    """Both aggregation levels and the ownership argmax key on the gram
+    fingerprint: the windows are h-PARTITIONED (never a global order), the
+    report cut is a TakeOrdered, and no join back to the corpus exists —
+    the span text rides min(t) through the rollups."""
+    plan = plan_of("text_repeated_ngrams", spark)
+    assert "windowspecdefinition(h#" in plan
+    assert "TakeOrderedAndProject" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct"):
+        assert op not in plan
+    assert plan.count("Scan parquet") == 1

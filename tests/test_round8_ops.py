@@ -789,3 +789,41 @@ def test_bpe_train_merges_matches_python_trainer(spark):
             out.append(syms[i])
             i += 1
     assert out == ["aa", "a"]
+
+
+def test_repeated_ngrams_matches_python_census(spark):
+    """Replay: the full 8-gram census in pure python — counts, distinct
+    docs, source ownership with lexicographic tiebreak, ppm share, and
+    the (count DESC, span ASC) report cut must match exactly."""
+    from collections import Counter, defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _RNG_N, _RNG_TOP, text_repeated_ngrams
+
+    occ: Counter[str] = Counter()
+    docs_of: dict[str, set[int]] = defaultdict(set)
+    by_src: dict[str, Counter] = defaultdict(Counter)
+    for r in (
+        table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    ):
+        ws = _toks(r.text)
+        for i in range(len(ws) - _RNG_N + 1):
+            g = " ".join(ws[i : i + _RNG_N])
+            occ[g] += 1
+            docs_of[g].add(r.doc_id)
+            by_src[g][r.source] += 1
+
+    expect = []
+    for g, c in occ.items():
+        if c < 2:
+            continue
+        top_src = min(by_src[g], key=lambda s: (-by_src[g][s], s))
+        tc = by_src[g][top_src]
+        expect.append(
+            (g, c, len(docs_of[g]), len(by_src[g]), top_src, tc, tc * 1_000_000 // c)
+        )
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    expect = expect[:_RNG_TOP]
+
+    got = [tuple(r) for r in text_repeated_ngrams(spark, SF).collect()]
+    assert got == expect
