@@ -135,6 +135,7 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "curation_dedup_cascade",
     "text_bpe_train_merges",
     "text_repeated_ngrams",
+    "text_bpe_encode_fertility",
 )
 
 

@@ -2043,11 +2043,17 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 8
 
+# ONE merge-chain definition serves both the trainer's report
+# (text_bpe_train_merges) and the train→apply fertility audit
+# (text_bpe_encode_fertility) — same CTE generators on the oracle side,
+# same python chain builder on the Spark side, so the two queries can
+# never drift apart on what "the trained tokenizer" means.
 
-def _sql_bpe_step(i: int) -> str:
+
+def _sql_bpe_step(i: int, carry: str = "") -> str:
     """One merge round of the oracle's CTE chain: pair counts over w{i},
-    the deterministic argmax, the greedy merge producing w{i+1}, and the
-    step's report row t{i+1}."""
+    the deterministic argmax, and the greedy merge producing w{i+1}.
+    `carry` names extra w-table columns to thread through the merge."""
     return f"""
     p{i} AS (
       SELECT a[j] AS x, a[j + 1] AS y, CAST(SUM(f) AS BIGINT) AS cnt
@@ -2060,9 +2066,14 @@ def _sql_bpe_step(i: int) -> str:
     ),
     b{i} AS (SELECT x, y, cnt FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
     w{i + 1} AS (
-      SELECT replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|') AS s, f
+      SELECT {carry}replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|') AS s, f
       FROM w{i}, b{i}
-    ),
+    )"""
+
+
+def _sql_bpe_report(i: int) -> str:
+    """The trainer's per-round report row off round i's argmax + result."""
+    return f"""
     t{i + 1} AS (
       SELECT {i + 1} AS step, x AS left_sym, y AS right_sym,
              x || y AS merged_sym, cnt AS pair_count,
@@ -2070,6 +2081,50 @@ def _sql_bpe_step(i: int) -> str:
               FROM w{i + 1}) AS corpus_symbols_after
       FROM b{i}
     )"""
+
+
+def _bpe_chain(words: DataFrame) -> list[tuple[DataFrame, DataFrame]]:
+    """Run the {_BPE_MERGES}-round count→argmax→merge chain on a word
+    table carrying at least columns (s, f) — s the doubled-delimiter
+    symbol string, f the corpus frequency. Extra columns thread through
+    untouched. Returns [(best_k, words_after_k)] per round; each side is
+    localCheckpoint-pinned so round k+1 never recomputes round k."""
+    out = []
+    for _ in range(_BPE_MERGES):
+        pairs = (
+            words.select(F.split("s", "\\|\\|").alias("a"), "f")
+            .filter(F.size("a") >= 4)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, size(a) - 2), "
+                        "j -> struct(element_at(a, j) AS x, element_at(a, j + 1) AS y))"
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select("p.x", "p.y", "f")
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        carry = [c for c in words.columns if c != "s"]
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                *carry,
+                F.expr(
+                    "replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|')"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out.append((best, words))
+    return out
 
 
 @register(
@@ -2083,7 +2138,8 @@ def _sql_bpe_step(i: int) -> str:
     w0 AS (
       SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM wf
     ),
-    {", ".join(_sql_bpe_step(i) for i in range(_BPE_MERGES))}
+    {", ".join(_sql_bpe_step(i) for i in range(_BPE_MERGES))},
+    {", ".join(_sql_bpe_report(i) for i in range(_BPE_MERGES))}
     SELECT CAST(step AS INTEGER) AS step, left_sym, right_sym, merged_sym,
            pair_count, corpus_symbols_after
     FROM ({" UNION ALL ".join(f"SELECT * FROM t{i + 1}" for i in range(_BPE_MERGES))})
@@ -2138,39 +2194,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("||"), F.regexp_replace("w", "(.)", "$1||")).alias("s"), "f"
     ).localCheckpoint(eager=False)
     steps = []
-    for k in range(1, _BPE_MERGES + 1):
-        pairs = (
-            words.select(F.split("s", "\\|\\|").alias("a"), "f")
-            .filter(F.size("a") >= 4)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(2, size(a) - 2), "
-                        "j -> struct(element_at(a, j) AS x, element_at(a, j + 1) AS y))"
-                    )
-                ).alias("p"),
-                "f",
-            )
-            .select("p.x", "p.y", "f")
-        )
-        best = (
-            pairs.groupBy("x", "y")
-            .agg(F.sum("f").cast("bigint").alias("cnt"))
-            .orderBy(F.desc("cnt"), "x", "y")
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .select(
-                F.expr(
-                    "replace(s, '|' || x || '||' || y || '|', '|' || x || y || '|')"
-                ).alias("s"),
-                "f",
-            )
-            .localCheckpoint(eager=False)
-        )
-        stat = words.agg(
+    for k, (best, merged) in enumerate(_bpe_chain(words), start=1):
+        stat = merged.agg(
             F.sum(F.expr("f * (size(split(s, '\\\\|\\\\|')) - 2)"))
             .cast("bigint")
             .alias("corpus_symbols_after")
@@ -2189,6 +2214,108 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# BPE train→apply: per-source fertility after the trained merges
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_encode_fertility",
+    sql=f"""
+    WITH d AS (SELECT source, {_SQL_TOKENS} AS ws FROM documents),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(ws) AS w FROM d) WHERE w <> ''
+      GROUP BY source, w
+    ),
+    wf AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS f FROM sw GROUP BY w),
+    w0 AS (
+      SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM wf
+    ),
+    {", ".join(_sql_bpe_step(i, carry="w, ") for i in range(_BPE_MERGES))},
+    fin AS (
+      SELECT w, CAST(len(string_split(s, '||')) - 2 AS BIGINT) AS n_after
+      FROM w{_BPE_MERGES}
+    )
+    SELECT sw.source,
+           CAST(SUM(sw.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.cnt * length(sw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(sw.cnt * fin.n_after) AS BIGINT) AS n_symbols,
+           CAST(SUM(sw.cnt * fin.n_after) * 1000 // SUM(sw.cnt) AS BIGINT)
+             AS symbols_per_token_milli,
+           CAST(SUM(sw.cnt * fin.n_after) * 1000000 // SUM(sw.cnt * length(sw.w))
+                AS BIGINT) AS compression_ppm
+    FROM sw JOIN fin ON fin.w = sw.w
+    GROUP BY sw.source
+    ORDER BY sw.source
+    """,
+    tags=("text", "tokenizer", "bpe", "fertility"),
+)
+def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→APPLY audit for the BPE tokenizer: encode the corpus with the
+    {_BPE_MERGES} merges `text_bpe_train_merges` learns (the SAME
+    `_bpe_chain` / `_sql_bpe_step` definition — one trainer, never a
+    convention) and report per SOURCE how the token budget lands:
+    whitespace tokens, characters (= symbols before any merge), BPE
+    symbols after the merges, symbols-per-token fertility (milli), and
+    the symbol/char compression ratio (ppm). This is the fertility lens a
+    tokenizer review runs per corpus slice (`text_token_fertility`'s
+    question, but for the trained subword vocabulary instead of the
+    whitespace tokenizer).
+
+    Scale shape — the key move: the merges are APPLIED TO THE VOCABULARY,
+    never to the corpus. The corpus collapses once into (source, word)
+    counts; the global word-frequency table derives from that same rollup
+    (one corpus pass feeds both); the merge chain then runs over |vocab|
+    rows, and the per-source accounting is ONE keyed equi-join of the
+    (source, word) table against the |vocab|-row encoded lengths followed
+    by a source rollup. A corpus-sized replace() per merge round — the
+    naive apply — never happens; at 100 TB the chain's working set stays
+    vocabulary-sized (Heaps-bounded). Exactness: counts, lengths, and
+    both ratio quantizations are BIGINT floor divisions on both engines.
+
+    Reference: reference repo has no text surface (SURVEY §2.13
+    beyond-reference LLM-pipeline family); fertility metric per Rust et
+    al. 2021 (arXiv:2012.15613)."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", _tokens_col().alias("ws")
+    )
+    sw = (
+        d.select("source", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wf = sw.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("f"))
+    words = wf.select(
+        "w",
+        F.concat(F.lit("||"), F.regexp_replace("w", "(.)", "$1||")).alias("s"),
+        "f",
+    ).localCheckpoint(eager=False)
+    final_words = _bpe_chain(words)[-1][1]
+    fin = final_words.select(
+        "w",
+        (F.size(F.split("s", "\\|\\|")) - 2).cast("bigint").alias("n_after"),
+    )
+    return (
+        sw.join(fin, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_after")).cast("bigint").alias("n_symbols"),
+            F.expr("sum(cnt * n_after) * 1000 div sum(cnt)")
+            .cast("bigint")
+            .alias("symbols_per_token_milli"),
+            F.expr("sum(cnt * n_after) * 1000000 div sum(cnt * length(w))")
+            .cast("bigint")
+            .alias("compression_ppm"),
+        )
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -729,3 +729,14 @@ def test_repeated_ngrams_windows_ride_the_gram_hash(spark):
                "CartesianProduct"):
         assert op not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_bpe_fertility_applies_merges_to_vocab_not_corpus(spark):
+    """The merge chain and the per-source accounting both ride checkpointed
+    vocab-sized state: the assembled plan reads NO parquet (the one corpus
+    pass lives inside the (source, word) checkpoint), and the fertility
+    join is keyed on the word — no cartesian shapes."""
+    plan = plan_of("text_bpe_encode_fertility", spark)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -827,3 +827,57 @@ def test_repeated_ngrams_matches_python_census(spark):
 
     got = [tuple(r) for r in text_repeated_ngrams(spark, SF).collect()]
     assert got == expect
+
+
+def test_bpe_encode_fertility_matches_python_apply(spark):
+    """Replay: train the 8 merges in pure python (same trainer as the
+    text_bpe_train_merges replay), apply them to every distinct word, and
+    re-derive the per-source token/char/symbol rollups and both quantized
+    ratios exactly."""
+    from collections import Counter, defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import _BPE_MERGES, text_bpe_encode_fertility
+
+    wf: Counter[str] = Counter()
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    for r in table(spark, SF, "documents").select("source", "text").collect():
+        for w in _toks(r.text):
+            if w:
+                wf[w] += 1
+                per_src[r.source][w] += 1
+
+    words: dict[str, list[str]] = {w: list(w) for w in wf}
+    for _ in range(_BPE_MERGES):
+        cnt: Counter[tuple[str, str]] = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += wf[w]
+        best = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        for w, syms in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    expect = []
+    for src in sorted(per_src):
+        c = per_src[src]
+        n_tok = sum(c.values())
+        n_chr = sum(f * len(w) for w, f in c.items())
+        n_sym = sum(f * len(words[w]) for w, f in c.items())
+        expect.append(
+            (src, n_tok, n_chr, n_sym, n_sym * 1000 // n_tok, n_sym * 1_000_000 // n_chr)
+        )
+
+    got = [tuple(r) for r in text_bpe_encode_fertility(spark, SF).collect()]
+    assert got == expect
+    # the trained vocabulary compresses: fewer symbols than characters
+    for row in got:
+        assert row[3] < row[2]
