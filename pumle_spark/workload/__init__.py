@@ -136,6 +136,7 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "text_bpe_train_merges",
     "text_repeated_ngrams",
     "text_bpe_encode_fertility",
+    "text_subword_greedy_vs_merge",
 )
 
 

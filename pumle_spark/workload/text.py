@@ -2319,6 +2319,197 @@ def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# greedy longest-match vs merge-order segmentation with ONE inventory
+# --------------------------------------------------------------------------
+
+_SGM_STEPS = 8     # greedy unroll depth; longer words segment as one [UNK]
+_SGM_MAXPIECE = 8  # longest candidate prefix probed per step
+
+
+def _sql_sgm_step(i: int) -> str:
+    """One greedy longest-match-first step of the oracle: consume the
+    longest vocab piece prefixing the remaining suffix."""
+    return f"""
+    g{i + 1} AS (
+      SELECT w,
+             CASE WHEN sfx = '' THEN '' ELSE substr(sfx, bl + 1) END AS sfx,
+             CASE WHEN sfx = '' THEN n ELSE n + 1 END AS n
+      FROM (
+        SELECT w, sfx, n,
+               (SELECT MAX(length(piece)) FROM vocab v
+                WHERE length(v.piece) <= {_SGM_MAXPIECE}
+                  AND v.piece = substr(sfx, 1, length(v.piece))) AS bl
+        FROM g{i}
+      )
+    )"""
+
+
+@register(
+    "text_subword_greedy_vs_merge",
+    sql=f"""
+    WITH d AS (SELECT source, {_SQL_TOKENS} AS ws FROM documents),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(ws) AS w FROM d) WHERE w <> ''
+      GROUP BY source, w
+    ),
+    wf AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS f FROM sw GROUP BY w),
+    w0 AS (
+      SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM wf
+    ),
+    {", ".join(_sql_bpe_step(i, carry="w, ") for i in range(_BPE_MERGES))},
+    fin AS (
+      SELECT w, CAST(len(string_split(s, '||')) - 2 AS BIGINT) AS n_merge
+      FROM w{_BPE_MERGES}
+    ),
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT substr(w, i, 1) AS piece
+        FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM wf)
+        UNION ALL
+        {" UNION ALL ".join(f"SELECT x || y AS piece FROM b{i}" for i in range(_BPE_MERGES))}
+      )
+    ),
+    g0 AS (
+      SELECT w,
+             CASE WHEN length(w) > {_SGM_STEPS} THEN '' ELSE w END AS sfx,
+             CASE WHEN length(w) > {_SGM_STEPS} THEN 1 ELSE 0 END AS n
+      FROM wf
+    ),
+    {", ".join(_sql_sgm_step(i) for i in range(_SGM_STEPS))},
+    ge AS (SELECT w, CAST(n AS BIGINT) AS n_greedy FROM g{_SGM_STEPS})
+    SELECT sw.source,
+           CAST(SUM(sw.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.cnt * fin.n_merge) AS BIGINT) AS pieces_merge,
+           CAST(SUM(sw.cnt * ge.n_greedy) AS BIGINT) AS pieces_greedy,
+           CAST(SUM(CASE WHEN fin.n_merge <> ge.n_greedy THEN sw.cnt ELSE 0 END)
+                AS BIGINT) AS diff_tokens,
+           CAST(SUM(sw.cnt * ge.n_greedy) * 1000000
+                // SUM(sw.cnt * fin.n_merge) AS BIGINT) AS greedy_vs_merge_ppm
+    FROM sw JOIN fin ON fin.w = sw.w JOIN ge ON ge.w = sw.w
+    GROUP BY sw.source
+    ORDER BY sw.source
+    """,
+    tags=("text", "tokenizer", "wordpiece", "bpe", "iterative"),
+)
+def text_subword_greedy_vs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two production subword ENCODERS disagree, and this measures by
+    how much: encode every corpus token with (a) merge-order application
+    (how a BPE tokenizer segments: replay the trained merge list — the
+    `_bpe_chain` shared with `text_bpe_train_merges`) and (b) greedy
+    longest-match-first (how WordPiece/BERT inference segments, BERT's
+    max_input_chars_per_word rule included: words longer than
+    {_SGM_STEPS} chars become one [UNK] piece) — over the SAME symbol
+    inventory (corpus characters + the {_BPE_MERGES} trained merges).
+    Per source: token count, piece counts under each scheme, how many
+    token instances segment differently, and the greedy/merge piece
+    ratio in ppm. The divergence is a real interop hazard (the same
+    vocab file loaded as BPE vs WordPiece yields different token ids);
+    this audit bounds its corpus-level size per slice.
+
+    Determinism: both encoders are exact string programs over BIGINT
+    counts; the greedy step's longest-match is a MAX over matched piece
+    lengths; every ratio is a floor division.
+
+    Scale shape: both encoders run on the DISTINCT-WORD table (the
+    corpus collapses once to (source, word) counts feeding both), the
+    piece inventory is genuinely broadcast-sized (real subword vocabs
+    are 32-100k entries), each greedy step is one prefix-candidate
+    explode (<= {_SGM_MAXPIECE} per word) joined against that broadcast
+    plus a per-word max — {_SGM_STEPS} fixed rounds of vocab-sized work,
+    checkpoint-pinned like the merge chain. The per-source report is one
+    keyed join back and a rollup. Reference: no text surface in the
+    reference repo (SURVEY §2.13); encoders per Sennrich 2016 (BPE) and
+    Wu et al. 2016 / Devlin 2019 (WordPiece greedy)."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", _tokens_col().alias("ws")
+    )
+    sw = (
+        d.select("source", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wf = sw.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("f")).localCheckpoint(
+        eager=False
+    )
+    words = wf.select(
+        "w",
+        F.concat(F.lit("||"), F.regexp_replace("w", "(.)", "$1||")).alias("s"),
+        "f",
+    ).localCheckpoint(eager=False)
+    chain = _bpe_chain(words)
+    fin = chain[-1][1].select(
+        "w",
+        (F.size(F.split("s", "\\|\\|")) - 2).cast("bigint").alias("n_merge"),
+    )
+    chars = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("piece")
+    )
+    vocab = chars
+    for best, _ in chain:
+        vocab = vocab.unionAll(best.select(F.concat("x", "y").alias("piece")))
+    vocab = vocab.distinct().localCheckpoint(eager=False)
+    state = wf.select(
+        "w",
+        F.when(F.length("w") > _SGM_STEPS, F.lit("")).otherwise(F.col("w")).alias("sfx"),
+        F.when(F.length("w") > _SGM_STEPS, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+    )
+    for _ in range(_SGM_STEPS):
+        active = state.filter(F.col("sfx") != "")
+        matched = (
+            active.select(
+                "w",
+                "sfx",
+                "n",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, least(length(sfx), {_SGM_MAXPIECE})), "
+                        "l -> substring(sfx, 1, l))"
+                    )
+                ).alias("pref"),
+            )
+            .join(F.broadcast(vocab), F.col("pref") == F.col("piece"))
+            .groupBy("w", "sfx", "n")
+            .agg(F.max(F.length("piece")).alias("bl"))
+        )
+        state = (
+            matched.select(
+                "w",
+                F.expr("substring(sfx, bl + 1)").alias("sfx"),
+                (F.col("n") + 1).cast("bigint").alias("n"),
+            )
+            .unionAll(state.filter(F.col("sfx") == ""))
+            .localCheckpoint(eager=False)
+        )
+    ge = state.select("w", F.col("n").alias("n_greedy"))
+    return (
+        sw.join(fin, "w")
+        .join(ge, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_merge")).cast("bigint").alias("pieces_merge"),
+            F.sum(F.col("cnt") * F.col("n_greedy"))
+            .cast("bigint")
+            .alias("pieces_greedy"),
+            F.sum(F.when(F.col("n_merge") != F.col("n_greedy"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("diff_tokens"),
+            F.expr("sum(cnt * n_greedy) * 1000000 div sum(cnt * n_merge)")
+            .cast("bigint")
+            .alias("greedy_vs_merge_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # bigram language-model perplexity audit (add-1 smoothing)
 # --------------------------------------------------------------------------
 

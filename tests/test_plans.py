@@ -740,3 +740,15 @@ def test_bpe_fertility_applies_merges_to_vocab_not_corpus(spark):
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subword_compare_rides_broadcast_vocab_and_checkpoints(spark):
+    """Both encoders run off checkpointed vocab-sized state (no parquet in
+    the assembled plan); every greedy step probes the piece inventory as a
+    BROADCAST hash join — a vocab shuffle or nested loop would poison all 8
+    rounds."""
+    plan = plan_of("text_subword_greedy_vs_merge", spark)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the prefix-candidate vocab probes

@@ -881,3 +881,76 @@ def test_bpe_encode_fertility_matches_python_apply(spark):
     # the trained vocabulary compresses: fewer symbols than characters
     for row in got:
         assert row[3] < row[2]
+
+
+def test_subword_greedy_vs_merge_matches_python_encoders(spark):
+    """Replay: train the merges in python, then encode every word BOTH
+    ways — merge-order application and greedy longest-match-first over
+    the chars+merges inventory (incl. the [UNK] long-word rule) — and
+    re-derive the per-source comparison exactly."""
+    from collections import Counter, defaultdict
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import (
+        _BPE_MERGES,
+        _SGM_MAXPIECE,
+        _SGM_STEPS,
+        text_subword_greedy_vs_merge,
+    )
+
+    wf: Counter[str] = Counter()
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    for r in table(spark, SF, "documents").select("source", "text").collect():
+        for w in _toks(r.text):
+            if w:
+                wf[w] += 1
+                per_src[r.source][w] += 1
+
+    words: dict[str, list[str]] = {w: list(w) for w in wf}
+    merges: list[str] = []
+    for _ in range(_BPE_MERGES):
+        cnt: Counter[tuple[str, str]] = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += wf[w]
+        best = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        merges.append(best[0] + best[1])
+        for w, syms in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    vocab = {c for w in wf for c in w} | set(merges)
+
+    def greedy(w: str) -> int:
+        if len(w) > _SGM_STEPS:
+            return 1  # [UNK]
+        n, sfx = 0, w
+        while sfx:
+            bl = max(
+                l
+                for l in range(1, min(len(sfx), _SGM_MAXPIECE) + 1)
+                if sfx[:l] in vocab
+            )
+            sfx = sfx[bl:]
+            n += 1
+        return n
+
+    expect = []
+    for src in sorted(per_src):
+        c = per_src[src]
+        n_tok = sum(c.values())
+        pm = sum(f * len(words[w]) for w, f in c.items())
+        pg = sum(f * greedy(w) for w, f in c.items())
+        dt = sum(f for w, f in c.items() if len(words[w]) != greedy(w))
+        expect.append((src, n_tok, pm, pg, dt, pg * 1_000_000 // pm))
+
+    got = [tuple(r) for r in text_subword_greedy_vs_merge(spark, SF).collect()]
+    assert got == expect
