@@ -137,6 +137,7 @@ _DRIVER_QUEUE_R09: tuple[str, ...] = (
     "text_repeated_ngrams",
     "text_bpe_encode_fertility",
     "text_subword_greedy_vs_merge",
+    "embedding_jl_distortion",
 )
 
 

@@ -2000,3 +2000,135 @@ def embedding_sign_hamming_agreement(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit
+# --------------------------------------------------------------------------
+
+_JL_K = 16          # projected dimensionality (64 -> 16, 4x compression)
+_JL_BUCKET = 50     # distortion-ratio histogram bucket width, milli-units
+
+# Deterministic +-1 projection matrix (Achlioptas 2003 sign construction):
+# sign(j, d) derives from one md5 per cell at module load and bakes into
+# the query as LITERAL coefficients (the module's literal-table rule —
+# transcendentals and RNG never cross the oracle boundary).
+import hashlib as _hashlib
+
+_JL_SIGNS = [
+    [
+        1 if int(_hashlib.md5(f"jl|{j}|{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for d in range(_DIM)
+    ]
+    for j in range(_JL_K)
+]
+
+
+def _jl_proj_sql(j: int, arr: str, base: int) -> str:
+    """One projected coordinate as a literal +-sum over `arr` (index base
+    0 for Spark subscripts, 1 for DuckDB lists)."""
+    return " + ".join(
+        f"({s}.0 * {arr}[{d + base}])" for d, s in enumerate(_JL_SIGNS[j])
+    )
+
+
+@register(
+    "embedding_jl_distortion",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS pair_id,
+             list_transform(range(1, {_DIM} + 1), i -> a.v[i] - b.v[i]) AS dd
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    ),
+    dist AS (
+      SELECT pair_id,
+             list_sum(list_transform(dd, x -> x * x)) AS d_orig2,
+             ({" + ".join(f"(({_jl_proj_sql(j, 'dd', 1)}) * ({_jl_proj_sql(j, 'dd', 1)}))" for j in range(_JL_K))})
+               / {_JL_K}.0 AS d_proj2
+      FROM pairs
+    ),
+    r AS (
+      SELECT pair_id, ROUND(d_proj2 / d_orig2, 6) AS ratio
+      FROM dist WHERE d_orig2 > 0
+    ),
+    b AS (
+      SELECT CAST(FLOOR(ratio * 1000 / {_JL_BUCKET}) * {_JL_BUCKET} AS BIGINT)
+               AS bucket_milli,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n FROM b)
+    SELECT bucket_milli, n_pairs,
+           CAST(n_pairs * 1000000 // tot.n AS BIGINT) AS share_ppm
+    FROM b, tot
+    ORDER BY bucket_milli
+    """,
+    tags=("embedding", "jl", "projection", "audit"),
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit for +-1 random projection
+    (Achlioptas 2003, the database-friendly JL construction): project the
+    {_DIM}-dim embeddings to {_JL_K} dims with a deterministic literal
+    sign matrix and report the histogram of squared-distance ratios
+    ||Px-Py||^2 / (k^-1-scaled) vs ||x-y||^2 over a linear pair sample —
+    the acceptance test a pipeline runs BEFORE swapping an index or
+    clustering stage onto projected vectors (the dimensionality-reduction
+    counterpart of embedding_int8_quantization's scalar-quantization
+    audit and embedding_sign_hamming_agreement's 1-bit audit).
+
+    The linearity move: distortion needs distances BETWEEN projections,
+    but P is linear, so ||Px - Py|| = ||P(x - y)|| — each pair projects
+    its DIFFERENCE vector once ({_JL_K} literal +-sums over {_DIM}
+    terms, pure codegen arithmetic, no per-row hashing: the sign matrix
+    derives from md5 at module load and ships as literals, the module's
+    literal-table rule). Pairs are the consecutive-id sample — a keyed
+    equi-join on vec_id + 1, LINEAR in the corpus, never the quadratic
+    all-pairs shape (the knn family's refusal-guarded kernels exist for
+    that). Ratios quantize ONCE (round 6) before bucketing; buckets,
+    counts, and shares are exact BIGINT arithmetic.
+
+    Scale: map work per pair + one bounded-cardinality groupBy (the
+    histogram has O(1/{_JL_BUCKET}-milli) buckets); the share denominator
+    is a single-row broadcast onto the bucket rows (plan_lint class a).
+    Reference: no embedding surface in the reference repo (SURVEY §2.13
+    beyond-reference family)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("v"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w"))
+    pairs = e.join(b, "vec_id").select(
+        F.col("vec_id").alias("pair_id"),
+        F.zip_with("v", "w", lambda x, y: x - y).alias("dd"),
+    )
+    d_proj2 = (
+        "("
+        + " + ".join(
+            f"(({_jl_proj_sql(j, 'dd', 0)}) * ({_jl_proj_sql(j, 'dd', 0)}))"
+            for j in range(_JL_K)
+        )
+        + f") / {_JL_K}.0"
+    )
+    dist = pairs.select(
+        "pair_id",
+        F.aggregate(
+            F.transform("dd", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("d_orig2"),
+        F.expr(d_proj2).alias("d_proj2"),
+    )
+    r = dist.filter(F.col("d_orig2") > 0).select(
+        "pair_id", F.round(F.col("d_proj2") / F.col("d_orig2"), 6).alias("ratio")
+    )
+    buckets = r.groupBy(
+        F.expr(f"CAST(FLOOR(ratio * 1000 / {_JL_BUCKET}) * {_JL_BUCKET} AS BIGINT)").alias(
+            "bucket_milli"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    tot = buckets.agg(F.sum("n_pairs").cast("bigint").alias("n"))
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_milli",
+            "n_pairs",
+            F.expr("n_pairs * 1000000 div n").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("bucket_milli")
+    )

@@ -752,3 +752,14 @@ def test_subword_compare_rides_broadcast_vocab_and_checkpoints(spark):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the prefix-candidate vocab probes
+
+
+def test_jl_distortion_is_linear_keyed_join_and_codegen_sums(spark):
+    """The pair sample must be the keyed consecutive-id equi-join (linear),
+    the projection pure literal arithmetic (no per-row hashing, no
+    higher-order-function in the projection path), and the only nested
+    loop the single-row histogram total."""
+    plan = plan_of("embedding_jl_distortion", spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
+    assert "md5" not in plan  # signs are literals, never per-row hashes

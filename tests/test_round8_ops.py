@@ -954,3 +954,54 @@ def test_subword_greedy_vs_merge_matches_python_encoders(spark):
 
     got = [tuple(r) for r in text_subword_greedy_vs_merge(spark, SF).collect()]
     assert got == expect
+
+
+def test_jl_distortion_matches_python_projection(spark):
+    """Replay: the md5 sign matrix, the difference-vector projection, the
+    k-scaling, the once-quantized ratio, and the bucketed histogram
+    re-derived in pure python — exact. Also checks the distribution is a
+    sane JL outcome: the modal mass sits around ratio 1.0."""
+    from collections import Counter
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.similarity import (
+        _JL_BUCKET,
+        _JL_K,
+        _JL_SIGNS,
+        embedding_jl_distortion,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    hist: Counter[int] = Counter()
+    ratios = []
+    for vid, v in vecs.items():
+        w = vecs.get(vid + 1)
+        if w is None:
+            continue
+        dd = [a - b for a, b in zip(v, w)]
+        d_orig2 = sum(x * x for x in dd)
+        if d_orig2 <= 0:
+            continue
+        d_proj2 = (
+            sum(sum(s * x for s, x in zip(row, dd)) ** 2 for row in _JL_SIGNS) / _JL_K
+        )
+        ratio = float(
+            Decimal(repr(d_proj2 / d_orig2)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_EVEN
+            )
+        )
+        ratios.append(ratio)
+        hist[int(ratio * 1000 // _JL_BUCKET) * _JL_BUCKET] += 1
+
+    n = sum(hist.values())
+    expect = [
+        (b, c, c * 1_000_000 // n) for b, c in sorted(hist.items())
+    ]
+    got = [tuple(r) for r in embedding_jl_distortion(spark, SF).collect()]
+    assert got == expect
+    # JL sanity: the mean squared-distance ratio concentrates near 1
+    assert 0.7 < sum(ratios) / len(ratios) < 1.3

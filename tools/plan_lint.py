@@ -143,6 +143,7 @@ ALLOW = {
     "curation_dedup_cascade": {"BroadcastNestedLoopJoin": "single-row doc/token totals scalar x 3 stage rows"},
     "stats_permutation_test": {"BroadcastNestedLoopJoin": "single-row observed-diff scalar x 65 replicate rows (stats_bootstrap_ci's class)"},
     "text_bpe_train_merges": {"BroadcastNestedLoopJoin": "single-row merge-rule argmax + corpus-total scalars x vocab table, 2 per merge round x _BPE_MERGES=8"},
+    "embedding_jl_distortion": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x bounded distortion-histogram buckets"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
     "privacy_t_closeness": {"BroadcastNestedLoopJoin": "QI classes x 10-band grid + totals/threshold scalars"},
