@@ -70,75 +70,55 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's CORRECTNESS_r{N}.json records at most 50 queries, taken in
 # registration order. Rounds 1–7 ran the DRAIN regime (never-driver-verified
 # names only); round 7 drained the backlog to ZERO (cumulative driver-green
-# union = 301/301 pre-freeze names over CORRECTNESS_r01–r07).
+# union = 301/301 pre-freeze names over CORRECTNESS_r01–r07). Round 8 ran
+# the first ROTATE window (8 queue names + 42 oldest-verified) 50/50 green.
 #
-# _DRIVER_WINDOW_R08 is round 8's 50-row window — the FIRST live run of the
-# post-drain ROTATE regime — pasted verbatim from `python tools/next_window.py`
-# (regime printed: DRAIN+ROTATE-FILL): the 8 queries registered after the
-# round-7 window froze (the former _DRIVER_QUEUE_R08, all local-green via
-# tools/oracle_check.py 309/309 at sf0.01 but never driver-verified) lead,
-# followed by the 42 OLDEST-driver-verified names (ascending last-green
+# _DRIVER_WINDOW_R09 is round 9's 50-row window, pasted verbatim from
+# `python tools/next_window.py` (regime printed: DRAIN+ROTATE-FILL over
+# CORRECTNESS_r01–r08): the 21 queries registered after the round-8 window
+# froze (the former _DRIVER_QUEUE_R09, all local-green via
+# tools/oracle_check.py 330/330 at sf0.01 but never driver-verified) lead,
+# followed by the 29 OLDEST-driver-verified names (ascending last-green
 # round over the checked-in CORRECTNESS_r0*.json records, registration
-# order as the tiebreak). Rotation keeps driver verification LIVE: a name
-# re-verifies roughly every ceil(registry/50) rounds, so a regression
-# introduced after a name's first green round re-enters the driver record
-# instead of hiding behind a stale "green once, ever" mark. The freeze is
-# enforced by tests/test_registry.py: queries()[:50] must equal this tuple,
+# order as the tiebreak). This window drains the backlog to ZERO: after
+# round 9 every registry name as of the freeze has been driver-verified at
+# least once. Rotation keeps driver verification LIVE: a name re-verifies
+# roughly every ceil(registry/50) rounds, so a regression introduced after
+# a name's first green round re-enters the driver record instead of hiding
+# behind a stale "green once, ever" mark. The freeze is enforced by
+# tests/test_registry.py: queries()[:50] must equal this tuple,
 # never-verified names must lead, and the rotated tail must be exactly the
 # oldest-verified stratum (no slot wasted on a recently-verified name).
-_DRIVER_WINDOW_R08 = (
-    # -- registered after the r07 window froze (the 8-name queue) ---------
-    "mix_unimax_epochs", "sample_weighted_aes", "sketch_bloom_tuning",
-    "drift_page_hinkley", "graph_hyperball_reach", "privacy_dp_noisy_marginals",
-    "layout_hilbert_orders", "layout_curve_locality",
-    # -- the 42 oldest-driver-verified names (rotation fill) --------------
-    "scalar_dates_orders",
-    "case_when_price_bands", "pivot_status_by_year", "q7_nation_pair_volume",
-    "q10_returned_items", "dedup_exact", "dedup_exact_normalized",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_clusters",
-    "dedup_embedding_cosine", "dedup_simhash32", "events_hourly_rollup",
-    "events_sessionize", "events_asof_purchase_view", "events_json_extract",
-    "events_user_activity", "multimodal_media_stats", "physics_brine_properties",
-    "physics_bilinear_interp", "param_hash_customers", "sweep_linspace_grid",
-    "scatter_dense_grid", "forder_index_roundtrip", "wells_range_join",
-    "schedule_rampup", "validate_customer_constraints", "minpos_quantity_floor",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "q4_order_priority", "q6_forecast_revenue", "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates", "agg_percentiles_by_status", "having_big_spenders",
-    "window_dense_rank_ntile", "join_broadcast_brand_volume", "join_left_outer_part_activity",
-    "join_semi_active_customers", "join_anti_inactive_customers",
+_DRIVER_WINDOW_R09 = (
+    # -- registered after the r08 window froze (the 21-name queue) --------
+    "dedup_exact_substring", "text_kneser_ney_logprob", "abtest_fdr_bh",
+    "stats_mann_whitney", "privacy_randomized_response", "split_group_kfold",
+    "layout_bloom_skipping", "ann_adc_rerank", "curation_quality_funnel",
+    "dedup_cdc_chunking", "privacy_dp_quantile", "stats_permutation_test",
+    "graph_minhash_neighbors", "sketch_cms_heavy_change", "drift_wasserstein_1d",
+    "curation_dedup_cascade", "text_bpe_train_merges", "text_repeated_ngrams",
+    "text_bpe_encode_fertility", "text_subword_greedy_vs_merge", "embedding_jl_distortion",
+    # -- the 29 oldest-driver-verified names (rotation fill) --------------
+    "join_full_outer_nation_counts", "join_theta_balance_dominance", "window_topk_orders_per_customer",
+    "window_running_customer_spend", "window_order_gap_days", "agg_rollup_region_nation",
+    "agg_distinct_customers_per_status", "set_except_customers", "set_intersect_union",
+    "topk_global_lineitems", "scalar_string_math_part", "cluster_kmeans_embeddings",
+    "cluster_kmeans_profile", "cluster_semdedup_pairs", "dedup_clusters_recursive_sql",
+    "pack_greedy_token_bins", "chunk_sliding_windows", "dedup_cluster_keep_best",
+    "select_top_mass_per_source", "drift_source_lang_profile", "snapshot_diff_customer_state",
+    "outlier_mad_brand_quantity", "profile_numeric_correlations", "stream_hourly_rollup_final",
+    "events_funnel_conversion", "events_session_window_builtin", "events_gapfill_interpolate",
+    "scd2_user_state_intervals", "interval_overlap_sessions",
 )
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R08)}
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R09)}
 
-# Queries registered AFTER the round-8 window froze (the driver records only
+# Queries registered AFTER the round-9 window froze (the driver records only
 # queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 9's window, followed by the oldest-verified rotation per the policy above
-# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R09).
+# 10's window, followed by the oldest-verified rotation per the policy above
+# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R10).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R09: tuple[str, ...] = (
-    "dedup_exact_substring",
-    "text_kneser_ney_logprob",
-    "abtest_fdr_bh",
-    "stats_mann_whitney",
-    "privacy_randomized_response",
-    "split_group_kfold",
-    "layout_bloom_skipping",
-    "ann_adc_rerank",
-    "curation_quality_funnel",
-    "dedup_cdc_chunking",
-    "privacy_dp_quantile",
-    "stats_permutation_test",
-    "graph_minhash_neighbors",
-    "sketch_cms_heavy_change",
-    "drift_wasserstein_1d",
-    "curation_dedup_cascade",
-    "text_bpe_train_merges",
-    "text_repeated_ngrams",
-    "text_bpe_encode_fertility",
-    "text_subword_greedy_vs_merge",
-    "embedding_jl_distortion",
-)
+_DRIVER_QUEUE_R10: tuple[str, ...] = ()
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

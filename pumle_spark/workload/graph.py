@@ -1414,6 +1414,12 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 import math as _math
 
 _HB_M = 16  # registers per node (4-bit bucket index off the md5 hex)
+# The two-BIGINT register packing below (w0/w1 lanes, `w{i // 8}` lane math,
+# the bucket<8 split, and the `& 63` extract) hard-codes _HB_M == 16 lanes
+# of 6 bits each holding rho values <= 33 (32 hex nibbles after the bucket
+# nibble, +1). Changing _HB_M or the hash width silently corrupts registers
+# — fail loudly instead.
+assert _HB_M == 16, "HyperBall register packing assumes exactly 16 6-bit lanes"
 _HB_HOPS = 2
 # alpha_16 * m^2 * 2^33 as ONE decimal literal both engines parse to the
 # same double (the _HLL_NUM rule, m=16 instance)
