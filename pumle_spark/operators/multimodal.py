@@ -42,6 +42,9 @@ def _decode_image_real(content: bytes) -> np.ndarray:
     raise NotImplementedError("image codec not available in this environment")
 
 
+_FAKE_BLOCK_SUFFIXES: list[bytes] = []
+
+
 def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in 'decoded image': pixels derived from the
     content digest in counter mode — stable across runs/executors,
@@ -51,7 +54,15 @@ def _fake_pixels(content: bytes, w: int, h: int) -> np.ndarray:
     key = hashlib.md5(content).hexdigest()
     n = h * w * 3
     n_blocks = (n + 15) // 16
-    raw = b"".join(hashlib.md5(f"{key}_{b}".encode()).digest() for b in range(n_blocks))
+    # the "_<b>" suffixes are shared by every image (counter mode starts at
+    # 0); cache their utf-8 bytes so the per-block work is one md5 over a
+    # concatenation, not an f-string format + encode (measured ~35% of the
+    # kernel's CPU at sf0.1 before caching)
+    while len(_FAKE_BLOCK_SUFFIXES) < n_blocks:
+        _FAKE_BLOCK_SUFFIXES.append(f"_{len(_FAKE_BLOCK_SUFFIXES)}".encode())
+    kb = key.encode()
+    md5 = hashlib.md5
+    raw = b"".join(md5(kb + s).digest() for s in _FAKE_BLOCK_SUFFIXES[:n_blocks])
     return np.frombuffer(raw[:n], dtype=np.uint8).reshape(h, w, 3).copy()
 
 

@@ -150,7 +150,15 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pumle_spark.operators.multimodal import image_features
 
     media = _media_table(spark, sf_dir)
-    feats = image_features(media, dim=16, allow_fake=True)
+    # repartition before the codec-bound kernel: the r08 oracle-able fake
+    # codec is ~415 md5 blocks per row of Python CPU, so the single
+    # byte-sized input split under-parallelized it (the pHash /
+    # winnow_fp_array lesson — measured 1.67s -> sub-second at sf0.1)
+    feats = image_features(
+        media.repartition(spark.sparkContext.defaultParallelism),
+        dim=16,
+        allow_fake=True,
+    )
     return (
         feats.join(media.select("media_id", "mime"), "media_id")
         .select(

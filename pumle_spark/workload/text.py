@@ -2510,6 +2510,400 @@ def text_subword_greedy_vs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# unigram-LM tokenizer TRAINING (SentencePiece-style hard-EM, Kudo 2018)
+# --------------------------------------------------------------------------
+
+_ULM_MAXP = 4    # longest candidate piece probed by the Viterbi lattice
+_ULM_SEED = 40   # multi-char inventory cap per round (chars always survive)
+_ULM_STEPS = 8   # Viterbi unroll depth == max trainable word length
+_ULM_ROUNDS = 3  # E-step reports; an M-step re-estimation between each pair
+
+# ONE chain definition serves both the trainer's per-round report
+# (text_unigram_lm_train) and the shipped-inventory report
+# (text_unigram_lm_pieces) — the _bpe_chain contract: same CTE generators
+# on the oracle side, same python builder on the Spark side, so the two
+# queries can never drift on what "the trained model" means.
+
+# Viterbi over integer micro-nat piece scores, as ONE engine-side fold:
+# dp[j] = max over l=1..min(j,MAXP) of dp[j-l] + score(w[j-l+1 .. j]),
+# the accumulator carrying (dp, last-piece-len, segmentation) structs so
+# the argmax tiebreak (dp, then LONGER piece, then lexicographically
+# larger segmentation) is total — struct max IS that lexicographic order
+# on both engines. Scores live in a broadcast map column (element_at
+# returns NULL for non-pieces; filter drops them); single chars are
+# always in the inventory, so the candidate list is never empty.
+_ULM_VIT = (
+    "aggregate(sequence(1, length(w)), "
+    "array(named_struct('dp', CAST(0 AS BIGINT), 'l', 0, 'seg', '')), "
+    "(acc, j) -> concat(acc, array(array_max("
+    f"filter(transform(sequence(1, least(j, {_ULM_MAXP})), l -> named_struct("
+    "'dp', element_at(acc, j - l + 1).dp + element_at(m, substring(w, j - l + 1, l)), "
+    "'l', l, "
+    "'seg', concat(element_at(acc, j - l + 1).seg, '|', substring(w, j - l + 1, l)))), "
+    "c -> c.dp IS NOT NULL)))), "
+    "acc -> element_at(acc, length(w) + 1))"
+)
+
+
+def _sql_ulm_pos(r: int, j: int) -> str:
+    """One Viterbi lattice position of the oracle's unrolled E-step: the
+    best-scoring (dp, piece-len, segmentation) among the <= {_ULM_MAXP}
+    candidate last pieces ending at position j. QUALIFY's total order is
+    exactly the Spark fold's struct max (dp DESC, l DESC, seg DESC)."""
+    branches = " UNION ALL ".join(
+        f"SELECT v.w, v.f, v.dp + iv.sc AS dpn, {l} AS l, "
+        f"v.seg || '|' || substr(v.w, {j - l + 1}, {l}) AS segn "
+        f"FROM v{r}_{j - l} v JOIN inv{r - 1} iv "
+        f"ON iv.piece = substr(v.w, {j - l + 1}, {l}) "
+        f"WHERE length(v.w) >= {j}"
+        for l in range(1, min(_ULM_MAXP, j) + 1)
+    )
+    return f"""
+    v{r}_{j} AS MATERIALIZED (
+      SELECT w, f, dpn AS dp, segn AS seg FROM ({branches})
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY w
+                                 ORDER BY dpn DESC, l DESC, segn DESC) = 1
+    )"""
+
+
+def _sql_ulm_estep(r: int) -> str:
+    """Round r's full E-step: lattice base, {_ULM_STEPS} unrolled
+    positions, and the per-word finish line (dp at position len(w))."""
+    poss = ", ".join(_sql_ulm_pos(r, j) for j in range(1, _ULM_STEPS + 1))
+    fin = " UNION ALL ".join(
+        f"SELECT w, f, dp, seg FROM v{r}_{j} WHERE length(w) = {j}"
+        for j in range(1, _ULM_STEPS + 1)
+    )
+    return f"""
+    v{r}_0 AS MATERIALIZED (SELECT w, f, CAST(0 AS BIGINT) AS dp, '' AS seg FROM uwf),
+    {poss},
+    fin{r} AS MATERIALIZED ({fin})"""
+
+
+def _sql_ulm_rep(r: int) -> str:
+    """Round r's report row off the E-step finish line + its inventory."""
+    return f"""
+    rep{r} AS (
+      SELECT {r} AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM inv{r - 1}) AS n_pieces,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM inv{r - 1}
+              WHERE length(piece) >= 2) AS n_multi,
+             CAST(SUM(f) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(f * (length(seg) - length(replace(seg, '|', ''))))
+                  AS BIGINT) AS corpus_pieces,
+             CAST(-SUM(f * dp) AS BIGINT) AS corpus_nll_micro
+      FROM fin{r}
+    )"""
+
+
+def _sql_ulm_scores(r: int) -> str:
+    """Score table for inventory r: micro-nat quantized log-likelihoods
+    (the module's quantization contract — round BEFORE any sum)."""
+    return f"""
+    inv{r} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(ROUND(1000000 * ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+                  AS BIGINT) AS sc
+      FROM invm{r}, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM invm{r}) t
+    )"""
+
+
+def _sql_ulm_mstep(r: int) -> str:
+    """Round r's M-step: Viterbi piece re-counts, pruning (chars floored
+    to count 1 so every word stays segmentable; multi-char pieces that
+    survived Viterbi, capped to the top {_ULM_SEED}), and re-scoring."""
+    return f"""
+    vc{r} AS (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (SELECT f, unnest(string_split(substr(seg, 2), '|')) AS piece
+            FROM fin{r})
+      GROUP BY piece
+    ),
+    invm{r} AS MATERIALIZED (
+      SELECT c.piece, GREATEST(COALESCE(v.cnt, 0), 1) AS cnt
+      FROM chars c LEFT JOIN vc{r} v ON v.piece = c.piece
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM vc{r} WHERE length(piece) >= 2
+      ) WHERE rk <= {_ULM_SEED}
+    ),
+    {_sql_ulm_scores(r)}"""
+
+
+_SQL_ULM_SEED = f"""
+    d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    uwf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(ws) AS w FROM d)
+      WHERE w <> '' AND length(w) <= {_ULM_STEPS}
+      GROUP BY w
+    ),
+    p1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM uwf),
+    p2 AS (SELECT w, f, i,
+                  unnest([{", ".join(str(x) for x in range(1, _ULM_MAXP + 1))}]) AS l
+           FROM p1),
+    pc0 AS (
+      SELECT substr(w, i, l) AS piece, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM p2 WHERE i + l <= length(w) + 1 GROUP BY 1
+    ),
+    chars AS MATERIALIZED (SELECT piece, cnt FROM pc0 WHERE length(piece) = 1),
+    invm0 AS (
+      SELECT piece, cnt FROM chars
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM pc0 WHERE length(piece) >= 2 AND cnt >= 2
+      ) WHERE rk <= {_ULM_SEED}
+    ),
+    {_sql_ulm_scores(0)}"""
+
+
+def _ulm_chain(
+    wf: DataFrame,
+) -> tuple[list[tuple[DataFrame, DataFrame]], DataFrame]:
+    """Run {_ULM_ROUNDS} hard-EM rounds on the word-frequency table wf
+    (columns w, f): returns ([(inv_r, vit_r)] per round — the inventory
+    the round's E-step USED and its Viterbi finish line — plus the final
+    post-M inventory the trainer ships (piece, cnt, sc). Each round is
+    localCheckpoint-pinned so round k+1 never recomputes round k."""
+    pc0 = (
+        wf.select(
+            "f",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({_ULM_MAXP}, length(w) - i + 1)), "
+                    f"l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+    chars = pc0.filter(F.length("piece") == 1).localCheckpoint(eager=False)
+    wm = Window.orderBy(F.desc("cnt"), "piece")
+    invm = chars.unionAll(
+        pc0.filter((F.length("piece") >= 2) & (F.col("cnt") >= 2))
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= _ULM_SEED)
+        .drop("rk")
+    )
+    out: list[tuple[DataFrame, DataFrame]] = []
+    inv = None
+    for _r in range(1, _ULM_ROUNDS + 1):
+        tot = invm.agg(F.sum("cnt").cast("bigint").alias("tot"))
+        inv = (
+            invm.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                "cnt",
+                F.round(
+                    F.lit(1000000)
+                    * F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+                )
+                .cast("bigint")
+                .alias("sc"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        model = inv.agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "sc"))).alias("m")
+        )
+        vit = (
+            wf.crossJoin(F.broadcast(model))
+            .select("w", "f", F.expr(_ULM_VIT).alias("v"))
+            .select("w", "f", F.col("v.dp").alias("dp"), F.col("v.seg").alias("seg"))
+            .localCheckpoint(eager=False)
+        )
+        out.append((inv, vit))
+        vc = (
+            vit.select(
+                "f",
+                F.explode(F.split(F.expr("substring(seg, 2)"), "\\|")).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        invm = (
+            chars.select("piece")
+            .join(vc, "piece", "left")
+            .select(
+                "piece",
+                F.greatest(F.coalesce("cnt", F.lit(0)), F.lit(1))
+                .cast("bigint")
+                .alias("cnt"),
+            )
+            .unionAll(
+                vc.filter(F.length("piece") >= 2)
+                .withColumn("rk", F.row_number().over(wm))
+                .filter(F.col("rk") <= _ULM_SEED)
+                .drop("rk")
+            )
+            .localCheckpoint(eager=False)
+        )
+    tot = invm.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    final_inv = invm.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(
+            F.lit(1000000)
+            * F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+        )
+        .cast("bigint")
+        .alias("sc"),
+    )
+    return out, final_inv
+
+
+def _ulm_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(_tokens_col().alias("ws"))
+    return (
+        d.select(F.explode("ws").alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _ULM_STEPS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .localCheckpoint(eager=False)
+    )
+
+
+@register(
+    "text_unigram_lm_train",
+    sql=f"""
+    WITH {_SQL_ULM_SEED},
+    {", ".join(_sql_ulm_estep(r) + "," + _sql_ulm_rep(r) + ("," + _sql_ulm_mstep(r) if r < _ULM_ROUNDS else "") for r in range(1, _ULM_ROUNDS + 1))}
+    SELECT CAST(round AS INTEGER) AS round, n_pieces, n_multi, corpus_tokens,
+           corpus_pieces, corpus_nll_micro,
+           CAST(corpus_pieces * 1000 // corpus_tokens AS BIGINT)
+             AS pieces_per_token_milli
+    FROM ({" UNION ALL ".join(f"SELECT * FROM rep{r}" for r in range(1, _ULM_ROUNDS + 1))})
+    ORDER BY round
+    """,
+    tags=("text", "tokenizer", "unigram-lm", "iterative"),
+)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, arXiv:1804.10959 — the
+    SentencePiece `--model_type=unigram` algorithm, hard-EM variant): the
+    BPE family's production counterpart, completing tokenizer-training
+    coverage (BPE + unigram ARE the two deployed algorithms). A fixed
+    {_ULM_ROUNDS}-round EM unroll: seed the piece inventory from substring
+    counts (every substring of length <= {_ULM_MAXP}; all single chars +
+    the top {_ULM_SEED} multi-char candidates), then per round (E) Viterbi-
+    segment every word against the current piece scores and (M) re-estimate
+    scores from the segmentation counts, pruning multi-char pieces Viterbi
+    stopped using (chars are floored to count 1 — Kudo's constraint that
+    the model must keep every word segmentable). Per round: inventory
+    size, corpus piece total, and corpus NLL — the EM objective, which
+    must be non-increasing across rounds (the replay pytest asserts it).
+
+    Determinism: piece scores are micro-nat-quantized BEFORE any sum
+    (round(1e6·ln p) — the module's Kneser-Ney contract), so every dp
+    value is an exact BIGINT; the Viterbi argmax carries (dp, piece-len,
+    segmentation) structs whose max is a total lexicographic order — the
+    tiebreak (longer last piece, then larger segmentation string) is
+    pinned identically in the oracle's QUALIFY ... ORDER BY dpn DESC,
+    l DESC, segn DESC.
+
+    Scale shape: the corpus collapses to the word-frequency table FIRST
+    (Heaps-bounded — the industrial reduction every trainer uses); the
+    piece model is a single-row broadcast map (exactly how SentencePiece
+    ships its model to workers), so the E-step is ONE narrow projection
+    over the word table — the whole Viterbi lattice is a per-row
+    engine-side fold, no shuffle, no UDF; the M-step is one vocab-sized
+    keyed groupBy. Per-round localCheckpoint caps lineage (the _bpe_chain
+    contract). The SQL unroll needs a fixed lattice depth, so training
+    covers words of length <= {_ULM_STEPS} (the corpus max is 8).
+
+    Reference: no text surface in the reference repo (SURVEY §2.13
+    beyond-reference LLM-pipeline family)."""
+    wf = _ulm_wf(spark, sf_dir)
+    rounds, _final = _ulm_chain(wf)
+    reps = []
+    for r, (inv, vit) in enumerate(rounds, start=1):
+        sizes = inv.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+            F.sum(F.when(F.length("piece") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi"),
+        )
+        stats = vit.agg(
+            F.sum("f").cast("bigint").alias("corpus_tokens"),
+            F.sum(
+                F.col("f")
+                * F.expr("length(seg) - length(replace(seg, '|', ''))")
+            )
+            .cast("bigint")
+            .alias("corpus_pieces"),
+            (-F.sum(F.col("f") * F.col("dp"))).cast("bigint").alias("corpus_nll_micro"),
+        )
+        reps.append(
+            sizes.crossJoin(stats).select(
+                F.lit(r).cast("int").alias("round"),
+                "n_pieces",
+                "n_multi",
+                "corpus_tokens",
+                "corpus_pieces",
+                "corpus_nll_micro",
+                F.expr("(corpus_pieces * 1000) div corpus_tokens")
+                .cast("bigint")
+                .alias("pieces_per_token_milli"),
+            )
+        )
+    out = reps[0]
+    for s in reps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+_ULM_TOP = 20
+
+
+@register(
+    "text_unigram_lm_pieces",
+    sql=f"""
+    WITH {_SQL_ULM_SEED},
+    {", ".join(_sql_ulm_estep(r) + "," + _sql_ulm_mstep(r) for r in range(1, _ULM_ROUNDS + 1))}
+    SELECT CAST(rnk AS INTEGER) AS rnk, piece,
+           CAST(length(piece) AS INTEGER) AS piece_len, cnt,
+           sc AS score_micro
+    FROM (SELECT piece, cnt, sc,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rnk
+          FROM inv{_ULM_ROUNDS})
+    WHERE rnk <= {_ULM_TOP}
+    ORDER BY rnk
+    """,
+    tags=("text", "tokenizer", "unigram-lm", "iterative"),
+)
+def text_unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory the unigram-LM trainer SHIPS: after
+    `text_unigram_lm_train`'s {_ULM_ROUNDS} EM rounds (the SAME
+    `_ulm_chain` / CTE-generator definition — one trainer, never a
+    convention), the top-{_ULM_TOP} pieces by final Viterbi count with
+    their micro-nat scores — the (piece, score) rows a SentencePiece
+    .model file would carry. Multi-char pieces the EM pruned are absent;
+    chars Viterbi stopped using sit at their floor count of 1.
+
+    Determinism / scale shape: inherited verbatim from
+    text_unigram_lm_train (shared chain); the report adds one
+    vocab-bounded rank window."""
+    wf = _ulm_wf(spark, sf_dir)
+    _rounds, final_inv = _ulm_chain(wf)
+    wr = Window.orderBy(F.desc("cnt"), "piece")
+    return (
+        final_inv.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _ULM_TOP)
+        .select(
+            "rnk",
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+            F.col("sc").alias("score_micro"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
 # bigram language-model perplexity audit (add-1 smoothing)
 # --------------------------------------------------------------------------
 

@@ -754,6 +754,35 @@ def test_subword_compare_rides_broadcast_vocab_and_checkpoints(spark):
     assert "BroadcastHashJoin" in plan  # the prefix-candidate vocab probes
 
 
+def test_unigram_lm_train_viterbi_is_one_projection_no_joins(spark):
+    """The whole E-step Viterbi lattice is a per-row engine-side fold over
+    checkpointed vocab-sized state (corpus scan lives inside the word-table
+    checkpoint; the model is a broadcast map column, so NO join appears in
+    the segmentation path); the only nested-loop shapes are the per-round
+    1-row report crossJoins."""
+    plan = plan_of("text_unigram_lm_train", spark)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no per-piece probe: map column
+    from pumle_spark.workload.text import _ULM_ROUNDS
+
+    assert plan.count("BroadcastNestedLoopJoin") == _ULM_ROUNDS
+
+
+def test_unigram_lm_pieces_final_inventory_plan(spark):
+    """The shipped-inventory report reads only checkpointed state; one
+    1-row total broadcast (the final score denominator) and one
+    vocab-bounded rank window."""
+    plan = plan_of("text_unigram_lm_pieces", spark)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
 def test_jl_distortion_is_linear_keyed_join_and_codegen_sums(spark):
     """The pair sample must be the keyed consecutive-id equi-join (linear),
     the projection pure literal arithmetic (no per-row hashing, no

@@ -149,6 +149,9 @@ ALLOW = {
     # lazy/eager reorder trips nothing silently (same class as train_merges).
     "text_bpe_encode_fertility": {"BroadcastNestedLoopJoin": "inherits text_bpe_train_merges' 1-per-merge-round scalar argmax (visible only if _bpe_chain's localCheckpoints stop materializing before explain)"},
     "text_subword_greedy_vs_merge": {"BroadcastNestedLoopJoin": "inherits text_bpe_train_merges' 1-per-merge-round scalar argmax (visible only if _bpe_chain's localCheckpoints stop materializing before explain)"},
+    # round-9 additions (adjudicated at registration, same classes as above)
+    "text_unigram_lm_train": {"BroadcastNestedLoopJoin": "single-row inventory-size x corpus-Viterbi-stats scalars per EM round, x _ULM_ROUNDS=3 (plus _ulm_chain's checkpoint-hidden 1-row model/total broadcasts)"},
+    "text_unigram_lm_pieces": {"BroadcastNestedLoopJoin": "single-row piece-count total x final inventory (score denominator; _ulm_chain's per-round broadcasts are checkpoint-hidden)"},
     "embedding_jl_distortion": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x bounded distortion-histogram buckets"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
@@ -206,6 +209,8 @@ _WINDOW_ALLOW = {
     "mix_waterfill_budget": "largest-remainder rank over |sources| rows",
     "text_keyword_textrank": "rank over the per-term TextRank rollup (top-term report)",
     "text_bpe_pair_stats": "rank over the adjacent-pair count rollup (vocab-bounded)",
+    "text_unigram_lm_train": "rank over the piece-count rollup (vocab-bounded seed + M-step pruning)",
+    "text_unigram_lm_pieces": "rank over the piece-count rollup (vocab-bounded; + final top-20 report)",
     "supplier_scorecard": "rank over the per-supplier composite rollup (dim-sized)",
     "stats_bootstrap_ci": "rank over _BOOT_B=100 bootstrap replicate means",
     "slo_burn_rate_alerts": "RANGE windows over the hourly rollup (calendar-bounded)",
