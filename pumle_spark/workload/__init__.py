@@ -121,6 +121,9 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R09)}
 _DRIVER_QUEUE_R10: tuple[str, ...] = (
     "text_unigram_lm_train",
     "text_unigram_lm_pieces",
+    "pack_bfd_token_bins",
+    "curation_pack_efficiency",
+    "text_fim_transform_audit",
 )
 
 

@@ -305,6 +305,367 @@ def pack_concat_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# best-fit-decreasing packing (Ding et al. 2024: fewer truncations)
+# --------------------------------------------------------------------------
+
+
+def _bfd_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # best-fit-decreasing: docs sorted by (n_tokens DESC, doc_id); each doc
+    # goes to the FULLEST bin it still fits (ties -> lowest bin id), else
+    # opens a new bin. The linear scan over open bins keeps the convention
+    # pinned (first maximal fill wins); a production packer swaps in a
+    # sorted multiset for O(n log n) with the identical placement rule.
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    fills: list[int] = []
+    bin_ids = []
+    for t in pdf["n_tokens"]:
+        t = int(t)
+        best = -1
+        best_fill = -1
+        for i, f in enumerate(fills):
+            if f + t <= _BIN_CAPACITY and f > best_fill:
+                best, best_fill = i, f
+        if best < 0:
+            fills.append(t)
+            bin_ids.append(len(fills))
+        else:
+            fills[best] += t
+            bin_ids.append(best + 1)
+    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    return pdf[["source", "doc_id", "n_tokens", "bin_id"]]
+
+
+_SQL_BFD = f"""
+    bfd_docs AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY LEN(ws) DESC, doc_id) AS rn
+      FROM (SELECT source, doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    bfd AS (                      -- linear recursion = the BFD scan
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(1 AS BIGINT) AS bin_id, [n_tokens] AS fills
+      FROM bfd_docs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN b.best IS NULL THEN CAST(len(p.fills) + 1 AS BIGINT)
+                  ELSE CAST(list_position(p.fills, b.best) AS BIGINT) END,
+             CASE WHEN b.best IS NULL THEN list_append(p.fills, d.n_tokens)
+                  ELSE list_concat(list_concat(
+                         p.fills[1:list_position(p.fills, b.best) - 1],
+                         [b.best + d.n_tokens]),
+                         p.fills[list_position(p.fills, b.best) + 1:len(p.fills)])
+             END
+      FROM bfd p
+      JOIN bfd_docs d ON d.source = p.source AND d.rn = p.rn + 1,
+      LATERAL (SELECT list_max(list_filter(p.fills,
+                 f -> f + d.n_tokens <= {_BIN_CAPACITY})) AS best) b
+    )"""
+
+
+@register(
+    "pack_bfd_token_bins",
+    sql=f"""
+    WITH RECURSIVE {_SQL_BFD}
+    SELECT source, doc_id, n_tokens, bin_id FROM bfd
+    """,
+    tags=("curation", "packing", "stateful"),
+)
+def pack_bfd_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing of documents into {_BIN_CAPACITY}-token
+    bins per source — the PRODUCTION sequence packer (Ding et al. 2024,
+    arXiv:2404.10830 "Fewer Truncations Improve Language Modeling", the
+    algorithm behind LLM pretraining's no-truncation packing): sort docs
+    by token count descending, place each into the fullest open bin with
+    room (ties → lowest bin id), else open a new bin. BFD is within
+    11/9·OPT+1 of optimal bin count, vs first-fit-in-order's 1.7·OPT —
+    `curation_pack_efficiency` measures the realized gap against
+    `pack_greedy_token_bins` on this corpus.
+
+    Like the greedy packer, the scan state (every open bin's fill) is
+    order-dependent and not a window prefix-sum, so this is the
+    ``applyInPandas`` stateful-scan operator class: one shuffle on source,
+    per-group python scan, deterministic because the sort key
+    (n_tokens DESC, doc_id) and the tie rule are total. The DuckDB oracle
+    runs the identical scan as a linear recursive CTE carrying the open
+    bins' fills as a LIST (first-occurrence list_position IS the
+    lowest-bin-id tie rule). Oversize docs (> capacity) open a bin of
+    their own, exactly as the greedy path does."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    return sized.groupBy("source").applyInPandas(_bfd_group, _PACK_SCHEMA)
+
+
+@register(
+    "curation_pack_efficiency",
+    sql=f"""
+    WITH RECURSIVE gdocs AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM (SELECT source, doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    greedy AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM gdocs WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN p.fill + d.n_tokens <= {_BIN_CAPACITY}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {_BIN_CAPACITY}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM greedy p JOIN gdocs d ON d.source = p.source AND d.rn = p.rn + 1
+    ),
+    {_SQL_BFD},
+    gbins AS (
+      SELECT source, bin_id, SUM(n_tokens) AS fill
+      FROM greedy GROUP BY source, bin_id
+    ),
+    bbins AS (
+      SELECT source, bin_id, SUM(n_tokens) AS fill
+      FROM bfd GROUP BY source, bin_id
+    ),
+    gstat AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS bins_greedy,
+             CAST(SUM(CASE WHEN fill <= {_BIN_CAPACITY}
+                           THEN {_BIN_CAPACITY} - fill ELSE 0 END) AS BIGINT)
+               AS slack_greedy
+      FROM gbins GROUP BY source
+    ),
+    bstat AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS bins_bfd,
+             CAST(SUM(CASE WHEN fill <= {_BIN_CAPACITY}
+                           THEN {_BIN_CAPACITY} - fill ELSE 0 END) AS BIGINT)
+               AS slack_bfd
+      FROM bbins GROUP BY source
+    ),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM gdocs GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens,
+           g.bins_greedy, b.bins_bfd, g.slack_greedy, b.slack_bfd,
+           CAST(g.slack_greedy * 1000000
+                // (g.bins_greedy * {_BIN_CAPACITY}) AS BIGINT)
+             AS waste_greedy_ppm,
+           CAST(b.slack_bfd * 1000000
+                // (b.bins_bfd * {_BIN_CAPACITY}) AS BIGINT) AS waste_bfd_ppm
+    FROM tot t JOIN gstat g ON g.source = t.source
+               JOIN bstat b ON b.source = t.source
+    ORDER BY t.source
+    """,
+    tags=("curation", "packing", "report"),
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head packing audit: run BOTH no-split packers
+    (first-fit-in-order `pack_greedy_token_bins` vs best-fit-decreasing
+    `pack_bfd_token_bins` — same register functions, never a re-statement)
+    and report per source the bin counts, absolute padding slack, and
+    exact-ppm waste of each — the number that decides whether re-sorting
+    the corpus for BFD is worth the extra shuffle at pretraining scale.
+    Bins left over capacity by an oversize doc contribute zero slack (they
+    are not padded; they are truncation candidates both packers refuse to
+    split).
+
+    Scale shape: two applyInPandas group scans (one shuffle on source
+    each) + two bin rollups; everything downstream is source-sized."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=False)
+    cap = F.lit(_BIN_CAPACITY).cast("bigint")
+
+    def _binstat(assign: DataFrame, label: str) -> DataFrame:
+        bins = assign.groupBy("source", "bin_id").agg(
+            F.sum("n_tokens").alias("fill")
+        )
+        return bins.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"bins_{label}"),
+            F.sum(
+                F.when(F.col("fill") <= cap, cap - F.col("fill")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"slack_{label}"),
+        )
+    g = _binstat(sized.groupBy("source").applyInPandas(_pack_group, _PACK_SCHEMA), "greedy")
+    b = _binstat(sized.groupBy("source").applyInPandas(_bfd_group, _PACK_SCHEMA), "bfd")
+    tot = sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return (
+        tot.join(g, "source")
+        .join(b, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "bins_greedy",
+            "bins_bfd",
+            "slack_greedy",
+            "slack_bfd",
+            F.expr(f"(slack_greedy * 1000000) div (bins_greedy * {_BIN_CAPACITY})")
+            .cast("bigint")
+            .alias("waste_greedy_ppm"),
+            F.expr(f"(slack_bfd * 1000000) div (bins_bfd * {_BIN_CAPACITY})")
+            .cast("bigint")
+            .alias("waste_bfd_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# fill-in-the-middle transform accounting (Bavarian et al. 2022)
+# --------------------------------------------------------------------------
+
+_FIM_SENTINELS = 3  # <PRE>/<MID>/<SUF> markers added per transformed doc
+
+
+@register(
+    "text_fim_transform_audit",
+    sql=f"""
+    WITH d AS (
+      SELECT source, CAST(LEN(ws) AS BIGINT) AS n,
+             CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(text), 9, 8))::UBIGINT AS BIGINT) AS h2,
+             CAST(('0x' || substr(md5(text), 17, 8))::UBIGINT AS BIGINT) AS h3
+      FROM (SELECT source, text, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    split AS (
+      SELECT source, n, h3,
+             CASE WHEN n >= 3 THEN 1 ELSE 0 END AS eligible,
+             CASE WHEN n >= 3 AND h1 % 2 = 0 THEN 1 ELSE 0 END AS fim,
+             CASE WHEN n >= 3 AND h1 % 2 = 0
+                  THEN 1 + (h2 % (n - 2)) ELSE NULL END AS a
+      FROM d
+    ),
+    spans AS (
+      SELECT source, n, eligible, fim, a,
+             CASE WHEN fim = 1 THEN a + 1 + (h3 % (n - 1 - a)) ELSE NULL END AS b
+      FROM split
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(eligible) AS BIGINT) AS n_eligible,
+           CAST(SUM(fim) AS BIGINT) AS n_fim,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN fim = 1 THEN a ELSE 0 END) AS BIGINT)
+             AS prefix_tokens,
+           CAST(SUM(CASE WHEN fim = 1 THEN b - a ELSE 0 END) AS BIGINT)
+             AS middle_tokens,
+           CAST(SUM(CASE WHEN fim = 1 THEN n - b ELSE 0 END) AS BIGINT)
+             AS suffix_tokens,
+           CAST(SUM(fim) * {_FIM_SENTINELS} * 1000000 // SUM(n) AS BIGINT)
+             AS sentinel_overhead_ppm,
+           CAST(SUM(CASE WHEN fim = 1 THEN b - a ELSE 0 END) * 1000000
+                // NULLIF(SUM(CASE WHEN fim = 1 THEN n ELSE 0 END), 0) AS BIGINT)
+             AS middle_share_ppm
+    FROM spans
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "fim", "pretraining"),
+)
+def text_fim_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform accounting (Bavarian et al. 2022,
+    arXiv:2207.14255 — the FIM pretraining objective): deterministically
+    select ~half the eligible documents (md5 gate — the transform rate a
+    real pipeline sets as its FIM rate) and split each into
+    prefix|middle|suffix at hash-derived cut points (every segment >= 1
+    token), as a PSM reassembly would. Per source: docs, eligible docs
+    (>= 3 tokens), transformed docs, segment token masses, the
+    {_FIM_SENTINELS}-sentinel-per-doc token overhead in exact ppm, and
+    the middle-segment share of transformed-doc tokens — the numbers that
+    size a FIM data budget before a single sequence is materialized.
+
+    Determinism: cut points are pure md5 arithmetic over the document text
+    (the fake-codec / ann_lsh_codes trick), so both engines derive the
+    same (a, b) for every doc: a ∈ [1, n-2] from hex 9-16, b ∈ [a+1, n-1]
+    from hex 17-24, gate from hex 1-8 parity. The corpus is pure ASCII,
+    so DuckDB's VARCHAR md5 hashes the same bytes Spark's does.
+
+    Scale shape: one narrow projection (hashing + span arithmetic, all
+    engine-side) and one keyed rollup on source — linear, no joins, the
+    shape a 100 TB FIM budget audit must have."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    d = docs.select(
+        "source",
+        F.size(_tokens_col()).cast("bigint").alias("n"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        F.conv(F.substring(h, 17, 8), 16, 10).cast("bigint").alias("h3"),
+    )
+    split = d.select(
+        "source",
+        "n",
+        "h3",
+        F.when(F.col("n") >= 3, 1).otherwise(0).alias("eligible"),
+        F.when((F.col("n") >= 3) & (F.col("h1") % 2 == 0), 1)
+        .otherwise(0)
+        .alias("fim"),
+        F.when(
+            (F.col("n") >= 3) & (F.col("h1") % 2 == 0),
+            1 + (F.col("h2") % (F.col("n") - 2)),
+        ).alias("a"),
+    )
+    spans = split.select(
+        "source",
+        "n",
+        "eligible",
+        "fim",
+        "a",
+        F.when(
+            F.col("fim") == 1,
+            F.col("a") + 1 + (F.col("h3") % (F.col("n") - 1 - F.col("a"))),
+        ).alias("b"),
+    )
+    fim1 = F.col("fim") == 1
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("eligible").cast("bigint").alias("n_eligible"),
+            F.sum("fim").cast("bigint").alias("n_fim"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(fim1, F.col("a")).otherwise(0))
+            .cast("bigint")
+            .alias("prefix_tokens"),
+            F.sum(F.when(fim1, F.col("b") - F.col("a")).otherwise(0))
+            .cast("bigint")
+            .alias("middle_tokens"),
+            F.sum(F.when(fim1, F.col("n") - F.col("b")).otherwise(0))
+            .cast("bigint")
+            .alias("suffix_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_eligible",
+            "n_fim",
+            "total_tokens",
+            "prefix_tokens",
+            "middle_tokens",
+            "suffix_tokens",
+            F.expr(f"(n_fim * {_FIM_SENTINELS} * 1000000) div total_tokens")
+            .cast("bigint")
+            .alias("sentinel_overhead_ppm"),
+            F.expr(
+                "(middle_tokens * 1000000) div "
+                "nullif(prefix_tokens + middle_tokens + suffix_tokens, 0)"
+            )
+            .cast("bigint")
+            .alias("middle_share_ppm"),
+        )
+        .orderBy("source")
+    )
+# --------------------------------------------------------------------------
 # within-source token-budget selection (top-mass / nucleus pruning)
 # --------------------------------------------------------------------------
 

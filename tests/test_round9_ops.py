@@ -135,6 +135,167 @@ def test_unigram_lm_train_matches_python_em(spark):
     assert got[0][1] > got[-1][1]
 
 
+def _doc_sizes(spark) -> list[tuple[str, int, int]]:
+    from pumle_spark.tables import table
+
+    return sorted(
+        (r.source, r.doc_id, len(_toks(r.text)))
+        for r in table(spark, SF, "documents")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+
+
+def _bfd_replay(sizes, cap):
+    """Reference BFD: per source, docs by (n_tokens DESC, doc_id); fullest
+    open bin that fits, first-maximal-fill tie rule, else a new bin."""
+    out = {}
+    by_src: dict[str, list[tuple[str, int, int]]] = {}
+    for s, d, n in sizes:
+        by_src.setdefault(s, []).append((s, d, n))
+    for s, docs in by_src.items():
+        fills: list[int] = []
+        for _s, d, n in sorted(docs, key=lambda x: (-x[2], x[1])):
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + n <= cap and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                fills.append(n)
+                out[(s, d)] = (n, len(fills))
+            else:
+                fills[best] += n
+                out[(s, d)] = (n, best + 1)
+    return out
+
+
+def test_bfd_packing_matches_python_and_beats_greedy_bins(spark):
+    """Replay: the BFD assignment must match the reference scan exactly;
+    every bin must respect capacity unless it holds a single oversize doc;
+    and per source BFD must never use MORE bins than first-fit-in-order
+    (it is the strictly better heuristic on sorted input)."""
+    from pumle_spark.workload.curation import (
+        _BIN_CAPACITY,
+        pack_bfd_token_bins,
+        pack_greedy_token_bins,
+    )
+
+    sizes = _doc_sizes(spark)
+    expect = _bfd_replay(sizes, _BIN_CAPACITY)
+    got = {
+        (r.source, r.doc_id): (r.n_tokens, r.bin_id)
+        for r in pack_bfd_token_bins(spark, SF).collect()
+    }
+    assert got == expect
+    fills: dict[tuple[str, int], int] = {}
+    counts: dict[tuple[str, int], int] = {}
+    for (s, _d), (n, b) in got.items():
+        fills[(s, b)] = fills.get((s, b), 0) + n
+        counts[(s, b)] = counts.get((s, b), 0) + 1
+    for (s, b), f in fills.items():
+        assert f <= _BIN_CAPACITY or counts[(s, b)] == 1, (s, b, f)
+    greedy_bins: dict[str, int] = {}
+    for r in pack_greedy_token_bins(spark, SF).collect():
+        greedy_bins[r.source] = max(greedy_bins.get(r.source, 0), r.bin_id)
+    bfd_bins: dict[str, int] = {}
+    for (s, _d), (_n, b) in got.items():
+        bfd_bins[s] = max(bfd_bins.get(s, 0), b)
+    for s in greedy_bins:
+        assert bfd_bins[s] <= greedy_bins[s], s
+
+
+def test_pack_efficiency_matches_both_packers(spark):
+    """Replay: the efficiency report's bin counts and slack must equal what
+    the two packers' own assignments imply — the report can never drift
+    from the algorithms it audits."""
+    from pumle_spark.workload.curation import (
+        _BIN_CAPACITY,
+        curation_pack_efficiency,
+        pack_bfd_token_bins,
+        pack_greedy_token_bins,
+    )
+
+    def stats(rows):
+        fills: dict[tuple[str, int], int] = {}
+        for r in rows:
+            fills[(r.source, r.bin_id)] = (
+                fills.get((r.source, r.bin_id), 0) + r.n_tokens
+            )
+        bins: dict[str, int] = {}
+        slack: dict[str, int] = {}
+        for (s, _b), f in fills.items():
+            bins[s] = bins.get(s, 0) + 1
+            slack[s] = slack.get(s, 0) + (
+                _BIN_CAPACITY - f if f <= _BIN_CAPACITY else 0
+            )
+        return bins, slack
+
+    gb, gs = stats(pack_greedy_token_bins(spark, SF).collect())
+    bb, bs = stats(pack_bfd_token_bins(spark, SF).collect())
+    for r in curation_pack_efficiency(spark, SF).collect():
+        assert r.bins_greedy == gb[r.source]
+        assert r.bins_bfd == bb[r.source]
+        assert r.slack_greedy == gs[r.source]
+        assert r.slack_bfd == bs[r.source]
+        assert r.waste_greedy_ppm == gs[r.source] * 1_000_000 // (
+            gb[r.source] * _BIN_CAPACITY
+        )
+        assert r.waste_bfd_ppm == bs[r.source] * 1_000_000 // (
+            bb[r.source] * _BIN_CAPACITY
+        )
+
+
+def test_fim_audit_matches_python_md5_cuts(spark):
+    """Replay: the md5 gate and the (a, b) cut-point arithmetic per doc,
+    plus every span constraint (1 <= a < b <= n-1 — all three segments
+    non-empty) and the exact-ppm rollups."""
+    import hashlib
+
+    from pumle_spark.tables import table
+    from pumle_spark.workload.curation import (
+        _FIM_SENTINELS,
+        text_fim_transform_audit,
+    )
+
+    agg: dict[str, list[int]] = {}
+    for r in (
+        table(spark, SF, "documents").select("source", "text").collect()
+    ):
+        n = len(_toks(r.text))
+        hx = hashlib.md5(r.text.encode()).hexdigest()
+        h1, h2, h3 = (int(hx[i : i + 8], 16) for i in (0, 8, 16))
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[3] += n
+        if n >= 3:
+            a[1] += 1
+            if h1 % 2 == 0:
+                a[2] += 1
+                pa = 1 + h2 % (n - 2)
+                pb = pa + 1 + h3 % (n - 1 - pa)
+                assert 1 <= pa < pb <= n - 1
+                a[4] += pa
+                a[5] += pb - pa
+                a[6] += n - pb
+    got = {r.source: r for r in text_fim_transform_audit(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for s, (nd, ne, nf, tt, pt, mt, st) in agg.items():
+        r = got[s]
+        assert (
+            r.n_docs,
+            r.n_eligible,
+            r.n_fim,
+            r.total_tokens,
+            r.prefix_tokens,
+            r.middle_tokens,
+            r.suffix_tokens,
+        ) == (nd, ne, nf, tt, pt, mt, st)
+        assert r.sentinel_overhead_ppm == nf * _FIM_SENTINELS * 1_000_000 // tt
+        denom = pt + mt + st
+        if denom:
+            assert r.middle_share_ppm == mt * 1_000_000 // denom
+
+
 def test_unigram_lm_pieces_matches_python_final_inventory(spark):
     """Replay: the shipped inventory's top-20 (count desc, piece asc) with
     final counts and micro-nat scores."""
