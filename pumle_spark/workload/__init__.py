@@ -124,6 +124,7 @@ _DRIVER_QUEUE_R10: tuple[str, ...] = (
     "pack_bfd_token_bins",
     "curation_pack_efficiency",
     "text_fim_transform_audit",
+    "mix_doremi_weights",
 )
 
 

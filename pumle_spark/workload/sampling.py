@@ -1186,3 +1186,236 @@ def split_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("value_cents * 1000000 div all_cents").cast("bigint").alias("value_share_ppm"),
         (F.col("n_rows") * _GKF_K - F.col("all_rows")).cast("bigint").alias("row_excess_vs_uniform"),
     )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, exponentiated gradient)
+# --------------------------------------------------------------------------
+
+_DRM_ROUNDS = 4
+# Step size chosen so this corpus's centered excess (~ +/-5e3 micro-nats;
+# the synthetic sources are near-identical, ~1000x tighter than real
+# domain losses) maps to O(0.5) exponent steps — the dynamic range the
+# real algorithm operates in. The exponent is clipped to +/-_DRM_CLIP on
+# BOTH engines: with e^2 = 7.39, q <= 7.39e6 and the integer normalize
+# alpha*q*1e6 <= 7.4e18 stays under 2^63 by construction.
+_DRM_ETA_PER_MICRO = 0.0001
+_DRM_CLIP = 2.0
+_DRM_SMOOTH_PPM = 10000  # 1% uniform smoothing mass per round (DoReMi's c)
+
+_SQL_DRM_LOSS = """
+    toks AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    gm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    gt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gm),
+    gcost AS MATERIALIZED (
+      SELECT w, CAST(ROUND(-1000000 * ln(CAST(c AS DOUBLE) / CAST(gt.n AS DOUBLE)))
+                     AS BIGINT) AS gc
+      FROM gm, gt
+    ),
+    lm AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, w),
+    lt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM lm GROUP BY source),
+    lcost AS MATERIALIZED (
+      SELECT lm.source, lm.w,
+             CAST(ROUND(-1000000 * ln(CAST(lm.c AS DOUBLE) / CAST(lt.n AS DOUBLE)))
+                  AS BIGINT) AS lc
+      FROM lm JOIN lt ON lt.source = lm.source
+    ),
+    sc AS MATERIALIZED (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(g.gc) AS BIGINT) AS gsum,
+             CAST(SUM(l.lc) AS BIGINT) AS lsum
+      FROM toks t
+      JOIN gcost g ON g.w = t.w
+      JOIN lcost l ON l.source = t.source AND l.w = t.w
+      GROUP BY t.source
+    ),
+    ex AS MATERIALIZED (
+      SELECT source, GREATEST(gsum // n_toks - lsum // n_toks, 0) AS e
+      FROM sc
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ex),
+    a0 AS MATERIALIZED (SELECT source, e, CAST(1000000 // ns.k AS BIGINT) AS alpha FROM ex, ns)"""
+
+
+def _sql_drm_round(r: int) -> str:
+    """One exponentiated-gradient round of the oracle: centered excess →
+    quantized multiplicative update → integer normalize → uniform smooth."""
+    return f"""
+    w{r} AS MATERIALIZED (
+      SELECT source, e, alpha,
+             CAST(ROUND(1000000 * exp(LEAST(GREATEST(
+                    CAST(e - (SELECT SUM(alpha * e) // SUM(alpha)
+                              FROM a{r - 1}) AS DOUBLE)
+                    * {_DRM_ETA_PER_MICRO}, -{_DRM_CLIP}), {_DRM_CLIP})))
+                  AS BIGINT) AS q
+      FROM a{r - 1}
+    ),
+    n{r} AS (SELECT CAST(SUM(alpha * q) AS BIGINT) AS s FROM w{r}),
+    a{r} AS MATERIALIZED (
+      SELECT source, e,
+             CAST((alpha * q * 1000000 // n{r}.s) * {1000000 - _DRM_SMOOTH_PPM}
+                  // 1000000 + {_DRM_SMOOTH_PPM} // ns.k AS BIGINT) AS alpha
+      FROM w{r}, n{r}, ns
+    ),
+    rep{r} AS (SELECT {r} AS round, source, e AS excess_micro,
+                      alpha AS alpha_ppm FROM a{r})"""
+
+
+@register(
+    "mix_doremi_weights",
+    sql=f"""
+    WITH {_SQL_DRM_LOSS},
+    {", ".join(_sql_drm_round(r) for r in range(1, _DRM_ROUNDS + 1))}
+    SELECT CAST(round AS INTEGER) AS round, source, excess_micro, alpha_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM rep{r}" for r in range(1, _DRM_ROUNDS + 1))})
+    ORDER BY round, source
+    """,
+    tags=("sampling", "mixture", "doremi", "iterative"),
+)
+def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429): upweight the domains the reference model fits
+    WORST. Each source's excess loss is its corpus-global unigram-LM avg
+    token NLL minus its in-domain unigram-LM avg NLL (the per-domain gap a
+    proxy-vs-reference pair measures; both models are token-count tables,
+    clipped at 0 like DoReMi's max(excess, 0)), then a fixed
+    {_DRM_ROUNDS}-round exponentiated-gradient unroll on the Group-DRO
+    objective: alpha <- alpha * exp(eta * (excess - weighted avg)),
+    integer-normalized to ppm, then smoothed with {_DRM_SMOOTH_PPM} ppm of
+    uniform mass (DoReMi's c). Emits the full per-round weight trajectory.
+
+    Determinism: per-vocabulary-entry costs are micro-nat-quantized before
+    any sum (the module contract); every dp is exact BIGINT. The one
+    double per (round, source) is the exp() of a centered excess bounded
+    by ln|V| nats (|V| = corpus vocabulary), so q <= ~5.5e6 and the
+    normalize product alpha*q*1e6 stays under 2^63 by construction.
+
+    Scale shape: both LMs are keyed count rollups (vocab / source x vocab
+    sized — broadcastable); scoring is two keyed joins on the token
+    stream, then everything downstream is |sources|-sized: the EG rounds
+    are arithmetic over a 20-row table with single-row broadcast scalars.
+    At 100 TB the token-stream joins are the only heavy stages and both
+    are map-side-combinable counts."""
+    from pumle_spark.workload.text import _tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(_tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    gm = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gt = gm.agg(F.sum("c").cast("bigint").alias("n"))
+    gcost = gm.crossJoin(F.broadcast(gt)).select(
+        "w",
+        F.round(
+            F.lit(-1000000)
+            * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        )
+        .cast("bigint")
+        .alias("gc"),
+    )
+    lm = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lt = lm.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    lcost = lm.join(lt, "source").select(
+        "source",
+        "w",
+        F.round(
+            F.lit(-1000000)
+            * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        )
+        .cast("bigint")
+        .alias("lc"),
+    )
+    sc = (
+        toks.join(gcost, "w")
+        .join(lcost, ["source", "w"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("gc").cast("bigint").alias("gsum"),
+            F.sum("lc").cast("bigint").alias("lsum"),
+        )
+    )
+    ex = sc.select(
+        "source",
+        F.greatest(
+            F.expr("gsum div n_toks - lsum div n_toks"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("e"),
+    ).localCheckpoint(eager=False)
+    ns = ex.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    a = (
+        ex.crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "e",
+            F.expr("1000000 div k").cast("bigint").alias("alpha"),
+            "k",
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = []
+    for r in range(1, _DRM_ROUNDS + 1):
+        avg = a.agg(F.expr("sum(alpha * e) div sum(alpha)").cast("bigint").alias("avg_e"))
+        w = a.crossJoin(F.broadcast(avg)).select(
+            "source",
+            "e",
+            "alpha",
+            "k",
+            F.round(
+                F.lit(1000000)
+                * F.exp(
+                    F.least(
+                        F.greatest(
+                            (F.col("e") - F.col("avg_e")).cast("double")
+                            * F.lit(_DRM_ETA_PER_MICRO),
+                            F.lit(-_DRM_CLIP),
+                        ),
+                        F.lit(_DRM_CLIP),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+        nrm = w.agg(F.sum(F.col("alpha") * F.col("q")).cast("bigint").alias("s"))
+        a = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "source",
+                "e",
+                (
+                    F.expr(
+                        f"(alpha * q * 1000000 div s) * {1000000 - _DRM_SMOOTH_PPM} "
+                        f"div 1000000 + {_DRM_SMOOTH_PPM} div k"
+                    )
+                )
+                .cast("bigint")
+                .alias("alpha"),
+                "k",
+            )
+            .localCheckpoint(eager=False)
+        )
+        reps.append(
+            a.select(
+                F.lit(r).cast("int").alias("round"),
+                "source",
+                F.col("e").alias("excess_micro"),
+                F.col("alpha").alias("alpha_ppm"),
+            )
+        )
+    out = reps[0]
+    for s in reps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round", "source")

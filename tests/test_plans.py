@@ -783,6 +783,19 @@ def test_unigram_lm_pieces_final_inventory_plan(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
+def test_doremi_rounds_run_off_checkpointed_source_state(spark):
+    """The token-stream LM joins live inside the excess-loss checkpoint;
+    every EG round is arithmetic over |sources|-sized checkpointed state
+    with single-row broadcast scalars — the assembled plan reads no
+    parquet and contains no join at all."""
+    plan = plan_of("mix_doremi_weights", spark)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    for op in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin"):
+        assert op not in plan
+
+
 def test_jl_distortion_is_linear_keyed_join_and_codegen_sums(spark):
     """The pair sample must be the keyed consecutive-id equi-join (linear),
     the projection pure literal arithmetic (no per-row hashing, no

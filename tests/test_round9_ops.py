@@ -296,6 +296,86 @@ def test_fim_audit_matches_python_md5_cuts(spark):
             assert r.middle_share_ppm == mt * 1_000_000 // denom
 
 
+def test_doremi_weights_match_python_eg_rounds(spark):
+    """Replay: the per-source excess loss (global vs in-domain unigram-LM
+    avg NLL, micro-quantized per vocab entry) and all 4 exponentiated-
+    gradient rounds (clip, quantized exp, integer normalize, uniform
+    smoothing); plus the DRO sanity that weight mass moves TOWARD the
+    max-excess source monotonically."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.sampling import (
+        _DRM_CLIP,
+        _DRM_ETA_PER_MICRO,
+        _DRM_ROUNDS,
+        _DRM_SMOOTH_PPM,
+        mix_doremi_weights,
+    )
+
+    toks: list[tuple[str, str]] = []
+    for r in table(spark, SF, "documents").select("source", "text").collect():
+        for w in _toks(r.text):
+            toks.append((r.source, w))
+    gm = Counter(w for _s, w in toks)
+    gn = sum(gm.values())
+    gcost = {w: _micro_nats_neg(c / gn) for w, c in gm.items()}
+    lm = Counter(toks)
+    ln_ = Counter(s for s, _w in toks)
+    lcost = {(s, w): _micro_nats_neg(c / ln_[s]) for (s, w), c in lm.items()}
+    agg: dict[str, list[int]] = {}
+    for s, w in toks:
+        a = agg.setdefault(s, [0, 0, 0])
+        a[0] += 1
+        a[1] += gcost[w]
+        a[2] += lcost[(s, w)]
+    ex = {s: max(g // n - l // n, 0) for s, (n, g, l) in agg.items()}
+    k = len(ex)
+    alpha = {s: 1_000_000 // k for s in ex}
+    expect = []
+    for r in range(1, _DRM_ROUNDS + 1):
+        avg = sum(alpha[s] * ex[s] for s in ex) // sum(alpha.values())
+        q = {
+            s: _round_away(
+                1_000_000
+                * math.exp(
+                    min(
+                        max((ex[s] - avg) * _DRM_ETA_PER_MICRO, -_DRM_CLIP),
+                        _DRM_CLIP,
+                    )
+                )
+            )
+            for s in ex
+        }
+        tot = sum(alpha[s] * q[s] for s in ex)
+        alpha = {
+            s: (alpha[s] * q[s] * 1_000_000 // tot)
+            * (1_000_000 - _DRM_SMOOTH_PPM)
+            // 1_000_000
+            + _DRM_SMOOTH_PPM // k
+            for s in ex
+        }
+        for s in sorted(ex):
+            expect.append((r, s, ex[s], alpha[s]))
+    got = [tuple(r) for r in mix_doremi_weights(spark, SF).collect()]
+    assert got == expect
+    worst = max(ex, key=lambda s: (ex[s], s))
+    traj = [a for r, s, _e, a in got if s == worst]
+    assert traj == sorted(traj), f"worst-domain weight not monotone: {traj}"
+    for r in range(1, _DRM_ROUNDS + 1):
+        ssum = sum(a for rr, _s, _e, a in got if rr == r)
+        assert 1_000_000 - 2 * k <= ssum <= 1_000_000
+
+
+def _round_away(x: float) -> int:
+    return int(
+        Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _micro_nats_neg(p: float) -> int:
+    """round(-1e6 * ln p), halves away from zero — the cost quantization."""
+    return _round_away(-1000000 * math.log(p))
+
+
 def test_unigram_lm_pieces_matches_python_final_inventory(spark):
     """Replay: the shipped inventory's top-20 (count desc, piece asc) with
     final counts and micro-nat scores."""

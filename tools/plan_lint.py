@@ -152,6 +152,7 @@ ALLOW = {
     # round-9 additions (adjudicated at registration, same classes as above)
     "text_unigram_lm_train": {"BroadcastNestedLoopJoin": "single-row inventory-size x corpus-Viterbi-stats scalars per EM round, x _ULM_ROUNDS=3 (plus _ulm_chain's checkpoint-hidden 1-row model/total broadcasts)"},
     "text_unigram_lm_pieces": {"BroadcastNestedLoopJoin": "single-row piece-count total x final inventory (score denominator; _ulm_chain's per-round broadcasts are checkpoint-hidden)"},
+    "mix_doremi_weights": {"BroadcastNestedLoopJoin": "single-row (weighted-avg excess, normalize total, source count) scalars x |sources| rows per EG round (normally checkpoint-hidden)"},
     "embedding_jl_distortion": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x bounded distortion-histogram buckets"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
     "events_entropy_rate": {"BroadcastNestedLoopJoin": "single-row total scalars x |types| rows"},
