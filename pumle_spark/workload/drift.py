@@ -921,7 +921,7 @@ _MMD_DIM = 64
       -- ({_MMD_DIM * (_MMD_DIM + 1) // 2} of {_MMD_DIM * _MMD_DIM} cells) and
       -- weight off-diagonal terms x2 in the Frobenius sum below
       SELECT label, i.i, j.j,
-             CAST(v.v[i.i + 1] * v.v[j.j + 1] AS DECIMAL(28,9)) AS p
+             CAST(ROUND(v.v[i.i + 1] * v.v[j.j + 1] * 1000000000) AS BIGINT) AS p
       FROM v
       CROSS JOIN generate_series(0, {_MMD_DIM - 1}) i(i)
       CROSS JOIN generate_series(0, {_MMD_DIM - 1}) j(j)
@@ -930,7 +930,8 @@ _MMD_DIM = 64
     s AS (SELECT label, i, j, SUM(p) AS sp FROM t GROUP BY label, i, j),
     d AS (
       SELECT a.label AS la, b.label AS lb, a.i, a.j,
-             ROUND(CAST(a.sp AS DOUBLE) / ca.n - CAST(b.sp AS DOUBLE) / cb.n, 9) AS md
+             ROUND(CAST(a.sp AS DOUBLE) / 1000000000 / ca.n
+                   - CAST(b.sp AS DOUBLE) / 1000000000 / cb.n, 9) AS md
       FROM s a
       JOIN s b ON b.i = a.i AND b.j = a.j AND a.label < b.label
       JOIN cnt ca ON ca.label = a.label
@@ -967,10 +968,13 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize and off-diagonal terms count twice in the Frobenius sum).
 
     Exactness: each xᵢxⱼ term is one deterministic double product
-    quantized to DECIMAL(28,9) (the module's term-precision contract),
-    summed exactly in decimal; each mean-difference is a mirrored pair of
-    double divisions rounded to 1e-9; the Frobenius accumulation is again
-    exact decimal. Identical on every engine and partitioning."""
+    quantized to nano-units as round(x·1e9) BIGINT (round-9 kernel: the
+    per-term DECIMAL(28,9) form measured 7.9s vs 4.5s at sf0.1 — scaled
+    integers carry the same 1e-9 term contract through plain codegen'd
+    longs, exact here to ~9e9 rows per (label, cell)); each
+    mean-difference is a mirrored pair of double divisions rounded to
+    1e-9; the low-volume Frobenius accumulation (cells x label pairs)
+    stays exact decimal. Identical on every engine and partitioning."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -986,7 +990,7 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"flatten(transform(sequence(0, {_MMD_DIM - 1}), "
                 f"i -> transform(sequence(i, {_MMD_DIM - 1}), "
-                f"j -> struct(i, j, cast(v[i] * v[j] as decimal(28,9)) AS p))))"
+                f"j -> struct(i, j, cast(round(v[i] * v[j] * 1000000000) as bigint) AS p))))"
             )
         ).alias("x"),
     ).select("label", "x.i", "x.j", "x.p")
@@ -1008,8 +1012,8 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             F.round(
-                F.col("spa").cast("double") / F.col("na")
-                - F.col("spb").cast("double") / F.col("nb"),
+                F.col("spa").cast("double") / F.lit(1000000000) / F.col("na")
+                - F.col("spb").cast("double") / F.lit(1000000000) / F.col("nb"),
                 9,
             ).alias("md"),
         )

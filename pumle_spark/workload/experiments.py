@@ -81,6 +81,23 @@ def _weight_case_sql(u32: str) -> str:
     return f"CASE {arms} ELSE 6 END"
 
 
+# The SAME thresholds as 8-hex-char string constants: a fixed-width
+# lowercase hex slice compares lexicographically exactly as its numeric
+# value (0-9 < a-f in ASCII), so the weight draw needs NO conv()/UBIGINT
+# parse at all — the round-9 kernel change that, with BIGINT replicate
+# sums, took the sf0.1 time 14.2 -> 4.7s (min-of-3, idle). Weights are
+# bit-identical to the numeric form; the replay test checks them against
+# the integer _POIS_T.
+_POIS_T_HEX = tuple(format(t, "08x") for t in _POIS_T)
+
+
+def _weight_case_hex(s: str) -> str:
+    """CASE mapping an 8-hex-char digest slice to a Poisson(1) weight by
+    string comparison — identical text works in Spark SQL and DuckDB."""
+    arms = " ".join(f"WHEN {s} < '{h}' THEN {k}" for k, h in enumerate(_POIS_T_HEX))
+    return f"CASE {arms} ELSE 6 END"
+
+
 def _boot_digest_sql(d: int) -> str:
     """The d-th per-row bootstrap digest (DuckDB text)."""
     return f"md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|' || {d})"
@@ -409,7 +426,11 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 count is B/4 per row, and every step stays inside whole-stage
     codegen (higher-order-lambda and 2B-buffer wide-agg forms both
     measured SLOWER than the original; this form is 16.2s → 10.9s at
-    sf0.1).
+    sf0.1). Round-9 kernel (measured, PERF.md): the weight draw compares
+    the 8-hex digest slice against STRING thresholds (fixed-width
+    lowercase hex orders exactly as its numeric value — no conv parse)
+    and the replicate sums are plain BIGINT (exact to ~2.5e10 rows,
+    ANSI-loud beyond; bit-identical means) — 14.2 → 4.7s at sf0.1.
     """
     o = table(spark, sf_dir, "orders")
     base = o.select(
@@ -443,19 +464,22 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     (F.col("d") * _BOOT_SLICES + F.lit(j)).alias("b"),
-                    F.conv(F.substring("dg", 1 + 8 * j, 8), 16, 10)
-                    .cast("bigint")
-                    .alias("u32"),
+                    F.substring("dg", 1 + 8 * j, 8).alias("s"),
                 )
                 for j in range(_BOOT_SLICES)
             ])
         ).alias("p"),
-    ).select("cents", F.col("p.b").alias("b"), F.expr(_weight_case_sql("p.u32")).alias("w"))
+    ).select("cents", F.col("p.b").alias("b"), F.expr(_weight_case_hex("p.s")).alias("w"))
+    # BIGINT replicate sums: w <= 6 and cents < 6e7, so each product is
+    # < 3.6e8 and a per-replicate total stays exact below ~2.5e10 rows;
+    # Spark 4 runs ANSI arithmetic, so past that bound the sum FAILS LOUDLY
+    # instead of wrapping (the decimal(38) wide-sum fallback for >10^10-row
+    # tables measured 1.6x slower end-to-end — see PERF.md round 9). The
+    # division inputs are the same exact integers either way, so the
+    # replicate means are bit-identical to the decimal form's.
     means = slices.groupBy("b").agg(
         (
-            F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)"))
-            .cast("decimal(38,0)")
-            .cast("double")
+            F.sum(F.col("w") * F.col("cents")).cast("double")
             / F.nullif(F.sum("w").cast("double"), F.lit(0))
         ).alias("mean_cents")
     )
