@@ -125,6 +125,7 @@ _DRIVER_QUEUE_R10: tuple[str, ...] = (
     "curation_pack_efficiency",
     "text_fim_transform_audit",
     "mix_doremi_weights",
+    "text_tokenizer_shootout",
 )
 
 

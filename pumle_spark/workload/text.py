@@ -2631,21 +2631,17 @@ def _sql_ulm_mstep(r: int) -> str:
     {_sql_ulm_scores(r)}"""
 
 
-_SQL_ULM_SEED = f"""
-    d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
-    uwf AS MATERIALIZED (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-      FROM (SELECT unnest(ws) AS w FROM d)
-      WHERE w <> '' AND length(w) <= {_ULM_STEPS}
-      GROUP BY w
-    ),
-    p1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM uwf),
-    p2 AS (SELECT w, f, i,
+# seed CTEs from an existing `uwf(w, f)` table — shared by the trainer
+# oracles (which define uwf from `documents` directly) and the tokenizer
+# shootout (which derives uwf from its per-source word rollup).
+_SQL_ULM_SEED_FROM_UWF = f"""
+    up1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM uwf),
+    up2 AS (SELECT w, f, i,
                   unnest([{", ".join(str(x) for x in range(1, _ULM_MAXP + 1))}]) AS l
-           FROM p1),
+           FROM up1),
     pc0 AS (
       SELECT substr(w, i, l) AS piece, CAST(SUM(f) AS BIGINT) AS cnt
-      FROM p2 WHERE i + l <= length(w) + 1 GROUP BY 1
+      FROM up2 WHERE i + l <= length(w) + 1 GROUP BY 1
     ),
     chars AS MATERIALIZED (SELECT piece, cnt FROM pc0 WHERE length(piece) = 1),
     invm0 AS (
@@ -2657,6 +2653,16 @@ _SQL_ULM_SEED = f"""
       ) WHERE rk <= {_ULM_SEED}
     ),
     {_sql_ulm_scores(0)}"""
+
+_SQL_ULM_SEED = f"""
+    d AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    uwf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(ws) AS w FROM d)
+      WHERE w <> '' AND length(w) <= {_ULM_STEPS}
+      GROUP BY w
+    ),
+    {_SQL_ULM_SEED_FROM_UWF}"""
 
 
 def _ulm_chain(
@@ -4323,4 +4329,135 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), "span_text")
         .limit(_RNG_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer shootout: trained BPE vs trained unigram-LM on the same corpus
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_shootout",
+    sql=f"""
+    WITH d AS (SELECT source, {_SQL_TOKENS} AS ws FROM documents),
+    sw AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(ws) AS w FROM d)
+      WHERE w <> '' AND length(w) <= {_ULM_STEPS}
+      GROUP BY source, w
+    ),
+    uwf AS MATERIALIZED (SELECT w, CAST(SUM(cnt) AS BIGINT) AS f
+                         FROM sw GROUP BY w),
+    w0 AS (
+      SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS s, f FROM uwf
+    ),
+    {", ".join(_sql_bpe_step(i, carry="w, ") for i in range(_BPE_MERGES))},
+    bfin AS MATERIALIZED (
+      SELECT w, CAST(len(string_split(s, '||')) - 2 AS BIGINT) AS n_bpe
+      FROM w{_BPE_MERGES}
+    ),
+    {_SQL_ULM_SEED_FROM_UWF},
+    {", ".join(_sql_ulm_estep(r) + ("," + _sql_ulm_mstep(r) if r < _ULM_ROUNDS else "") for r in range(1, _ULM_ROUNDS + 1))},
+    ufin AS MATERIALIZED (
+      SELECT w, CAST(length(seg) - length(replace(seg, '|', '')) AS BIGINT)
+               AS n_ulm
+      FROM fin{_ULM_ROUNDS}
+    )
+    SELECT sw.source,
+           CAST(SUM(sw.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(sw.cnt * length(sw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(sw.cnt * b.n_bpe) AS BIGINT) AS pieces_bpe,
+           CAST(SUM(sw.cnt * u.n_ulm) AS BIGINT) AS pieces_unigram,
+           CAST(SUM(sw.cnt * b.n_bpe) * 1000 // SUM(sw.cnt) AS BIGINT)
+             AS fertility_bpe_milli,
+           CAST(SUM(sw.cnt * u.n_ulm) * 1000 // SUM(sw.cnt) AS BIGINT)
+             AS fertility_unigram_milli,
+           CAST(SUM(sw.cnt * u.n_ulm) * 1000000 // SUM(sw.cnt * b.n_bpe)
+                AS BIGINT) AS unigram_vs_bpe_ppm
+    FROM sw JOIN bfin b ON b.w = sw.w JOIN ufin u ON u.w = sw.w
+    GROUP BY sw.source
+    ORDER BY sw.source
+    """,
+    tags=("text", "tokenizer", "bpe", "unigram-lm", "iterative"),
+)
+def text_tokenizer_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer DECISION report: train BOTH production subword
+    algorithms on the same corpus — {_BPE_MERGES}-merge BPE (the shared
+    `_bpe_chain`) and {_ULM_ROUNDS}-round unigram-LM hard-EM (the shared
+    `_ulm_chain`) — encode the corpus with each, and report per source the
+    piece counts, fertility (pieces per whitespace token, milli), and the
+    unigram/BPE piece ratio in exact ppm. This is the head-to-head a
+    tokenizer review actually runs before picking what ships (Bostrom &
+    Durrett 2020, arXiv:2004.03720, ran exactly this comparison); both
+    trainers are the REGISTERED chains, so the shootout can never drift
+    from `text_bpe_train_merges` / `text_unigram_lm_train`.
+
+    Scale shape: one corpus pass collapses to the (source, word) rollup;
+    the global word-frequency table derives from it (one pass feeds both
+    trainers); both chains run over |vocab|-sized checkpointed state; the
+    report is two keyed |vocab|-row joins + a source rollup. Both corpora
+    restrict to trainable words (length <= {_ULM_STEPS}, the Viterbi
+    lattice depth — the corpus max is 8, so nothing is excluded here).
+
+    Exactness: both encoders are exact string/integer programs; ratios
+    are BIGINT floor divisions on both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", _tokens_col().alias("ws")
+    )
+    sw = (
+        d.select("source", F.explode("ws").alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _ULM_STEPS))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wf = sw.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("f")).localCheckpoint(
+        eager=False
+    )
+    words = wf.select(
+        "w",
+        F.concat(F.lit("||"), F.regexp_replace("w", "(.)", "$1||")).alias("s"),
+        "f",
+    ).localCheckpoint(eager=False)
+    bfin = _bpe_chain(words)[-1][1].select(
+        "w",
+        (F.size(F.split("s", "\\|\\|")) - 2).cast("bigint").alias("n_bpe"),
+    )
+    rounds, _final = _ulm_chain(wf)
+    ufin = rounds[-1][1].select(
+        "w",
+        F.expr("length(seg) - length(replace(seg, '|', ''))")
+        .cast("bigint")
+        .alias("n_ulm"),
+    )
+    return (
+        sw.join(bfin, "w")
+        .join(ufin, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("bigint").alias("pieces_bpe"),
+            F.sum(F.col("cnt") * F.col("n_ulm"))
+            .cast("bigint")
+            .alias("pieces_unigram"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_chars",
+            "pieces_bpe",
+            "pieces_unigram",
+            F.expr("(pieces_bpe * 1000) div n_tokens")
+            .cast("bigint")
+            .alias("fertility_bpe_milli"),
+            F.expr("(pieces_unigram * 1000) div n_tokens")
+            .cast("bigint")
+            .alias("fertility_unigram_milli"),
+            F.expr("(pieces_unigram * 1000000) div pieces_bpe")
+            .cast("bigint")
+            .alias("unigram_vs_bpe_ppm"),
+        )
+        .orderBy("source")
     )

@@ -376,6 +376,140 @@ def _micro_nats_neg(p: float) -> int:
     return _round_away(-1000000 * math.log(p))
 
 
+def test_tokenizer_shootout_matches_both_python_trainers(spark):
+    """Replay: train BPE (greedy merge replay, round-8 test's algorithm)
+    and unigram-LM (_ulm_replay) on the same length-filtered word table,
+    encode per word, roll up per source, and match every report column —
+    including the cross-family ppm ratio."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.text import (
+        _BPE_MERGES,
+        _ULM_MAXP,
+        _ULM_ROUNDS,
+        _ULM_SEED,
+        _ULM_STEPS,
+        text_tokenizer_shootout,
+    )
+
+    sw: Counter[tuple[str, str]] = Counter()
+    for r in table(spark, SF, "documents").select("source", "text").collect():
+        for w in _toks(r.text):
+            if w and len(w) <= _ULM_STEPS:
+                sw[(r.source, w)] += 1
+    wf: Counter[str] = Counter()
+    for (_s, w), c in sw.items():
+        wf[w] += c
+
+    # BPE: greedy merge-train then the per-word encoded length
+    words: dict[str, list[str]] = {w: list(w) for w in wf}
+    for _step in range(_BPE_MERGES):
+        cnt: Counter[tuple[str, str]] = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += wf[w]
+        best = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        for w, syms in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    n_bpe = {w: len(syms) for w, syms in words.items()}
+
+    # unigram-LM: the round-3 Viterbi piece counts per word
+    reports, _ = _ulm_replay(dict(wf), _ULM_ROUNDS, _ULM_MAXP, _ULM_SEED, _ULM_STEPS)
+    # _ulm_replay returns rollups; re-derive the per-word final segmentation
+    # with one more E-step replay against the round-3 inventory scores
+    # (cheaper: recompute inside a local copy)
+    n_ulm = _ulm_final_segment_lens(dict(wf), _ULM_ROUNDS, _ULM_MAXP, _ULM_SEED, _ULM_STEPS)
+
+    agg: dict[str, list[int]] = {}
+    for (s, w), c in sw.items():
+        a = agg.setdefault(s, [0, 0, 0, 0])
+        a[0] += c
+        a[1] += c * len(w)
+        a[2] += c * n_bpe[w]
+        a[3] += c * n_ulm[w]
+    expect = [
+        (
+            s,
+            t,
+            ch,
+            pb,
+            pu,
+            pb * 1000 // t,
+            pu * 1000 // t,
+            pu * 1_000_000 // pb,
+        )
+        for s, (t, ch, pb, pu) in sorted(agg.items())
+    ]
+    got = [tuple(r) for r in text_tokenizer_shootout(spark, SF).collect()]
+    assert got == expect
+    # sanity: both subword encoders must beat character splitting
+    for _s, _t, ch, pb, pu, _fb, _fu, _ppm in got:
+        assert pb < ch and pu < ch
+
+
+def _ulm_final_segment_lens(
+    wf: dict[str, int], rounds: int, maxp: int, seed_cap: int, steps: int
+) -> dict[str, int]:
+    """Per-word Viterbi piece count in the FINAL E-step round — the same
+    EM replay as _ulm_replay, returning the last round's segmentations."""
+    wf = {w: f for w, f in wf.items() if w and len(w) <= steps}
+    pc: Counter[str] = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for ln in range(1, min(maxp, len(w) - i) + 1):
+                pc[w[i : i + ln]] += f
+    chars = {p: c for p, c in pc.items() if len(p) == 1}
+    invm = dict(chars)
+    invm.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in pc.items() if len(p) >= 2 and c >= 2),
+                key=lambda x: (-x[1], x[0]),
+            )[:seed_cap]
+        )
+    )
+    lens: dict[str, int] = {}
+    for r in range(1, rounds + 1):
+        tot = sum(invm.values())
+        sc = {p: _micro_nats(c / tot) for p, c in invm.items()}
+        vc: Counter[str] = Counter()
+        for w, f in wf.items():
+            dp: list[tuple[int, int, str]] = [(0, 0, "")]
+            for j in range(1, len(w) + 1):
+                cands = []
+                for ln in range(1, min(maxp, j) + 1):
+                    piece = w[j - ln : j]
+                    if piece in sc:
+                        prev = dp[j - ln]
+                        cands.append(
+                            (prev[0] + sc[piece], ln, prev[2] + "|" + piece)
+                        )
+                dp.append(max(cands))
+            pieces = dp[len(w)][2][1:].split("|")
+            lens[w] = len(pieces)
+            for p in pieces:
+                vc[p] += f
+        new = {p: max(vc.get(p, 0), 1) for p in chars}
+        new.update(
+            dict(
+                sorted(
+                    ((p, c) for p, c in vc.items() if len(p) >= 2),
+                    key=lambda x: (-x[1], x[0]),
+                )[:seed_cap]
+            )
+        )
+        invm = new
+    return lens
+
+
 def test_unigram_lm_pieces_matches_python_final_inventory(spark):
     """Replay: the shipped inventory's top-20 (count desc, piece asc) with
     final counts and micro-nat scores."""

@@ -152,6 +152,7 @@ ALLOW = {
     # round-9 additions (adjudicated at registration, same classes as above)
     "text_unigram_lm_train": {"BroadcastNestedLoopJoin": "single-row inventory-size x corpus-Viterbi-stats scalars per EM round, x _ULM_ROUNDS=3 (plus _ulm_chain's checkpoint-hidden 1-row model/total broadcasts)"},
     "text_unigram_lm_pieces": {"BroadcastNestedLoopJoin": "single-row piece-count total x final inventory (score denominator; _ulm_chain's per-round broadcasts are checkpoint-hidden)"},
+    "text_tokenizer_shootout": {"BroadcastNestedLoopJoin": "inherits _bpe_chain's and _ulm_chain's checkpoint-hidden 1-row model/total broadcasts"},
     "mix_doremi_weights": {"BroadcastNestedLoopJoin": "single-row (weighted-avg excess, normalize total, source count) scalars x |sources| rows per EG round (normally checkpoint-hidden)"},
     "embedding_jl_distortion": {"BroadcastNestedLoopJoin": "single-row pair-total scalar x bounded distortion-histogram buckets"},
     "events_growth_accounting": {"BroadcastNestedLoopJoin": "single-row max-week scalar (censoring bound)"},
@@ -212,6 +213,7 @@ _WINDOW_ALLOW = {
     "text_bpe_pair_stats": "rank over the adjacent-pair count rollup (vocab-bounded)",
     "text_unigram_lm_train": "rank over the piece-count rollup (vocab-bounded seed + M-step pruning)",
     "text_unigram_lm_pieces": "rank over the piece-count rollup (vocab-bounded; + final top-20 report)",
+    "text_tokenizer_shootout": "rank over the piece-count rollup (vocab-bounded, _ulm_chain's seed/M-step pruning)",
     "supplier_scorecard": "rank over the per-supplier composite rollup (dim-sized)",
     "stats_bootstrap_ci": "rank over _BOOT_B=100 bootstrap replicate means",
     "slo_burn_rate_alerts": "RANGE windows over the hourly rollup (calendar-bounded)",
