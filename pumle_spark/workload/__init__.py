@@ -126,6 +126,7 @@ _DRIVER_QUEUE_R10: tuple[str, ...] = (
     "text_fim_transform_audit",
     "mix_doremi_weights",
     "text_tokenizer_shootout",
+    "curation_preference_pairs",
 )
 
 

@@ -1778,3 +1778,109 @@ def curation_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("coalesce(n_tokens, 0) * 1000000 div all_tokens").cast("bigint").alias("token_share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# preference-pair construction (DPO / reward-model data prep)
+# --------------------------------------------------------------------------
+
+_PREF_BAND_TOK = 20  # length-band width (tokens): pairs compare like with like
+_PREF_MIN_MARGIN = 1  # drop pairs whose quality gap rounds to zero milli
+
+
+@register(
+    "curation_preference_pairs",
+    sql=f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                  AS BIGINT) AS n_alnum,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM (SELECT source, doc_id, text, {_SQL_TOKENS} AS ws FROM documents)
+    ),
+    scored AS (
+      SELECT source, doc_id, n_tokens,
+             n_tokens // {_PREF_BAND_TOK} AS band,
+             (n_alnum * 1000) // NULLIF(n_chars, 0) AS q
+      FROM d
+    ),
+    pairs AS (
+      SELECT source, CAST(band AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MAX(struct_pack(v1 := q, v2 := -doc_id)) AS ch,
+             MIN(struct_pack(v1 := q, v2 := doc_id)) AS rj
+      FROM scored GROUP BY source, band
+    )
+    SELECT source, band, n_docs,
+           CAST(-(ch).v2 AS BIGINT) AS chosen_doc_id,
+           CAST((rj).v2 AS BIGINT) AS rejected_doc_id,
+           CAST((ch).v1 AS BIGINT) AS chosen_quality_milli,
+           CAST((rj).v1 AS BIGINT) AS rejected_quality_milli,
+           CAST((ch).v1 - (rj).v1 AS BIGINT) AS margin_milli
+    FROM pairs
+    WHERE n_docs >= 2 AND (ch).v1 - (rj).v1 >= {_PREF_MIN_MARGIN}
+    ORDER BY source, band
+    """,
+    tags=("curation", "preference", "dpo"),
+)
+def curation_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the (chosen, rejected) data-prep
+    step behind DPO / reward-model training (Rafailov et al. 2023,
+    arXiv:2305.18290; Stiennon et al. 2020 ran the same best-vs-worst
+    selection over human scores): within each (source, length-band)
+    stratum — bands of {_PREF_BAND_TOK} tokens so pairs compare like with
+    like, the standard anti-length-bias control — pick the
+    highest-quality document as `chosen` and the lowest as `rejected`
+    (quality = alnum-density milli, the same exact-integer score
+    `select_top_mass_per_source` ranks by), and keep pairs whose margin
+    is at least {_PREF_MIN_MARGIN} milli. Strata with fewer than 2 docs
+    or an all-equal quality score produce no pair — a degenerate pair
+    teaches a reward model nothing.
+
+    Determinism: both extrema are struct-ordered argmaxes with doc_id
+    tiebreaks pinned in the struct fields themselves (chosen: quality
+    DESC then doc_id ASC via MAX(q, -doc_id); rejected: quality ASC then
+    doc_id ASC via MIN(q, doc_id)) — total orders on both engines, never
+    a bare MAX_BY tie.
+
+    Scale shape: one narrow projection (token count + alnum density) and
+    ONE keyed groupBy on (source, band) carrying two struct extrema —
+    map-side combinable, no join, no window, no second corpus pass. At
+    100 TB this is a single shuffle of |sources x bands| partial rows."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")) * 1000
+        ).cast("bigint").alias("alnum_k"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr(f"n_tokens div {_PREF_BAND_TOK}").cast("bigint").alias("band"),
+        F.expr("alnum_k div nullif(n_chars, 0)").cast("bigint").alias("q"),
+    )
+    pairs = scored.groupBy("source", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(F.struct(F.col("q").alias("v1"), (-F.col("doc_id")).alias("v2"))).alias("ch"),
+        F.min(F.struct(F.col("q").alias("v1"), F.col("doc_id").alias("v2"))).alias("rj"),
+    )
+    return (
+        pairs.filter(
+            (F.col("n_docs") >= 2)
+            & (F.col("ch.v1") - F.col("rj.v1") >= _PREF_MIN_MARGIN)
+        )
+        .select(
+            "source",
+            "band",
+            "n_docs",
+            (-F.col("ch.v2")).cast("bigint").alias("chosen_doc_id"),
+            F.col("rj.v2").cast("bigint").alias("rejected_doc_id"),
+            F.col("ch.v1").cast("bigint").alias("chosen_quality_milli"),
+            F.col("rj.v1").cast("bigint").alias("rejected_quality_milli"),
+            (F.col("ch.v1") - F.col("rj.v1")).cast("bigint").alias("margin_milli"),
+        )
+        .orderBy("source", "band")
+    )

@@ -510,6 +510,45 @@ def _ulm_final_segment_lens(
     return lens
 
 
+def test_preference_pairs_match_python_extrema(spark):
+    """Replay: per-(source, band) quality extrema with the pinned doc_id
+    tiebreaks, the >= 2-doc and >= 1-milli-margin gates, and every
+    invariant a DPO pair must satisfy (chosen != rejected, chosen quality
+    strictly above rejected)."""
+    from pumle_spark.tables import table
+    from pumle_spark.workload.curation import (
+        _PREF_BAND_TOK,
+        _PREF_MIN_MARGIN,
+        curation_preference_pairs,
+    )
+
+    strata: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for r in (
+        table(spark, SF, "documents").select("source", "doc_id", "text").collect()
+    ):
+        n = len(_toks(r.text))
+        alnum = sum(ch.isalnum() for ch in r.text.lower())
+        q = alnum * 1000 // len(r.text)
+        strata.setdefault((r.source, n // _PREF_BAND_TOK), []).append(
+            (q, r.doc_id)
+        )
+    expect = []
+    for (s, band), docs in sorted(strata.items()):
+        if len(docs) < 2:
+            continue
+        ch = max(docs, key=lambda x: (x[0], -x[1]))
+        rj = min(docs)
+        if ch[0] - rj[0] < _PREF_MIN_MARGIN:
+            continue
+        expect.append(
+            (s, band, len(docs), ch[1], rj[1], ch[0], rj[0], ch[0] - rj[0])
+        )
+    got = [tuple(r) for r in curation_preference_pairs(spark, SF).collect()]
+    assert got == expect
+    for _s, _b, _n, cd, rd, cq, rq, m in got:
+        assert cd != rd and cq > rq and m == cq - rq
+
+
 def test_unigram_lm_pieces_matches_python_final_inventory(spark):
     """Replay: the shipped inventory's top-20 (count desc, piece asc) with
     final counts and micro-nat scores."""
