@@ -73,61 +73,52 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # union = 301/301 pre-freeze names over CORRECTNESS_r01–r07). Round 8 ran
 # the first ROTATE window (8 queue names + 42 oldest-verified) 50/50 green.
 #
-# _DRIVER_WINDOW_R09 is round 9's 50-row window, pasted verbatim from
+# _DRIVER_WINDOW_R10 is round 10's 50-row window, pasted verbatim from
 # `python tools/next_window.py` (regime printed: DRAIN+ROTATE-FILL over
-# CORRECTNESS_r01–r08): the 21 queries registered after the round-8 window
-# froze (the former _DRIVER_QUEUE_R09, all local-green via
-# tools/oracle_check.py 330/330 at sf0.01 but never driver-verified) lead,
-# followed by the 29 OLDEST-driver-verified names (ascending last-green
-# round over the checked-in CORRECTNESS_r0*.json records, registration
-# order as the tiebreak). This window drains the backlog to ZERO: after
-# round 9 every registry name as of the freeze has been driver-verified at
-# least once. Rotation keeps driver verification LIVE: a name re-verifies
-# roughly every ceil(registry/50) rounds, so a regression introduced after
-# a name's first green round re-enters the driver record instead of hiding
-# behind a stale "green once, ever" mark. The freeze is enforced by
-# tests/test_registry.py: queries()[:50] must equal this tuple,
+# CORRECTNESS_r01–r09): the 8 queries registered after the round-9 window
+# froze (the former _DRIVER_QUEUE_R10, all local-green via
+# tools/oracle_check.py at sf0.01 but never driver-verified) lead, followed
+# by the 42 OLDEST-driver-verified names (ascending last-green round over
+# the checked-in CORRECTNESS_r0*.json records, registration order as the
+# tiebreak). After round 10 the cumulative driver-green union covers all
+# 338 pre-freeze names. Rotation keeps driver verification LIVE: a name
+# re-verifies roughly every ceil(registry/50) rounds, so a regression
+# introduced after a name's first green round re-enters the driver record
+# instead of hiding behind a stale "green once, ever" mark. The freeze is
+# enforced by tests/test_registry.py: queries()[:50] must equal this tuple,
 # never-verified names must lead, and the rotated tail must be exactly the
 # oldest-verified stratum (no slot wasted on a recently-verified name).
-_DRIVER_WINDOW_R09 = (
-    # -- registered after the r08 window froze (the 21-name queue) --------
-    "dedup_exact_substring", "text_kneser_ney_logprob", "abtest_fdr_bh",
-    "stats_mann_whitney", "privacy_randomized_response", "split_group_kfold",
-    "layout_bloom_skipping", "ann_adc_rerank", "curation_quality_funnel",
-    "dedup_cdc_chunking", "privacy_dp_quantile", "stats_permutation_test",
-    "graph_minhash_neighbors", "sketch_cms_heavy_change", "drift_wasserstein_1d",
-    "curation_dedup_cascade", "text_bpe_train_merges", "text_repeated_ngrams",
-    "text_bpe_encode_fertility", "text_subword_greedy_vs_merge", "embedding_jl_distortion",
-    # -- the 29 oldest-driver-verified names (rotation fill) --------------
-    "join_full_outer_nation_counts", "join_theta_balance_dominance", "window_topk_orders_per_customer",
-    "window_running_customer_spend", "window_order_gap_days", "agg_rollup_region_nation",
-    "agg_distinct_customers_per_status", "set_except_customers", "set_intersect_union",
-    "topk_global_lineitems", "scalar_string_math_part", "cluster_kmeans_embeddings",
-    "cluster_kmeans_profile", "cluster_semdedup_pairs", "dedup_clusters_recursive_sql",
-    "pack_greedy_token_bins", "chunk_sliding_windows", "dedup_cluster_keep_best",
-    "select_top_mass_per_source", "drift_source_lang_profile", "snapshot_diff_customer_state",
-    "outlier_mad_brand_quantity", "profile_numeric_correlations", "stream_hourly_rollup_final",
-    "events_funnel_conversion", "events_session_window_builtin", "events_gapfill_interpolate",
-    "scd2_user_state_intervals", "interval_overlap_sessions",
+_DRIVER_WINDOW_R10 = (
+    # -- registered after the r09 window froze (the 8-name queue) ---------
+    "text_unigram_lm_train", "text_unigram_lm_pieces", "pack_bfd_token_bins",
+    "curation_pack_efficiency", "text_fim_transform_audit", "mix_doremi_weights",
+    "text_tokenizer_shootout", "curation_preference_pairs",
+    # -- the 42 oldest-driver-verified names (rotation fill) --------------
+    "stream_join_click_attribution",
+    "attribution_linear_credit", "graph_triangle_census", "layout_zorder_orders",
+    "link_fuzzy_part_names", "multimodal_feature_rollup", "pumle_golden_pipeline",
+    "q13_order_count_distribution", "q14_promo_revenue_share", "q2_min_cost_supplier",
+    "q8_national_market_share", "q9_product_type_profit", "q11_important_stock",
+    "q12_shipmode_priority", "q15_top_supplier", "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers", "sample_stratified_documents", "ann_recall_report",
+    "trap_watershed_assignment", "trap_spill_volumes", "text_quality_score",
+    "text_lang_id", "text_token_counts", "text_fingerprint_winnow",
+    "text_tfidf_top_terms", "text_repetition_filter", "text_decontaminate_overlap",
+    "text_pii_redaction", "text_inverted_postings", "orders_rfm_segments",
+    "audit_benford_totalprice", "orders_cusum_changepoint", "orders_seasonal_naive_backtest",
+    "audit_order_line_reconciliation", "share_of_parent_revenue", "orders_gini_concentration",
+    "weighted_median_quantity", "embedding_power_iteration", "dedup_prefix_filter_jaccard",
+    "dedup_containment_pairs", "dedup_blocking_quality",
 )
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R09)}
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R10)}
 
-# Queries registered AFTER the round-9 window froze (the driver records only
+# Queries registered AFTER the round-10 window froze (the driver records only
 # queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 10's window, followed by the oldest-verified rotation per the policy above
-# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R10).
+# 11's window, followed by the oldest-verified rotation per the policy above
+# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R11).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R10: tuple[str, ...] = (
-    "text_unigram_lm_train",
-    "text_unigram_lm_pieces",
-    "pack_bfd_token_bins",
-    "curation_pack_efficiency",
-    "text_fim_transform_audit",
-    "mix_doremi_weights",
-    "text_tokenizer_shootout",
-    "curation_preference_pairs",
-)
+_DRIVER_QUEUE_R11: tuple[str, ...] = ()
 
 
 def _rotation_key(name: str) -> tuple[int, int]:
