@@ -210,10 +210,6 @@ _WINDOW_ALLOW = {
     "sample_neyman_allocation": "largest-remainder rank over |strata| rows",
     "mix_waterfill_budget": "largest-remainder rank over |sources| rows",
     "text_keyword_textrank": "rank over the per-term TextRank rollup (top-term report)",
-    "text_bpe_pair_stats": "rank over the adjacent-pair count rollup (vocab-bounded)",
-    "text_unigram_lm_train": "rank over the piece-count rollup (vocab-bounded seed + M-step pruning)",
-    "text_unigram_lm_pieces": "rank over the piece-count rollup (vocab-bounded; + final top-20 report)",
-    "text_tokenizer_shootout": "rank over the piece-count rollup (vocab-bounded, _ulm_chain's seed/M-step pruning)",
     "supplier_scorecard": "rank over the per-supplier composite rollup (dim-sized)",
     "stats_bootstrap_ci": "rank over _BOOT_B=100 bootstrap replicate means",
     "slo_burn_rate_alerts": "RANGE windows over the hourly rollup (calendar-bounded)",
