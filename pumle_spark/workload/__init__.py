@@ -118,7 +118,10 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R10)}
 # (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R11).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R11: tuple[str, ...] = ()
+_DRIVER_QUEUE_R11: tuple[str, ...] = (
+    "pack_conversation_bins",
+    "mix_anneal_schedule",
+)
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

@@ -309,19 +309,16 @@ def pack_concat_fixed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _bfd_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    # best-fit-decreasing: docs sorted by (n_tokens DESC, doc_id); each doc
-    # goes to the FULLEST bin it still fits (ties -> lowest bin id), else
-    # opens a new bin. The linear scan over open bins keeps the convention
-    # pinned (first maximal fill wins); a production packer swaps in a
-    # sorted multiset for O(n log n) with the identical placement rule.
-    pdf = pdf.sort_values(
-        ["n_tokens", "doc_id"], ascending=[False, True]
-    ).reset_index(drop=True)
+def _bfd_bins(sizes: list[int]) -> list[int]:
+    # best-fit placement core shared by the document packer (_bfd_group)
+    # and the conversation packer (_conv_pack_group): each item goes to the
+    # FULLEST bin it still fits (ties -> lowest bin id), else opens a new
+    # bin. The linear scan over open bins keeps the convention pinned
+    # (first maximal fill wins); a production packer swaps in a sorted
+    # multiset for O(n log n) with the identical placement rule.
     fills: list[int] = []
-    bin_ids = []
-    for t in pdf["n_tokens"]:
-        t = int(t)
+    bin_ids: list[int] = []
+    for t in sizes:
         best = -1
         best_fill = -1
         for i, f in enumerate(fills):
@@ -333,7 +330,18 @@ def _bfd_group(pdf: pd.DataFrame) -> pd.DataFrame:
         else:
             fills[best] += t
             bin_ids.append(best + 1)
-    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    return bin_ids
+
+
+def _bfd_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # best-fit-decreasing: docs sorted by (n_tokens DESC, doc_id), then the
+    # shared best-fit placement scan.
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pdf["bin_id"] = pd.Series(
+        _bfd_bins([int(t) for t in pdf["n_tokens"]]), dtype="int64"
+    )
     return pdf[["source", "doc_id", "n_tokens", "bin_id"]]
 
 
@@ -398,6 +406,108 @@ def pack_bfd_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.size(_tokens_col()).cast("bigint").alias("n_tokens")
     )
     return sized.groupBy("source").applyInPandas(_bfd_group, _PACK_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# conversation-aware packing: multi-turn examples are packed atomically
+# --------------------------------------------------------------------------
+
+_CONV_TURNS = 4  # fixture stand-in: doc_id div 4 groups turns into a dialogue
+
+_CONV_SCHEMA = (
+    "source string, conv_id bigint, n_turns bigint, conv_tokens bigint, "
+    "bin_id bigint"
+)
+
+
+def _conv_pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # BFD over whole conversations: sort by (conv_tokens DESC, conv_id),
+    # then the shared best-fit placement scan — a conversation is one
+    # atomic item, never split across bins.
+    pdf = pdf.sort_values(
+        ["conv_tokens", "conv_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pdf["bin_id"] = pd.Series(
+        _bfd_bins([int(t) for t in pdf["conv_tokens"]]), dtype="int64"
+    )
+    return pdf[["source", "conv_id", "n_turns", "conv_tokens", "bin_id"]]
+
+
+@register(
+    "pack_conversation_bins",
+    sql=f"""
+    WITH RECURSIVE cdocs AS (
+      SELECT source, doc_id // {_CONV_TURNS} AS conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(LEN(ws)) AS BIGINT) AS conv_tokens
+      FROM (SELECT source, doc_id, {_SQL_TOKENS} AS ws FROM documents)
+      GROUP BY source, doc_id // {_CONV_TURNS}
+    ),
+    cord AS (
+      SELECT source, conv_id, n_turns, conv_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY conv_tokens DESC, conv_id) AS rn
+      FROM cdocs
+    ),
+    cpack AS (                    -- linear recursion = the BFD scan
+      SELECT source, rn, conv_id, n_turns, conv_tokens,
+             CAST(1 AS BIGINT) AS bin_id, [conv_tokens] AS fills
+      FROM cord WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.conv_id, d.n_turns, d.conv_tokens,
+             CASE WHEN b.best IS NULL THEN CAST(len(p.fills) + 1 AS BIGINT)
+                  ELSE CAST(list_position(p.fills, b.best) AS BIGINT) END,
+             CASE WHEN b.best IS NULL THEN list_append(p.fills, d.conv_tokens)
+                  ELSE list_concat(list_concat(
+                         p.fills[1:list_position(p.fills, b.best) - 1],
+                         [b.best + d.conv_tokens]),
+                         p.fills[list_position(p.fills, b.best) + 1:len(p.fills)])
+             END
+      FROM cpack p
+      JOIN cord d ON d.source = p.source AND d.rn = p.rn + 1,
+      LATERAL (SELECT list_max(list_filter(p.fills,
+                 f -> f + d.conv_tokens <= {_BIN_CAPACITY})) AS best) b
+    )
+    SELECT source, conv_id, n_turns, conv_tokens, bin_id FROM cpack
+    """,
+    tags=("curation", "packing", "stateful", "conversation"),
+)
+def pack_conversation_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-aware best-fit-decreasing packing: multi-turn examples
+    are packed ATOMICALLY — every turn of a dialogue lands in the same
+    {_BIN_CAPACITY}-token bin, never split across training sequences (the
+    fine-tuning analogue of Ding et al. 2024's no-truncation rule: a
+    truncated conversation trains on orphaned answers, so SFT packers pack
+    at the conversation boundary). Turns roll up to their conversation
+    first (the fixture's stand-in key is doc_id div {_CONV_TURNS};
+    production swaps in the real conversation/session id), then the SAME
+    best-fit placement core as `pack_bfd_token_bins` (`_bfd_bins` — one
+    definition, never a re-statement) packs whole conversations per
+    source: (conv_tokens DESC, conv_id) order, fullest-fitting bin wins,
+    ties to the lowest bin id, oversize conversations open their own bin
+    (truncation candidates the packer refuses to split).
+
+    Scale shape: one keyed rollup (map-side-combinable sum to the
+    conversation grain — at 100 TB this is the only corpus-sized stage)
+    then the adjudicated applyInPandas stateful-scan class over
+    |conversations|-per-source items, same as the two document packers.
+    The DuckDB oracle runs the identical scan as a linear recursive CTE
+    carrying the open bins' fills as a LIST (first-occurrence
+    list_position IS the lowest-bin-id tie rule)."""
+    docs = table(spark, sf_dir, "documents")
+    convs = (
+        docs.select(
+            "source",
+            F.expr(f"doc_id div {_CONV_TURNS}").cast("bigint").alias("conv_id"),
+            F.size(_tokens_col()).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source", "conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum("n_tokens").cast("bigint").alias("conv_tokens"),
+        )
+    )
+    return convs.groupBy("source").applyInPandas(_conv_pack_group, _CONV_SCHEMA)
 
 
 @register(

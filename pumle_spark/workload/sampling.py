@@ -1238,7 +1238,7 @@ _SQL_DRM_LOSS = """
       GROUP BY t.source
     ),
     ex AS MATERIALIZED (
-      SELECT source, GREATEST(gsum // n_toks - lsum // n_toks, 0) AS e
+      SELECT source, n_toks, GREATEST(gsum // n_toks - lsum // n_toks, 0) AS e
       FROM sc
     ),
     ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ex),
@@ -1269,41 +1269,18 @@ def _sql_drm_round(r: int) -> str:
                       alpha AS alpha_ppm FROM a{r})"""
 
 
-@register(
-    "mix_doremi_weights",
-    sql=f"""
-    WITH {_SQL_DRM_LOSS},
-    {", ".join(_sql_drm_round(r) for r in range(1, _DRM_ROUNDS + 1))}
-    SELECT CAST(round AS INTEGER) AS round, source, excess_micro, alpha_ppm
-    FROM ({" UNION ALL ".join(f"SELECT * FROM rep{r}" for r in range(1, _DRM_ROUNDS + 1))})
-    ORDER BY round, source
-    """,
-    tags=("sampling", "mixture", "doremi", "iterative"),
-)
-def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
-    arXiv:2305.10429): upweight the domains the reference model fits
-    WORST. Each source's excess loss is its corpus-global unigram-LM avg
-    token NLL minus its in-domain unigram-LM avg NLL (the per-domain gap a
-    proxy-vs-reference pair measures; both models are token-count tables,
-    clipped at 0 like DoReMi's max(excess, 0)), then a fixed
-    {_DRM_ROUNDS}-round exponentiated-gradient unroll on the Group-DRO
-    objective: alpha <- alpha * exp(eta * (excess - weighted avg)),
-    integer-normalized to ppm, then smoothed with {_DRM_SMOOTH_PPM} ppm of
-    uniform mass (DoReMi's c). Emits the full per-round weight trajectory.
-
-    Determinism: per-vocabulary-entry costs are micro-nat-quantized before
-    any sum (the module contract); every dp is exact BIGINT. The one
-    double per (round, source) is the exp() of a centered excess bounded
-    by ln|V| nats (|V| = corpus vocabulary), so q <= ~5.5e6 and the
-    normalize product alpha*q*1e6 stays under 2^63 by construction.
-
-    Scale shape: both LMs are keyed count rollups (vocab / source x vocab
-    sized — broadcastable); scoring is two keyed joins on the token
-    stream, then everything downstream is |sources|-sized: the EG rounds
-    are arithmetic over a 20-row table with single-row broadcast scalars.
-    At 100 TB the token-stream joins are the only heavy stages and both
-    are map-side-combinable counts."""
+def _drm_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """The DoReMi loss + exponentiated-gradient chain, ONE definition
+    shared by `mix_doremi_weights` (per-round trajectory report) and
+    `mix_anneal_schedule` (final-weight consumer): returns (ex, reps, a)
+    — ex the checkpointed (source, n_toks, e) excess-loss table, reps
+    the per-round (round, source, excess_micro, alpha_ppm) report
+    frames, and a the final (source, e, alpha, k) weights after
+    _DRM_ROUNDS exponentiated-gradient rounds. Semantics, determinism,
+    and scale shape are documented on `mix_doremi_weights`; the SQL
+    twin is _SQL_DRM_LOSS + _sql_drm_round, shared the same way."""
     from pumle_spark.workload.text import _tokens_col
 
     docs = table(spark, sf_dir, "documents")
@@ -1348,6 +1325,7 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = sc.select(
         "source",
+        "n_toks",
         F.greatest(
             F.expr("gsum div n_toks - lsum div n_toks"), F.lit(0)
         )
@@ -1415,7 +1393,160 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("alpha").alias("alpha_ppm"),
             )
         )
+    return ex, reps, a
+
+
+@register(
+    "mix_doremi_weights",
+    sql=f"""
+    WITH {_SQL_DRM_LOSS},
+    {", ".join(_sql_drm_round(r) for r in range(1, _DRM_ROUNDS + 1))}
+    SELECT CAST(round AS INTEGER) AS round, source, excess_micro, alpha_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM rep{r}" for r in range(1, _DRM_ROUNDS + 1))})
+    ORDER BY round, source
+    """,
+    tags=("sampling", "mixture", "doremi", "iterative"),
+)
+def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429): upweight the domains the reference model fits
+    WORST. Each source's excess loss is its corpus-global unigram-LM avg
+    token NLL minus its in-domain unigram-LM avg NLL (the per-domain gap a
+    proxy-vs-reference pair measures; both models are token-count tables,
+    clipped at 0 like DoReMi's max(excess, 0)), then a fixed
+    {_DRM_ROUNDS}-round exponentiated-gradient unroll on the Group-DRO
+    objective: alpha <- alpha * exp(eta * (excess - weighted avg)),
+    integer-normalized to ppm, then smoothed with {_DRM_SMOOTH_PPM} ppm of
+    uniform mass (DoReMi's c). Emits the full per-round weight trajectory.
+
+    Determinism: per-vocabulary-entry costs are micro-nat-quantized before
+    any sum (the module contract); every dp is exact BIGINT. The one
+    double per (round, source) is the exp() of a centered excess bounded
+    by ln|V| nats (|V| = corpus vocabulary), so q <= ~5.5e6 and the
+    normalize product alpha*q*1e6 stays under 2^63 by construction.
+
+    Scale shape: both LMs are keyed count rollups (vocab / source x vocab
+    sized — broadcastable); scoring is two keyed joins on the token
+    stream, then everything downstream is |sources|-sized: the EG rounds
+    are arithmetic over a 20-row table with single-row broadcast scalars.
+    At 100 TB the token-stream joins are the only heavy stages and both
+    are map-side-combinable counts."""
+    _ex, reps, _a = _drm_chain(spark, sf_dir)
     out = reps[0]
     for s in reps[1:]:
         out = out.unionAll(s)
     return out.orderBy("round", "source")
+
+
+# --------------------------------------------------------------------------
+# multi-epoch annealing schedule: natural mixture -> DoReMi weights
+# --------------------------------------------------------------------------
+
+_ANNEAL_EPOCHS = 4      # pretraining epochs the schedule spans
+_ANNEAL_MAX_REPEAT = 2  # UniMax-style per-source repeat budget (epochs)
+
+
+@register(
+    "mix_anneal_schedule",
+    sql=f"""
+    WITH {_SQL_DRM_LOSS},
+    {", ".join(_sql_drm_round(r) for r in range(1, _DRM_ROUNDS + 1))},
+    tgt AS (SELECT source, alpha AS tgt_ppm FROM a{_DRM_ROUNDS}),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS b FROM ex),
+    nat AS (SELECT source, n_toks,
+                   CAST(n_toks * 1000000 // tot.b AS BIGINT) AS nat_ppm
+            FROM ex, tot),
+    ep AS (SELECT unnest(range(1, {_ANNEAL_EPOCHS + 1})) AS epoch),
+    sched AS (
+      SELECT ep.epoch, n.source, n.n_toks, tot.b,
+             CAST((n.nat_ppm * ({_ANNEAL_EPOCHS} - ep.epoch)
+                   + t.tgt_ppm * (ep.epoch - 1))
+                  // {_ANNEAL_EPOCHS - 1} AS BIGINT) AS weight_ppm
+      FROM nat n JOIN tgt t ON t.source = n.source, ep, tot
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, source, weight_ppm,
+           CAST((b * weight_ppm) // 1000000 AS BIGINT) AS tokens_budget,
+           CAST(((b * weight_ppm) // 1000000) * 1000 // n_toks AS BIGINT)
+             AS repeat_milli,
+           CAST(CASE WHEN ((b * weight_ppm) // 1000000) * 1000 // n_toks
+                          > {_ANNEAL_MAX_REPEAT * 1000}
+                     THEN 1 ELSE 0 END AS INTEGER) AS capped
+    FROM sched
+    ORDER BY epoch, source
+    """,
+    tags=("sampling", "mixture", "doremi", "annealing"),
+)
+def mix_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data-mixing ANNEALING schedule: epoch 1 samples each
+    source at its natural token share and the last epoch at the DoReMi
+    weights, interpolating linearly in exact ppm between them — the
+    two-stage curriculum production pretraining runs (start on the raw
+    web mixture, anneal onto the quality-reweighted mixture late in
+    training; cf. Llama 3, arXiv:2407.21783 §3.4.3 "annealing data", and
+    MiniCPM, arXiv:2404.06395's decay-phase mixture shift). The DoReMi
+    target is THE registered trainer's output (`_drm_chain`, shared with
+    `mix_doremi_weights` — one definition, never a re-statement).
+
+    Per (epoch, source): the interpolated weight_ppm, the epoch's token
+    draw against a one-corpus-pass budget (tokens_budget), the implied
+    repeat factor over the source's own corpus in milli-epochs
+    (repeat_milli), and a UniMax-style cap audit (Chung et al. 2023,
+    arXiv:2304.09151): capped=1 where the draw would repeat a source more
+    than {_ANNEAL_MAX_REPEAT}x — the rows a budget redistribution
+    (`mix_waterfill_budget`'s class) would re-spread.
+
+    Determinism: the interpolation is (nat*(E-e) + tgt*(e-1)) div (E-1)
+    with every term non-negative, so DuckDB floor-`//` and Spark
+    truncating-`div` agree; budgets and repeat factors are BIGINT floor
+    divisions of non-negative products (b * ppm <= 2^63 by corpus size).
+
+    Scale shape: the corpus-sized work is _drm_chain's token-stream scoring
+    (map-side-combinable counts, documented there); everything here is
+    |sources|-sized arithmetic crossed with a constant {_ANNEAL_EPOCHS}-row
+    epoch grid and two single-row broadcast scalars."""
+    ex, _reps, a = _drm_chain(spark, sf_dir)
+    tot = ex.agg(F.sum("n_toks").cast("bigint").alias("b"))
+    nat = ex.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        "b",
+        F.expr("n_toks * 1000000 div b").cast("bigint").alias("nat_ppm"),
+    )
+    tgt = a.select("source", F.col("alpha").alias("tgt_ppm"))
+    epochs = spark.range(1, _ANNEAL_EPOCHS + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    sched = (
+        nat.join(tgt, "source")
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "source",
+            "n_toks",
+            "b",
+            F.expr(
+                f"(nat_ppm * ({_ANNEAL_EPOCHS} - epoch) + tgt_ppm * (epoch - 1)) "
+                f"div {_ANNEAL_EPOCHS - 1}"
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )
+    return (
+        sched.select(
+            "epoch",
+            "source",
+            "weight_ppm",
+            F.expr("(b * weight_ppm) div 1000000").cast("bigint").alias("tokens_budget"),
+            F.expr("((b * weight_ppm) div 1000000) * 1000 div n_toks")
+            .cast("bigint")
+            .alias("repeat_milli"),
+        )
+        .withColumn(
+            "capped",
+            F.when(F.col("repeat_milli") > _ANNEAL_MAX_REPEAT * 1000, 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("epoch", "source")
+    )

@@ -182,6 +182,8 @@ ALLOW = {
     "sketch_bloom_tuning": {"BroadcastNestedLoopJoin": "single-row member-count scalar x 3 config rows"},
     "layout_hilbert_orders": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
     "layout_curve_locality": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
+    # round-10 addition (adjudicated at registration, mix_unimax's class)
+    "mix_anneal_schedule": {"BroadcastNestedLoopJoin": "single-row corpus-total scalar + constant 4-epoch grid x |sources| rows"},
 }
 
 # Unpartitioned-WindowExec adjudications (round 7: the check itself is new;
