@@ -2613,7 +2613,15 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
         )
-        vf = nxt.unionAll(conv_rows)
+        # localCheckpoint pins each round's (|channels|+1)x|states| value
+        # table (the _ulm_chain/_drm_chain pattern): round k+1 plans
+        # against materialized rows instead of a k-deep union tree — task
+        # binaries stay small, and the CONV seed literal reaches the next
+        # join as DATA, not a foldable expression (a constant-folded join
+        # key made Spark's injected runtime bloom filter generate
+        # `(Long)<negative literal>` which Janino cannot compile,
+        # demoting every round to interpreted evaluation).
+        vf = nxt.unionAll(conv_rows).localCheckpoint(eager=False)
     pabs = (
         rem.join(
             F.broadcast(vf.filter(F.col("state") == "START").select("removed", "v")),
