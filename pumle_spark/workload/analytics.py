@@ -2264,11 +2264,14 @@ def pattern_decline_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("len") >= _STREAK_MIN)
     )
+    # top-k MEMBERSHIP only (rnk is not in the output): orderBy+limit plans
+    # as TakeOrderedAndProject — per-partition top-k, one bounded merge —
+    # instead of dragging every streak survivor through one partition as
+    # the previous unpartitioned rank window did. (cust, from_mon) makes
+    # the tiebreak a total order, so the set is deterministic.
     return (
-        streaks.withColumn(
-            "rnk", F.row_number().over(Window.orderBy(F.desc("len"), "cust", "from_mon"))
-        )
-        .filter(F.col("rnk") <= _STREAK_TOP)
+        streaks.orderBy(F.desc("len"), "cust", "from_mon")
+        .limit(_STREAK_TOP)
         .select(
             "cust",
             F.col("len").alias("streak_len"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pumle_spark.operators.topk import ranked_topk
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -1241,11 +1242,11 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    top = counted.orderBy(F.desc("n_sessions"), "path").limit(_PATH_TOPK)
-    wr = Window.orderBy(F.desc("n_sessions"), "path")
-    return top.select(
-        "path", "n_sessions", F.row_number().over(wr).cast("int").alias("rnk")
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return ranked_topk(counted, _PATH_TOPK, "n_sessions", "path").select(
+        "path", "n_sessions", "rnk"
     )
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pumle_spark.operators.topk import ranked_topk
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -132,21 +133,17 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             (F.expr(f"(15 * {_MASS}) div (100 * n)") + F.expr("(85 * s) div 100")).alias("r"),
         )
-    # distributed top-k first (TakeOrderedAndProject — per-partition heads,
-    # driver merge of _TOP rows), THEN a row_number over just those rows;
-    # a global window here would sort the whole node set on one partition
-    top = ranks.orderBy(F.col("r").desc(), F.col("node")).limit(_TOP)
-    w = Window.orderBy(F.col("r").desc(), F.col("node"))
-    return (
-        top.withColumn("rn", F.row_number().over(w))
-        .select(
-            F.col("node").alias("node_id"),
-            F.when(F.col("node") % 2 == 0, F.lit("customer"))
-            .otherwise(F.lit("supplier"))
-            .alias("node_type"),
-            F.col("r").alias("rank_micro"),
-            F.col("rn").cast("int").alias("rnk"),
-        )
+    # windowless two-phase top-k (ranked_topk): TakeOrderedAndProject keeps
+    # per-partition heads and one bounded merge picks the _TOP winners, then
+    # the ordinal comes from posexploding one sorted array — no WindowExec,
+    # so the whole node set never crosses a single partition
+    return ranked_topk(ranks, _TOP, "r", "node").select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("r").alias("rank_micro"),
+        "rnk",
     )
 
 
@@ -539,17 +536,23 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
-    w_rank = Window.orderBy("dist", "node")
+    # windowless two-phase top-k over the full node-distance table (the one
+    # relation here that grows with the graph): ascending dist == descending
+    # on its negation, which is what ranked_topk's leading key expects
     return (
-        dist.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _SSSP_TOP)
+        ranked_topk(
+            dist.withColumn("negdist", (-F.col("dist")).cast("bigint")),
+            _SSSP_TOP,
+            "negdist",
+            "node",
+        )
         .select(
             F.col("node").alias("node_id"),
             F.when(F.col("node") % 2 == 0, "customer")
             .otherwise("supplier")
             .alias("node_type"),
             F.col("dist").alias("dist_cents"),
-            F.col("rn").cast("int").alias("rnk"),
+            "rnk",
         )
     )
 
@@ -880,17 +883,18 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.sum("n_members").cast("bigint").alias("n_nodes"),
     )
-    wr = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    # windowless two-phase top-k over the community rollup (grows with the
+    # graph — LPA can fragment into O(|nodes|) communities)
     return (
-        comm.crossJoin(F.broadcast(tot))
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= _LPA_TOP)
+        ranked_topk(
+            comm.crossJoin(F.broadcast(tot)), _LPA_TOP, "n_members", "community"
+        )
         .select(
             "community",
             "n_members",
             "n_communities",
             "n_nodes",
-            F.col("rn").cast("int").alias("rnk"),
+            "rnk",
         )
         .orderBy("rnk")
     )
@@ -1259,19 +1263,14 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("t").cast("bigint").alias("r"))
         )
     seed_flag = seeds.withColumn("is_seed_", F.lit(1))
-    top = (
-        ranks.join(seed_flag, "node", "left")
-        .select(
-            "node",
-            "r",
-            F.coalesce("is_seed_", F.lit(0)).cast("bigint").alias("is_seed"),
-        )
-        .orderBy(F.desc("r"), "node")
-        .limit(_PPR_TOP)
+    scored = ranks.join(seed_flag, "node", "left").select(
+        "node",
+        "r",
+        F.coalesce("is_seed_", F.lit(0)).cast("bigint").alias("is_seed"),
     )
-    w = Window.orderBy(F.desc("r"), "node")
+    # windowless two-phase top-k (ranked_topk) — no WindowExec in the plan
     return (
-        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        ranked_topk(scored, _PPR_TOP, "r", "node")
         .select(
             F.col("node").alias("node_id"),
             F.when(F.col("node") % 2 == 0, F.lit("customer"))

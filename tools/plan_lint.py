@@ -202,22 +202,15 @@ _WINDOW_ALLOW = {
     "events_markov_stationary": "rank over |event-type| stationary-mass rollup",
     "sketch_quantile_histogram": "cumulative over <=2048-bin sketch + value histogram",
     "stream_watermark_policy_audit": "hourly audit rollup (calendar-bounded)",
-    "graph_pagerank_trade": "rank ordinal for the top-k report over the node-rank rollup",
     "graph_triangle_census": "edge-quantile threshold via cumulative rank over the distinct pair-count histogram (value-bounded), reused across unrolled census branches",
     "graph_link_prediction": "inherits graph_triangle_census's bounded pair-count-histogram threshold windows",
-    "graph_sssp_bounded": "rank ordinal for the top-k distance report",
-    "graph_ppr_seeded": "rank ordinal for the top-k report over the node-rank rollup",
-    "graph_lpa_communities": "rank over community-size rollup (report)",
     "sweep_linspace_grid": "ordinal over the constant-size parameter grid",
     "sample_neyman_allocation": "largest-remainder rank over |strata| rows",
     "mix_waterfill_budget": "largest-remainder rank over |sources| rows",
-    "text_keyword_textrank": "rank over the per-term TextRank rollup (top-term report)",
     "supplier_scorecard": "rank over the per-supplier composite rollup (dim-sized)",
     "stats_bootstrap_ci": "rank over _BOOT_B=100 bootstrap replicate means",
     "slo_burn_rate_alerts": "RANGE windows over the hourly rollup (calendar-bounded)",
     "sessions_peak_concurrency": "sweep-line carry over per-day boundary rollup (calendar-bounded)",
-    "events_session_paths": "rank over the distinct-path session-count rollup (top-N report)",
-    "pattern_decline_streaks": "rank over the per-customer streak rollup (top-N report)",
     "orders_shiplag_survival": "survival curve over the day grid (calendar-bounded)",
     "orders_max_drawdown": "running max + rank over the monthly series (calendar-bounded)",
     "orders_cusum_changepoint": "prefix-sum/min over the daily series (calendar-bounded)",
