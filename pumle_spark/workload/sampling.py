@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pumle_spark.operators.topk import ranked_topk
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -319,13 +320,19 @@ def sample_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(n_chars, 1L)"
         ).alias("rank_value"),
     )
-    top = ranked.orderBy("rank_value", "doc_id").limit(_SPS_K)
-    wr = Window.orderBy("rank_value", "doc_id")
-    return top.select(
+    # windowless two-phase top-k (ranked_topk): ascending rank_value ==
+    # descending on its negation; no WindowExec, so the corpus-sized rank
+    # table never crosses one partition
+    return ranked_topk(
+        ranked.withColumn("negrv", (-F.col("rank_value")).cast("bigint")),
+        _SPS_K,
+        "negrv",
+        "doc_id",
+    ).select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         "rank_value",
-        F.row_number().over(wr).cast("int").alias("rn"),
+        F.col("rnk").alias("rn"),
     )
 
 

@@ -230,7 +230,6 @@ _WINDOW_ALLOW = {
     "layout_zonemap_skipping": "file-ordinal assignment is a global sort by design (layout audit); production writes range-partition the sort",
     "pareto_abc_parts": "ABC cumulative revenue share — total-order contract over the per-part rollup",
     "skyline_parts_2d": "skyline sweep via cumulative min over the price-sorted part rollup — total-order contract",
-    "sample_sequential_poisson": "sequential-Poisson lottery rank — total-order contract over the (doc_id, rank_value) projection",
     # round-7 additions (adjudicated at registration)
     "mix_unimax_epochs": "prefix-cap scan + largest-remainder rank over |langs| rows",
     "drift_page_hinkley": "PH prefix walks over the hourly series (calendar-bounded)",
