@@ -132,3 +132,33 @@ def test_anneal_schedule_endpoints_interpolation_and_caps(spark):
     eE = {r.source: r.weight_ppm for r in rows if r.epoch == _ANNEAL_EPOCHS}
     assert e1 == nat
     assert eE == tgt
+
+
+def test_ranked_topk_operator_contract(spark):
+    """Unit contract for the shared windowless top-k: exact (desc, asc-tie)
+    order, 1-based dense ordinal, k larger than the input, empty input,
+    and zero WindowExec in the executed plan."""
+    import pyspark.sql.functions as F
+
+    from pumle_spark.operators.topk import ranked_topk
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 7), ("c", 3), ("d", 9)], "name string, score long"
+    )
+    got = [tuple(r) for r in ranked_topk(df, 3, "score", "name").collect()]
+    assert got == [(1, "d", 9), (2, "b", 7), (3, "a", 3)]
+
+    all_rows = [tuple(r) for r in ranked_topk(df, 10, "score", "name").collect()]
+    assert all_rows == [(1, "d", 9), (2, "b", 7), (3, "a", 3), (4, "c", 3)]
+
+    empty = ranked_topk(df.filter(F.col("score") > 100), 5, "score", "name")
+    assert empty.count() == 0
+
+    plan = (
+        ranked_topk(df, 3, "score", "name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window [" not in plan
+    assert "TakeOrderedAndProject" in plan
