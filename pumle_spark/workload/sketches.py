@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pumle_spark.operators.topk import ranked_topk
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -1511,14 +1512,15 @@ def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("exact_change"),
     )
-    w = Window.orderBy(F.abs(F.col("est_change")).desc(), "p_partkey")
-    return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _HC_TOPK)
-        .select(
-            "p_partkey", "est_a", "est_b", "est_change", "exact_a", "exact_b",
-            "exact_change",
-            F.abs(F.col("est_change") - F.col("exact_change")).cast("bigint").alias("est_abs_err"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
+    # windowless two-phase top-k over the part-dim estimate table (the part
+    # dimension scales with SF — 2e9 rows at 100 TB TPC-H, too big for the
+    # single partition an unpartitioned rank window forces)
+    scored = joined.withColumn(
+        "abs_change", F.abs(F.col("est_change")).cast("bigint")
+    )
+    return ranked_topk(scored, _HC_TOPK, "abs_change", "p_partkey").select(
+        "p_partkey", "est_a", "est_b", "est_change", "exact_a", "exact_b",
+        "exact_change",
+        F.abs(F.col("est_change") - F.col("exact_change")).cast("bigint").alias("est_abs_err"),
+        "rnk",
     )

@@ -238,7 +238,6 @@ _WINDOW_ALLOW = {
     "abtest_fdr_bh": "BH step-up rank/k* over the m = 2x|event-type| hypothesis rows (bounded)",
     "stats_mann_whitney": "rank-sum prefix over the <=50-value quantity histogram (value-bounded)",
     "privacy_dp_quantile": "cumulative counts + per-(eps,q) argmax over the <=50-bin value histogram (value-bounded)",
-    "sketch_cms_heavy_change": "top-k rank over the part-dim estimate table (dim-bounded report)",
     "drift_wasserstein_1d": "two-level prefix: bucket carry-in window is domain-bounded; the heavy cumsum partitions by bucket (drift_ks_two_sample's class)",
 }
 for _n, _why in _WINDOW_ALLOW.items():
