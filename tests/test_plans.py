@@ -665,7 +665,8 @@ def test_minhash_neighbors_quadratic_work_stays_in_buckets(spark):
 def test_cms_heavy_change_sketch_is_one_conditional_pass(spark):
     """Both period sketches are columns of ONE (row, col) groupBy (CMS
     linearity); the dictionary probe joins the broadcast cell table; the
-    rank window sits above the dim-sized estimate aggregate."""
+    top-k report is the windowless ranked_topk above the estimate
+    aggregate."""
     plan = plan_of("sketch_cms_heavy_change", spark)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
