@@ -806,3 +806,39 @@ def test_jl_distortion_is_linear_keyed_join_and_codegen_sums(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row total
     assert "md5" not in plan  # signs are literals, never per-row hashes
+
+
+_WINDOWLESS_TOPK_QUERIES = (
+    # round 10: every rank report whose input grows with the data was
+    # converted to the shared windowless ranked_topk (operators/topk.py) or
+    # a plain orderBy+limit; an unpartitioned WindowExec reappearing in any
+    # of these plans is a scale regression (whole relation -> ONE task).
+    "text_bpe_pair_stats",
+    "text_unigram_lm_pieces",
+    "text_keyword_textrank",
+    "events_session_paths",
+    "pattern_decline_streaks",
+    "graph_pagerank_trade",
+    "graph_sssp_bounded",
+    "graph_lpa_communities",
+    "graph_ppr_seeded",
+    "sample_sequential_poisson",
+    "sketch_cms_heavy_change",
+)
+
+
+@pytest.mark.parametrize("name", _WINDOWLESS_TOPK_QUERIES)
+def test_growing_rank_reports_have_no_unpartitioned_window(spark, name):
+    """Lock for the round-10 windowless top-k conversions: the executed
+    plan must contain a TakeOrderedAndProject (the two-phase prune) and no
+    unpartitioned Window node. Uses plan_lint's own detector so the suite
+    and the lint can never disagree on what counts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from plan_lint import _unpartitioned_windows
+
+    plan = plan_of(name, spark)
+    assert _unpartitioned_windows(plan) == 0, name
+    assert "TakeOrderedAndProject" in plan, name
