@@ -2164,7 +2164,7 @@ def stream_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLD_HOURS = 24  # trailing window length (hours)
 
 # the register→estimate CTE chain is shared verbatim with the sketch module
-from pumle_spark.workload.sketches import _HLL_EST_SQL
+from pumle_spark.workload.sketches import _HLL_EST_SQL, _q3
 
 
 @register(
@@ -2205,9 +2205,9 @@ from pumle_spark.workload.sketches import _HLL_EST_SQL
     SELECT strftime(to_timestamp(CAST(x.tag AS BIGINT) * 3600),
                     '%Y-%m-%d %H:%M:%S') AS hour_ts,
            x.exact_users,
-           ROUND(c.chosen_est, 3) AS hll_users,
-           ROUND(100.0 * (c.chosen_est - x.exact_users) / x.exact_users, 3)
-             AS rel_err_pct
+           FLOOR((c.chosen_est) * 1000.0 + 0.5) / 1000.0 AS hll_users,
+           FLOOR((100.0 * (c.chosen_est - x.exact_users) / x.exact_users)
+                 * 1000.0 + 0.5) / 1000.0 AS rel_err_pct
     FROM exact x JOIN corrected c ON c.tag = x.tag
     ORDER BY hour_ts
     """,
@@ -2277,12 +2277,11 @@ def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "yyyy-MM-dd HH:mm:ss",
             ).alias("hour_ts"),
             "exact_users",
-            F.round("chosen_est", 3).alias("hll_users"),
-            F.round(
+            _q3(F.col("chosen_est")).alias("hll_users"),
+            _q3(
                 100.0
                 * (F.col("chosen_est") - F.col("exact_users"))
-                / F.col("exact_users"),
-                3,
+                / F.col("exact_users")
             ).alias("rel_err_pct"),
         )
         .orderBy("hour_ts")

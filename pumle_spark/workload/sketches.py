@@ -36,9 +36,16 @@ from pumle_spark.workload import register
 # ---------------------------------------------------------------------------
 
 _HLL_M = 256
-# alpha_256 * m^2 * 2^33, written as the same literal arithmetic on both
-# engines so the doubles match bit-for-bit
-_HLL_NUM = f"(0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M * _HLL_M}.0 * 8589934592.0"
+# alpha_256 * m^2 * 2^33, computed ONCE in python doubles and embedded as
+# the identical repr() constant on both engines. It must NOT be written as
+# literal arithmetic: DuckDB's `/` promotes to DOUBLE so its fold equals
+# the python float bit-for-bit, but Spark parses decimal-point literals as
+# DECIMAL and folds `0.7213 / (1.0 + ...)` in decimal arithmetic — one ulp
+# off, enough to flip a downstream 3-decimal quantization (the round-10
+# sf0.1 sweep caught events_sliding_distinct_hll at exactly such a
+# boundary: spark 1281.163 vs duck 1281.162).
+_HLL_NUM_VAL = 0.7213 / (1.0 + 1.079 / float(_HLL_M)) * float(_HLL_M * _HLL_M) * 8589934592.0
+_HLL_NUM = f"CAST({_HLL_NUM_VAL!r} AS DOUBLE)"
 
 # Small-range (linear-counting) correction: E = m * ln(m / V) when the raw
 # harmonic estimate is <= 2.5m and V (empty buckets) > 0. ln() differs
@@ -69,6 +76,25 @@ def _hll_registers(tagged: DataFrame) -> DataFrame:
         F.lit(33) - F.length(F.conv(F.col("w32").cast("string"), 10, 2))
     )
     return hashed.groupBy("tag", "bucket").agg(F.max(rho).alias("m_reg"))
+
+
+
+def _q3(col: F.Column) -> F.Column:
+    """Quantize a cross-engine-identical double to 3 decimals WITHOUT
+    ROUND(): floor(x*1000 + 0.5)/1000 is pure IEEE arithmetic, so doubles
+    that are bit-identical on both engines stay identical through it.
+    Spark's round() rounds the SHORTEST-DECIMAL-REPR of the double
+    (BigDecimal.valueOf) while DuckDB rounds the binary value — at a repr
+    boundary (x = ...2.4999999997 printing as "...2.5") they disagree by
+    one milli. The round-10 sf0.1 oracle sweep caught exactly that on
+    events_sliding_distinct_hll (spark 1333.033 vs duck 1333.032); every
+    HLL reporter now quantizes this way on BOTH engines."""
+    return F.floor(col * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+
+
+def _sql_q3(expr: str) -> str:
+    """SQL twin of _q3 — keep the operation order character-identical."""
+    return f"FLOOR(({expr}) * 1000.0 + 0.5) / 1000.0"
 
 
 def _hll_estimates(spark: SparkSession, regs: DataFrame) -> DataFrame:
@@ -142,8 +168,9 @@ def _hll_estimates(spark: SparkSession, regs: DataFrame) -> DataFrame:
       FROM orders GROUP BY o_orderstatus
     )
     SELECT c.status, x.exact_distinct, c.n_empty_buckets,
-           ROUND(c.chosen_est, 3) AS hll_estimate,
-           ROUND(100.0 * (c.chosen_est - x.exact_distinct) / x.exact_distinct, 3) AS rel_err_pct
+           FLOOR((c.chosen_est) * 1000.0 + 0.5) / 1000.0 AS hll_estimate,
+           FLOOR((100.0 * (c.chosen_est - x.exact_distinct) / x.exact_distinct)
+                 * 1000.0 + 0.5) / 1000.0 AS rel_err_pct
     FROM corrected c JOIN exact x ON c.status = x.status
     ORDER BY c.status
     """,
@@ -179,10 +206,9 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status",
             "exact_distinct",
             "n_empty_buckets",
-            F.round("chosen_est", 3).alias("hll_estimate"),
-            F.round(
-                100.0 * (F.col("chosen_est") - F.col("exact_distinct")) / F.col("exact_distinct"),
-                3,
+            _q3(F.col("chosen_est")).alias("hll_estimate"),
+            _q3(
+                100.0 * (F.col("chosen_est") - F.col("exact_distinct")) / F.col("exact_distinct")
             ).alias("rel_err_pct"),
         )
         .orderBy("status")
@@ -504,9 +530,9 @@ _HLL_EST_SQL = f"""
         FROM a_keys JOIN b_keys ON a_keys.k = b_keys.k
     )
     SELECT x.tag AS set_name, CAST(x.exact_n AS BIGINT) AS exact_n,
-           ROUND(e.chosen_est, 3) AS hll_n,
-           ROUND(100.0 * (e.chosen_est - x.exact_n) / NULLIF(x.exact_n, 0), 3)
-             AS rel_err_pct
+           FLOOR((e.chosen_est) * 1000.0 + 0.5) / 1000.0 AS hll_n,
+           FLOOR((100.0 * (e.chosen_est - x.exact_n) / NULLIF(x.exact_n, 0))
+                 * 1000.0 + 0.5) / 1000.0 AS rel_err_pct
     FROM exact x JOIN ests e ON x.tag = e.tag
     ORDER BY set_name
     """,
@@ -584,12 +610,11 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("tag").alias("set_name"),
             F.col("exact_n").cast("bigint").alias("exact_n"),
-            F.round("chosen_est", 3).alias("hll_n"),
-            F.round(
+            _q3(F.col("chosen_est")).alias("hll_n"),
+            _q3(
                 100.0
                 * (F.col("chosen_est") - F.col("exact_n"))
-                / F.nullif(F.col("exact_n").cast("double"), F.lit(0.0)),
-                3,
+                / F.nullif(F.col("exact_n").cast("double"), F.lit(0.0))
             ).alias("rel_err_pct"),
         )
         .orderBy("set_name")
