@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -146,7 +147,12 @@ def main() -> int:
         spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+        # driver layout is a single file; Spark-written replicas (e.g. the
+        # .bench/sf1 scale dir) are part-file DIRECTORIES — glob those
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
