@@ -19,7 +19,8 @@ from pumle_spark.workload import register
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS volume
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -36,7 +37,14 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: shipping volume between a nation pair, both directions —
     the nation dim joins twice under different roles (self-join of a
     broadcast dim costs nothing; the disjunctive pair filter evaluates
-    post-join on dim columns only)."""
+    post-join on dim columns only).
+
+    Volume sums PER-ROW EXACT CENTS (floor(x*100+0.5) of bit-identical
+    doubles, then BIGINT sum, then one division) instead of
+    ROUND(SUM(double)): a double sum is partial-sum-order dependent, so
+    Spark's 32-partition aggregate and DuckDB's sequential one drift a
+    ulp apart and a cents-rounding boundary flips — the exact one-milli
+    hash mismatch the round-10 sf1 probe caught on this query."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
@@ -57,7 +65,17 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+    ).agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            / F.lit(100.0)
+        ).alias("volume")
+    )
 
 
 @register(
