@@ -261,7 +261,8 @@ def sweep_linspace_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s),
          obs AS (SELECT c.c_nationkey AS n_nationkey, o.o_orderstatus,
                         COUNT(*) AS n_orders,
-                        ROUND(SUM(o.o_totalprice), 2) AS sum_price
+                        CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                          AS sum_price
                  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
                  GROUP BY 1, 2)
     SELECT d.n_nationkey, d.o_orderstatus,
@@ -287,7 +288,9 @@ def scatter_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("n_nationkey"), "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
     return dense.join(obs, ["n_nationkey", "o_orderstatus"], "left")

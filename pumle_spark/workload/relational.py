@@ -29,18 +29,34 @@ from pumle_spark.workload import register
 # --------------------------------------------------------------------------
 
 
+def _avg4(total: F.Column) -> F.Column:
+    """Quantized group mean: exact total (integer-valued double or a
+    DECIMAL sum cast to double) divided by the group count, then
+    floor(x*10000+0.5)/10000 — the divergence-proof 4-decimal quantizer
+    (pure IEEE on cross-engine-identical inputs; ROUND would re-introduce
+    Spark's shortest-repr rounding vs DuckDB's binary rounding)."""
+    return F.floor(
+        (total / F.count(F.lit(1))) * F.lit(10000.0) + F.lit(0.5)
+    ) / F.lit(10000.0)
+
+
 @register(
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
-           COUNT(*)                                                     AS count_order
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_charge,
+           FLOOR((SUM(l_quantity) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))) AS DOUBLE)
+                  / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18, 6))) AS DOUBLE)
+                  / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -60,12 +76,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            _avg4(F.sum("l_quantity")).alias("avg_qty"),
+            _avg4(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")).alias("avg_price"),
+            _avg4(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,7 +97,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     sql="""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue,
            STRFTIME(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -103,7 +125,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
+        )
         .select(
             "o_orderkey",
             "revenue",
@@ -200,7 +226,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     sql="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -219,7 +245,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 @register(
@@ -229,7 +259,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18, 6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
     FROM lineitem l
     JOIN avgq a ON a.l_partkey = l.l_partkey
     WHERE l.l_quantity < a.half_avg_qty
@@ -245,14 +275,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(avgq, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
     )
 
 
 @register(
     "q19_disjunctive_predicates",
     sql="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 25)
@@ -275,7 +309,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(block).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+        ).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -311,10 +347,12 @@ def agg_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+             AS total_spend
     FROM orders
     GROUP BY o_custkey
-    HAVING COUNT(*) >= 12 AND SUM(o_totalprice) > 50000
+    HAVING COUNT(*) >= 12
+       AND SUM(CAST(o_totalprice AS DECIMAL(18, 6))) > 50000
     """,
     tags=("agg", "having"),
 )
@@ -326,10 +364,14 @@ def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_spend"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_spend"),
         )
         .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 50000))
-        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("total_spend"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("_spend", 2).cast("double").alias("total_spend"),
+        )
     )
 
 
@@ -795,7 +837,7 @@ def scalar_string_math_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            COUNT(*)                            AS n_orders,
-           ROUND(SUM(o_totalprice), 2)         AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -811,7 +853,9 @@ def scalar_dates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -823,7 +867,8 @@ def scalar_dates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 10000 THEN 'mid'
                 ELSE 'high' END AS band,
            COUNT(*)            AS n_orders,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*))
+                 * 10000.0 + 0.5) / 10000.0 AS avg_price
     FROM orders
     GROUP BY 1
     """,
@@ -841,7 +886,17 @@ def case_when_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(band.alias("band"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            (
+                F.floor(
+                    (
+                        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_price"),
         )
     )
 

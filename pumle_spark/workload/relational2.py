@@ -82,7 +82,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     sql="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -111,7 +111,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -800,7 +804,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c.c_custkey % 10 AS INTEGER) AS cust_group,
            COUNT(*) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18, 6))), 2) AS DOUBLE) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -822,7 +826,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("int").alias("cust_group"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 
