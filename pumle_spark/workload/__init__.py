@@ -73,55 +73,52 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # union = 301/301 pre-freeze names over CORRECTNESS_r01–r07). Round 8 ran
 # the first ROTATE window (8 queue names + 42 oldest-verified) 50/50 green.
 #
-# _DRIVER_WINDOW_R10 is round 10's 50-row window, pasted verbatim from
+# _DRIVER_WINDOW_R11 is round 11's 50-row window, pasted verbatim from
 # `python tools/next_window.py` (regime printed: DRAIN+ROTATE-FILL over
-# CORRECTNESS_r01–r09): the 8 queries registered after the round-9 window
-# froze (the former _DRIVER_QUEUE_R10, all local-green via
-# tools/oracle_check.py at sf0.01 but never driver-verified) lead, followed
-# by the 42 OLDEST-driver-verified names (ascending last-green round over
-# the checked-in CORRECTNESS_r0*.json records, registration order as the
-# tiebreak). After round 10 the cumulative driver-green union covers all
-# 338 pre-freeze names. Rotation keeps driver verification LIVE: a name
+# CORRECTNESS_r01–r10): the 2 queries registered after the round-10 window
+# froze (the former _DRIVER_QUEUE_R11, both local-green via
+# tools/oracle_check.py at sf0.01/sf0.1 but never driver-verified) lead,
+# followed by the 48 OLDEST-driver-verified names (ascending last-green
+# round over the checked-in CORRECTNESS_r*.json records, registration order
+# as the tiebreak). After round 10 the cumulative driver-green union covers
+# all 338 pre-freeze names. Rotation keeps driver verification LIVE: a name
 # re-verifies roughly every ceil(registry/50) rounds, so a regression
 # introduced after a name's first green round re-enters the driver record
 # instead of hiding behind a stale "green once, ever" mark. The freeze is
 # enforced by tests/test_registry.py: queries()[:50] must equal this tuple,
 # never-verified names must lead, and the rotated tail must be exactly the
 # oldest-verified stratum (no slot wasted on a recently-verified name).
-_DRIVER_WINDOW_R10 = (
-    # -- registered after the r09 window froze (the 8-name queue) ---------
-    "text_unigram_lm_train", "text_unigram_lm_pieces", "pack_bfd_token_bins",
-    "curation_pack_efficiency", "text_fim_transform_audit", "mix_doremi_weights",
-    "text_tokenizer_shootout", "curation_preference_pairs",
-    # -- the 42 oldest-driver-verified names (rotation fill) --------------
-    "stream_join_click_attribution",
-    "attribution_linear_credit", "graph_triangle_census", "layout_zorder_orders",
-    "link_fuzzy_part_names", "multimodal_feature_rollup", "pumle_golden_pipeline",
-    "q13_order_count_distribution", "q14_promo_revenue_share", "q2_min_cost_supplier",
-    "q8_national_market_share", "q9_product_type_profit", "q11_important_stock",
-    "q12_shipmode_priority", "q15_top_supplier", "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers", "sample_stratified_documents", "ann_recall_report",
-    "trap_watershed_assignment", "trap_spill_volumes", "text_quality_score",
-    "text_lang_id", "text_token_counts", "text_fingerprint_winnow",
-    "text_tfidf_top_terms", "text_repetition_filter", "text_decontaminate_overlap",
-    "text_pii_redaction", "text_inverted_postings", "orders_rfm_segments",
-    "audit_benford_totalprice", "orders_cusum_changepoint", "orders_seasonal_naive_backtest",
-    "audit_order_line_reconciliation", "share_of_parent_revenue", "orders_gini_concentration",
-    "weighted_median_quantity", "embedding_power_iteration", "dedup_prefix_filter_jaccard",
-    "dedup_containment_pairs", "dedup_blocking_quality",
+_DRIVER_WINDOW_R11 = (
+    # -- registered after the r10 window froze (the 2-name queue) ---------
+    "pack_conversation_bins", "mix_anneal_schedule",
+    # -- the 48 oldest-driver-verified names (rotation fill) --------------
+    "dedup_incremental_delta",
+    "pack_concat_fixed_blocks", "drift_psi_totalprice", "stream_dedup_events_final",
+    "events_ewma_smoothing", "events_rate_anomaly", "events_session_paths",
+    "events_time_weighted_value", "join_point_in_time_state", "events_rolling_active_users",
+    "events_asof_tolerance", "sketch_kmv_distinct", "sketch_kmv_corpus_jaccard",
+    "sketch_cms_join_size", "graph_pagerank_trade", "graph_bfs_reach",
+    "graph_sssp_bounded", "multimodal_frame_sample", "multimodal_shard_manifest",
+    "stream_plume_monitor_final", "validate_fk_orphans", "window_distribution_ranks",
+    "orders_linreg_by_priority", "pareto_abc_parts", "agg_cube_flag_status",
+    "agg_argmax_orders", "skyline_parts_2d", "join_null_aware_not_in",
+    "subquery_correlated_scalar", "join_bloom_semireduction", "skew_salted_brand_revenue",
+    "sample_sequential_poisson", "sample_balanced_labels", "embedding_matryoshka_error",
+    "text_unigram_logprob", "text_cooccurrence_pmi", "text_zipf_slope",
+    "text_lexical_diversity", "orders_yoy_growth", "lineitem_ship_lag_percentiles",
+    "supplier_hhi_by_brand", "orders_backlog_timeseries", "cluster_assignment_margin",
+    "events_markov_stationary", "events_bot_regularity", "events_retention_weekly",
+    "attribution_position_based", "stream_running_totals_final",
 )
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R10)}
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R11)}
 
-# Queries registered AFTER the round-10 window froze (the driver records only
+# Queries registered AFTER the round-11 window froze (the driver records only
 # queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 11's window, followed by the oldest-verified rotation per the policy above
-# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R11).
+# 12's window, followed by the oldest-verified rotation per the policy above
+# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R12).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R11: tuple[str, ...] = (
-    "pack_conversation_bins",
-    "mix_anneal_schedule",
-)
+_DRIVER_QUEUE_R12: tuple[str, ...] = ()
 
 
 def _rotation_key(name: str) -> tuple[int, int]:
