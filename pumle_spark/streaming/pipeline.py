@@ -146,13 +146,22 @@ def stream_events_hourly(events: DataFrame, watermark: str = "2 hours") -> DataF
     Late rows beyond the watermark are dropped and closed windows emit
     finalized aggregates — the streaming semantics of
     workload.events.events_hourly_rollup.
+
+    sum_value accumulates per-row exact BIGINT cents (functions.money), not
+    SUM(double): a double sum is partial-sum-order dependent, and in a
+    stream the "order" is additionally the micro-batch arrival order, so
+    the final aggregate of the SAME input could differ run to run. The
+    cents state is also a plain long in the state store — cheaper per key
+    per micro-batch than a boxed decimal.
     """
+    from pumle_spark.functions import money
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from pumle_spark.functions import money
 from pumle_spark.operators.topk import ranked_topk
 from pumle_spark.tables import table
 from pumle_spark.workload import register
@@ -46,11 +47,11 @@ def _scoped_stream_partitions(spark, n: int = 8):
 
 @register(
     "stream_hourly_rollup_final",
-    sql="""
+    sql=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
            event_type,
            COUNT(*)             AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           {money.sql_money2("value", money.CENTS)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -113,11 +114,11 @@ def stream_hourly_rollup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_rollup",
-    sql="""
+    sql=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
            event_type,
            COUNT(*)                  AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_value,
+           {money.sql_money2("value", money.CENTS)} AS sum_value,
            COUNT(DISTINCT user_id)   AS n_users
     FROM events
     GROUP BY 1, 2
@@ -136,9 +137,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+            money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
     )
@@ -280,11 +279,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_activity",
-    sql="""
+    sql=f"""
     SELECT user_id,
            COUNT(*) AS n_events,
            COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_value,
+           {money.sql_money2("value", money.CENTS)} AS sum_value,
            ROUND(MAX(value), 6) AS max_value,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
@@ -300,9 +299,7 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+        money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),

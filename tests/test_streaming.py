@@ -8,6 +8,7 @@ import time
 import pyspark.sql.functions as F
 import pytest
 
+from pumle_spark.functions import money
 from pumle_spark.streaming.pipeline import start_bronze_to_golden, stream_events_hourly
 from tests.fixtures import CASE, make_bronze
 
@@ -88,7 +89,7 @@ def test_events_hourly_stream_matches_batch(spark, tmp_path):
                 F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
                 "event_type",
             )
-            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .agg(F.count(F.lit(1)).alias("n_events"), money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"))
             .collect()
         }
         assert got == want
@@ -276,7 +277,7 @@ def test_stream_hourly_rollup_matches_batch(spark, tmp_path):
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"))
         .collect()
     }
     assert got == batch
