@@ -86,10 +86,21 @@ def total_double(x: Column, scale: int) -> Column:
 
 
 # -- DuckDB oracle mirrors (string builders; keep the expression tree
-#    IDENTICAL to the Column builders above so IEEE evaluation matches) --
+#    IDENTICAL to the Column builders above so IEEE evaluation matches).
+#    Float constants that DIVIDE an integer are written CAST(x AS DOUBLE):
+#    Spark SQL parses a bare `100.0` as DECIMAL and plans BIGINT/DECIMAL as
+#    a decimal division (the r10 sweep broke tests/test_workload_sql.py's
+#    run-the-oracle-through-Spark gate exactly this way); DuckDB divides in
+#    DOUBLE either way, so the CAST is a no-op there. --
+
+
+def _dbl(x: float) -> str:
+    return f"CAST({x!r} AS DOUBLE)"
 
 
 def sql_units(expr: str, scale: int) -> str:
+    # (double * decimal-literal + decimal-literal) stays DOUBLE in both
+    # dialects — only divisions need the explicit CAST.
     return f"CAST(FLOOR(({expr}) * {float(scale)!r} + 0.5) AS BIGINT)"
 
 
@@ -101,9 +112,9 @@ def sql_sum_units(expr: str, scale: int) -> str:
 def sql_money2(expr: str, scale: int) -> str:
     su = sql_sum_units(expr, scale)
     if scale == CENTS:
-        return f"{su} / 100.0"
-    return f"FLOOR({su} / {scale / 100.0!r} + 0.5) / 100.0"
+        return f"{su} / {_dbl(100.0)}"
+    return f"FLOOR({su} / {_dbl(scale / 100.0)} + 0.5) / {_dbl(100.0)}"
 
 
 def sql_total_double(expr: str, scale: int) -> str:
-    return f"{sql_sum_units(expr, scale)} / {float(scale)!r}"
+    return f"{sql_sum_units(expr, scale)} / {_dbl(float(scale))}"

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
+from pumle_spark.functions import money
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -255,13 +256,13 @@ def sweep_linspace_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scatter_dense_grid",
-    sql="""
+    sql=f"""
     WITH dense AS (SELECT n.n_nationkey, s.o_orderstatus
                    FROM nation n
                    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s),
          obs AS (SELECT c.c_nationkey AS n_nationkey, o.o_orderstatus,
                         COUNT(*) AS n_orders,
-                        CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+                        {money.sql_money2("o.o_totalprice", money.DP4)}
                           AS sum_price
                  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
                  GROUP BY 1, 2)
@@ -288,9 +289,7 @@ def scatter_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("n_nationkey"), "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_price"),
+            money.sum_money2(F.col("o_totalprice"), money.DP4).alias("sum_price"),
         )
     )
     return dense.join(obs, ["n_nationkey", "o_orderstatus"], "left")

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pumle_spark.functions import money
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -42,20 +43,20 @@ def _avg4(total: F.Column) -> F.Column:
 
 @register(
     "q1_pricing_summary",
-    sql="""
+    sql=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
-             AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                              AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_charge,
-           FLOOR((SUM(l_quantity) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-           FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 6))) AS DOUBLE)
-                  / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-           FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18, 6))) AS DOUBLE)
-                  / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+           {money.sql_money2("l_extendedprice", money.CENTS)} AS sum_base_price,
+           {money.sql_money2("l_extendedprice * (1 - l_discount)", money.DP4)}
+             AS sum_disc_price,
+           {money.sql_money2("l_extendedprice * (1 - l_discount) * (1 + l_tax)", money.DP6)}
+             AS sum_charge,
+           FLOOR((SUM(l_quantity) / COUNT(*)) * 10000.0 + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS avg_qty,
+           FLOOR(({money.sql_total_double("l_extendedprice", money.CENTS)}
+                  / COUNT(*)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_price,
+           FLOOR(({money.sql_total_double("l_discount", money.CENTS)}
+                  / COUNT(*)) * 10000.0 + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -67,8 +68,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: filtered scan → partial+final hash agg.
 
     The shipdate predicate and the 7-column projection both push into the
-    parquet scan (PushedFilters / ReadSchema in .explain).
-    """
+    parquet scan (PushedFilters / ReadSchema in .explain). Money sums use
+    functions.money BIGINT units at the lossless per-expression scale
+    (cents / 1e4 for the 2x2-dp product / 1e6 for the 3-factor charge):
+    value-identical to the previous DECIMAL(18,6) accumulation but the
+    aggregation buffer stays a codegen long (the decimal sweep had cost
+    this query 0.36->1.51 s at sf0.1)."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -76,18 +81,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_charge"),
+            money.sum_money2(F.col("l_extendedprice"), money.CENTS).alias("sum_base_price"),
+            money.sum_money2(disc_price, money.DP4).alias("sum_disc_price"),
+            money.sum_money2(disc_price * (1 + F.col("l_tax")), money.DP6).alias("sum_charge"),
             _avg4(F.sum("l_quantity")).alias("avg_qty"),
-            _avg4(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")).alias("avg_price"),
-            _avg4(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")).alias("avg_disc"),
+            _avg4(money.total_double(F.col("l_extendedprice"), money.CENTS)).alias("avg_price"),
+            _avg4(money.total_double(F.col("l_discount"), money.CENTS)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -95,9 +94,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_top_revenue_orders",
-    sql="""
+    sql=f"""
     SELECT o.o_orderkey,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue,
+           {money.sql_money2("l.l_extendedprice * (1 - l.l_discount)", money.DP4)} AS revenue,
            STRFTIME(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -126,9 +125,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-            ).cast("double").alias("revenue")
+            money.sum_money2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), money.DP4
+            ).alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -143,10 +142,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    sql="""
+    sql=f"""
     SELECT n.n_name,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+           {money.sql_money2("l.l_extendedprice * (1 - l.l_discount)", money.DP4)} AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -163,7 +161,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     region→nation→customer are broadcast dims; the supplier join carries the
     extra equi-condition s_nationkey = c_nationkey (local-supplier semantics).
-    Revenue accumulates in DECIMAL(18,6) for cross-engine sum stability.
+    Revenue accumulates in exact BIGINT 1e-4 units (functions.money).
     """
     r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     n = table(spark, sf_dir, "nation")
@@ -182,14 +180,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            money.sum_money2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), money.DP4
+            ).alias("revenue")
         )
     )
 
@@ -225,8 +218,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
-    sql="""
-    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+    sql=f"""
+    SELECT {money.sql_money2("l_extendedprice * l_discount", money.DP4)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -246,20 +239,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("revenue")
+        money.sum_money2(
+            F.col("l_extendedprice") * F.col("l_discount"), money.DP4
+        ).alias("revenue")
     )
 
 
 @register(
     "q17_small_quantity_revenue",
-    sql="""
+    sql=f"""
     WITH avgq AS (
       SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18, 6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    SELECT FLOOR({money.sql_sum_units("l.l_extendedprice", money.CENTS)} / CAST(7.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS avg_yearly
     FROM lineitem l
     JOIN avgq a ON a.l_partkey = l.l_partkey
     WHERE l.l_quantity < a.half_avg_qty
@@ -276,17 +270,25 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(avgq, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
-            .cast("double")
-            .alias("avg_yearly")
+            # cents/7.0 IS avg_yearly in cents: quantize half-up there, in
+            # pure IEEE mirrored by the oracle — the previous
+            # ROUND(DECIMAL/7.0, 2) promoted to DOUBLE before ROUND and
+            # re-entered the shortest-repr divergence class (ADVICE r10).
+            (
+                F.floor(
+                    money.sum_units(F.col("l_extendedprice"), money.CENTS) / F.lit(7.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_yearly")
         )
     )
 
 
 @register(
     "q19_disjunctive_predicates",
-    sql="""
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue,
+    sql=f"""
+    SELECT {money.sql_money2("l.l_extendedprice * (1 - l.l_discount)", money.DP4)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 25)
@@ -309,9 +311,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(block).agg(
-        F.round(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-        ).cast("double").alias("revenue"),
+        money.sum_money2(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), money.DP4
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -344,33 +346,34 @@ def agg_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "having_big_spenders",
-    sql="""
+    sql=f"""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
-             AS total_spend
+           {money.sql_money2("o_totalprice", money.DP4)} AS total_spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12
-       AND SUM(CAST(o_totalprice AS DECIMAL(18, 6))) > 50000
+       AND {money.sql_sum_units("o_totalprice", money.DP4)} > 500000000
     """,
     tags=("agg", "having"),
 )
 def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING: the post-aggregation filter stays after the agg
-    (it references aggregates), everything in one shuffle."""
+    (it references aggregates), everything in one shuffle. The HAVING
+    threshold compares exact BIGINT 1e-4 units (> 50000 money units ==
+    > 500_000_000 units) — integer comparison, no float boundary."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_spend"),
+            money.sum_units(F.col("o_totalprice"), money.DP4).alias("_spend_units"),
         )
-        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 50000))
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend_units") > 500000000))
         .select(
             "o_custkey",
             "n_orders",
-            F.round("_spend", 2).cast("double").alias("total_spend"),
+            money.money2(F.col("_spend_units"), money.DP4).alias("total_spend"),
         )
     )
 
@@ -833,11 +836,11 @@ def scalar_string_math_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_dates_orders",
-    sql="""
+    sql=f"""
     SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            COUNT(*)                            AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE) AS sum_price
+           {money.sql_money2("o_totalprice", money.DP4)} AS sum_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -853,21 +856,19 @@ def scalar_dates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_price"),
+            money.sum_money2(F.col("o_totalprice"), money.DP4).alias("sum_price"),
         )
     )
 
 
 @register(
     "case_when_price_bands",
-    sql="""
+    sql=f"""
     SELECT CASE WHEN o_totalprice < 1000  THEN 'low'
                 WHEN o_totalprice < 10000 THEN 'mid'
                 ELSE 'high' END AS band,
            COUNT(*)            AS n_orders,
-           FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE) / COUNT(*))
+           FLOOR(({money.sql_total_double("o_totalprice", money.DP4)} / COUNT(*))
                  * 10000.0 + 0.5) / 10000.0 AS avg_price
     FROM orders
     GROUP BY 1
@@ -886,17 +887,7 @@ def case_when_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(band.alias("band"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.floor(
-                    (
-                        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
-                        / F.count(F.lit(1))
-                    )
-                    * F.lit(10000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(10000.0)
-            ).alias("avg_price"),
+            _avg4(money.total_double(F.col("o_totalprice"), money.DP4)).alias("avg_price"),
         )
     )
 

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
+from pumle_spark.functions import money
 from pumle_spark.tables import table
 from pumle_spark.workload import register
 
@@ -80,9 +81,9 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    sql="""
+    sql=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+           {money.sql_money2("l.l_extendedprice * (1 - l.l_discount)", money.DP4)} AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -112,9 +113,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-            ).cast("double").alias("revenue")
+            money.sum_money2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), money.DP4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -798,13 +799,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_global_sales_opportunity",
-    sql="""
+    sql=f"""
     WITH avg_bal AS (
       SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
     )
     SELECT CAST(c.c_custkey % 10 AS INTEGER) AS cust_group,
            COUNT(*) AS numcust,
-           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18, 6))), 2) AS DOUBLE) AS totacctbal
+           {money.sql_money2("c.c_acctbal", money.CENTS)} AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -826,9 +827,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_custkey") % 10).cast("int").alias("cust_group"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("totacctbal"),
+            money.sum_money2(F.col("c_acctbal"), money.CENTS).alias("totacctbal"),
         )
     )
 
