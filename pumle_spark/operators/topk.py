@@ -13,10 +13,10 @@ rollups at 100 TB). This shape never does:
   every partition keeps only its local top-k and ONE bounded merge over
   <= k * n_partitions pre-pruned rows picks the survivors;
 * phase 2 — the <= k survivors are packed into ONE sorted array
-  (``sort_array`` over a struct whose leading field is the NEGATED
-  numeric key, so struct-lexicographic ascending == the query's
-  (key DESC, ties ASC) order) and ``posexplode`` recovers the 1-based
-  ordinal.
+  (``array_sort`` with a comparator over a key struct whose leading
+  field is the NEGATED numeric key, so key-lexicographic ascending ==
+  the query's (key DESC, ties ASC) order; the carried row payload is
+  NOT compared) and ``posexplode`` recovers the 1-based ordinal.
 
 No WindowExec appears anywhere in the plan, so ``WindowExec: No
 Partition Defined`` cannot fire and no plan-lint adjudication is needed.
@@ -30,22 +30,35 @@ from pyspark.sql import DataFrame
 
 def ranked_topk(df: DataFrame, k: int, desc_col: str, *asc_cols: str) -> DataFrame:
     """Global top-k by (desc_col DESC, *asc_cols ASC) with a 1-based rank
-    ordinal `rnk`, windowless (see module docstring). The (desc_col,
-    *asc_cols) key must be a total order (unique tiebreak) for the result
-    to be deterministic — every call site ties on a string column that is
-    distinct by the preceding groupBy. All of df's columns pass through;
-    `rnk` is added first."""
+    ordinal `rnk`, windowless (see module docstring).
+
+    Key contract (ADVICE r10): rows whose ``desc_col`` is NULL are
+    EXCLUDED (filtered before the prune) — the two phases would otherwise
+    disagree on where NULLs rank (phase 1's ``desc`` is nulls-last, a NULL
+    ``_neg`` struct field sorts first). The (desc_col, *asc_cols) key must
+    be a total order with non-null tiebreak columns for the result to be
+    deterministic — every call site ties on a string column that is
+    distinct and non-null by the preceding groupBy. Only the key fields
+    participate in the phase-2 comparison (``array_sort`` with an explicit
+    comparator over the ``_k`` struct), so the carried ``_row`` payload
+    never acts as a hidden tiebreak and may contain non-orderable columns
+    (maps). All of df's columns pass through; `rnk` is added first."""
     cols = df.columns
-    pruned = df.orderBy(F.desc(desc_col), *asc_cols).limit(k)
+    pruned = (
+        df.filter(F.col(desc_col).isNotNull())
+        .orderBy(F.desc(desc_col), *asc_cols)
+        .limit(k)
+    )
+    key = F.struct(
+        (-F.col(desc_col)).alias("_neg"),
+        *(F.col(c).alias(f"_t{i}") for i, c in enumerate(asc_cols)),
+    )
     packed = pruned.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    (-F.col(desc_col)).alias("_neg"),
-                    *(F.col(c).alias(f"_t{i}") for i, c in enumerate(asc_cols)),
-                    F.struct(*cols).alias("_row"),
-                )
-            )
+        F.array_sort(
+            F.collect_list(F.struct(key.alias("_k"), F.struct(*cols).alias("_row"))),
+            lambda l, r: F.when(l["_k"] < r["_k"], F.lit(-1))
+            .when(l["_k"] > r["_k"], F.lit(1))
+            .otherwise(F.lit(0)),
         ).alias("_a")
     )
     return packed.select(F.posexplode("_a").alias("_pos", "_e")).select(

@@ -154,6 +154,21 @@ def test_ranked_topk_operator_contract(spark):
     empty = ranked_topk(df.filter(F.col("score") > 100), 5, "score", "name")
     assert empty.count() == 0
 
+    # ADVICE r10 contract: NULL desc keys are excluded (the two phases
+    # would otherwise disagree on where NULL ranks), and the carried row
+    # payload is NOT part of the phase-2 comparison — a map-typed column
+    # (non-orderable) must survive.
+    withnull = spark.createDataFrame(
+        [("a", 3), ("x", None), ("d", 9)], "name string, score long"
+    )
+    got_n = [tuple(r) for r in ranked_topk(withnull, 5, "score", "name").collect()]
+    assert got_n == [(1, "d", 9), (2, "a", 3)]
+
+    mapped = df.withColumn("m", F.create_map(F.col("name"), F.col("score")))
+    got_m = ranked_topk(mapped, 2, "score", "name").collect()
+    assert [(r.rnk, r.name, r.score) for r in got_m] == [(1, "d", 9), (2, "b", 7)]
+    assert got_m[0].m == {"d": 9}
+
     plan = (
         ranked_topk(df, 3, "score", "name")
         ._jdf.queryExecution()

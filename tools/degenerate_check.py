@@ -8,9 +8,10 @@ indexes element 1 of an empty array, or seeds an iteration from a missing
 row crashes the whole job there. This sweep is the mechanical receipt
 that none of the registry does.
 
-Budget-guard refusals (RuntimeError mentioning "refused") count as pass —
-the guards read counts, and zero rows is legitimately under every budget,
-so a refusal here would itself be a bug and is reported as one.
+Budget-guard refusals are NOT special-cased: the guards read counts, and
+zero rows is legitimately under every budget, so a refusal on empty input
+indicates a broken guard and lands in ``errors`` (exit 1) exactly like any
+other exception.
 
 Usage:
     python tools/degenerate_check.py [empty_dir] [out_json]
