@@ -118,7 +118,10 @@ _WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R11)}
 # (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R12).
 # Keep this list in sync when adding queries this round; its length is
 # whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R12: tuple[str, ...] = ()
+_DRIVER_QUEUE_R12: tuple[str, ...] = (
+    "text_byte_fallback_audit",
+    "curriculum_quality_anneal",
+)
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

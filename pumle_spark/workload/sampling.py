@@ -1452,11 +1452,11 @@ def mix_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANNEAL_EPOCHS = 4      # pretraining epochs the schedule spans
 _ANNEAL_MAX_REPEAT = 2  # UniMax-style per-source repeat budget (epochs)
 
-
-@register(
-    "mix_anneal_schedule",
-    sql=f"""
-    WITH {_SQL_DRM_LOSS},
+# The annealing-schedule CTE chain (DoReMi chain -> per-epoch interpolated
+# weights), ONE definition shared by `mix_anneal_schedule` (the schedule
+# report) and `curriculum_quality_anneal` (the document-selection consumer)
+# — same never-a-restatement rule as _SQL_DRM_LOSS itself.
+_SQL_ANNEAL_SCHED = f"""{_SQL_DRM_LOSS},
     {", ".join(_sql_drm_round(r) for r in range(1, _DRM_ROUNDS + 1))},
     tgt AS (SELECT source, alpha AS tgt_ppm FROM a{_DRM_ROUNDS}),
     tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS b FROM ex),
@@ -1470,7 +1470,13 @@ _ANNEAL_MAX_REPEAT = 2  # UniMax-style per-source repeat budget (epochs)
                    + t.tgt_ppm * (ep.epoch - 1))
                   // {_ANNEAL_EPOCHS - 1} AS BIGINT) AS weight_ppm
       FROM nat n JOIN tgt t ON t.source = n.source, ep, tot
-    )
+    )"""
+
+
+@register(
+    "mix_anneal_schedule",
+    sql=f"""
+    WITH {_SQL_ANNEAL_SCHED}
     SELECT CAST(epoch AS INTEGER) AS epoch, source, weight_ppm,
            CAST((b * weight_ppm) // 1000000 AS BIGINT) AS tokens_budget,
            CAST(((b * weight_ppm) // 1000000) * 1000 // n_toks AS BIGINT)
@@ -1554,6 +1560,167 @@ def mix_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("repeat_milli") > _ANNEAL_MAX_REPEAT * 1000, 1)
             .otherwise(0)
             .cast("int"),
+        )
+        .orderBy("epoch", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# curriculum ordering: quality buckets filled under the annealed budgets
+# --------------------------------------------------------------------------
+
+# tokenizer and stopword inventory come from the text module — one
+# definition engine-wide (same rule as _tokens_col in _drm_chain).
+from pumle_spark.workload.text import _SQL_TOKENS, _STOPWORDS, _sql_in  # noqa: E402
+
+_CURRICULUM_BUCKET = 1000  # quality bucket width (micro -> milli granularity)
+_SQL_STOP_EN = _sql_in(_STOPWORDS["en"])
+
+
+@register(
+    "curriculum_quality_anneal",
+    sql=f"""
+    WITH {_SQL_ANNEAL_SCHED},
+    dq0 AS (
+      SELECT source, doc_id,
+             list_filter({_SQL_TOKENS}, w -> w <> '') AS ws
+      FROM documents
+    ),
+    dq AS (
+      SELECT source, doc_id, CAST(LEN(ws) AS BIGINT) AS n_toks_doc,
+             CAST((LEN(list_filter(ws, t -> t IN ({_SQL_STOP_EN})))
+                   * 1000000 // LEN(ws)
+                   + LEN(list_distinct(ws)) * 1000000 // LEN(ws))
+                  // {_CURRICULUM_BUCKET} AS BIGINT) AS q_milli
+      FROM dq0 WHERE LEN(ws) > 0
+    ),
+    hist AS (
+      SELECT source, q_milli,
+             CAST(SUM(n_toks_doc) AS BIGINT) AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS doc_b
+      FROM dq GROUP BY source, q_milli
+    ),
+    cum AS (
+      SELECT source, q_milli, tok_b, doc_b,
+             CAST(SUM(tok_b) OVER (PARTITION BY source ORDER BY q_milli DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_toks
+      FROM hist
+    ),
+    budg AS (
+      SELECT CAST(epoch AS INTEGER) AS epoch, source,
+             CAST((b * weight_ppm) // 1000000 AS BIGINT) AS tokens_budget
+      FROM sched
+    )
+    SELECT s.epoch, s.source, s.tokens_budget,
+           CAST(COALESCE(SUM(c.doc_b), 0) AS BIGINT) AS n_docs_sel,
+           CAST(COALESCE(SUM(c.tok_b), 0) AS BIGINT) AS tokens_sel,
+           CAST(COALESCE(SUM(c.tok_b), 0) * 1000000
+                // NULLIF(s.tokens_budget, 0) AS BIGINT) AS fill_ppm,
+           CAST(MIN(c.q_milli) AS BIGINT) AS cutoff_quality_milli
+    FROM budg s
+    LEFT JOIN cum c ON c.source = s.source AND c.cum_toks <= s.tokens_budget
+    GROUP BY s.epoch, s.source, s.tokens_budget
+    ORDER BY s.epoch, s.source
+    """,
+    tags=("sampling", "curriculum", "quality", "annealing"),
+)
+def curriculum_quality_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum DOCUMENT SELECTION under the annealed mixture: for each
+    (epoch, source) the anneal schedule (`mix_anneal_schedule` — THE
+    registered schedule, reused not restated via _SQL_ANNEAL_SCHED) grants
+    a token budget; this operator fills that budget from the TOP of a
+    per-document quality ordering, bucket-granular — the pairing of a
+    quality curriculum with a late-training mixture shift (the
+    anneal-onto-quality recipe of Llama 3, arXiv:2407.21783 §3.4.3; the
+    quality-bucket pacing in DeepSeek LLM, arXiv:2401.02954 §2.1). Per
+    (epoch, source): the budget, documents/tokens selected, exact-ppm fill
+    ratio, and the realized quality floor (lowest bucket admitted).
+
+    Quality score: exact-integer micro-units — English stopword density
+    (the Gopher "natural prose" gate, arXiv:2112.11446 Table A1) plus
+    distinct-token ratio (repetition penalty), floor-divided into
+    {_CURRICULUM_BUCKET}-micro buckets. Bucket granularity is the point:
+    selection is by quality CLASS, so the operator never needs a total
+    order over documents.
+
+    Scale shape: ONE corpus pass builds per-document scores (pure map),
+    collapsed to a (source, bucket) histogram (map-side combinable); the
+    cumulative fill runs over that |sources| x |buckets| table (a
+    partitioned window over POST-AGGREGATION rows, never over documents);
+    the budget join is |sources| x {_ANNEAL_EPOCHS} rows. At 100 TB the
+    document pass stays embarrassingly parallel and nothing downstream
+    grows with the corpus. Materializing the per-epoch document lists is
+    then a broadcast-join of the cutoffs back against the scored documents
+    — deliberately NOT done here, so the report stays |sources|-sized.
+
+    Exactness: integer counts; BIGINT floor divisions mirrored by DuckDB
+    `//`; NULLIF-guarded zero budgets on both engines; the window's
+    ORDER BY q_milli DESC is total within a source because q_milli is the
+    grouping key (no tie ambiguity)."""
+    from pumle_spark.workload.text import _tokens_col
+
+    sched = mix_anneal_schedule(spark, sf_dir).select(
+        "epoch", "source", "tokens_budget"
+    )
+    dq0 = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.filter(_tokens_col(), lambda w: w != "").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    dq = dq0.select(
+        "source",
+        F.size("ws").cast("bigint").alias("n_toks_doc"),
+        F.expr(
+            f"((size(filter(ws, t -> t IN ({_SQL_STOP_EN}))) * 1000000L"
+            f" div size(ws))"
+            f" + (size(array_distinct(ws)) * 1000000L div size(ws)))"
+            f" div {_CURRICULUM_BUCKET}"
+        )
+        .cast("bigint")
+        .alias("q_milli"),
+    )
+    hist = dq.groupBy("source", "q_milli").agg(
+        F.sum("n_toks_doc").cast("bigint").alias("tok_b"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_b"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_milli"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum_toks", F.sum("tok_b").over(w).cast("bigint"))
+    # equi-join on source ONLY (a BroadcastHashJoin — the budget range as a
+    # join conjunct degrades the plan to BroadcastNestedLoopJoin); the
+    # budget cut moves into conditional aggregation, which preserves the
+    # left-join "keep empty (epoch, source)" semantics exactly.
+    sel = sched.alias("s").join(
+        cum.alias("c"), F.col("c.source") == F.col("s.source"), "left"
+    )
+    inb = F.col("c.cum_toks") <= F.col("s.tokens_budget")
+    return (
+        sel.groupBy("s.epoch", "s.source", "s.tokens_budget")
+        .agg(
+            F.coalesce(F.sum(F.when(inb, F.col("c.doc_b"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_sel"),
+            F.coalesce(F.sum(F.when(inb, F.col("c.tok_b"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_sel"),
+            F.min(F.when(inb, F.col("c.q_milli")))
+            .cast("bigint")
+            .alias("cutoff_quality_milli"),
+        )
+        .select(
+            "epoch",
+            "source",
+            "tokens_budget",
+            "n_docs_sel",
+            "tokens_sel",
+            F.expr("(tokens_sel * 1000000) div nullif(tokens_budget, 0)")
+            .cast("bigint")
+            .alias("fill_ppm"),
+            "cutoff_quality_milli",
         )
         .orderBy("epoch", "source")
     )

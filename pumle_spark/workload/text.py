@@ -4465,3 +4465,119 @@ def text_tokenizer_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# byte-fallback coverage audit (completes the tokenizer shootout)
+# --------------------------------------------------------------------------
+
+_BF_ALPHABET = 16  # trained character-alphabet size (top-V by corpus freq)
+
+
+@register(
+    "text_byte_fallback_audit",
+    sql=f"""
+    WITH d AS (SELECT source, {_SQL_TOKENS} AS ws FROM documents),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(ws) AS w FROM d)
+      WHERE w <> '' GROUP BY source, w
+    ),
+    ch AS (
+      SELECT source, c, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM (SELECT source, cnt, unnest(string_split(w, '')) AS c FROM sw)
+      GROUP BY source, c
+    ),
+    gf AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS f FROM ch GROUP BY c),
+    alpha AS (SELECT c FROM gf ORDER BY f DESC, c LIMIT {_BF_ALPHABET})
+    SELECT ch.source,
+           CAST(SUM(ch.cnt) AS BIGINT) AS n_char_occ,
+           CAST(SUM(CASE WHEN a.c IS NULL THEN 0 ELSE ch.cnt END) AS BIGINT)
+             AS covered_occ,
+           CAST(SUM(CASE WHEN a.c IS NULL THEN ch.cnt ELSE 0 END) AS BIGINT)
+             AS fallback_occ,
+           CAST(SUM(CASE WHEN a.c IS NULL THEN ch.cnt * strlen(ch.c) ELSE 0 END)
+                AS BIGINT) AS fallback_bytes,
+           CAST(SUM(CASE WHEN a.c IS NULL THEN 0 ELSE ch.cnt END) * 1000000
+                // SUM(ch.cnt) AS BIGINT) AS coverage_ppm,
+           CAST(SUM(CASE WHEN a.c IS NULL THEN ch.cnt * strlen(ch.c) ELSE 0 END)
+                * 1000000 // SUM(ch.cnt) AS BIGINT) AS fallback_overhead_ppm
+    FROM ch LEFT JOIN alpha a ON a.c = ch.c
+    GROUP BY ch.source
+    ORDER BY ch.source
+    """,
+    tags=("text", "tokenizer", "byte-fallback", "coverage"),
+)
+def text_byte_fallback_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-fallback COVERAGE audit for a trained subword vocabulary: fix
+    the character alphabet to the top-{_BF_ALPHABET} characters by corpus
+    frequency (ties broken by codepoint ascending — SentencePiece's
+    `character_coverage` knob materialized as an explicit inventory;
+    Kudo & Richardson 2018, arXiv:1808.06226 §4.1) and report, per source,
+    how much of the corpus a tokenizer built on that alphabet must encode
+    through the byte-fallback path: occurrence coverage in exact ppm, the
+    raw fallback character/byte counts (an out-of-alphabet character costs
+    `octet_length` single-byte pieces instead of joining a subword; the
+    GPT-2 byte-level BPE fallback, Radford et al. 2019), and the resulting
+    piece-inflation overhead in ppm. This is the audit the tokenizer
+    shootout (`text_tokenizer_shootout`) leaves open: fertility assumes
+    every character is representable; this measures the tail that is not.
+
+    Scale shape: the corpus collapses to the same (source, word, cnt)
+    rollup the trainers use, then to a (source, char, cnt) rollup bounded
+    by |distinct words| x max word length; the alphabet is a global
+    top-{_BF_ALPHABET} (TakeOrderedAndProject — per-partition heaps, one
+    bounded merge, never a global sort) broadcast back against the
+    |sources| x |charset| rollup. No corpus-sized shuffle after the first
+    rollup; everything downstream is charset-sized.
+
+    Exactness: pure integer counts; coverage/overhead are BIGINT floor
+    divisions mirrored by DuckDB `//`; `octet_length` == DuckDB `strlen`
+    (bytes, not codepoints) so multi-byte fallbacks price identically."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", _tokens_col().alias("ws")
+    )
+    sw = (
+        d.select("source", F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ch = (
+        sw.select("source", "cnt", F.explode(F.split("w", "")).alias("c"))
+        .groupBy("source", "c")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    gf = ch.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("f"))
+    alpha = gf.orderBy(F.desc("f"), F.asc("c")).limit(_BF_ALPHABET).select(
+        F.col("c").alias("ac"), F.lit(1).alias("in_alpha")
+    )
+    j = ch.join(F.broadcast(alpha), ch.c == alpha.ac, "left")
+    covered = F.when(F.col("in_alpha").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+    fb = F.when(F.col("in_alpha").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    fb_bytes = F.when(
+        F.col("in_alpha").isNull(), F.col("cnt") * F.octet_length("c")
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_char_occ"),
+            F.sum(covered).cast("bigint").alias("covered_occ"),
+            F.sum(fb).cast("bigint").alias("fallback_occ"),
+            F.sum(fb_bytes).cast("bigint").alias("fallback_bytes"),
+        )
+        .select(
+            "source",
+            "n_char_occ",
+            "covered_occ",
+            "fallback_occ",
+            "fallback_bytes",
+            F.expr("(covered_occ * 1000000) div n_char_occ")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+            F.expr("(fallback_bytes * 1000000) div n_char_occ")
+            .cast("bigint")
+            .alias("fallback_overhead_ppm"),
+        )
+        .orderBy("source")
+    )

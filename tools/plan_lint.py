@@ -184,6 +184,7 @@ ALLOW = {
     "layout_curve_locality": {"BroadcastNestedLoopJoin": "single-row min/max bounds scalar"},
     # round-10 addition (adjudicated at registration, mix_unimax's class)
     "mix_anneal_schedule": {"BroadcastNestedLoopJoin": "single-row corpus-total scalar + constant 4-epoch grid x |sources| rows"},
+    "curriculum_quality_anneal": {"BroadcastNestedLoopJoin": "inherited from mix_anneal_schedule's schedule chain (same scalar crossJoins); the budget join itself is an equi BroadcastHashJoin on source"},
 }
 
 # Unpartitioned-WindowExec adjudications (round 7: the check itself is new;
