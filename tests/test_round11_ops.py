@@ -125,3 +125,40 @@ def test_curriculum_anneal_matches_python_replay(spark):
         else:
             assert g.fill_ppm == toks_sel * 1_000_000 // budget
         assert g.cutoff_quality_milli == cutoff, (epoch, source)
+
+
+def test_new_ops_plan_shape(spark):
+    """Plan invariants for the round-11 operators: the byte-fallback
+    alphabet is a TakeOrderedAndProject prune (never a global sort) and
+    its corpus-side join is a BroadcastHashJoin; the curriculum budget
+    join is an equi BroadcastHashJoin (the range conjunct that degraded
+    it to BroadcastNestedLoopJoin lives in conditional aggregation now —
+    the schedule chain's own single-row scalar crossJoins are the only
+    BNLJ allowed to remain, adjudicated on mix_anneal_schedule)."""
+    from pumle_spark.workload.sampling import curriculum_quality_anneal
+    from pumle_spark.workload.text import text_byte_fallback_audit
+
+    bf_plan = (
+        text_byte_fallback_audit(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in bf_plan
+    assert "BroadcastHashJoin" in bf_plan
+    assert "BroadcastNestedLoopJoin" not in bf_plan
+    assert "CartesianProduct" not in bf_plan
+
+    cu_plan = (
+        curriculum_quality_anneal(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in cu_plan
+    assert "CartesianProduct" not in cu_plan
+    # the ONLY BroadcastNestedLoopJoins are the schedule chain's scalar
+    # crossJoins (bounded: single-row totals x |sources|, constant epoch
+    # grid); the budget join itself must not contribute one. The chain
+    # has exactly 3 (tot x ex, tgt-nat x tot, x epoch grid).
+    assert cu_plan.count("BroadcastNestedLoopJoin") <= 3
