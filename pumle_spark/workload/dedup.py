@@ -68,6 +68,71 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles(docs, "doc_id").withColumnRenamed("key", "doc_id")
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_set, n_sh): each document's DISTINCT word-3-gram shingle
+    set as ONE per-row array expression, materialized once per invocation
+    with localCheckpoint. Docs with no shingle (< 3 tokens) are dropped —
+    identical to the exploded form, which never emits a row for them.
+
+    Why (r11 optimization round, guide §2.4): consumers branch over the
+    shingle relation many times — sizes, the signature pass, and BOTH verify
+    sides — and each branch re-ran the tokenize+shingle construction from
+    the parquet scan (measured: 6 documents scans in dedup_minhash_lsh's
+    before-plan, plans/r11/dedup_minhash_lsh_before.txt). Checkpointing the
+    compact per-doc array makes it ONE scan + one in-memory table; on a
+    cluster the same role is played by checkpoint() to reliable storage.
+    n_sh is the exact distinct-shingle count (sizes twin), so consumers
+    need no groupBy to recover it.
+
+    The round-robin repartition is the repo's standing idiom for CPU-bound
+    per-char kernels (text_fingerprint_winnow's class): the tokenize +
+    shingle + md5 pass dwarfs one shuffle of the raw text, and a small-file
+    scan otherwise pins the whole kernel to its single scan partition
+    (measured r11: the entire minhash chain ran on 1 task)."""
+    from pumle_spark.operators.dedup import _NORM_SQL
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parts = ", ".join(f"t[i + {d}]" for d in range(3))
+    sh_set = F.expr(
+        f"transform(array({_NORM_SQL.format(col='text')}), "
+        f"t -> CASE WHEN size(t) >= 3 THEN "
+        f"array_distinct(transform(sequence(0, size(t) - 3), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE cast(array() as array<string>) END)[0]"
+    )
+    return (
+        docs.select("doc_id", sh_set.alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set").cast("bigint"))
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _minhash_sig_cols(arr: str, n_hashes: int) -> list:
+    """Per-row minhash signature columns mh0..mh{n-1} over a shingle-array
+    column — the map-side twin of operators.dedup.minhash_signatures (same
+    hash family: four 32-bit slices per md5('d|'||sh) digest; min over the
+    per-doc distinct set ≡ the groupBy MIN over exploded rows). The digest
+    array binds to lambda var g via transform(array(...), g -> ...)[0] so
+    md5 runs ONCE per (digest, shingle), not once per slice."""
+    structs = []
+    for d in range((n_hashes + 3) // 4):
+        inner = ", ".join(
+            f"array_min(transform(g, x -> substring(x, {1 + 8 * i}, 8))) AS mh{4 * d + i}"
+            for i in range(4)
+            if 4 * d + i < n_hashes
+        )
+        structs.append(
+            F.expr(
+                f"transform(array(transform({arr}, s -> md5(concat('{d}|', s)))), "
+                f"g -> struct({inner}))[0]"
+            ).alias(f"_dig{d}")
+        )
+    return structs
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -194,8 +259,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_ngram_jaccard (Σc² shingle self-join)",
         "dedup_prefix_filter_jaccard or dedup_minhash_lsh",
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # r11: the shingle construction is checkpointed once (guide §2.4) — the
+    # self-join's two sides and the sizes branch otherwise each re-ran the
+    # tokenize+shingle pass from the scan (3 scans in the before-plan). The
+    # labeled-quadratic self-join itself is the query's semantics and stays.
+    dsh = _shingle_sets(spark, sf_dir)
+    sh = dsh.select("doc_id", F.explode("sh_set").alias("sh"))
+    sizes = dsh.select("doc_id", "n_sh")
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     pairs = (
@@ -274,11 +344,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j²)⁴. Only candidates are verified with the exact Jaccard, so the
     quadratic step runs on buckets, not the corpus.
     """
-    from pumle_spark.operators.dedup import lsh_band_keys, minhash_signatures
+    from pumle_spark.operators.dedup import lsh_band_keys
 
-    sh = _shingles(spark, sf_dir)  # (doc_id, sh) distinct
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sig = minhash_signatures(sh.withColumnRenamed("doc_id", "key"), _N_HASHES)
+    # r11 optimization-round rework (guide §2.3/§2.4), value-identical:
+    # - the shingle relation is built ONCE as a per-doc array and
+    #   checkpointed (_shingle_sets) — the before-plan re-ran the
+    #   tokenize+shingle construction 6x (sizes, both band sides, both
+    #   verify sides; plans/r11/dedup_minhash_lsh_before.txt);
+    # - the minhash signature is a map-side projection over that array
+    #   (same hash family, min over the same distinct set) instead of an
+    #   explode + groupBy(key) shuffle of |shingles| rows;
+    # - verification is size(array_intersect(sh_a, sh_b)) per candidate
+    #   pair instead of candidate⋈shingles⋈shingles + regroup — two fewer
+    #   keyed shuffles, and the shingle payload crosses the network once
+    #   per candidate side instead of once per matching shingle row.
+    dsh = _shingle_sets(spark, sf_dir)  # (doc_id, sh_set, n_sh), checkpointed
+    sig = (
+        dsh.select("doc_id", *_minhash_sig_cols("sh_set", _N_HASHES))
+        .select(
+            F.col("doc_id").alias("key"),
+            *[F.col(f"_dig{s // 4}.mh{s}").alias(f"mh{s}") for s in range(_N_HASHES)],
+        )
+        # bands reference the signature twice (both join sides); checkpoint
+        # the tiny (doc, 8 hex slices) table so the md5-per-shingle pass
+        # runs once, not twice
+        .localCheckpoint(eager=True)
+    )
     bands = lsh_band_keys(sig, _N_HASHES, rows_per_band=2).withColumnRenamed("key", "doc_id")
     ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -288,20 +379,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    verified = (
-        cand.join(a, "doc_a").join(b, ["doc_b", "sh"]).groupBy("doc_a", "doc_b").agg(
-            F.count(F.lit(1)).alias("n_common")
-        )
+    da = dsh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    db = dsh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", n_common.alias("n_common"), "n_a", "n_b")
+    )
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        verified.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_MIN)
+        verified.filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
