@@ -71,9 +71,13 @@ def _hll_registers(tagged: DataFrame) -> DataFrame:
         F.conv(F.substring(key_md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
         F.conv(F.substring(key_md5, 3, 8), 16, 10).cast("bigint").alias("w32"),
     )
-    # rho = leftmost-1-bit position in the 32-bit window: 33 - bitlength(w)
+    # rho = leftmost-1-bit position in the 32-bit window: 33 - bitlength(w).
+    # bin() renders the binary digits directly (identical to the oracle's
+    # length(bin(w32))); the old conv(cast-to-string, 10, 2) round-tripped
+    # every value through a decimal string parse per row (r11, guide §1.2
+    # per-task work).
     rho = F.when(F.col("w32") == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(F.col("w32").cast("string"), 10, 2))
+        F.lit(33) - F.length(F.bin(F.col("w32")))
     )
     return hashed.groupBy("tag", "bucket").agg(F.max(rho).alias("m_reg"))
 
@@ -290,18 +294,20 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
 
+    # r11 (guide §2.3/§2.4): aggregate lineitem to per-key counts FIRST and
+    # derive both the sketch cells (sum of per-key counts per cell — exactly
+    # COUNT(*) per cell) and the exact top-k from that one rollup. The
+    # before-plan scanned lineitem twice and computed md5 + a 4-way explode
+    # per lineitem ROW; now the hash/explode run per DISTINCT key and the
+    # two branches share one scan+exchange (ReusedExchange).
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
     cells = (
-        li.select(entries())
-        .select("e.row_i", "e.col_j")
+        counts.select("exact_cnt", entries())
+        .select("e.row_i", "e.col_j", "exact_cnt")
         .groupBy("row_i", "col_j")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "l_partkey")
-        .limit(_CMS_TOPK)
-    )
+    exact = counts.orderBy(F.desc("exact_cnt"), "l_partkey").limit(_CMS_TOPK)
     probe = exact.select("l_partkey", "exact_cnt", entries()).select(
         "l_partkey", "exact_cnt", "e.row_i", "e.col_j"
     )
@@ -398,6 +404,10 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")))
         return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_BITS
 
+    # members feeds both the sketch build and the ground-truth join; the
+    # pushed-filter orders scan + distinct is cheap enough that recomputing
+    # it beats an eager materialization barrier (measured r11: the
+    # checkpoint variant was +0.13s from the extra blocking job).
     members = (
         o.filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -412,26 +422,37 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))").alias("mask"),
     )
-    sketch = bits.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
-
-    probe = c.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("bit"),
-    ).select(
-        "c_custkey",
-        "c_mktsegment",
-        (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
-        (F.col("bit") % _BLOOM_WORD).cast("int").alias("bit_pos"),
+    # <=128-word sketch, materialized once: each of the 3 probe lookups
+    # below broadcasts it, and without the checkpoint each would re-run the
+    # explode+bit_or build
+    sketch = (
+        bits.groupBy("word_idx").agg(F.bit_or("mask").alias("word")).localCheckpoint(eager=True)
     )
-    checked = (
-        probe.join(F.broadcast(sketch), "word_idx", "left")
-        .withColumn(
-            "bit_set",
-            F.expr("shiftright(coalesce(word, CAST(0 AS BIGINT)), bit_pos) & CAST(1 AS BIGINT)"),
+
+    # r11 (guide §2.4): probe each of the k=3 positions with its own
+    # broadcast word lookup and AND the bits with least() — all map-side.
+    # The before-plan exploded customer 3x and re-grouped the 3 rows back
+    # per customer (an exchange of 3·|customer| rows) just to MIN the bits;
+    # all_bits = least(bit_0, bit_1, bit_2) is the same value with no
+    # customer-side shuffle at all.
+    checked = c.select("c_custkey", "c_mktsegment")
+    bit_cols = []
+    for i in range(_BLOOM_K):
+        p = pos(i)
+        sk_i = sketch.select(
+            F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}")
         )
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(F.min("bit_set").alias("all_bits"))
+        checked = checked.withColumn(f"wi{i}", (p / _BLOOM_WORD).cast("bigint")).withColumn(
+            f"bp{i}", (p % _BLOOM_WORD).cast("int")
+        )
+        checked = checked.join(F.broadcast(sk_i), f"wi{i}", "left")
+        bit_cols.append(
+            F.expr(
+                f"shiftright(coalesce(w{i}, CAST(0 AS BIGINT)), bp{i}) & CAST(1 AS BIGINT)"
+            )
+        )
+    checked = checked.select(
+        "c_custkey", "c_mktsegment", F.least(*bit_cols).alias("all_bits")
     )
     verdicts = checked.join(
         members.withColumn("is_member_", F.lit(1)), "c_custkey", "left"
@@ -563,9 +584,18 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    a, b = year_keys(1995), year_keys(1996)
-    tagged = a.select(F.lit("1995").alias("tag"), "k").unionAll(
-        b.select(F.lit("1996").alias("tag"), "k")
+    # r11 (guide §2.4): the tagged key union feeds every branch of the query
+    # (HLL registers, the union-register merge, and all four exact counts) —
+    # the before-plan re-scanned orders 14 times
+    # (plans/r11/sketch_hll_setops_before.txt). One eager checkpoint of the
+    # ~|distinct buyers| tagged relation replaces all of them; a single
+    # blocking job keeps scheduling overhead flat (three separate
+    # checkpoints measured +0.24s at sf0.1).
+    tagged = (
+        year_keys(1995)
+        .select(F.lit("1995").alias("tag"), "k")
+        .unionAll(year_keys(1996).select(F.lit("1996").alias("tag"), "k"))
+        .localCheckpoint(eager=True)
     )
     regs0 = _hll_registers(tagged)
     regs = regs0.unionAll(
@@ -588,21 +618,22 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("chosen_est").isNotNull())
     )
     all_ests = ests.unionAll(inter_est)
-    exact = (
-        a.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("1995").alias("tag"), "exact_n")
-        .unionAll(
-            b.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("1996").alias("tag"), "exact_n")
-        )
-        .unionAll(
-            tagged.select("k")
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("exact_n"))
-            .select(F.lit("union").alias("tag"), "exact_n")
-        )
-        .unionAll(
-            a.join(b, "k")
-            .agg(F.count(F.lit(1)).alias("exact_n"))
-            .select(F.lit("intersection").alias("tag"), "exact_n")
+    # r11 (guide §2.2/§2.4): all four exact counts come from ONE pass over
+    # the checkpointed tagged relation — per-year counts as conditional
+    # sums, the union as COUNT(DISTINCT k), and the intersection by the
+    # exact identity |A∩B| = |A| + |B| - |A∪B| (the per-year sets are
+    # already distinct, so the oracle's 1:1 a_keys⋈b_keys count is the same
+    # number). The before-shape ran two scalar counts, a distinct, and an
+    # equi-join over the same rows.
+    stats = tagged.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("tag") == "1995", 1)), F.lit(0)).alias("n95"),
+        F.coalesce(F.sum(F.when(F.col("tag") == "1996", 1)), F.lit(0)).alias("n96"),
+        F.count_distinct(F.col("k")).alias("nu"),
+    )
+    exact = stats.select(
+        F.expr(
+            "stack(4, '1995', n95, '1996', n96, 'union', nu,"
+            " 'intersection', n95 + n96 - nu) AS (tag, exact_n)"
         )
     )
     return (
