@@ -184,9 +184,10 @@ def ivf_topk(
 # --------------------------------------------------------------------------
 
 
-def hyperplanes(dim: int, n_planes: int = 8) -> F.Column:
-    """Deterministic md5-derived hyperplanes as a literal array-of-arrays
-    column (same derivation as workload.similarity's oracle)."""
+def hyperplane_weights(dim: int, n_planes: int = 8) -> list:
+    """Deterministic md5-derived hyperplane weights as plain Python floats
+    (same derivation as workload.similarity's oracle) — for call sites that
+    unroll the projection into literal codegen arithmetic (r11, guide §4)."""
     import hashlib
 
     rows = []
@@ -196,7 +197,15 @@ def hyperplanes(dim: int, n_planes: int = 8) -> F.Column:
             h = int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:8], 16)
             row.append((h % 2000001 - 1000000) / 1e6)
         rows.append(row)
-    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    return rows
+
+
+def hyperplanes(dim: int, n_planes: int = 8) -> F.Column:
+    """Deterministic md5-derived hyperplanes as a literal array-of-arrays
+    column (same derivation as workload.similarity's oracle)."""
+    return F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in hyperplane_weights(dim, n_planes)]
+    )
 
 
 def lsh_bucket_codes(

@@ -39,6 +39,20 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sq_l2_u(a, b, dim: int):
+    """Unrolled fixed-width squared-L2 distance, same fold order as the
+    aggregate(zip_with((x-c)*(x-c))) it replaces — bit-identical doubles,
+    codegen-friendly (r11, guide §4). Only worth it at NARROW widths: the
+    64-term variant was tried on the full-width dot products and reverted —
+    building the ~512-op expression through the Python column API costs
+    seconds of py4j round-trips per invocation and janino compiles the
+    giant method slower than the interpreted HOF executes."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+    return acc
+
+
 @register(
     "knn_bruteforce_cosine",
     sql=f"""
@@ -138,6 +152,12 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, centroid_id, cos_sim, rn): every vector's centroids ranked
     by rounded similarity — rn=1 is the IVF assignment, rn<=P the probe set."""
+    # NOTE (r11): a fully unrolled 64-term dot was tried here and reverted —
+    # building the ~512-op expression through the Python column API costs
+    # ~5s of py4j round-trips per invocation and the generated janino
+    # method compiles slower than the interpreted HOF executes at this
+    # width. The HOF evaluates once per row; only the narrow (8-term) ADC
+    # kernels are unrolled (see _sq_l2_u).
     e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
     cents = (
         e.filter(
@@ -214,6 +234,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector width, is the term that explodes."""
     from pumle_spark.operators.similarity import hyperplanes
 
+    # NOTE (r11): an unrolled literal-weight projection was tried here and
+    # reverted — see the note in _ivf_ranked (py4j build cost dominates at
+    # this width).
     e = table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
     planes = hyperplanes(_DIM, _N_PLANES)
     code = F.lit(0)
@@ -636,11 +659,8 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # r11 (guide §4): unrolled codegen distance, bit-identical fold order
+    d2 = _sq_l2_u(F.col("sv"), F.col("cv"), _PQ_SUB)
     best = (
         sub.join(F.broadcast(csub), "m")
         .select("vec_id", "m", F.round(d2, 6).alias("r"), "cent_id")
@@ -750,11 +770,10 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv")
     )
-    d2_expr = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # r11 (guide §4): the n·M·K distance kernel is an unrolled codegen sum,
+    # not an interpreted aggregate/zip_with lambda pair; bit-identical fold
+    # order (see _sq_l2_u).
+    d2_expr = _sq_l2_u(F.col("sv"), F.col("cv"), _PQ_SUB)
     d2 = sub.join(F.broadcast(csub), "m").select(
         "vec_id", "m", "cent_id", F.round(d2_expr, 6).alias("r")
     )
@@ -762,11 +781,20 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct(F.col("r"), F.col("cent_id").alias("cid"))).alias("b")
     ).select("vec_id", "m", F.col("b.cid").alias("code"))
 
-    qids = v.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id")
-    )
-    lut = d2.join(F.broadcast(qids), d2.vec_id == F.col("query_id")).select(
-        "query_id", "m", F.col("cent_id").alias("code"), "r"
+    # r11 (guide §3.4): the query LUT only needs the strided query vectors —
+    # filter sub BEFORE the codebook join (predicate pushed to the scan)
+    # instead of running the full n·M·K distance pass a second time and
+    # joining it down to |q| (the before-plan computed d2 twice; identical
+    # rows because the qids broadcast-join was exactly this filter).
+    lut = (
+        sub.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+        .join(F.broadcast(csub), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cent_id").alias("code"),
+            F.round(d2_expr, 6).alias("r"),
+        )
     )
     return (
         assign.join(F.broadcast(lut), ["m", "code"])
@@ -940,11 +968,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
         "cemb",
     ).select("cent_id", "m", F.expr(f"slice(cemb, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"))
-    d2_expr = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # r11 (guide §4): unrolled codegen distance, bit-identical fold order
+    d2_expr = _sq_l2_u(F.col("sv"), F.col("cv"), _PQ_SUB)
     d2 = sub.join(F.broadcast(csub), "m").select(
         "vec_id", "m", "cent_id", F.round(d2_expr, 6).alias("r")
     )
@@ -952,15 +977,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct(F.col("r"), F.col("cent_id").alias("cid"))).alias("b")
     ).select("vec_id", "m", F.col("b.cid").alias("code"))
 
-    qids = v.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id")
+    # r11 (guide §3.4): LUT and query-assignment from pushed-down strided
+    # filters instead of a second full distance pass / an extra join
+    # (identical rows — the qids broadcast-join was exactly this filter).
+    lut = (
+        sub.filter(F.col("vec_id") % _QUERY_STRIDE == 0)
+        .join(F.broadcast(csub), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cent_id").alias("code"),
+            F.round(d2_expr, 6).alias("r"),
+        )
     )
-    lut = d2.join(F.broadcast(qids), d2.vec_id == F.col("query_id")).select(
-        "query_id", "m", F.col("cent_id").alias("code"), "r"
+    qassign = assign.filter(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
     )
-    qassign = assign.join(
-        F.broadcast(qids), assign.vec_id == F.col("query_id")
-    ).select("query_id", "centroid_id")
     cand = (
         assign.join(F.broadcast(qassign), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
