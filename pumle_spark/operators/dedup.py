@@ -215,77 +215,93 @@ def connected_components(
     reachable. This is what a corpus pipeline actually consumes — "keep doc
     X, drop {Y, Z}" needs cluster assignments, not pairs.
 
-    Min-label propagation: each round joins labels to edges and takes the
-    neighborhood min — one shuffle per round, converging in O(graph
-    diameter) rounds (near-dup clusters are shallow; diameter beyond ~10 is
-    pathological). Early-exits when a round changes nothing. Each round
-    localCheckpoints the labels: without it the self-referential lineage
-    doubles per iteration and the planner, not the data, becomes the
-    bottleneck. On a real cluster prefer sparkContext.setCheckpointDir +
-    checkpoint() so labels survive executor loss; for billion-edge graphs
-    the alternating large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce") halves the rounds.
+    Min-label propagation: each step joins labels to the (self-looped)
+    edge list and takes the neighborhood min — converging in O(graph
+    diameter) steps (near-dup clusters are shallow; diameter beyond ~10 is
+    pathological). r11 rework (guide §2.1 — per-round fixed cost dominates
+    on the shallow graphs this serves):
+
+    * self-loop edges make one join + one groupBy a FULL propagation step
+      (min over nbr ∪ {self}); the old shape needed a second left join
+      back to the labels for the least()/coalesce;
+    * TWO steps run per checkpointed job, halving the job / observe /
+      checkpoint count (labels only ever decrease, so intermediate labels
+      need no materialization);
+    * convergence rides the same action via observe(SUM(comp)): labels are
+      non-increasing, so the sum is strictly decreasing until the fixpoint
+      and an unchanged sum IS convergence — no per-label change flags.
+
+    Each job localCheckpoints the labels: without it the self-referential
+    lineage doubles per iteration and the planner, not the data, becomes
+    the bottleneck. On a real cluster prefer sparkContext.setCheckpointDir
+    + checkpoint() so labels survive executor loss; for billion-edge
+    graphs the alternating large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce") halves the rounds.
     """
     # both directions via ONE explode — a union of two selects would run
-    # the (possibly expensive) pairs lineage twice before the cache fills
+    # the (possibly expensive) pairs lineage twice; the eager checkpoint
+    # materializes the edge list once for every propagation step (a lazy
+    # cache would race when two steps share one job)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(key_a).alias("src"), F.col(key_b).alias("dst")),
+                F.struct(F.col(key_b).alias("src"), F.col(key_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    nodes = sym.select("src").distinct()
     edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(key_a).alias("src"), F.col(key_b).alias("dst")),
-                    F.struct(F.col(key_b).alias("src"), F.col(key_a).alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
+        sym.unionAll(nodes.select("src", F.col("src").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("key")).distinct().select(
-        "key", F.col("key").alias("comp")
+    # the self-loop rows are exactly the node set — initial labels for free
+    labels = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("key"), F.col("src").alias("comp"))
     )
     from pyspark.sql import Observation
 
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.key)
+    def prop(lbl: DataFrame) -> DataFrame:
+        return (
+            edges.join(lbl, F.col("src") == F.col("key"))
             .groupBy(F.col("dst").alias("key"))
-            .agg(F.min("comp").alias("nbr_comp"))
+            .agg(F.min("comp").alias("comp"))
         )
-        # the convergence count rides the SAME action as the checkpoint via
-        # observe() — a label changes iff the neighborhood min undercuts it,
-        # so no second join-and-count pass over the labels is needed
-        # (measured: halves the actions per round)
+
+    prev_sum = None
+    steps = 0
+    converged = False
+    while steps < max_iter:
+        k = 2 if max_iter - steps >= 2 else 1
+        stepped = labels
+        for _ in range(k):
+            stepped = prop(stepped)
         obs = Observation()
-        new_labels = (
-            labels.join(nbr_min, "key", "left")
-            .select(
-                "key",
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).cast("long").alias("changed"),
-            )
-            .observe(obs, F.sum("changed").alias("n_changed"))
-            .select("key", "comp")
-            .localCheckpoint(eager=True)
-        )
-        n_changed = int(obs.get["n_changed"] or 0)
-        labels = new_labels
-        if n_changed == 0:
+        labels = stepped.observe(
+            obs, F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        steps += k
+        row = obs.get
+        if row["n"] == 0 or row["s"] == prev_sum:
+            converged = True
             break
-    else:
-        # exited via max_iter with labels still moving: the result is NOT a
-        # fixpoint (a fixpoint oracle like a recursive CTE would disagree).
-        # Warn loudly instead of silently returning partial components.
+        prev_sum = row["s"]
+    if not converged:
+        # exited via max_iter with labels possibly still moving: the result
+        # may not be a fixpoint (a fixpoint oracle like a recursive CTE
+        # would disagree). Warn loudly instead of silently returning
+        # partial components.
         import warnings
 
         warnings.warn(
-            f"connected_components: {n_changed} labels still changing after "
-            f"max_iter={max_iter} rounds — graph diameter exceeds the round "
-            "budget; returned labels are unconverged",
+            f"connected_components: labels had not provably converged after "
+            f"max_iter={max_iter} propagation steps — graph diameter exceeds "
+            "the step budget; returned labels may be unconverged",
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
     return labels
 
 
