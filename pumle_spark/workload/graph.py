@@ -178,7 +178,17 @@ def _sparsified_edges(li: DataFrame) -> DataFrame:
     count-histogram (bounded cardinality ≈ max co-order multiplicity),
     cumsum it, and interpolate v[floor(h)] + frac·(v[floor(h)+1] −
     v[floor(h)]) at h = q·(N−1) — bit-identical to DuckDB's
-    quantile_cont on the raw values."""
+    quantile_cont on the raw values.
+
+    r11 (guide §2.4): the result is localCheckpoint-ed — both consumers
+    (triangle census, link prediction) reference the edge set 5-6 times
+    (degrees ×3, census count, both wedge-join sides, triangle closure),
+    and each reference re-expanded the whole lineitem self-join +
+    histogram-quantile subtree (measured: 168 parquet scans / 144
+    broadcast exchanges in the census plan; 4 scans after). The edge set
+    is the top co-occurrence decile by construction — bounded and safe to
+    pin at any scale, unlike the raw bipartite edge list (see the
+    PageRank note below)."""
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -194,7 +204,14 @@ def _sparsified_edges(li: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    pc = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("c"))
+    # pc feeds BOTH the histogram/threshold branch and the final filter —
+    # without materialization the lineitem self-join + distinct runs twice
+    # (measured r11: two 1.6s stages shuffling 16 MB each at sf0.1)
+    pc = (
+        pairs.groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     hist = pc.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
     wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.withColumn("cum", F.sum("nc").over(wcum))
@@ -216,7 +233,12 @@ def _sparsified_edges(li: DataFrame) -> DataFrame:
             ).alias("t")
         )
     )
-    return pc.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("t")).select("na", "nb")
+    return (
+        pc.crossJoin(F.broadcast(thr))
+        .filter(F.col("c") > F.col("t"))
+        .select("na", "nb")
+        .localCheckpoint(eager=True)
+    )
 
 
 @register(
