@@ -1200,8 +1200,17 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound per character, so byte-sized input splits under-parallelize
     # it (see text_fingerprint_winnow's note) — the raw-text shuffle is
     # cheaper than the gram-row shuffle the old window form forced.
-    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.array_join(_tokens_col(), " ").alias("norm"), bucket.alias("bucket")
+    # r11 (guide §2.4): the normalized corpus (with its content hash) is
+    # materialized ONCE — the before-plan re-ran the tokenize projection
+    # for every consumer (existing-winnow, delta-winnow, exact index,
+    # delta hashes, delta ids: 14 parquet scans).
+    d = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", F.array_join(_tokens_col(), " ").alias("norm"), bucket.alias("bucket")
+        )
+        .withColumn("ch", F.md5("norm"))
+        .localCheckpoint(eager=True)
     )
     existing = d.filter(F.col("bucket") < 90).select("doc_id", "norm")
     delta = d.filter(F.col("bucket") >= 90).select("doc_id", "norm")
@@ -1216,7 +1225,9 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(winnow_fp_array(_INC_GRAM, _INC_WINNOW)).alias("fp"),
         )
 
-    fp_e0 = winnow_fps(existing)
+    # fp_e0 feeds both the stop-fingerprint census and the probe index —
+    # checkpoint so the existing-side winnow kernel runs once, not twice
+    fp_e0 = winnow_fps(existing).localCheckpoint(eager=True)
     hot = fp_e0.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") > _INC_MAXDF
     )
@@ -1235,8 +1246,8 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    exact_idx = existing.select(F.md5("norm").alias("ch")).distinct()
-    delta_h = delta.select("doc_id", F.md5("norm").alias("ch"))
+    exact_idx = d.filter(F.col("bucket") < 90).select("ch").distinct()
+    delta_h = d.filter(F.col("bucket") >= 90).select("doc_id", "ch")
     exact_docs = delta_h.join(exact_idx, "ch", "left_semi").select("doc_id")
 
     classed = (

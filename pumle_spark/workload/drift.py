@@ -983,18 +983,31 @@ def drift_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
     # symmetry: x_i*x_j == x_j*x_i bit-exactly, so explode only the upper
     # triangle (i <= j: 2080 of 4096 cells) and double off-diagonal terms in
-    # the Frobenius accumulation — same value, half the explode+decimal work
-    t = e.select(
-        "label",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {_MMD_DIM - 1}), "
-                f"i -> transform(sequence(i, {_MMD_DIM - 1}), "
-                f"j -> struct(i, j, cast(round(v[i] * v[j] * 1000000000) as bigint) AS p))))"
-            )
-        ).alias("x"),
-    ).select("label", "x.i", "x.j", "x.p")
-    s = t.groupBy("label", "i", "j").agg(F.sum("p").alias("sp"))
+    # the Frobenius accumulation — same value, half the explode+decimal work.
+    # r11 (guide §4): two chained explodes + a plain projection instead of
+    # the nested transform/flatten lambda building a 2080-struct array per
+    # row — Generate and the arithmetic stay in whole-stage codegen, the
+    # interpreted HOF (and its per-row array allocation) is gone; identical
+    # cells, and the per-cell bigint is unchanged so the sum is
+    # order-independent.
+    t = (
+        e.select("label", "v", F.explode(F.expr(f"sequence(0, {_MMD_DIM - 1})")).alias("i"))
+        .select("label", "v", "i", F.explode(F.expr(f"sequence(i, {_MMD_DIM - 1})")).alias("j"))
+        .select(
+            "label",
+            "i",
+            "j",
+            F.expr("cast(round(v[i] * v[j] * 1000000000) as bigint)").alias("p"),
+        )
+    )
+    # r11 (guide §2.4): s is both sides of the label-pair join — checkpoint
+    # the ~|labels|·d²/2-row moment table so the O(n·d²/2) explode+sum pass
+    # runs once, not twice (the result is fixed-size regardless of corpus)
+    s = (
+        t.groupBy("label", "i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .localCheckpoint(eager=True)
+    )
     a = s.select(
         F.col("label").alias("la"), "i", "j", F.col("sp").alias("spa")
     ).join(cnt.select(F.col("label").alias("la"), F.col("n").alias("na")), "la")

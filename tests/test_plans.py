@@ -328,10 +328,15 @@ def test_gini_broadcasts_nation_dim(spark):
 def test_incremental_delta_never_joins_existing_to_existing(spark):
     """The near-dup probe joins delta fingerprints against the existing
     index; both sides of every SortMergeJoin/ShuffledHashJoin must carry
-    the split filter — visible as the md5('split|…') bucket predicate on
-    each scan branch (one < 90, one >= 90)."""
+    the split filter. Since the r11 rework materializes the normalized
+    corpus once (the md5('split|…') bucket is computed in that checkpoint
+    job), the final plan filters on the materialized bucket column — one
+    branch < 90, one >= 90 — instead of re-deriving the hash per side."""
     plan = plan_of("dedup_incremental_delta", spark)
-    assert plan.count("split|") >= 2  # both sides bucket-filtered
+    import re
+
+    assert len(re.findall(r"bucket#\d+L? < 90", plan)) >= 1  # existing side
+    assert len(re.findall(r"bucket#\d+L? >= 90", plan)) >= 1  # delta side
 
 
 def test_winnow_fingerprint_single_exchange(spark):
