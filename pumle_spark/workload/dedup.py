@@ -595,19 +595,27 @@ def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     pumle_spark.operators.dedup.
     """
     docs = table(spark, sf_dir, "documents")
-    # whole signature per-row: distinct token hashes as an array, then one
-    # aggregate() fold per bit — 32 folds over a ~40-element array beats a
-    # (doc × token × bit) shuffle by construction. Zero exchanges.
-    hs = (
-        docs.select("doc_id", _tokens_col().alias("ws"))
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(array_distinct(filter(ws, w -> w != '')), "
-                "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-            ).alias("hs"),
-        )
-        .filter(F.size("hs") > 0)  # tokenless docs are absent in the oracle too
+    # r11: two fixes, zero exchanges kept (an explode+groupBy(doc) codegen
+    # variant was tried and measured 2x SLOWER locally — 0.69→1.40 s probe —
+    # the per-doc fold over ~40 hashes beats materializing 32 vote columns
+    # through an aggregate).
+    # (1) the size(hs)>0 post-filter pushdown re-evaluated the whole
+    #     tokenize+md5 chain a second time per row; a doc has a nonempty
+    #     token iff its normalized text trims nonempty, so the cheap
+    #     regex-only predicate filters BEFORE hs is built (same rows kept —
+    #     tokenless docs are absent in the oracle too).
+    # (2) round-robin repartition: the standing idiom for CPU-bound kernels
+    #     over the single-row-group fixture (see _shingle_sets) — without it
+    #     the tokenize+md5+fold pass pins to the scan's one task.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).filter(
+        F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) != ''")
+    )
+    hs = docs.select("doc_id", _tokens_col().alias("ws")).select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(filter(ws, w -> w != '')), "
+            "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
     )
     bit_terms = " + ".join(
         f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {j}) & 1) * 2 - 1) > 0 "

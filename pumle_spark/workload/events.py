@@ -130,15 +130,23 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream → groupBy(window(ts, '1 hour'), event_type) with a watermark.
     """
     e = table(spark, sf_dir, "events")
+    # r11: group on the 8-byte truncated timestamp and format AFTER the
+    # aggregation — the string render runs once per output group instead of
+    # once per event row, and the shuffle key narrows from a 19-char string
+    # to a long. Identical output (date_format of the truncated hour).
     return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
-            "event_type",
-        )
+        e.groupBy(F.date_trunc("hour", "ts").alias("_h"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money.sum_money2(F.col("value"), money.CENTS).alias("sum_value"),
             F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
         )
     )
 

@@ -201,17 +201,27 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "semi", "exists"),
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS with a correlated inequality → left-semi join
-    carrying the extra predicate; no duplicate inflation of orders."""
+    """TPC-H Q4 shape: EXISTS with a correlated inequality.
+
+    r11: the direct left-semi form forced Spark to build the BROADCAST side
+    from lineitem (the fact table — fine at sf0.1, impossible at 100 TB).
+    EXISTS(l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) is
+    exactly max(l_shipdate) per orderkey > o_orderdate (max ignores NULLs;
+    an all-NULL group yields NULL > date = NULL = no match, same as EXISTS),
+    so lineitem collapses to a map-side-combinable per-orderkey MAX — the
+    shuffle carries |orderkeys| 16-byte rows and the join side sizes are
+    known to AQE, which picks broadcast locally and a shuffle join at scale.
+    """
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem")
+    lmax = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
     qualified = o.join(
-        li,
-        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
+        lmax,
+        (lmax.l_orderkey == o.o_orderkey) & (lmax._max_ship > o.o_orderdate),
+        "inner",  # lmax is unique per orderkey: inner ≡ the previous semi
     )
     return qualified.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
@@ -463,13 +473,20 @@ def join_left_outer_part_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     p = table(spark, sf_dir, "part")
     li = table(spark, sf_dir, "lineitem")
-    return (
-        p.join(li, li.l_partkey == p.p_partkey, "left")
-        .groupBy("p_partkey")
-        .agg(
-            F.count("l_orderkey").alias("n_lineitems"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
+    # r11: aggregate lineitem per l_partkey BEFORE the outer join — the
+    # per-key count/sum is map-side combinable, so the join (and any
+    # shuffle/broadcast) carries |partkeys| slim rows instead of every
+    # lineitem row. p_partkey is unique, so the post-join groupBy drops
+    # entirely. l_quantity is integer-valued → the double sum is exact under
+    # reassociation; unmatched parts keep count 0 / NULL sum as before.
+    lagg = li.groupBy("l_partkey").agg(
+        F.count("l_orderkey").alias("_n"),
+        F.sum("l_quantity").alias("_sq"),
+    )
+    return p.join(lagg, lagg.l_partkey == p.p_partkey, "left").select(
+        "p_partkey",
+        F.coalesce("_n", F.lit(0).cast("bigint")).alias("n_lineitems"),
+        F.round("_sq", 2).alias("sum_qty"),
     )
 
 

@@ -247,9 +247,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         code = code + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    ec = e.select(
-        "vec_id", "emb", code.cast("int").alias("bucket_code")
-    ).withColumn("n", _dot(F.col("emb"), F.col("emb")))
+    # r11: eager checkpoint — both self-join sides consumed this relation,
+    # so the 16 interpreted hyperplane folds (and the norm) ran twice per
+    # vector (4 parquet scans in the before-plan). Materialized once, the
+    # join reads slim cached rows and the code computation is map-only.
+    ec = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "emb", code.cast("int").alias("bucket_code"))
+        .withColumn("n", _dot(F.col("emb"), F.col("emb")))
+        .localCheckpoint(eager=True)
+    )
 
     a = ec.select(
         "bucket_code",

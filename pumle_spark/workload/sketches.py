@@ -199,6 +199,12 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifies.
     """
     o = table(spark, sf_dir, "orders")
+    # r11 negative result, kept original: a shared distinct-(status,custkey)
+    # rollup feeding both branches was tried two ways — eager checkpoint
+    # (0.77→0.86 s probe; the barrier outweighs the saved scan) and lazy
+    # relying on ReusedExchange (→1.05 s; the exchange is not reused across
+    # the differently-shaped branches). Both register and exact paths are
+    # already map-side partial aggregates, so the two cheap scans win.
     regs = _hll_registers(o.select(F.col("o_orderstatus").alias("tag"), F.col("o_custkey")))
     corrected = _hll_estimates(spark, regs).withColumnRenamed("tag", "status")
     exact = o.groupBy(F.col("o_orderstatus").alias("status")).agg(

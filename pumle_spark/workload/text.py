@@ -181,25 +181,38 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shrinks the input BEFORE the dedup shuffle — filter-then-shuffle
     ordering is the whole game for corpus jobs at 100 TB.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # parallelize the tokenize kernel off the single-row-group scan
     d = docs.select("doc_id", "lang", _tokens_col().alias("ws"))
     n_tokens = F.size("ws")
+    # r11: materialize the slim scored relation once — the previous
+    # keep→(groupBy ⋈ keep) form consumed `keep` twice (two full scans +
+    # tokenizations), and predicate pushdown inlined the tokenize chain into
+    # the scan filter a further ~4x per row. The checkpoint holds 5 narrow
+    # columns, so one scan + exactly one tokenize+md5 per row.
     scored = d.select(
         "doc_id",
         "lang",
         F.md5(F.array_join("ws", " ")).alias("content_hash"),
         n_tokens.alias("n_tokens"),
         (_hits("en").cast("double") / F.nullif(n_tokens, F.lit(0))).alias("stop_ratio"),
-    )
+    ).localCheckpoint(eager=True)
     keep = scored.filter(F.col("n_tokens").between(10, 1000) & (F.col("stop_ratio") >= 0.01))
-    survivors = keep.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    # min_by replaces the groupBy+join-back: the survivor row per
+    # content_hash is exactly the min-doc_id row (doc_id is unique), so one
+    # exchange of slim rows and no second consumption of `keep`.
     return (
-        keep.join(survivors, ["content_hash", "doc_id"])
+        keep.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "n_tokens", "stop_ratio"), "doc_id").alias("_w"),
+        )
         .select(
             "doc_id",
-            "lang",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.round("stop_ratio", 4).alias("stop_ratio"),
+            F.col("_w.lang").alias("lang"),
+            F.col("_w.n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("_w.stop_ratio", 4).alias("stop_ratio"),
         )
     )
 
