@@ -145,6 +145,11 @@ def _dot(a, b):
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 negative result: a round-robin repartition here (the
+    # _shingle_sets idiom) regressed the whole family ~+1 s each — v is
+    # consumed by every Lloyd-iteration job, so the un-materialized
+    # exchange re-executed per job, and the 64-float array payload shuffle
+    # costs more than the small HOF dot kernel saves.
     return table(spark, sf_dir, "embeddings").select("vec_id", _vecd().alias("emb"))
 
 
@@ -256,6 +261,11 @@ def cluster_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attach embedding + squared norm ONCE per vector before the pair join:
     # per-pair work is then a single dot product, not three (the norms of a
     # vector are invariant across the |c| pairs it appears in)
+    # r11 negative result: an eager checkpoint here (both pair-join sides
+    # reference this relation) measured 3.7→5.1 s — the self-join sides
+    # already share one computation via ReusedExchange, so the barrier only
+    # added cost. Checkpoints pay ONLY where the plan shows the reuse
+    # failing (duplicate parquet scans), not on every branching relation.
     memb = (
         _kmeans_final(spark, sf_dir)
         .select("vec_id", "cid")

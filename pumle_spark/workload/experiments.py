@@ -433,9 +433,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI-loud beyond; bit-identical means) — 14.2 → 4.7s at sf0.1.
     """
     o = table(spark, sf_dir, "orders")
+    # r11: round-robin repartition of the slim (key, cents) projection —
+    # the B/4-md5-per-row expansion otherwise runs entirely inside the
+    # single-row-group scan stage (measured: ONE task holding 3.4 s of the
+    # query's 4.4 s; guide §2.5 input skew). 16 bytes/row crosses the
+    # shuffle; the hash kernel then uses every core.
     base = o.select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     n_digests = _BOOT_B // _BOOT_SLICES
     # ONE md5 per (row, digest): each 128-bit digest serves FOUR replicates
     # (8-hex slices), quartering the hash work vs the old per-(row,

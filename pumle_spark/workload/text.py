@@ -3351,7 +3351,13 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_bpe_pair_stats. Catalyst's ReuseExchange dedups the repeated
     edge/degree subtrees across the fixed unroll (single-action plan, no
     pinned caches)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("ws"))
+    # r11: round-robin repartition — the tokenize+explode adjacency kernel
+    # otherwise pins to the single-row-group scan task (see _shingle_sets).
+    d = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _tokens_col().alias("ws"))
+    )
     stop_in = _sql_in(_TR_STOP)
     adj = (
         d.filter(F.expr("size(ws) >= 2"))
@@ -3386,8 +3392,15 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
-    edges = ewc.select(F.col("u").alias("src"), F.col("v").alias("dst"), "wt").unionAll(
-        ewc.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt")
+    # r11: eager checkpoint — every unrolled PageRank iteration references
+    # the edge list (and deg derives from it); measured before the fix, each
+    # iteration re-ran the corpus-level adjacency extraction as its own
+    # single-task stage (~0.7 s × {_TR_ITERS} sequential). Materialized once,
+    # the loop iterates over a broadcast-sized in-memory table.
+    edges = (
+        ewc.select(F.col("u").alias("src"), F.col("v").alias("dst"), "wt")
+        .unionAll(ewc.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt"))
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.sum("wt").cast("bigint").alias("wdeg"))
     nn = deg.select(F.count(F.lit(1)).alias("n"))
