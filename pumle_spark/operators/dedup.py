@@ -261,6 +261,19 @@ def connected_components(
         edges.filter(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("key"), F.col("src").alias("comp"))
     )
+    # The convergence observable below is SUM(comp), whose monotone-decrease
+    # argument only holds for numeric keys: SUM over a non-numeric comp
+    # column returns NULL every round and None == None would silently
+    # declare convergence after one job (r11 ADVICE). Fail loudly instead.
+    from pyspark.sql.types import NumericType
+
+    comp_type = labels.schema["comp"].dataType
+    if not isinstance(comp_type, NumericType):
+        raise TypeError(
+            f"connected_components: key column must be numeric for the "
+            f"SUM(comp) convergence observable, got {comp_type.simpleString()}; "
+            "map keys to integers (e.g. xxhash64) before clustering"
+        )
     from pyspark.sql import Observation
 
     def prop(lbl: DataFrame) -> DataFrame:
@@ -279,14 +292,24 @@ def connected_components(
         for _ in range(k):
             stepped = prop(stepped)
         obs = Observation()
+        # decimal(38,0) accumulator: a bigint SUM can wrap under non-ANSI
+        # arithmetic at extreme scale and a NULL/wrapped sum could fake the
+        # fixpoint; 38 digits hold any realistic node-count x key-range.
         labels = stepped.observe(
-            obs, F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n")
+            obs,
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         ).localCheckpoint(eager=True)
         steps += k
         row = obs.get
-        if row["n"] == 0 or row["s"] == prev_sum:
+        if row["n"] == 0 or (row["s"] is not None and row["s"] == prev_sum):
             converged = True
             break
+        if row["s"] is None:
+            raise RuntimeError(
+                "connected_components: SUM(comp) observable returned NULL on "
+                f"{row['n']} rows — label sum overflow; cannot prove convergence"
+            )
         prev_sum = row["s"]
     if not converged:
         # exited via max_iter with labels possibly still moving: the result

@@ -790,6 +790,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in cluster size (any exact pair-emitter pays it) — the
     production composition is dedup_exact first, this sweep second.
     """
+    # r12 negative result (measured, r11 shape kept): deriving this query
+    # from the _shingle_sets array front probed 2.84 -> 6.40 s (the cand
+    # bucket join degraded BroadcastHashJoin -> SortMergeJoin on the
+    # Generate-inflated size estimate and the prefix pass re-ran per side),
+    # and additionally checkpointing the prefix relation probed 7.62 s.
+    # The exploded checkpoint below keeps the planner's estimates honest.
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)  # (doc_id, sh), reused 3×
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -894,8 +900,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams once through the equi-join. Directionality costs nothing:
     both orders of a pair emerge from the same join because every doc
     appears on both sides."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # r12 (guide §2.4): same _shingle_sets front-sharing as the Jaccard twin
+    # one section up — one checkpointed array relation feeds the exploded
+    # view, sizes, and the verify-side sorted arrays.
+    dsh = _shingle_sets(spark, sf_dir)
+    sh = dsh.select("doc_id", F.explode("sh_set").alias("sh"))
+    sizes = dsh.select("doc_id", "n_sh")
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     prefix_len = F.col("n_sh") - F.expr(
         f"({_CT_NUM} * n_sh + {_CT_DEN} - 1) div {_CT_DEN}"
@@ -914,10 +924,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("sh")).alias("shs"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
+    doc_sets = dsh.select("doc_id", F.array_sort("sh_set").alias("shs"), "n_sh")
     sets_a = doc_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
     )
@@ -1010,7 +1017,7 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusts the measured completeness. Single-row output, exact integer
     counts, two mirrored double divisions.
     """
-    from pumle_spark.operators.dedup import lsh_band_keys, minhash_signatures
+    from pumle_spark.operators.dedup import lsh_band_keys
 
     _assert_allpairs_bounded(
         table(spark, sf_dir, "documents").count(),
@@ -1018,10 +1025,24 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_blocking_quality (all-pairs truth subtree)",
         "the blocked candidate generator alone (its completeness is what this grades)",
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # r12 (guide §2.4): share the checkpointed _shingle_sets front and the
+    # map-side signature with dedup_minhash_lsh — the r11 shape re-ran the
+    # tokenize+shingle build for sizes, the signature pass, and both truth
+    # sides, plus an explode+groupBy shuffle for the signature itself.
+    dsh = _shingle_sets(spark, sf_dir)
+    sh = dsh.select("doc_id", F.explode("sh_set").alias("sh"))
+    sizes = dsh.select("doc_id", "n_sh")
 
-    sig = minhash_signatures(sh.withColumnRenamed("doc_id", "key"), n_hashes=_N_HASHES)
+    sig = (
+        dsh.select("doc_id", *_minhash_sig_cols("sh_set", _N_HASHES))
+        .select(
+            F.col("doc_id").alias("key"),
+            *[F.col(f"_dig{s // 4}.mh{s}").alias(f"mh{s}") for s in range(_N_HASHES)],
+        )
+        # both band-join sides reference the signature: checkpoint the tiny
+        # (doc, 8 hex slices) table so the md5-per-shingle pass runs once
+        .localCheckpoint(eager=True)
+    )
     bands = lsh_band_keys(sig, _N_HASHES, rows_per_band=2).withColumnRenamed(
         "key", "doc_id"
     )
@@ -1371,7 +1392,7 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree is the labeled all-pairs baseline, budget-guarded — on a real
     corpus the report runs on an audit sample.
     """
-    from pumle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from pumle_spark.operators.dedup import lsh_candidate_pairs
 
     _assert_allpairs_bounded(
         table(spark, sf_dir, "documents").count(),
@@ -1379,8 +1400,13 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_lsh_tuning_report (all-pairs truth subtree)",
         "the blocked candidate generators alone (their completeness is what this grades)",
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # r12 (guide §2.4): checkpointed _shingle_sets front + map-side
+    # signature, as in dedup_minhash_lsh/dedup_blocking_quality — the r11
+    # shape re-ran the tokenize+shingle build for sizes and both truth
+    # sides and shuffled |shingle| rows for the signature groupBy.
+    dsh = _shingle_sets(spark, sf_dir)
+    sh = dsh.select("doc_id", F.explode("sh_set").alias("sh"))
+    sizes = dsh.select("doc_id", "n_sh")
     n_docs_df = table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
@@ -1413,9 +1439,16 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
 
-    sig = minhash_signatures(
-        sh.withColumnRenamed("doc_id", "key"), n_hashes=_N_HASHES
-    ).localCheckpoint(eager=False)
+    sig = (
+        dsh.select("doc_id", *_minhash_sig_cols("sh_set", _N_HASHES))
+        .select(
+            F.col("doc_id").alias("key"),
+            *[F.col(f"_dig{s // 4}.mh{s}").alias(f"mh{s}") for s in range(_N_HASHES)],
+        )
+        # referenced by both band sides of all three configs (6 consumers):
+        # pin it so the md5-per-shingle pass runs once
+        .localCheckpoint(eager=True)
+    )
 
     out = None
     for r in _TUNE_ROWS:

@@ -776,6 +776,13 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     alive = edges.select(F.col("src").alias("node")).distinct()
+    # r12 negative result (measured, kept as-is): batching TWO peel rounds
+    # per checkpointed job — the connected-components k=2 idiom — probed
+    # 4.40 -> 5.45 s at sf0.1. Unlike min-label propagation, each peel
+    # round references the previous round's result TWICE (both join sides),
+    # so only the exchange is shared and the |edges|-scale degree
+    # aggregation re-runs per side; the doubled final-agg work exceeds the
+    # saved barrier. One blocking job per round stays.
     for _ in range(_KC_ROUNDS):
         a = alive.withColumnRenamed("node", "src")
         b = alive.withColumnRenamed("node", "dst")

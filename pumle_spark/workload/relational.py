@@ -216,7 +216,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    # r12 (guide §2.3): a qualifying witness needs l_shipdate > o_orderdate
+    # with o_orderdate >= 1996-01-01, so rows with l_shipdate <= 1996-01-01
+    # can never witness ANY order in the window — drop them at the scan
+    # (PushedFilters) before the MAX. The kept-set max exceeds o_orderdate
+    # iff the full max does (the full max, when > o_orderdate >= 1996-01-01,
+    # is itself in the kept set), and groups that become empty could not
+    # match anyway; equivalence is exact.
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
     lmax = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_max_ship"))
     qualified = o.join(
         lmax,

@@ -428,33 +428,35 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bit") / _BLOOM_WORD).cast("bigint").alias("word_idx"),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {_BLOOM_WORD} AS INT))").alias("mask"),
     )
-    # <=128-word sketch, materialized once: each of the 3 probe lookups
-    # below broadcasts it, and without the checkpoint each would re-run the
-    # explode+bit_or build
-    sketch = (
-        bits.groupBy("word_idx").agg(F.bit_or("mask").alias("word")).localCheckpoint(eager=True)
+    # r12 (guide §2.4, closing the r11 driver regression): the whole <=128-
+    # word sketch collapses to ONE row holding a word_idx -> word map. The
+    # r11 shape probed it through THREE BroadcastHashJoins behind an eager
+    # checkpoint barrier — three broadcast builds plus a blocking job for a
+    # 1 KB sketch (driver-measured 0.64x). A single-row broadcast crossJoin
+    # attaches the map to every customer and element_at() reads each probe
+    # word map-side: zero joins on the probe path, zero barrier, and the
+    # customer side still never shuffles.
+    sketch_map = (
+        bits.groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("skmap")
+        )
     )
 
-    # r11 (guide §2.4): probe each of the k=3 positions with its own
-    # broadcast word lookup and AND the bits with least() — all map-side.
-    # The before-plan exploded customer 3x and re-grouped the 3 rows back
-    # per customer (an exchange of 3·|customer| rows) just to MIN the bits;
-    # all_bits = least(bit_0, bit_1, bit_2) is the same value with no
-    # customer-side shuffle at all.
-    checked = c.select("c_custkey", "c_mktsegment")
+    checked = c.select("c_custkey", "c_mktsegment").crossJoin(F.broadcast(sketch_map))
     bit_cols = []
     for i in range(_BLOOM_K):
         p = pos(i)
-        sk_i = sketch.select(
-            F.col("word_idx").alias(f"wi{i}"), F.col("word").alias(f"w{i}")
-        )
         checked = checked.withColumn(f"wi{i}", (p / _BLOOM_WORD).cast("bigint")).withColumn(
             f"bp{i}", (p % _BLOOM_WORD).cast("int")
         )
-        checked = checked.join(F.broadcast(sk_i), f"wi{i}", "left")
         bit_cols.append(
             F.expr(
-                f"shiftright(coalesce(w{i}, CAST(0 AS BIGINT)), bp{i}) & CAST(1 AS BIGINT)"
+                f"shiftright(coalesce(element_at(skmap, wi{i}), CAST(0 AS BIGINT)), bp{i})"
+                f" & CAST(1 AS BIGINT)"
             )
         )
     checked = checked.select(
@@ -580,34 +582,53 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
 
-    # r11 (guide §2.4): the tagged key union feeds every branch of the query
-    # (HLL registers, the union-register merge, and all four exact counts) —
-    # the before-plan re-scanned orders 14 times
-    # (plans/r11/sketch_hll_setops_before.txt). One eager checkpoint of the
-    # ~|distinct buyers| tagged relation replaces all of them; a single
-    # blocking job keeps scheduling overhead flat (three separate
-    # checkpoints measured +0.24s at sf0.1). The tag is derived from the
-    # order date, so ONE range-filtered scan + one distinct replaces the
-    # former union of two separately filtered scans (same rows: distinct
-    # per year unioned ≡ distinct over (year-tag, key)).
-    tagged = (
+    # r12 restructure (guide §2.3/§2.4, closing the r11 driver regression):
+    # the r11 shape eagerly checkpointed the distinct (tag, key) union and
+    # re-read it for registers, the union-register merge, and the exact
+    # counts — the blocking job cost more than the reuse saved at sf0.1
+    # (driver 0.73x). Now ONE range-filtered scan rolls up to per-KEY year
+    # flags (groupBy k — md5 runs once per distinct buyer, not once per
+    # (year, buyer)), and a single 256-row per-bucket aggregation yields the
+    # 1995/1996/union registers as conditional maxes PLUS the per-bucket key
+    # counts that the exact counts sum — no barrier, no union-merge pass,
+    # and value-identical registers (max over the same distinct key sets).
+    in95 = F.when(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    per_key = (
         o.filter(
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .select(
-            F.date_format("o_orderdate", "yyyy").alias("tag"),
-            F.col("o_custkey").alias("k"),
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.max(in95).alias("has95"), F.max(1 - in95).alias("has96"))
+    )
+    key_md5 = F.md5(F.col("k").cast("string"))
+    hashed = per_key.select(
+        "has95",
+        "has96",
+        F.conv(F.substring(key_md5, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(key_md5, 3, 8), 16, 10).cast("bigint").alias("w32"),
+    )
+    rho = F.when(F.col("w32") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(F.col("w32")))
+    )
+    # <=256 rows; referenced by the register stack AND the exact-count sums,
+    # whose identical subtrees share the per-bucket exchange via
+    # ReuseExchange — no materialization barrier needed.
+    regsall = hashed.groupBy("bucket").agg(
+        F.max(F.when(F.col("has95") == 1, rho)).alias("m95"),
+        F.max(F.when(F.col("has96") == 1, rho)).alias("m96"),
+        F.max(rho).alias("mu"),
+        F.sum("has95").alias("c95"),
+        F.sum("has96").alias("c96"),
+        F.count(F.lit(1)).alias("ck"),
+    )
+    regs = regsall.select(
+        F.expr(
+            "stack(3, '1995', m95, '1996', m96, 'union', mu) AS (tag, m_reg)"
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    regs0 = _hll_registers(tagged)
-    regs = regs0.unionAll(
-        regs0.groupBy("bucket")
-        .agg(F.max("m_reg").alias("m_reg"))
-        .select(F.lit("union").alias("tag"), "bucket", "m_reg")
-    )
+    ).filter(F.col("m_reg").isNotNull())
     ests = _hll_estimates(spark, regs).select("tag", "chosen_est")
 
     def only(tag: str) -> F.Column:
@@ -623,17 +644,16 @@ def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("chosen_est").isNotNull())
     )
     all_ests = ests.unionAll(inter_est)
-    # r11 (guide §2.2/§2.4): all four exact counts come from ONE pass over
-    # the checkpointed tagged relation — per-year counts as conditional
-    # sums, the union as COUNT(DISTINCT k), and the intersection by the
-    # exact identity |A∩B| = |A| + |B| - |A∪B| (the per-year sets are
-    # already distinct, so the oracle's 1:1 a_keys⋈b_keys count is the same
-    # number). The before-shape ran two scalar counts, a distinct, and an
-    # equi-join over the same rows.
-    stats = tagged.groupBy().agg(
-        F.coalesce(F.sum(F.when(F.col("tag") == "1995", 1)), F.lit(0)).alias("n95"),
-        F.coalesce(F.sum(F.when(F.col("tag") == "1996", 1)), F.lit(0)).alias("n96"),
-        F.count_distinct(F.col("k")).alias("nu"),
+    # All four exact counts from the SAME per-bucket rollup (guide §2.2/
+    # §2.4): every key lands in exactly one bucket, so summing the per-
+    # bucket key counts gives |1995|, |1996| and |union| exactly, and the
+    # intersection follows from |A∩B| = |A| + |B| - |A∪B| (the per-year key
+    # sets are distinct by construction, so the oracle's 1:1 a_keys⋈b_keys
+    # count is the same number).
+    stats = regsall.agg(
+        F.coalesce(F.sum("c95"), F.lit(0)).cast("bigint").alias("n95"),
+        F.coalesce(F.sum("c96"), F.lit(0)).cast("bigint").alias("n96"),
+        F.coalesce(F.sum("ck"), F.lit(0)).cast("bigint").alias("nu"),
     )
     exact = stats.select(
         F.expr(
