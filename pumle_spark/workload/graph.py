@@ -104,29 +104,30 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # NO explicit materialization of the edge list: localCheckpoint pins
-    # deserialized rows and persist() pins columnar batches — both measured
-    # to OOM a small heap at sf1 with 32 concurrent tasks. The fixed
-    # 3-iteration unroll keeps everything in ONE action, where Catalyst's
-    # ReuseExchange deduplicates the identical edge/degree subtrees (the
-    # shuffle files are the cache), so nothing is ever pinned in executor
-    # memory and the query is spill-safe at any scale. Explicit
-    # checkpointing only pays off for unbounded convergence loops
-    # (operators/terrain.py).
+    # r12 (guide §2.4): materialize the degree-annotated edge list ONCE.
+    # The r11 shape kept everything in one action expecting ReuseExchange to
+    # dedupe the identical edge/degree subtrees; per-stage REST metrics show
+    # it did NOT — the orders⋈lineitem+distinct stage re-executed 5x inside
+    # the single job (stages reading 11.4 MB each, ~6 s of task time apiece
+    # at sf0.1). One eager checkpoint of (src, dst, outdeg) runs that
+    # subtree once AND removes the per-iteration deg join — each iteration
+    # is now one equi-join on src plus one groupBy(dst) over materialized
+    # rows. MEMORY_AND_DISK spills rather than pinning the heap, so the
+    # shape stays spill-safe at scale.
     edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
         pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nn = deg.select(F.count(F.lit(1)).alias("n"))
+    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edgesd.select("src").distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"), F.expr(f"{_MASS} div n").alias("r")
     )
     for _ in range(_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select("dst", F.expr("r div outdeg").alias("contrib"))
+        contrib = edgesd.join(ranks, edgesd["src"] == ranks["node"]).select(
+            "dst", F.expr("r div outdeg").alias("contrib")
         )
         sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
         ranks = sums.crossJoin(F.broadcast(nn)).select(
@@ -421,10 +422,17 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # r12 (guide §2.4, same stage evidence as graph_pagerank_trade): one
+    # eager checkpoint of the edge list — the unrolled action re-executed
+    # the orders⋈lineitem+distinct subtree per superstep (64-scan
+    # pre-execution plan). The seed derives from the materialized edges
+    # (customer nodes are the even ids, so min(even src) ≡ 2*min(c)).
     edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
         pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    ).localCheckpoint(eager=True)
+    frontier = edges.filter(F.col("src") % 2 == 0).agg(
+        F.min("src").cast("bigint").alias("node")
     )
-    frontier = pairs.agg((2 * F.min("c")).cast("bigint").alias("node"))
     levels = [frontier.select("node", F.lit(0).alias("hops"))]
     for i in range(1, _BFS_DEPTH + 1):
         frontier = (
@@ -537,15 +545,22 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.min("cents").alias("w"))
     )
+    # r12 (guide §2.4, same stage evidence as graph_pagerank_trade): one
+    # eager checkpoint of the weighted edge list — the unrolled action
+    # re-executed the orders⋈lineitem+min-cents subtree per relaxation
+    # (88-scan pre-execution plan). The seed derives from the materialized
+    # edges (customer nodes are the even ids, so min(even src) ≡ 2*min(c)).
     wedges = wpairs.select(
         (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"), "w"
     ).unionAll(
         wpairs.select(
             (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"), "w"
         )
-    )
-    dist = wpairs.agg((2 * F.min("c")).cast("bigint").alias("node")).select(
-        "node", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    dist = (
+        wedges.filter(F.col("src") % 2 == 0)
+        .agg(F.min("src").cast("bigint").alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
     )
     for _ in range(_SSSP_ITERS):
         relaxed = (
@@ -1261,6 +1276,12 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r12 (guide §2.4, same evidence as graph_pagerank_trade): the unrolled
+    # single action re-executed the orders⋈lineitem+distinct subtree per
+    # reference (174-scan pre-execution plan); one eager checkpoint of the
+    # degree-annotated edge list runs it once and drops the per-iteration
+    # deg join.
+    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region")
@@ -1269,7 +1290,13 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg.filter(F.col("r_name") == _PPR_REGION)),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
-        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
+        # semi-join = existence: the materialized edge list serves as the
+        # node universe (duplicate src rows are irrelevant to a semi join)
+        .join(edgesd.select(F.col("src").alias("node")), "node", "left_semi")
+        # referenced by sk, the initial ranks, every teleport term and the
+        # final seed flag (~8 consumers): pin the tiny seed set so the
+        # dimension joins + semi probe run once
+        .localCheckpoint(eager=True)
     )
     sk = seeds.agg(F.count(F.lit(1)).alias("k"))
     ranks = seeds.crossJoin(F.broadcast(sk)).select(
@@ -1277,8 +1304,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_ITERS):
         inflow = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edgesd.join(ranks, edgesd["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.expr("(85 * sum(r div outdeg)) div 100").alias("t"))
             .select(F.col("dst").alias("node"), "t")
@@ -1579,13 +1605,19 @@ def graph_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
             )
         )
-        .localCheckpoint(eager=False)
+        # r12: eager — the lazy form raced, re-executing the pairs subtree
+        # per consumer (same stage evidence as graph_pagerank_trade)
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     key_md5 = F.md5(F.col("node").cast("string"))
     w32 = F.conv(F.substring(key_md5, 2, 8), 16, 10).cast("bigint")
+    # bin() renders the binary digits directly (identical to the oracle's
+    # length(bin(w32))); the old conv(cast-to-string, 10, 2) round-tripped
+    # every value through a decimal-string parse per row (guide §1.2 —
+    # the same swap _hll_registers got in r11)
     rho = F.when(w32 == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.conv(w32.cast("string"), 10, 2))
+        F.lit(33) - F.length(F.bin(w32))
     )
     # seed: the one non-empty register lands in its 6-bit field of w0/w1
     # (bucket 0-7 → w0, 8-15 → w1); every other field stays 0 = empty.
