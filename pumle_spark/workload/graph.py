@@ -104,30 +104,30 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # r12 (guide §2.4): materialize the degree-annotated edge list ONCE.
-    # The r11 shape kept everything in one action expecting ReuseExchange to
-    # dedupe the identical edge/degree subtrees; per-stage REST metrics show
-    # it did NOT — the orders⋈lineitem+distinct stage re-executed 5x inside
-    # the single job (stages reading 11.4 MB each, ~6 s of task time apiece
-    # at sf0.1). One eager checkpoint of (src, dst, outdeg) runs that
-    # subtree once AND removes the per-iteration deg join — each iteration
-    # is now one equi-join on src plus one groupBy(dst) over materialized
-    # rows. MEMORY_AND_DISK spills rather than pinning the heap, so the
-    # shape stays spill-safe at scale.
+    # r12 negative result (measured at sf0.1 AND sf1, r11 shape kept): the
+    # per-stage REST metrics DO show the orders⋈lineitem+distinct subtree
+    # re-executing 5x inside this single action (ReuseExchange does not
+    # cover it), but materializing a degree-annotated edge list once lost
+    # every interleaved A/B anyway — sf0.1 4.07/4.48 -> 4.96/4.75, sf1
+    # medians ~10.3 -> ~14.7 s — because the redundant stages run
+    # CONCURRENTLY on idle cores while the checkpoint serializes one long
+    # barrier and strips the stats the iteration joins broadcast by. The
+    # redundancy is the cheaper evil on both measured scales; revisit only
+    # with a cluster-scale measurement in hand.
     edges = pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")).unionAll(
         pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = edgesd.select("src").distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nn = deg.select(F.count(F.lit(1)).alias("n"))
 
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"), F.expr(f"{_MASS} div n").alias("r")
     )
     for _ in range(_ITERS):
-        contrib = edgesd.join(ranks, edgesd["src"] == ranks["node"]).select(
-            "dst", F.expr("r div outdeg").alias("contrib")
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("contrib"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
         ranks = sums.crossJoin(F.broadcast(nn)).select(
@@ -545,22 +545,19 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.min("cents").alias("w"))
     )
-    # r12 (guide §2.4, same stage evidence as graph_pagerank_trade): one
-    # eager checkpoint of the weighted edge list — the unrolled action
-    # re-executed the orders⋈lineitem+min-cents subtree per relaxation
-    # (88-scan pre-execution plan). The seed derives from the materialized
-    # edges (customer nodes are the even ids, so min(even src) ≡ 2*min(c)).
+    # r12 negative result (measured, r11 shape kept): eagerly checkpointing
+    # the weighted edge list probed slower at BOTH scales (sf0.1 3.64 vs
+    # 3.69 flat, sf1 5.74/7.24 vs 4.57/6.50) — same barrier-vs-parallel-
+    # redundancy economics as graph_pagerank_trade's note above.
     wedges = wpairs.select(
         (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"), "w"
     ).unionAll(
         wpairs.select(
             (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"), "w"
         )
-    ).localCheckpoint(eager=True)
-    dist = (
-        wedges.filter(F.col("src") % 2 == 0)
-        .agg(F.min("src").cast("bigint").alias("node"))
-        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    dist = wpairs.agg((2 * F.min("c")).cast("bigint").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
     )
     for _ in range(_SSSP_ITERS):
         relaxed = (
@@ -1276,12 +1273,12 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # r12 (guide §2.4, same evidence as graph_pagerank_trade): the unrolled
-    # single action re-executed the orders⋈lineitem+distinct subtree per
-    # reference (174-scan pre-execution plan); one eager checkpoint of the
-    # degree-annotated edge list runs it once and drops the per-iteration
-    # deg join.
-    edgesd = edges.join(deg, "src").localCheckpoint(eager=True)
+    # r12: the edge list itself stays UNmaterialized — checkpointing it was
+    # measured slower at both scales (the graph_pagerank_trade note above);
+    # but the SEED set is pinned: it feeds sk, the initial ranks, every
+    # teleport term and the final seed flag (~8 consumers), and each was
+    # re-running the dimension joins + the degree semi-probe (interleaved
+    # A/B at sf0.1: 5.9 -> 4.7 s with the pin).
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
     reg = table(spark, sf_dir, "region")
@@ -1290,12 +1287,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg.filter(F.col("r_name") == _PPR_REGION)),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
-        # semi-join = existence: the materialized edge list serves as the
-        # node universe (duplicate src rows are irrelevant to a semi join)
-        .join(edgesd.select(F.col("src").alias("node")), "node", "left_semi")
-        # referenced by sk, the initial ranks, every teleport term and the
-        # final seed flag (~8 consumers): pin the tiny seed set so the
-        # dimension joins + semi probe run once
+        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
         .localCheckpoint(eager=True)
     )
     sk = seeds.agg(F.count(F.lit(1)).alias("k"))
@@ -1304,7 +1296,8 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_ITERS):
         inflow = (
-            edgesd.join(ranks, edgesd["src"] == ranks["node"])
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
             .groupBy("dst")
             .agg(F.expr("(85 * sum(r div outdeg)) div 100").alias("t"))
             .select(F.col("dst").alias("node"), "t")
