@@ -515,14 +515,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    # r12 (guide §2.4): the labeled-quadratic ground-truth pass is joined
-    # by every method's recall row — SIX consumers re-ran the queries x
-    # corpus rerank; pin the tiny (|q| x k) result so it runs once.
+    # r12 negative result: pinning this labeled-quadratic ground-truth pass
+    # (SIX consumers re-run it) probed flat at sf0.1 and LOST at sf1
+    # (35.5/35.9 vs 30.3 s interleaved) — the six re-executions overlap on
+    # idle cores while the pin serializes the rerank into one barrier job.
+    # Same economics as the graph-family notes in workload/graph.py.
     exact = topk(
         e.crossJoin(F.broadcast(q.select("query_id")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    ).localCheckpoint(eager=True)
+    )
 
     # r12 negative result: pinning the LSH codes and the rank<=2 IVF
     # assignment as well probed 7.12 vs 5.26 s — two more serialized
