@@ -73,55 +73,46 @@ def register(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 # union = 301/301 pre-freeze names over CORRECTNESS_r01–r07). Round 8 ran
 # the first ROTATE window (8 queue names + 42 oldest-verified) 50/50 green.
 #
-# _DRIVER_WINDOW_R11 is round 11's 50-row window, pasted verbatim from
+# _DRIVER_WINDOW_R12 is round 12's 50-row window, pasted verbatim from
 # `python tools/next_window.py` (regime printed: DRAIN+ROTATE-FILL over
-# CORRECTNESS_r01–r10): the 2 queries registered after the round-10 window
-# froze (the former _DRIVER_QUEUE_R11, both local-green via
-# tools/oracle_check.py at sf0.01/sf0.1 but never driver-verified) lead,
-# followed by the 48 OLDEST-driver-verified names (ascending last-green
-# round over the checked-in CORRECTNESS_r*.json records, registration order
-# as the tiebreak). After round 10 the cumulative driver-green union covers
-# all 338 pre-freeze names. Rotation keeps driver verification LIVE: a name
-# re-verifies roughly every ceil(registry/50) rounds, so a regression
-# introduced after a name's first green round re-enters the driver record
-# instead of hiding behind a stale "green once, ever" mark. The freeze is
-# enforced by tests/test_registry.py: queries()[:50] must equal this tuple,
-# never-verified names must lead, and the rotated tail must be exactly the
-# oldest-verified stratum (no slot wasted on a recently-verified name).
-_DRIVER_WINDOW_R11 = (
-    # -- registered after the r10 window froze (the 2-name queue) ---------
-    "pack_conversation_bins", "mix_anneal_schedule",
+# CORRECTNESS_r01-r11): the 2 queries registered after the round-11 window
+# froze (the former _DRIVER_QUEUE_R12, both local-green via
+# tools/oracle_check.py but never driver-verified) lead, followed by the 48
+# OLDEST-driver-verified names (ascending last-green round over the
+# checked-in CORRECTNESS_r*.json records, registration order as the
+# tiebreak). This stratum naturally pulls in the round-11/12 performance
+# rewrites (the sketch family, corpus_clean_pipeline, dedup_embedding_lsh,
+# the ANN pq/ivfpq paths) for driver re-verification — the r11 VERDICT's
+# item 6. The freeze is enforced by tests/test_registry.py.
+_DRIVER_WINDOW_R12 = (
+    # -- registered after the r11 window froze (the 2-name queue) ---------
+    "text_byte_fallback_audit", "curriculum_quality_anneal",
     # -- the 48 oldest-driver-verified names (rotation fill) --------------
-    "dedup_incremental_delta",
-    "pack_concat_fixed_blocks", "drift_psi_totalprice", "stream_dedup_events_final",
-    "events_ewma_smoothing", "events_rate_anomaly", "events_session_paths",
-    "events_time_weighted_value", "join_point_in_time_state", "events_rolling_active_users",
-    "events_asof_tolerance", "sketch_kmv_distinct", "sketch_kmv_corpus_jaccard",
-    "sketch_cms_join_size", "graph_pagerank_trade", "graph_bfs_reach",
-    "graph_sssp_bounded", "multimodal_frame_sample", "multimodal_shard_manifest",
-    "stream_plume_monitor_final", "validate_fk_orphans", "window_distribution_ranks",
-    "orders_linreg_by_priority", "pareto_abc_parts", "agg_cube_flag_status",
-    "agg_argmax_orders", "skyline_parts_2d", "join_null_aware_not_in",
-    "subquery_correlated_scalar", "join_bloom_semireduction", "skew_salted_brand_revenue",
-    "sample_sequential_poisson", "sample_balanced_labels", "embedding_matryoshka_error",
-    "text_unigram_logprob", "text_cooccurrence_pmi", "text_zipf_slope",
-    "text_lexical_diversity", "orders_yoy_growth", "lineitem_ship_lag_percentiles",
-    "supplier_hhi_by_brand", "orders_backlog_timeseries", "cluster_assignment_margin",
-    "events_markov_stationary", "events_bot_regularity", "events_retention_weekly",
-    "attribution_position_based", "stream_running_totals_final",
+    "sketch_hll_distinct",
+    "sketch_cms_frequency", "sketch_bloom_membership", "sketch_hll_setops",
+    "sketch_quantile_histogram", "events_sliding_distinct_hll", "graph_degree_assortativity",
+    "multimodal_aspect_buckets", "export_tensor_checksum", "export_zarr_roundtrip",
+    "layout_zorder_golden", "q16_part_supplier_counts", "q18_large_volume_orders",
+    "profile_orders_columns", "join_right_outer_customer_orders", "set_union_distinct",
+    "q22_global_sales_opportunity", "orders_retention_cohort", "window_range_frame_trailing_spend",
+    "agg_grouping_sets_revenue", "events_transition_bigrams", "agg_price_histogram",
+    "basket_brand_lift", "unpivot_lineitem_measures", "incremental_rollup_merge",
+    "join_lateral_topk_orders", "mix_weighted_sources", "heavy_hitters_lineitem_parts",
+    "mix_temperature_rebalance", "corpus_clean_pipeline", "deterministic_split",
+    "text_langid_confusion", "corpus_dataset_card", "knn_bruteforce_cosine",
+    "ann_ivf_assign", "dedup_embedding_lsh", "ann_lsh_codes",
+    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivfpq_topk",
+    "orders_shiplag_survival", "decomp_monthly_revenue", "forecast_ewma_revenue",
+    "revenue_pvm_bridge", "orders_price_elasticity", "audit_duplicate_payments",
+    "anova_twoway_cells", "returns_wilson_ci",
 )
-_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R11)}
+_WINDOW_POS = {n: i for i, n in enumerate(_DRIVER_WINDOW_R12)}
 
-# Queries registered AFTER the round-11 window froze (the driver records only
-# queries()[:50]): local-green but not yet driver-verified — they head ROUND
-# 12's window, followed by the oldest-verified rotation per the policy above
-# (compute with tools/next_window.py when freezing _DRIVER_WINDOW_R12).
-# Keep this list in sync when adding queries this round; its length is
-# whatever len() says, never a hand-maintained count.
-_DRIVER_QUEUE_R12: tuple[str, ...] = (
-    "text_byte_fallback_audit",
-    "curriculum_quality_anneal",
-)
+# Queries registered AFTER the round-12 window froze (the driver records only
+# queries()[:50]): none — round 12 is an optimization round and registered no
+# new queries. Keep this list in sync when adding queries; compute
+# _DRIVER_WINDOW_R13 with tools/next_window.py when freezing it.
+_DRIVER_QUEUE_R13: tuple[str, ...] = ()
 
 
 def _rotation_key(name: str) -> tuple[int, int]:

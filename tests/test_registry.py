@@ -25,10 +25,10 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Records from this round onward land AFTER the freeze (the r11 record will
+# Records from this round onward land AFTER the freeze (the r12 record will
 # intentionally contain the window names once the driver runs); only strictly
 # prior records constrain it.
-_FREEZE_CUTOFF = "CORRECTNESS_r11.json"
+_FREEZE_CUTOFF = "CORRECTNESS_r12.json"
 
 
 def _latest_green() -> dict[str, int]:
@@ -56,12 +56,12 @@ def _latest_green() -> dict[str, int]:
 def test_window_is_exactly_the_first_50_queries():
     from pumle_spark import workload
 
-    window = workload._DRIVER_WINDOW_R11
+    window = workload._DRIVER_WINDOW_R12
     assert len(window) == 50, f"window must fill all 50 driver slots, got {len(window)}"
     assert len(set(window)) == 50, "window has duplicate names"
     head = list(workload.queries())[:50]
     assert head == list(window), (
-        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R11 — "
+        "queries()[:50] diverged from the frozen _DRIVER_WINDOW_R12 — "
         "a registration-order change or a new query slipped ahead of the window"
     )
 
@@ -74,7 +74,7 @@ def test_window_rotates_oldest_verified_names():
     from pumle_spark import workload
 
     latest = _latest_green()
-    window = list(workload._DRIVER_WINDOW_R11)
+    window = list(workload._DRIVER_WINDOW_R12)
 
     never = [n for n in window if n not in latest]
     assert window[: len(never)] == never, (
@@ -99,7 +99,7 @@ def test_window_and_queue_names_exist_in_registry():
     names = set(workload.queries())
     missing = [
         n
-        for n in (*workload._DRIVER_WINDOW_R11, *workload._DRIVER_QUEUE_R12)
+        for n in (*workload._DRIVER_WINDOW_R12, *workload._DRIVER_QUEUE_R13)
         if n not in names
     ]
     assert not missing, f"window/queue references unregistered queries: {missing}"
