@@ -128,6 +128,12 @@ def main() -> int:
         help="use a bare SparkSession like the round driver does (catches "
         "reliance on pumle_spark.session-only configuration)",
     )
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write a per-query {name: {status, rows, problems}} record "
+        "to this path — the committable full-sweep artifact (r11 ADVICE)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -159,6 +165,7 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = n_rowsonly = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -175,10 +182,12 @@ def main() -> int:
                 srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            record[name] = {"status": "FAIL", "problems": [f"spark error: {exc}"]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+            record[name] = {"status": "ROWS-ONLY", "rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -193,6 +202,7 @@ def main() -> int:
                 drows = res.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            record[name] = {"status": "FAIL", "problems": [f"duckdb error: {exc}"]}
             n_fail += 1
             continue
 
@@ -221,12 +231,32 @@ def main() -> int:
             print(f"FAIL {name} ({time.time() - t0:.1f}s): " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print("   " + p)
+            record[name] = {"status": "FAIL", "rows": len(srows), "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
+            record[name] = {"status": "PASS", "rows": len(srows)}
             n_pass += 1
 
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as fh:
+            _json.dump(
+                {
+                    "sf": args.sf,
+                    "vanilla": args.vanilla,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+                default=str,
+            )
     return 1 if n_fail else 0
 
 

@@ -41,6 +41,7 @@ ALLOW = {
                                "BroadcastNestedLoopJoin": "labeled all-pairs baseline"},
     "knn_bruteforce_cosine": {"BroadcastNestedLoopJoin": "exact-kNN correctness baseline"},
     "ann_ivf_assign": {"BroadcastNestedLoopJoin": "corpus x 8-centroid constant fan-out"},
+    "sketch_bloom_membership": {"BroadcastNestedLoopJoin": "single-row 128-word sketch-map crossJoin (r12 probe shape)"},
     "ann_recall_report": {"BroadcastNestedLoopJoin": "contains exact ground-truth pass (grading)"},
     "dedup_ngram_jaccard": {"BroadcastNestedLoopJoin": "labeled all-pairs baseline"},
     # single-row / dim-sized broadcast sides
